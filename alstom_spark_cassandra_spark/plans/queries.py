@@ -1,0 +1,511 @@
+"""Public query API — the reference's procedure surface, Spark-first.
+
+Reference entry points (SURVEY.md §2.9 D5, §3):
+
+  RetrieveField.fieldFilter      Java/.../RetrieveField.java:50-93
+  RetrieveMessage.messageFilter  Java/.../RetrieveMessage.java:54-118
+  GetMessage                     SQL/GetMessage.sql:8
+  GetMultipleFields              SQL/GetMultipleFields.sql:8
+  GetUpdateHistory               SQL/GetUpdateHistory.sql:8
+  Backup                         Java/.../Backup.java:30-61
+
+Each becomes one Python function returning a *lazy* DataFrame — one
+Catalyst plan per query instead of the reference's chain of
+materialized temp tables (`CREATE TABLE data_center.X_{temp_nb}`,
+SQL/GetMessage.sql:46-54) or driver round-trip `first()` loops
+(RetrieveField.java:66-90). Concurrency isolation comes free
+(DataFrames are values; no `temp_nb` suffixes).
+
+Snapshot layout note: the reference stores one MySQL table per
+snapshot epoch, addressed through a `snapshots(name, start_id)` index
+(SQL/GetMessage.sql:60-70). Here all snapshot rows live in ONE
+DataFrame with a `snapshot_name` column — on disk, a parquet dataset
+partitioned by snapshot_name, so selecting an epoch is partition
+pruning, not a table lookup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.filter_compiler import compile_filter
+from ..operators.asof import asof_snapshot_pair
+from ..operators.json_flatten import flatten_json_value
+from ..operators.latest import latest_per_key
+from ..operators.locf import locf, locf_pivot
+from ..operators.setops import symmetric_diff_rows, unchanged_rows
+
+# Columns that identify one logical field series in the change log.
+SERIES_KEY = ["uevol_field_id", "src_id", "dst_id"]
+# Tie-break for same-instance_message_id updates (DataLoader.java:65).
+TIEBREAK = ["iteration"]
+
+
+def _apply_eq_filters(df: DataFrame, eq: dict[str, object]) -> DataFrame:
+    # Dynamic conjunctive equality filters; None/-1 means "not set"
+    # (RetrieveField.java:57-63, Retrieve_field.scala:37-43).
+    for col, val in eq.items():
+        if val is not None and val != -1:
+            df = df.filter(F.col(col) == F.lit(val))
+    return df
+
+
+def retrieve_field(
+    instance_field: DataFrame,
+    instance_message: DataFrame,
+    uevol_field_id: int | None = None,
+    value: int | None = None,
+    src_id: int | None = None,
+    dst_id: int | None = None,
+    seq_nb: int | None = None,
+    start_log_time: int | None = None,
+    end_log_time: int | None = None,
+    duration: int | None = None,
+) -> DataFrame:
+    """Q2-interval: field updates matching dynamic filters, bounded to a
+    seq_nb / time window (reference: RetrieveField.java:50-93).
+
+    The reference resolves seq_nb and each time bound with separate
+    `orderBy().first()` driver round-trips (RetrieveField.java:66-90).
+    Here the bounds stay in-plan: 1-row aggregates cross-joined in, so
+    the whole query is one Spark job and the log scan happens once.
+    """
+    log = _apply_eq_filters(
+        instance_field,
+        {
+            "uevol_field_id": uevol_field_id,
+            "new_value": value,
+            "src_id": src_id,
+            "dst_id": dst_id,
+        },
+    )
+
+    if seq_nb is not None and seq_nb != -1:
+        # seq_nb -> first message id at/after that seq (RetrieveField.java:66-70).
+        bound = instance_message.filter(F.col("seq_nb") == F.lit(seq_nb)).agg(
+            F.min("id").alias("__min_id")
+        )
+        return (
+            log.join(bound, F.lit(True), "left")
+            .filter(F.col("instance_message_id") >= F.col("__min_id"))
+            .drop("__min_id")
+            .orderBy("instance_message_id")
+        )
+
+    if end_log_time is None and start_log_time is not None and duration is not None:
+        end_log_time = start_log_time + duration  # RetrieveField.java:85-89
+
+    msg = instance_message
+    if start_log_time is not None:
+        msg = msg.filter(F.col("log_time") >= F.lit(start_log_time))
+    if end_log_time is not None:
+        msg = msg.filter(F.col("log_time") <= F.lit(end_log_time))
+    if start_log_time is None and end_log_time is None:
+        return log.orderBy("instance_message_id")
+
+    bounds = msg.agg(F.min("id").alias("__min_id"), F.max("id").alias("__max_id"))
+    return (
+        log.join(bounds, F.lit(True), "left")
+        .filter(
+            (F.col("instance_message_id") >= F.col("__min_id"))
+            & (F.col("instance_message_id") <= F.col("__max_id"))
+        )
+        .drop("__min_id", "__max_id")
+        .orderBy("instance_message_id")
+    )
+
+
+def retrieve_message(
+    instance_field: DataFrame,
+    uevol_field: DataFrame,
+    uevol_message_id: int,
+    at_instance_message_id: int,
+    default_value: int = -1,
+) -> DataFrame:
+    """Q1 (log-only): reconstruct every field of a message type at a
+    point in the log (reference: RetrieveMessage.java:54-118).
+
+    The reference does this with a correlated per-field UDF that
+    re-filters the whole Dataset per row (RetrieveMessage.java:92-108
+    — invalid outside local mode, SURVEY.md J11). Replacement: window
+    argmax over the narrowed log once, broadcast the field catalog,
+    one left join; fields with no update yet get `default_value`
+    (the reference's -1 convention).
+    """
+    fields = uevol_field.filter(
+        F.col("uevol_message_id") == F.lit(uevol_message_id)
+    ).select(F.col("id").alias("uevol_field_id"), "name")
+
+    narrowed = instance_field.filter(
+        F.col("instance_message_id") <= F.lit(at_instance_message_id)
+    )
+    latest = latest_per_key(
+        narrowed, ["uevol_field_id"], "instance_message_id", TIEBREAK
+    ).select("uevol_field_id", "new_value")
+
+    # Broadcast the aggregated side: after the argmax it is <= one row
+    # per field. (Broadcasting the preserved side of an outer join is
+    # unsupported — Spark would silently fall back to sort-merge.)
+    return (
+        fields.join(F.broadcast(latest), "uevol_field_id", "left")
+        .select(
+            "uevol_field_id",
+            "name",
+            F.coalesce("new_value", F.lit(default_value)).alias("value"),
+        )
+        .orderBy("uevol_field_id")
+    )
+
+
+def get_message(
+    instance_field: DataFrame,
+    uevol_field: DataFrame,
+    snapshot_index: DataFrame,
+    snapshot_rows: DataFrame,
+    instance_message: DataFrame,
+    at_instance_message_id: int,
+    default_value: float = -1.0,
+) -> DataFrame:
+    """Q1 (snapshot+delta): reconstruct a full message at a message id
+    using the nearest snapshot plus the deltas since (reference:
+    SQL/GetMessage.sql — ~990 lines of staged temp tables).
+
+    Stages (all one lazy plan here):
+      1. resolve message type + src/dst from the message log
+         (GetMessage.sql:25-38);
+      2. snapshot pair around the target (GetMessage.sql:63-88);
+      3. same/diff between the two snapshots (GetMessage.sql:147-176);
+      4. delta argmax over [snap_min_start, target]
+         (GetMessage.sql:178-226);
+      5. no-update-yet anti-join + snapshot JSON flatten
+         (GetMessage.sql:362-590);
+      6. final union, dedup by (field, path) (GetMessage.sql:595-597).
+
+    Returns (uevol_field_id, name, relative_path, value).
+    """
+    # 1. point lookup of the target message's metadata (tiny).
+    tgt = (
+        instance_message.filter(F.col("id") == F.lit(at_instance_message_id))
+        .select("uevol_message_id", "src_id", "dst_id")
+        .limit(1)
+        .collect()
+    )
+    if not tgt:
+        raise ValueError(f"no instance_message with id={at_instance_message_id}")
+    msg_type, src_id, dst_id = tgt[0][0], tgt[0][1], tgt[0][2]
+
+    fields = uevol_field.filter(F.col("uevol_message_id") == F.lit(msg_type)).select(
+        F.col("id").alias("uevol_field_id"), "name"
+    )
+
+    # 2. snapshot pair (tiny index — driver scalar is fine and bounds
+    # the delta scan, the reference's partition-pruning analog).
+    pair = asof_snapshot_pair(snapshot_index, at_instance_message_id).collect()[0]
+    snap_min_name, snap_min_start = pair["snap_min_name"], pair["snap_min_start"]
+    snap_max_name = pair["snap_max_name"]
+
+    snap_cols = ["uevol_field_id", "src_id", "dst_id", "json_value"]
+    snap_min = snapshot_rows.filter(
+        (F.col("snapshot_name") == F.lit(snap_min_name))
+        & (F.col("src_id") == F.lit(src_id))
+        & (F.col("dst_id") == F.lit(dst_id))
+    )
+
+    if snap_max_name is not None and snap_max_name != snap_min_name:
+        snap_max = snapshot_rows.filter(
+            (F.col("snapshot_name") == F.lit(snap_max_name))
+            & (F.col("src_id") == F.lit(src_id))
+            & (F.col("dst_id") == F.lit(dst_id))
+        )
+        # 3. fields identical in both snapshots never changed in the
+        # epoch; singletons may have (GetMessage.sql:147-176).
+        same = unchanged_rows(snap_min, snap_max, snap_cols)
+        diff_fields = (
+            symmetric_diff_rows(snap_min, snap_max, snap_cols)
+            .select("uevol_field_id")
+            .distinct()
+        )
+    else:
+        same = snap_min.select(*snap_cols).limit(0)
+        diff_fields = snap_min.select("uevol_field_id").distinct()
+
+    # 4. deltas in (snap_min_start, target]: latest per (field, path).
+    deltas = instance_field.filter(
+        (F.col("instance_message_id") > F.lit(snap_min_start))
+        & (F.col("instance_message_id") <= F.lit(at_instance_message_id))
+        & (F.col("src_id") == F.lit(src_id))
+        & (F.col("dst_id") == F.lit(dst_id))
+    ).join(F.broadcast(diff_fields), "uevol_field_id", "left_semi")
+    delta_latest = latest_per_key(
+        deltas, ["uevol_field_id", "relative_path"], "instance_message_id", TIEBREAK
+    ).select(
+        "uevol_field_id",
+        "relative_path",
+        F.col("new_value").cast("double").alias("value"),
+    )
+
+    # 5a. changed fields with no delta row yet: seed from snap_min JSON
+    # (GetMessage.sql:247-358).
+    changed_no_delta = (
+        snap_min.join(F.broadcast(diff_fields), "uevol_field_id", "left_semi")
+        .join(
+            delta_latest.select("uevol_field_id").distinct(),
+            "uevol_field_id",
+            "left_anti",
+        )
+    )
+    seeded = flatten_json_value(
+        changed_no_delta.select("uevol_field_id", "json_value")
+    ).select("uevol_field_id", "relative_path", "value")
+
+    # 5b. unchanged = same ∪ (fields with no snapshot row at all ->
+    # default json, GetMessage.sql:362-437).
+    no_update_yet = (
+        fields.join(snap_min.select("uevol_field_id"), "uevol_field_id", "left_anti")
+        .select(
+            "uevol_field_id",
+            F.lit(src_id).alias("src_id"),
+            F.lit(dst_id).alias("dst_id"),
+            F.lit(f'{{"000": {default_value}}}').alias("json_value"),
+        )
+    )
+    unchanged = same.unionByName(no_update_yet.select(*snap_cols))
+    unchanged_flat = flatten_json_value(
+        unchanged.select("uevol_field_id", "json_value")
+    ).select("uevol_field_id", "relative_path", "value")
+
+    # 6. assemble: delta values win over seeds win over unchanged;
+    # dedup by (field, path) like the final GROUP BY
+    # (GetMessage.sql:595) but with an explicit priority order.
+    result = (
+        delta_latest.withColumn("__prio", F.lit(0))
+        .unionByName(seeded.withColumn("__prio", F.lit(1)))
+        .unionByName(unchanged_flat.withColumn("__prio", F.lit(2)))
+    )
+    w = Window.partitionBy("uevol_field_id", "relative_path").orderBy("__prio")
+    deduped = (
+        result.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+    return (
+        deduped.join(F.broadcast(fields), "uevol_field_id", "inner")
+        .select("uevol_field_id", "name", "relative_path", "value")
+        .orderBy("uevol_field_id", "relative_path")
+    )
+
+
+def make_arguments(
+    spark,
+    field_ids: Sequence[int],
+    src_ids: Sequence[int] | None = None,
+    dst_ids: Sequence[int] | None = None,
+    filters: Sequence[str | None] | None = None,
+) -> DataFrame:
+    """Positional zip of the parallel argument lists into one
+    arguments DataFrame (reference: SQL/CreateArgumentsTable.sql:36-41
+    does this with a 4-way cartesian join on positional ids; in Python
+    it's just zip)."""
+    n = len(field_ids)
+    src = list(src_ids) if src_ids else [-1] * n
+    dst = list(dst_ids) if dst_ids else [-1] * n
+    flt = list(filters) if filters else [None] * n
+    rows = [
+        (int(f), int(s), int(d), x)
+        for f, s, d, x in zip(field_ids, src, dst, flt)
+    ]
+    return spark.createDataFrame(
+        rows, "uevol_field_id int, src_id int, dst_id int, filter string"
+    )
+
+
+def get_multiple_fields(
+    instance_field: DataFrame,
+    arguments: DataFrame,
+    at_instance_message_id: int,
+    default_value: float = -1.0,
+) -> DataFrame:
+    """Q2: current value of each requested (field, src, dst) series at
+    a message id (reference: SQL/GetMultipleFields.sql).
+
+    Log-only formulation: latest update per requested series ≤ target;
+    series with no update yet get the default (the reference seeds
+    them from snapshots — callers with snapshots should use
+    get_message's machinery per message type).
+    """
+    narrowed = instance_field.filter(
+        F.col("instance_message_id") <= F.lit(at_instance_message_id)
+    ).join(F.broadcast(arguments.select(*SERIES_KEY)), SERIES_KEY, "left_semi")
+    latest = latest_per_key(
+        narrowed, SERIES_KEY + ["relative_path"], "instance_message_id", TIEBREAK
+    ).select(
+        *SERIES_KEY,
+        "relative_path",
+        F.col("new_value").cast("double").alias("value"),
+        "instance_message_id",
+    )
+    # latest has <= one row per requested (series, path): broadcast it,
+    # not the preserved arguments side.
+    return (
+        arguments.select(*SERIES_KEY)
+        .join(F.broadcast(latest), SERIES_KEY, "left")
+        .select(
+            *SERIES_KEY,
+            F.coalesce("relative_path", F.lit("000")).alias("relative_path"),
+            F.coalesce("value", F.lit(default_value)).alias("value"),
+            F.coalesce("instance_message_id", F.lit(-1)).alias(
+                "instance_message_id"
+            ),
+        )
+        .orderBy(*SERIES_KEY, "relative_path")
+    )
+
+
+def get_update_history(
+    instance_field: DataFrame,
+    arguments: DataFrame,
+    start_instance_message_id: int,
+    end_instance_message_id: int,
+    pivot: bool = False,
+    default_value: float = -1.0,
+) -> DataFrame:
+    """Q3: dense value-over-time matrix for a set of series over an id
+    window (reference: SQL/GetUpdateHistory.sql).
+
+    Long format is the primary output (series key as rows) — the
+    reference's one-column-per-series pivot is its own scalability
+    ceiling (SURVEY.md §7.4); `pivot=True` gives that presentation for
+    bounded series counts.
+
+    Per-series user filter strings (column `filter` of `arguments`)
+    are validated by the whitelist compiler before touching the plan
+    (the reference string-concatenates them into SQL,
+    SQL/GetUpdateHistory.sql:202-233).
+    """
+    # Start-of-window state per series (the reference calls
+    # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29).
+    # History treats each series as a scalar: min_by path picks the
+    # "000" scalar row when a field has nested paths.
+    start_state = (
+        get_multiple_fields(
+            instance_field, arguments, start_instance_message_id, default_value
+        )
+        .groupBy(*SERIES_KEY)
+        .agg(F.min_by("value", "relative_path").alias("value"))
+        .select(
+            *SERIES_KEY,
+            F.lit(start_instance_message_id).cast("long").alias(
+                "instance_message_id"
+            ),
+            "value",
+        )
+    )
+
+    updates = (
+        instance_field.filter(
+            (F.col("instance_message_id") > F.lit(start_instance_message_id))
+            & (F.col("instance_message_id") <= F.lit(end_instance_message_id))
+        )
+        .join(F.broadcast(arguments.select(*SERIES_KEY)), SERIES_KEY, "left_semi")
+        # Two updates of one series at the same message id: the matrix
+        # cell is written last-iteration-wins (the reference's loop
+        # overwrites, SQL/GetUpdateHistory.sql:162-172).
+        .groupBy(*SERIES_KEY, "instance_message_id")
+        .agg(F.max_by("new_value", "iteration").cast("double").alias("value"))
+    )
+
+    hist = start_state.unionByName(updates)
+
+    # Dense grid: every series gets a row at every update time point,
+    # like the reference's matrix (one row per distinct update id,
+    # SQL/GetUpdateHistory.sql:136-141), then LOCF fills the gaps.
+    ids = hist.select("instance_message_id").distinct()
+    series = arguments.select(*SERIES_KEY).distinct()
+    grid = ids.crossJoin(F.broadcast(series))
+    dense = grid.join(hist, [*SERIES_KEY, "instance_message_id"], "left")
+    filled = locf(dense, SERIES_KEY, "instance_message_id")
+
+    # Per-series user filters are applied to the FILLED matrix (the
+    # reference AND-chains them over the pivoted result,
+    # SQL/GetUpdateHistory.sql:221-233): a time point survives only if
+    # every filtered series satisfies its predicate there.
+    flt_rows = [
+        r for r in arguments.select(*SERIES_KEY, "filter").collect() if r["filter"]
+    ]
+    if flt_rows:
+        keep = None
+        for r in flt_rows:
+            series_match = (
+                (F.col("uevol_field_id") == r["uevol_field_id"])
+                & (F.col("src_id") == r["src_id"])
+                & (F.col("dst_id") == r["dst_id"])
+            )
+            ok = ~series_match | compile_filter(r["filter"], "value")
+            keep = ok if keep is None else (keep & ok)
+        good_ids = (
+            filled.withColumn("__ok", keep.cast("int"))
+            .groupBy("instance_message_id")
+            .agg(F.min("__ok").alias("__all_ok"))
+            .filter(F.col("__all_ok") == 1)
+            .select("instance_message_id")
+        )
+        filled = filled.join(good_ids, "instance_message_id", "left_semi")
+
+    if not pivot:
+        return filled.orderBy(*SERIES_KEY, "instance_message_id")
+
+    # Presentation pivot: column names follow the reference's
+    # id{f}_src{s}_dst{d} synthesis (SQL/GetUpdateHistory.sql:36,129).
+    # Bounded series count only — the wide matrix is the reference's
+    # own scalability ceiling.
+    keyed = filled.withColumn(
+        "__series",
+        F.format_string(
+            "id%d_src%d_dst%d",
+            F.col("uevol_field_id"),
+            F.col("src_id"),
+            F.col("dst_id"),
+        ),
+    )
+    series_names = sorted(
+        f"id{r['uevol_field_id']}_src{r['src_id']}_dst{r['dst_id']}"
+        for r in series.collect()
+    )
+    return (
+        keyed.groupBy("instance_message_id")
+        .pivot("__series", series_names)
+        .agg(F.first("value"))
+        .orderBy("instance_message_id")
+    )
+
+
+def backup(
+    instance_field: DataFrame,
+    instance_message: DataFrame,
+    log_time_limit: int,
+) -> DataFrame:
+    """Compaction: keep all deltas after a wall-clock limit plus the
+    single latest older delta per series, so reconstruction before the
+    limit stays possible (reference: Backup.java:30-61; the per-field
+    struct UDF at Backup.java:76-93 is the correlated-lookup
+    anti-pattern, replaced by one window argmax).
+
+    The reference collects recent field ids to the driver and uses
+    NOT IN (Backup.java:48-51); at scale that's the left_anti join
+    used here.
+    """
+    bound = instance_message.filter(F.col("log_time") >= F.lit(log_time_limit)).agg(
+        F.min("id").alias("__cut")
+    )
+    log = instance_field.join(bound, F.lit(True), "left")
+    recent = log.filter(F.col("instance_message_id") >= F.col("__cut")).drop("__cut")
+    older = log.filter(
+        (F.col("instance_message_id") < F.col("__cut")) | F.col("__cut").isNull()
+    ).drop("__cut")
+    older_latest = latest_per_key(
+        older, SERIES_KEY + ["relative_path"], "instance_message_id", TIEBREAK
+    )
+    return recent.unionByName(older_latest)

@@ -1,0 +1,144 @@
+"""Unit tests for core operators on tiny in-memory frames (SURVEY.md §5.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators import (
+    asof_id_bounds,
+    asof_snapshot_pair,
+    flatten_json_value,
+    latest_per_key,
+    locf,
+    locf_pivot,
+    symmetric_diff_rows,
+    unchanged_rows,
+)
+
+
+@pytest.fixture()
+def change_log(spark):
+    # (field, src, dst, path, msg_id, iteration, new_value)
+    rows = [
+        (1, 0, 0, "000", 10, 0, 100),
+        (1, 0, 0, "000", 20, 0, 200),
+        (1, 0, 0, "000", 20, 1, 250),  # tie on msg_id -> iteration wins
+        (2, 0, 0, "000", 15, 0, 999),
+        (2, 0, 0, "000.001", 16, 0, 55),
+        (3, 1, 1, "000", 5, 0, 7),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "uevol_field_id int, src_id int, dst_id int, relative_path string,"
+        " instance_message_id long, iteration int, new_value long",
+    )
+
+
+def test_latest_per_key_argmax_and_tiebreak(change_log):
+    out = latest_per_key(
+        change_log,
+        ["uevol_field_id", "relative_path"],
+        "instance_message_id",
+        ["iteration"],
+    )
+    got = {
+        (r.uevol_field_id, r.relative_path): r.new_value for r in out.collect()
+    }
+    assert got[(1, "000")] == 250  # tie broken by iteration desc
+    assert got[(2, "000")] == 999
+    assert got[(2, "000.001")] == 55
+    assert got[(3, "000")] == 7
+    assert out.count() == 4  # exactly one row per key, no dup like ref's join
+
+
+def test_asof_id_bounds(spark):
+    msg = spark.createDataFrame(
+        [(1, 100), (2, 150), (3, 200), (4, 300)], "id long, log_time long"
+    )
+    r = asof_id_bounds(msg, start_time=120, end_time=250).collect()[0]
+    assert (r.min_id, r.max_id) == (2, 3)
+    # duration path: end = start + duration
+    r = asof_id_bounds(msg, start_time=100, duration=60).collect()[0]
+    assert (r.min_id, r.max_id) == (1, 2)
+    # empty window -> nulls, not an error
+    r = asof_id_bounds(msg, start_time=999).collect()[0]
+    assert r.min_id is None and r.max_id is None
+
+
+def test_asof_snapshot_pair(spark):
+    idx = spark.createDataFrame(
+        [("s0", 0), ("s1", 100), ("s2", 200)],
+        "name string, start_instance_message_id long",
+    )
+    r = asof_snapshot_pair(idx, 150).collect()[0]
+    assert (r.snap_min_name, r.snap_max_name) == ("s1", "s2")
+    # exactly on a boundary: both sides pick the boundary snapshot
+    r = asof_snapshot_pair(idx, 100).collect()[0]
+    assert (r.snap_min_name, r.snap_max_name) == ("s1", "s1")
+    # beyond the last snapshot -> snap_max is null (single-snapshot branch)
+    r = asof_snapshot_pair(idx, 999).collect()[0]
+    assert r.snap_min_name == "s2" and r.snap_max_name is None
+
+
+def test_setops_same_diff(spark):
+    cols = "uevol_field_id int, json_value string"
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], cols)
+    b = spark.createDataFrame([(1, "x"), (2, "Y"), (4, "w")], cols)
+    names = ["uevol_field_id", "json_value"]
+    same = {tuple(r) for r in unchanged_rows(a, b, names).collect()}
+    diff = {tuple(r) for r in symmetric_diff_rows(a, b, names).collect()}
+    assert same == {(1, "x")}
+    assert diff == {(2, "y"), (2, "Y"), (3, "z"), (4, "w")}
+
+
+def test_flatten_json_depths(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"000": 7}'),  # depth 1 (scalar field)
+            (2, '{"000": {"001": 5, "002": 6}}'),  # depth 2
+            (3, '{"000": {"001": {"001": 9}}}'),  # depth 3
+            (4, None),  # null json -> no rows
+        ],
+        "uevol_field_id int, json_value string",
+    )
+    out = flatten_json_value(df)
+    got = {
+        (r.uevol_field_id, r.relative_path): r.value for r in out.collect()
+    }
+    assert got == {
+        (1, "000"): 7.0,
+        (2, "000.001"): 5.0,
+        (2, "000.002"): 6.0,
+        (3, "000.001.001"): 9.0,
+    }
+
+
+def test_locf_leading_nulls(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, None),
+            ("a", 2, 10.0),
+            ("a", 3, None),
+            ("a", 4, 20.0),
+            ("b", 1, 5.0),
+            ("b", 2, None),
+        ],
+        "k string, t int, value double",
+    )
+    out = locf(df, ["k"], "t")
+    got = {(r.k, r.t): r.value for r in out.collect()}
+    assert got[("a", 1)] is None  # leading null stays null
+    assert got[("a", 3)] == 10.0
+    assert got[("a", 4)] == 20.0
+    assert got[("b", 2)] == 5.0
+
+
+def test_locf_pivot_matrix(spark):
+    df = spark.createDataFrame(
+        [(1, "s1", 10.0), (2, "s2", 20.0), (3, "s1", 30.0)],
+        "t int, series string, value double",
+    )
+    out = locf_pivot(df, "t", "series", "value", series_values=["s1", "s2"])
+    rows = {r.t: (r.s1, r.s2) for r in out.collect()}
+    assert rows[1] == (10.0, None)
+    assert rows[2] == (10.0, 20.0)
+    assert rows[3] == (30.0, 20.0)

@@ -1,0 +1,179 @@
+"""End-to-end tests of the domain query API on a small synthetic
+change log (FIXTURES.md §A shapes), incl. the snapshot+delta ≡ full
+replay property (SURVEY.md §5.3)."""
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.functions.filter_compiler import FilterSyntaxError
+from alstom_spark_cassandra_spark.plans import (
+    backup,
+    get_message,
+    get_multiple_fields,
+    get_update_history,
+    retrieve_field,
+    retrieve_message,
+)
+from alstom_spark_cassandra_spark.plans.queries import make_arguments
+
+N_FIELDS = 6
+N_MSGS = 300
+SNAP_EVERY = 100
+
+
+def _gen_domain(seed=7):
+    """Random-walk change log + snapshots consistent with full replay."""
+    rng = random.Random(seed)
+    log_rows, msg_rows = [], []
+    state = {}  # field -> value
+    snap_index, snap_rows = [], []
+    for mid in range(1, N_MSGS + 1):
+        msg_rows.append((mid, 1, 0, 0, 0, 0, mid, 1000 + mid * 10, 1000 + mid * 10))
+        if (mid - 1) % SNAP_EVERY == 0:
+            name = f"snap_{mid}"
+            snap_index.append((name, mid - 1))
+            for f, v in state.items():
+                snap_rows.append((name, f, 0, 0, mid - 1, json.dumps({"000": v})))
+        # 1-2 field updates per message; occasionally a same-id tie
+        for it in range(rng.choice([1, 1, 2])):
+            f = rng.randrange(1, N_FIELDS)  # field N_FIELDS never updates
+            v = rng.randrange(0, 1000)
+            log_rows.append((f, 1, mid, 0, 0, 0, "000", it, state.get(f, -1), v))
+            state[f] = v
+    return log_rows, msg_rows, snap_index, snap_rows, state
+
+
+@pytest.fixture(scope="module")
+def domain(spark):
+    log_rows, msg_rows, snap_index, snap_rows, final_state = _gen_domain()
+    log = spark.createDataFrame(
+        log_rows,
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long, new_value long",
+    )
+    msg = spark.createDataFrame(
+        msg_rows,
+        "id long, uevol_message_id int, src_ty int, src_id int, dst_ty int,"
+        " dst_id int, seq_nb int, log_time long, sync_time long",
+    )
+    fields = spark.createDataFrame(
+        [(i, 1, f"field_{i}") for i in range(1, N_FIELDS + 1)],
+        "id int, uevol_message_id int, name string",
+    )
+    sidx = spark.createDataFrame(
+        snap_index, "name string, start_instance_message_id long"
+    )
+    srows = spark.createDataFrame(
+        snap_rows,
+        "snapshot_name string, uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, json_value string",
+    )
+    return dict(
+        log=log, msg=msg, fields=fields, sidx=sidx, srows=srows,
+        final_state=final_state,
+    )
+
+
+def _replay_state(log_rows_df, at_id):
+    """Oracle: full replay of the log up to at_id, python-side."""
+    rows = (
+        log_rows_df.filter(F.col("instance_message_id") <= at_id)
+        .orderBy("instance_message_id", "iteration")
+        .collect()
+    )
+    st = {}
+    for r in rows:
+        st[r.uevol_field_id] = r.new_value
+    return st
+
+
+def test_retrieve_field_seq_nb_and_window(domain):
+    out = retrieve_field(domain["log"], domain["msg"], seq_nb=250)
+    assert out.agg(F.min("instance_message_id")).collect()[0][0] >= 250
+    out2 = retrieve_field(
+        domain["log"], domain["msg"], start_log_time=1500, duration=1000
+    )
+    ids = [r.instance_message_id for r in out2.collect()]
+    assert ids and min(ids) >= 50 and max(ids) <= 150
+
+
+def test_retrieve_message_matches_replay(domain):
+    at = 200
+    expect = _replay_state(domain["log"], at)
+    out = retrieve_message(domain["log"], domain["fields"], 1, at)
+    got = {r.uevol_field_id: r.value for r in out.collect()}
+    assert got.pop(N_FIELDS) == -1  # never-updated field -> default
+    assert got == expect
+    assert out.count() == N_FIELDS
+
+
+def test_get_message_snapshot_delta_equals_replay(domain):
+    """Property: snapshot + deltas ≡ full replay (SURVEY.md §5.3)."""
+    for at in [55, 100, 101, 199, 250, 300]:  # incl. exact boundaries
+        expect = _replay_state(domain["log"], at)
+        out = get_message(
+            domain["log"], domain["fields"], domain["sidx"], domain["srows"],
+            domain["msg"], at,
+        )
+        got = {r.uevol_field_id: r.value for r in out.collect()}
+        assert got.pop(N_FIELDS) == -1.0
+        assert got == {k: float(v) for k, v in expect.items()}, f"at={at}"
+
+
+def test_get_multiple_fields_defaults(spark, domain):
+    args = make_arguments(spark, [1, N_FIELDS], [0, 0], [0, 0])
+    out = get_multiple_fields(domain["log"], args, 150)
+    got = {r.uevol_field_id: (r.value, r.instance_message_id) for r in out.collect()}
+    assert got[N_FIELDS] == (-1.0, -1)  # no update yet
+    assert got[1][0] == float(_replay_state(domain["log"], 150)[1])
+
+
+def test_get_update_history_locf_dense(spark, domain):
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
+    out = get_update_history(domain["log"], args, 50, 120).collect()
+    ids = sorted({r.instance_message_id for r in out})
+    by_series = {}
+    for r in out:
+        by_series.setdefault(r.uevol_field_id, []).append(r)
+    # dense: every series has a row at every time point
+    for f, rows in by_series.items():
+        assert len(rows) == len(ids)
+    # LOCF: value at each time equals replay state at that time
+    for r in out:
+        st = _replay_state(domain["log"], r.instance_message_id)
+        expect = st.get(r.uevol_field_id)
+        if r.instance_message_id == 50 and expect is None:
+            expect = -1  # start-state default
+        if expect is not None:
+            assert r.value == float(expect)
+
+
+def test_get_update_history_pivot_and_filter(spark, domain):
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0], ["value >= 0", None])
+    wide = get_update_history(domain["log"], args, 50, 120, pivot=True)
+    assert wide.columns[0] == "instance_message_id"
+    assert len(wide.columns) == 3
+    long = get_update_history(domain["log"], args, 50, 120)
+    # filter 'value >= 0' prunes time points where series 1 is -1/unset
+    for r in long.filter(F.col("uevol_field_id") == 1).collect():
+        assert r.value is None or r.value >= 0
+
+
+def test_update_history_rejects_bad_filter(spark, domain):
+    args = make_arguments(spark, [1], [0], [0], ["value > 0; DROP TABLE x"])
+    with pytest.raises(FilterSyntaxError):
+        get_update_history(domain["log"], args, 50, 120).count()
+
+
+def test_backup_preserves_reconstruction(domain):
+    cut_time = 1000 + 200 * 10  # keep last third raw
+    compacted = backup(domain["log"], domain["msg"], cut_time)
+    # reconstruction at the end from compacted == from full log
+    full = _replay_state(domain["log"], N_MSGS)
+    got = _replay_state(compacted, N_MSGS)
+    assert got == full
+    assert compacted.count() < domain["log"].count()
