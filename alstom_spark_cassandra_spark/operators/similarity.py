@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns.
+
+Not in the reference (its data model has no vectors); this is the
+approximate-nearest-neighbor layer a training-data pipeline needs over
+an `array<float>` embedding column.
+
+Two paths:
+
+- `cosine_topk` — exact brute force: broadcast the (small) query set,
+  scan the corpus once, per-query top-k via window. Linear in corpus
+  size, embarrassingly partition-parallel, no shuffle except the final
+  top-k (which AQE keeps tiny because the scan side is pre-filtered to
+  k rows per partition via partial ranking). This is the oracle path.
+- `ivf_topk` — IVF-style approximate: assign corpus vectors to the
+  nearest of C centroids (one pass), then search only the `nprobe`
+  closest centroids per query. Cuts the scanned fraction to
+  ~nprobe/C. Centroids come from a deterministic sample + one Lloyd
+  refinement (no MLlib dependency, keeps the whole thing DataFrame
+  ops).
+
+All vector math is built-in higher-order functions (`zip_with`,
+`aggregate`, `transform`) — JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine per query: (query_id, vec_id, cosine, rank).
+
+    Query set is broadcast (it is small by construction); the corpus
+    scans once. Ties on cosine break by vec_id ascending so results
+    are deterministic.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int, seed: int
+) -> DataFrame:
+    """Deterministic centroids: hash-sample n seed vectors, then one
+    Lloyd step (assign all vectors, average per cluster)."""
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("cid_src"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .withColumn("__r", F.xxhash64(F.lit(seed), F.col("cid_src")))
+        .orderBy("__r")
+        .limit(n_centroids)
+        .withColumn("cid", F.monotonically_increasing_id())
+        .select("cid", "cv")
+    )
+    assigned = _assign(corpus, seeds, vec_col, id_col, 1).select(
+        "cid", F.col("__v").alias("v")
+    )
+    # mean per cluster: element-wise sum / count via posexplode
+    summed = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv"))
+    )
+    return summed
+
+
+def _assign(
+    corpus: DataFrame, centroids: DataFrame, vec_col: str, id_col: str, nprobe: int
+) -> DataFrame:
+    """Attach the nprobe nearest centroid ids to every corpus vector."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    scored = c.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "__v",
+        "cid",
+        cosine(F.col("__v"), F.col("cv")).alias("__sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("vec_id", "__v", "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: search only the nprobe nearest centroid
+    buckets per query. Same output shape as cosine_topk.
+
+    At scale, persist the assignment (vec_id -> cid) as a bucketed
+    table so repeated queries skip the assignment pass entirely.
+    """
+    cents = _centroids(corpus, corpus_vec, corpus_id, n_centroids, seed)
+    corpus_assigned = _assign(corpus, cents, corpus_vec, corpus_id, 1)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    q_probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "__qv", "cid", cosine(F.col("__qv"), F.col("cv")).alias("__sim")
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cid"))
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cid")
+    )
+    scored = corpus_assigned.join(F.broadcast(q_probes), "cid").select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("__v"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

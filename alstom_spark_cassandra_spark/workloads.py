@@ -1,0 +1,995 @@
+"""Workload catalog: every operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) instantiated on the driver
+testdata tables, each with a DuckDB oracle for the correctness gate.
+
+The FIXTURES.md §B mapping realizes the reference's domain on the
+`events` table: event_id ≙ instance_message_id (the logical clock),
+ts ≙ log_time, (user_id, event_type) ≙ series key, value ≙
+new_value, props ≙ json_value.
+
+Contract (mirrors __spark_entry__.py): SPARK_QUERIES[name](spark,
+sf_dir) -> DataFrame; ORACLE_SQL[name] = equivalent DuckDB SQL over
+views region/nation/customer/supplier/part/orders/lineitem/events/
+documents/embeddings. Column names are aliased identically on both
+sides (the driver compare sorts columns by name before hashing).
+
+NOTE on `events.ts`: parquet TIMESTAMP(NANOS) reads as long
+nanoseconds in Spark (see session.py); DuckDB reads TIMESTAMP_NS.
+Queries therefore express time in integer epoch milliseconds —
+`ts DIV 1,000,000` in Spark ≡ `epoch_ms(ts)` in DuckDB — so both
+sides compare integer-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.text_funcs import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from .operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.latest import latest_per_key
+from .operators.locf import locf
+from .operators.multimodal import image_features
+from .operators.setops import symmetric_diff_rows
+from .operators.similarity import cosine_topk, ivf_topk
+from .sources.loader import load_table
+
+# epoch-millis literals (UTC)
+T_JAN05 = 1704412800000
+T_JAN10 = 1704844800000
+T_JAN15 = 1705276800000
+T_JAN25 = 1706140800000
+NS_PER_MS = 1_000_000
+NS_PER_DAY = 86_400_000_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _ts_ms(col: str = "ts") -> F.Column:
+    return F.expr(f"{col} DIV {NS_PER_MS}")
+
+
+# Exact-decimal aggregation: float sums depend on addition order, so a
+# Spark partial-agg sum and a DuckDB sequential sum can land on
+# opposite sides of a rounding boundary. Summing through DECIMAL(28,6)
+# is exact and order-independent on both engines. The final rounding
+# must ALSO be engine-identical: Spark's round() rounds the double's
+# shortest decimal representation (BigDecimal.valueOf, HALF_UP) while
+# DuckDB rounds the binary value — they disagree exactly at .xx5. So
+# rounding here is explicit floor(x*10^s + 0.5)/10^s, which is pure
+# IEEE arithmetic and bit-identical on both engines (values are
+# non-negative in these workloads).
+
+def half_up(col, scale: int = 2):
+    m = float(10**scale)
+    return F.floor(col * m + F.lit(0.5)) / F.lit(m)
+
+
+def dsum(expr, scale: int = 2):
+    return half_up(F.sum(expr.cast("decimal(28,6)")).cast("double"), scale)
+
+
+def davg(expr, scale: int = 2):
+    return half_up(
+        F.sum(expr.cast("decimal(28,6)")).cast("double") / F.count(expr), scale
+    )
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    m = 10**scale
+    return (
+        f"floor(CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+        f" * {m} + 0.5) / {m}.0"
+    )
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    m = 10**scale
+    return (
+        f"floor(CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+        f" / count({expr}) * {m} + 0.5) / {m}.0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain operators on the events change log (SURVEY §2.2-§2.8)
+# ---------------------------------------------------------------------------
+
+def q_latest_per_key(spark, sf_dir):
+    """J3/J11: latest value per (user_id, event_type) series."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        latest_per_key(ev, ["user_id", "event_type"], "event_id")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_field_window(spark, sf_dir):
+    """P1-P3: dynamic conjunctive filters + time-window range scan
+    (reference RetrieveField, Java/.../RetrieveField.java:50-93)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "click")
+            & (F.col("value") >= 100.0)
+            & (_ts_ms() >= T_JAN05)
+            & (_ts_ms() <= T_JAN15)
+        )
+        .select("event_id", _ts_ms().alias("ts_ms"), "user_id", "value")
+        .orderBy("event_id")
+    )
+
+
+SQL_FIELD_WINDOW = f"""
+SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, value
+FROM events
+WHERE event_type = 'click' AND value >= 100.0
+  AND epoch_ms(ts) >= {T_JAN05} AND epoch_ms(ts) <= {T_JAN15}
+"""
+
+
+def q_asof_bounds(spark, sf_dir):
+    """J10/A1: wall-clock window -> message-id bounds as one aggregate
+    (replaces the reference's orderBy().first() round-trips)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter((_ts_ms() >= T_JAN10) & (_ts_ms() <= T_JAN15)).agg(
+        F.min("event_id").alias("min_id"), F.max("event_id").alias("max_id")
+    )
+
+
+SQL_ASOF_BOUNDS = f"""
+SELECT min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE epoch_ms(ts) >= {T_JAN10} AND epoch_ms(ts) <= {T_JAN15}
+"""
+
+
+def q_reconstruct_message(spark, sf_dir):
+    """Q1 (RetrieveMessage/GetMessage): value of EVERY series of user 7
+    as of 60% of the log, -1 default for never-updated (reference
+    Java/.../RetrieveMessage.java:54-118)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("max(event_id) * 3 DIV 5").alias("__cut"))
+    types = ev.select("event_type").distinct()
+    latest = latest_per_key(
+        ev.join(cut, F.lit(True), "left")
+        .filter((F.col("user_id") == 7) & (F.col("event_id") <= F.col("__cut")))
+        .drop("__cut"),
+        ["event_type"],
+        "event_id",
+    ).select("event_type", "value")
+    return (
+        types.join(F.broadcast(latest), "event_type", "left")
+        .select(
+            "event_type", F.coalesce("value", F.lit(-1.0)).alias("value")
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_RECONSTRUCT_MESSAGE = """
+WITH cut AS (SELECT max(event_id) * 3 // 5 AS c FROM events),
+latest AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) rn
+    FROM events, cut WHERE user_id = 7 AND event_id <= cut.c
+  ) WHERE rn = 1
+)
+SELECT t.event_type, coalesce(l.value, -1.0) AS value
+FROM (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN latest l USING (event_type)
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J4: users with events but no high-value error event
+    (reference's LEFT OUTER ... IS NULL anti-join,
+    SQL/GetMessage.sql:372-377)."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    bad = ev.filter((F.col("event_type") == "error") & (F.col("value") > 190.0))
+    return users.join(bad, "user_id", "left_anti").orderBy("user_id")
+
+
+SQL_ANTI_JOIN = """
+SELECT DISTINCT user_id FROM events
+WHERE user_id NOT IN (
+  SELECT user_id FROM events WHERE event_type = 'error' AND value > 190.0
+)
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """J6: per-user stats for users having a big signup (IN-subquery
+    semi-join, SQL/GetMultipleFields.sql:27)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("value") > 150.0)
+    ).select("user_id")
+    return (
+        ev.join(signups.distinct(), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+WHERE user_id IN (SELECT user_id FROM events
+                  WHERE event_type = 'signup' AND value > 150.0)
+GROUP BY user_id
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """A3/U5/U6: series whose state differs between mid-log and
+    end-of-log snapshots — UNION ALL + HAVING COUNT(*)=1 set diff
+    (SQL/GetMessage.sql:169-176)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("max(event_id) DIV 2").alias("__cut"))
+    cols = ["user_id", "event_type", "value"]
+    snap_a = latest_per_key(
+        ev.join(cut, F.lit(True), "left")
+        .filter(F.col("event_id") <= F.col("__cut"))
+        .drop("__cut"),
+        ["user_id", "event_type"],
+        "event_id",
+    ).select(*cols)
+    snap_b = latest_per_key(ev, ["user_id", "event_type"], "event_id").select(*cols)
+    return symmetric_diff_rows(snap_a, snap_b, cols).orderBy(*cols)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH cut AS (SELECT max(event_id) // 2 AS c FROM events),
+snap_a AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY event_id DESC) rn
+    FROM events, cut WHERE event_id <= cut.c
+  ) WHERE rn = 1
+),
+snap_b AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY event_id DESC) rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT user_id, event_type, value
+FROM (SELECT * FROM snap_a UNION ALL SELECT * FROM snap_b)
+GROUP BY user_id, event_type, value
+HAVING count(*) = 1
+"""
+
+
+def q_json_flatten(spark, sf_dir):
+    """X1/F4-F6: explode the props JSON object to (key, val) rows
+    (replaces the reference's JSON_KEYS WHILE loops,
+    SQL/GetMessage.sql:271-299)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.explode(
+            F.from_json("props", T.MapType(T.StringType(), T.StringType()))
+        ).alias("key", "val_s"),
+    )
+    return parsed.select(
+        "event_id", "key", F.col("val_s").cast("double").alias("val")
+    ).orderBy("event_id", "key")
+
+
+# DuckDB's json extension (json_each) is not available offline, so the
+# oracle extracts the single-key props objects with regexps — the Spark
+# side stays the generic from_json + explode flatten.
+SQL_JSON_FLATTEN = r"""
+SELECT event_id,
+       regexp_extract(props, '"([^"]+)"\s*:', 1) AS key,
+       CAST(regexp_extract(props, ':\s*(-?\d+(\.\d+)?)', 1) AS DOUBLE) AS val
+FROM events
+"""
+
+
+def q_locf(spark, sf_dir):
+    """W5: per-user last-purchase-value carried forward along the
+    event_id clock (the reference's prev-row-copy loop,
+    SQL/GetUpdateHistory.sql:136-177)."""
+    ev = _t(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    return (
+        locf(marked, ["user_id"], "event_id", "pv", filled_alias="last_purchase_value")
+        .select("user_id", "event_id", "last_purchase_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_LOCF = """
+SELECT user_id, event_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+"""
+
+
+def q_pivot_matrix(spark, sf_dir):
+    """X5: user × event_type average-value matrix (the reference's
+    dynamic one-column-per-series pivot, SQL/GetUpdateHistory.sql:36-78)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(davg(F.col("value")))
+        .orderBy("user_id")
+    )
+    return out
+
+
+def _pivot_cell(t: str) -> str:
+    return sql_davg(f"CASE WHEN event_type='{t}' THEN value END")
+
+
+SQL_PIVOT_MATRIX = f"""
+SELECT user_id,
+  {_pivot_cell("click")}    AS click,
+  {_pivot_cell("error")}    AS error,
+  {_pivot_cell("purchase")} AS purchase,
+  {_pivot_cell("signup")}   AS signup,
+  {_pivot_cell("view")}     AS view
+FROM events GROUP BY user_id
+"""
+
+
+def q_boundary_padding(spark, sf_dir):
+    """U3/W2: interval rows padded with boundary state — the last
+    click at-or-before each window edge re-stamped to the edge
+    (reference Retrieve_field.scala:51-54,69-74)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", _ts_ms().alias("ts_ms"), "value"
+    )
+    inside = clicks.filter(
+        (F.col("ts_ms") > T_JAN10) & (F.col("ts_ms") < T_JAN15)
+    )
+
+    def edge(t):
+        w = Window.partitionBy("user_id").orderBy(F.col("ts_ms").desc())
+        return (
+            clicks.filter(F.col("ts_ms") <= t)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", F.lit(t).alias("ts_ms"), "value")
+        )
+
+    return (
+        edge(T_JAN10)
+        .unionByName(inside)
+        .unionByName(edge(T_JAN15))
+        .orderBy("user_id", "ts_ms")
+    )
+
+
+SQL_BOUNDARY_PADDING = f"""
+WITH clicks AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, value FROM events
+  WHERE event_type = 'click'
+),
+lo AS (
+  SELECT user_id, {T_JAN10} AS ts_ms, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC) rn
+    FROM clicks WHERE ts_ms <= {T_JAN10}) WHERE rn = 1
+),
+hi AS (
+  SELECT user_id, {T_JAN15} AS ts_ms, value FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC) rn
+    FROM clicks WHERE ts_ms <= {T_JAN15}) WHERE rn = 1
+)
+SELECT * FROM lo
+UNION ALL
+SELECT user_id, ts_ms, value FROM clicks
+WHERE ts_ms > {T_JAN10} AND ts_ms < {T_JAN15}
+UNION ALL
+SELECT * FROM hi
+"""
+
+
+def q_compaction(spark, sf_dir):
+    """S7/P6/U4 (Backup.java:30-61): recent raw events ∪ latest older
+    event per series — reconstruction-preserving log compaction."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", _ts_ms().alias("ts_ms")
+    )
+    recent = ev.filter(F.col("ts_ms") >= T_JAN25)
+    older_latest = latest_per_key(
+        ev.filter(F.col("ts_ms") < T_JAN25), ["user_id", "event_type"], "event_id"
+    )
+    return (
+        recent.unionByName(older_latest)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+SQL_COMPACTION = f"""
+SELECT event_id, user_id, event_type, value FROM events
+WHERE epoch_ms(ts) >= {T_JAN25}
+UNION ALL
+SELECT event_id, user_id, event_type, value FROM (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id DESC) rn
+  FROM events WHERE epoch_ms(ts) < {T_JAN25}
+) WHERE rn = 1
+"""
+
+
+def q_sessionization(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag + cumsum
+    (standard OLAP pattern; reference has no analog — extension)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", _ts_ms().alias("ts_ms"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    flagged = ev.withColumn(
+        "__new",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(w) > 1_800_000, 1
+        ).otherwise(F.when(F.lag("ts_ms").over(w).isNull(), 1).otherwise(0)),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("__new").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZATION = """
+SELECT user_id, sum(new_s) AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+) GROUP BY user_id
+"""
+
+
+def q_daily_rollup(spark, sf_dir):
+    """F8/A4: per-day activity (integer day index keeps both engines
+    timestamp-free and exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(f"ts DIV {NS_PER_DAY}").alias("day_idx"), "user_id", "value"
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+SQL_DAILY_ROLLUP = f"""
+SELECT epoch_ns(ts) // {NS_PER_DAY} AS day_idx,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational workload (J1/J2, A2-A6, W, sorts) — bench headliners
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (A2/A4/A6/W6 composite)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum("l_quantity")} AS sum_qty,
+  {sql_dsum("l_extendedprice")} AS sum_base_price,
+  {sql_dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+  {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+  {sql_davg("l_quantity")} AS avg_qty,
+  {sql_davg("l_extendedprice")} AS avg_price,
+  {sql_davg("l_discount", 4)} AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (J1 fact⋈dims, top-k)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+REV_SUM = sql_dsum("l_extendedprice * (1 - l_discount)")
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {REV_SUM} AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume (multi-dim snowflake join J1/J2,
+    all dims broadcast)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(dim), supp.s_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name,
+       {REV_SUM} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W1-W4: top-3 parts by retail price per brand (window ranking)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+        .orderBy("p_brand", "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT p_brand, p_partkey, p_retailprice, rank FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+def q_distinct_agg(spark, sf_dir):
+    """A4: exact distinct aggregation per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """Grouping-sets ROLLUP over orders (extension; the reference has
+    no grouping sets — SURVEY §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extensions (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on documents.text — smallest doc_id survives."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup_exact(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_word_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard near-dup pairs on a doc_id<100 slice."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    return out.select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("a", "b")
+
+
+SQL_WORD_JACCARD_PAIRS = r"""
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, unnest(w) AS sh FROM s),
+i AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS cnt
+  FROM e l JOIN e r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt), 6) AS jaccard
+FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
+WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Text-analysis suite: token count, fingerprint, quality,
+    language-ID per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        quality_score(F.col("text")).alias("quality"),
+        language_id(F.col("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def _sql_markers(code: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[code])
+    return f"len(list_filter(t, x -> x IN ({words})))"
+
+
+SQL_TEXT_STATS = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, t, len(t) AS n,
+         CAST(list_sum(
+           list_transform(t, (x, i) ->
+             (length(x) * 31 + unicode(substr(x, 1, 1))) * i)
+         ) AS BIGINT) % 2147483647 AS fp,
+         length(array_to_string(t, '')) * 1.0 / len(t) AS mean_len,
+         len(list_filter(t, x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop,
+         {_sql_markers("de")} AS s_de,
+         {_sql_markers("en")} AS s_en,
+         {_sql_markers("es")} AS s_es,
+         {_sql_markers("fr")} AS s_fr
+  FROM toks
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  fp AS fingerprint,
+  CAST(round(
+    (CASE WHEN n >= 10 AND n <= 10000 THEN 0.4 ELSE 0.0 END) +
+    (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 0.3 ELSE 0.0 END) +
+    (CASE WHEN n_stop > 0 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM base
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10: query vectors = vec_id < 5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.cv, q.qv) /
+           (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS cos
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal plumbing: documents.text encoded to a binary payload
+    column, decoded by the Arrow-batched mapInPandas kernel (decode is
+    a deterministic stub — see operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = image_features(docs)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+SQL_IMAGE_FEATURES = """
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(64 + (strlen(text) % 512) AS INTEGER) AS width,
+  CAST(64 + ((strlen(text) // 7) % 512) AS INTEGER) AS height,
+  round(CASE WHEN strlen(text) = 0 THEN 0.0
+             ELSE ((strlen(text) * 37) % 256) / 255.0 END, 6) AS mean_luma
+FROM documents
+"""
+
+
+# --- approximate operators: declared without oracle (rows-only check) ------
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (LSH building block) — xxhash64-based, no
+    ANSI-SQL equivalent; driver records the rows-only check."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=16)
+    return sig.select("doc", F.to_json("sig").alias("sig_json")).orderBy("doc")
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """SimHash 64-bit fingerprints — xxhash64-based, rows-only check."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id").orderBy("doc")
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Random-hyperplane LSH near-dup candidates over embeddings —
+    approximate by construction, rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.2, planes=6)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine")).orderBy(
+        "a", "b"
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (scale path of q_ann_cosine_topk) —
+    approximate, rows-only check; recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    return out.select("query_id", "vec_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "latest_per_key": q_latest_per_key,
+    "field_window": q_field_window,
+    "asof_bounds": q_asof_bounds,
+    "reconstruct_message": q_reconstruct_message,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "snapshot_diff": q_snapshot_diff,
+    "json_flatten": q_json_flatten,
+    "locf": q_locf,
+    "pivot_matrix": q_pivot_matrix,
+    "boundary_padding": q_boundary_padding,
+    "compaction": q_compaction,
+    "sessionization": q_sessionization,
+    "daily_rollup": q_daily_rollup,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "topk_per_group": q_topk_per_group,
+    "distinct_agg": q_distinct_agg,
+    "rollup": q_rollup,
+    "dedup_exact": q_dedup_exact,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "text_stats": q_text_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "image_features": q_image_features,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "ivf_topk": q_ivf_topk,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "latest_per_key": SQL_LATEST_PER_KEY,
+    "field_window": SQL_FIELD_WINDOW,
+    "asof_bounds": SQL_ASOF_BOUNDS,
+    "reconstruct_message": SQL_RECONSTRUCT_MESSAGE,
+    "anti_join": SQL_ANTI_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "json_flatten": SQL_JSON_FLATTEN,
+    "locf": SQL_LOCF,
+    "pivot_matrix": SQL_PIVOT_MATRIX,
+    "boundary_padding": SQL_BOUNDARY_PADDING,
+    "compaction": SQL_COMPACTION,
+    "sessionization": SQL_SESSIONIZATION,
+    "daily_rollup": SQL_DAILY_ROLLUP,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "distinct_agg": SQL_DISTINCT_AGG,
+    "rollup": SQL_ROLLUP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
+    "text_stats": SQL_TEXT_STATS,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "image_features": SQL_IMAGE_FEATURES,
+    # minhash_signatures / simhash_fingerprints / embedding_dup_pairs /
+    # ivf_topk: hash-based or approximate -> rows-only check by design.
+}

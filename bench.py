@@ -1,0 +1,79 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query materializes through the noop sink so the full plan
+executes (count() alone lets Catalyst prune work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from alstom_spark_cassandra_spark.session import get_spark
+from alstom_spark_cassandra_spark.workloads import SPARK_QUERIES
+
+HEADLINE = [
+    "latest_per_key",
+    "reconstruct_message",
+    "snapshot_diff",
+    "json_flatten",
+    "locf",
+    "pivot_matrix",
+    "compaction",
+    "sessionization",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "topk_per_group",
+    "dedup_exact",
+    "text_stats",
+    "minhash_signatures",
+    "ann_cosine_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # warm up the JVM / codegen / parquet footer cache so the first
+    # timed query isn't charged for session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

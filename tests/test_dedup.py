@@ -1,0 +1,78 @@
+"""Dedup operator tests on small synthetic corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # longer docs -> stable simhash (few tokens make every bit-sum
+    # hover near zero and a one-word edit flips many bits)
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+        "while the river flows quietly past the old mill near the stone bridge "
+        "under a pale winter sky full of slow grey clouds drifting north"
+    )
+    near = base.replace("today", "now")
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "another unrelated document mentioning parquet column pruning"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_min_id(docs):
+    out = dedup_exact(docs, "text", "doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 dropped, smallest id kept
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = {(r.a, r.b): r.jaccard for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = {(r.a, r.b) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs  # near dup shares most shingles
+    assert (4, 5) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    out = simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+    pairs = {(r.a, r.b): r.hamming for r in out.collect()}
+    assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
+    assert (1, 3) in pairs  # one-word change stays within distance
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_embedding_dup_pairs(spark):
+    import random
+
+    rng = random.Random(3)
+    v1 = [rng.gauss(0, 1) for _ in range(16)]
+    v2 = [x + rng.gauss(0, 0.01) for x in v1]  # near dup
+    v3 = [rng.gauss(0, 1) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, embedding array<double>"
+    )
+    out = embedding_dup_pairs(df, "embedding", "vec_id", threshold=0.95)
+    pairs = {(r.a, r.b): r.cosine for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs

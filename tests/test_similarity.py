@@ -1,0 +1,50 @@
+"""Similarity search tests: brute force exactness + IVF recall."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _brute_py(rows, qv, k):
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    scored = sorted(((cos(v, qv), i) for i, v in rows), key=lambda t: (-t[0], t[1]))
+    return [i for _, i in scored[:k]]
+
+
+def test_cosine_topk_exact(spark, corpus):
+    rows, df = corpus
+    qv = rows[7][1]
+    q = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
+    out = cosine_topk(df, q, k=5)
+    got = [r.vec_id for r in out.collect()]
+    assert got == _brute_py(rows, qv, 5)
+    assert got[0] == 7  # self-match first
+
+
+def test_ivf_topk_recall(spark, corpus):
+    rows, df = corpus
+    queries = [(qi, rows[qi * 13][1]) for qi in range(5)]
+    q = spark.createDataFrame(queries, "query_id long, query_vec array<double>")
+    exact = {qi: set(_brute_py(rows, qv, 10)) for qi, qv in queries}
+    out = ivf_topk(df, q, k=10, n_centroids=8, nprobe=4)
+    got: dict[int, set] = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(got.get(qi, set()) & exact[qi]) / 10 for qi, _ in queries]
+    assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/8 of a gaussian ball

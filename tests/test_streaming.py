@@ -1,0 +1,75 @@
+"""Structured-streaming online-mode tests (memory sink, availableNow)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.streaming import (
+    latest_value_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    # write a small change-log batch as the streaming source
+    df = spark.createDataFrame(
+        [
+            (1, 0, 0, 10, 100),
+            (1, 0, 0, 20, 200),
+            (2, 0, 0, 15, 999),
+            (2, 1, 0, 16, 55),
+        ],
+        "uevol_field_id int, src_id int, dst_id int, instance_message_id long,"
+        " new_value long",
+    )
+    path = str(tmp_path / "stream_src")
+    df.coalesce(1).write.parquet(path)
+    return path, df.schema
+
+
+def test_latest_value_stream(spark, stream_dir):
+    path, schema = stream_dir
+    src = spark.readStream.schema(schema).parquet(path)
+    agg = latest_value_stream(src, ["uevol_field_id", "src_id", "dst_id"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("live_state")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.uevol_field_id, r.src_id): (r.last_update_id, r.current_value)
+        for r in spark.sql("select * from live_state").collect()
+    }
+    assert rows[(1, 0)] == (20, 200)
+    assert rows[(2, 0)] == (15, 999)
+    assert rows[(2, 1)] == (16, 55)
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "click", 1.0),
+            ("2024-01-01 00:02:00", "click", 2.0),
+            ("2024-01-01 00:07:00", "view", 3.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    path = str(tmp_path / "ev_src")
+    ev.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(ev.schema).parquet(path)
+    agg = windowed_event_counts(src, window="5 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_type, n, sum_value from win_counts").collect()
+    got = {(r.event_type): (r.n, r.sum_value) for r in rows}
+    assert got["click"] == (2, 3.0)
+    assert got["view"] == (1, 3.0)
