@@ -19,8 +19,13 @@ windowed variant's state.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
 def latest_value_stream(
@@ -37,6 +42,67 @@ def latest_value_stream(
     return stream.groupBy(*series_cols).agg(
         F.max(order_col).alias("last_update_id"),
         F.max_by(value_col, order_col).alias("current_value"),
+    )
+
+
+CHANGE_COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("uevol_field_id", T.IntegerType()),
+        T.StructField("current_value", T.LongType()),
+        T.StructField("n_updates_total", T.LongType()),
+        T.StructField("last_update_id", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = "value long, n long, last_id long"
+
+
+def stateful_latest_value(
+    stream: DataFrame,
+    key_col: str = "uevol_field_id",
+    order_col: str = "instance_message_id",
+    value_col: str = "new_value",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-series
+    (current value, total update count, last update id), maintained
+    across microbatches.
+
+    This is the op the built-in `max_by` aggregation can't express —
+    the cumulative n_updates_total requires explicit state carried
+    between batches. State per key is 3 longs; use the TTL variant of
+    GroupStateTimeout in deployments where series churn (the
+    reference's catalog is bounded, so NoTimeout is safe there).
+    """
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            value, n, last_id = state.get
+        else:
+            value, n, last_id = None, 0, -1
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            n += len(pdf)
+            newest = pdf.iloc[-1]
+            if int(newest[order_col]) >= last_id:
+                last_id = int(newest[order_col])
+                value = int(newest[value_col])
+        state.update((value, n, last_id))
+        yield pd.DataFrame(
+            {
+                "uevol_field_id": [key[0]],
+                "current_value": [value],
+                "n_updates_total": [n],
+                "last_update_id": [last_id],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=CHANGE_COUNT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

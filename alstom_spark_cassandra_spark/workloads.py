@@ -667,6 +667,29 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue change — pure scan+filter+agg,
+    the predicate-pushdown showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+SQL_TPCH_Q6 = f"""
+SELECT {sql_dsum("l_extendedprice * l_discount")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """W1-W4: top-3 parts by retail price per brand (window ranking)."""
     part = _t(spark, sf_dir, "part")
@@ -829,6 +852,29 @@ FROM base
 """
 
 
+def q_token_estimate(spark, sf_dir):
+    """BPE-ish token estimation: regex word/digit/symbol pieces plus
+    the chars/4 rule-of-thumb — the cheap pre-tokenizer count a
+    data pipeline uses for budget accounting."""
+    docs = _t(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pattern)).cast("long").alias(
+            "n_pieces"
+        ),
+        (F.length("text") / F.lit(4)).cast("long").alias("chars_div4"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_ESTIMATE = """
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces,
+  CAST(trunc(length(text) / 4) AS BIGINT) AS chars_div4
+FROM documents
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-10: query vectors = vec_id < 5."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -950,12 +996,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
     "topk_per_group": q_topk_per_group,
     "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
     "dedup_exact": q_dedup_exact,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "text_stats": q_text_stats,
+    "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "image_features": q_image_features,
     "minhash_signatures": q_minhash_signatures,
@@ -982,12 +1030,14 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q6": SQL_TPCH_Q6,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct_agg": SQL_DISTINCT_AGG,
     "rollup": SQL_ROLLUP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
     "text_stats": SQL_TEXT_STATS,
+    "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "image_features": SQL_IMAGE_FEATURES,
     # minhash_signatures / simhash_fingerprints / embedding_dup_pairs /

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from alstom_spark_cassandra_spark.streaming import (
     latest_value_stream,
+    stateful_latest_value,
     windowed_event_counts,
 )
 
@@ -46,6 +47,27 @@ def test_latest_value_stream(spark, stream_dir):
     assert rows[(1, 0)] == (20, 200)
     assert rows[(2, 0)] == (15, 999)
     assert rows[(2, 1)] == (16, 55)
+
+
+def test_stateful_latest_value(spark, stream_dir, tmp_path):
+    path, schema = stream_dir
+    src = spark.readStream.schema(schema).parquet(path)
+    out = stateful_latest_value(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.uevol_field_id: (r.current_value, r.n_updates_total, r.last_update_id)
+        for r in spark.sql("select * from stateful_state").collect()
+    }
+    assert rows[1] == (200, 2, 20)  # two updates, latest wins, count kept
+    assert rows[2] == (55, 2, 16)
 
 
 def test_windowed_event_counts(spark, tmp_path):
