@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the core reconstruction
+invariants (SURVEY.md §5.3).
+
+Spark jobs are slow per-example, so each property runs few, large
+examples rather than hypothesis' default 100 tiny ones.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from alstom_spark_cassandra_spark.operators.latest import latest_per_key
+from alstom_spark_cassandra_spark.operators.locf import locf
+
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+update_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),    # key
+        st.integers(min_value=1, max_value=50),   # clock
+        st.integers(min_value=0, max_value=3),    # iteration (tie-break)
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(updates=update_lists)
+def test_latest_per_key_equals_python_argmax(spark, updates):
+    df = spark.createDataFrame(
+        updates, "k int, clock long, iteration int, v long"
+    )
+    got = {
+        r.k: r.v
+        for r in latest_per_key(df, ["k"], "clock", ["iteration"]).collect()
+    }
+    expect = {}
+    for k, clock, it, v in sorted(updates, key=lambda t: (t[1], t[2])):
+        expect[k] = v  # replay in total order: last write wins
+    assert got == expect
+
+
+@SLOW
+@given(updates=update_lists)
+def test_locf_equals_python_forward_fill(spark, updates):
+    # treat iteration==0 rows as observations, others as gaps
+    rows = [
+        (k, clock * 4 + it, float(v) if v % 3 else None)
+        for k, clock, it, v in updates
+    ]
+    df = spark.createDataFrame(rows, "k int, t long, value double")
+    got = {(r.k, r.t): r.value for r in locf(df, ["k"], "t").collect()}
+    by_key: dict[int, list] = {}
+    for k, t, v in rows:
+        by_key.setdefault(k, []).append((t, v))
+    for k, seq in by_key.items():
+        last = None
+        # ties on t: Spark's rowsBetween window makes fill order within
+        # a tie nondeterministic, so only check keys with unique ts
+        ts = [t for t, _ in seq]
+        if len(set(ts)) != len(ts):
+            continue
+        for t, v in sorted(seq):
+            last = v if v is not None else last
+            assert got[(k, t)] == last
