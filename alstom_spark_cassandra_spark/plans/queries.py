@@ -443,7 +443,10 @@ def get_update_history(
                 & (F.col("src_id") == r["src_id"])
                 & (F.col("dst_id") == r["dst_id"])
             )
-            ok = ~series_match | compile_filter(r["filter"], "value")
+            # NULL predicate = fail, like a SQL WHERE (pre-start rows)
+            ok = ~series_match | F.coalesce(
+                compile_filter(r["filter"], "value"), F.lit(False)
+            )
             keep = ok if keep is None else (keep & ok)
         good_ids = (
             filled.withColumn("__ok", keep.cast("int"))

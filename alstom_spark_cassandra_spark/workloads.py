@@ -529,6 +529,150 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# the reference-procedure plans API under the oracle gate
+# ---------------------------------------------------------------------------
+
+def _domain_log(ev: DataFrame) -> DataFrame:
+    """FIXTURES.md §B: events as the instance_field change log —
+    event_type ≙ field, user_id ≙ src, event_id ≙ the message clock."""
+    return ev.select(
+        F.col("event_type").alias("uevol_field_id"),
+        F.col("user_id").alias("src_id"),
+        F.lit(0).cast("int").alias("dst_id"),
+        F.col("event_id").alias("instance_message_id"),
+        F.lit("000").alias("relative_path"),
+        F.lit(0).cast("int").alias("iteration"),
+        F.col("value").alias("new_value"),
+    )
+
+
+def _domain_args(spark, with_filters: bool):
+    rows = [
+        ("click", 7, 0, None),
+        ("purchase", 7, 0, "value >= 20" if with_filters else None),
+        ("error", 999999, 0, None),  # nonexistent series -> defaults
+    ]
+    return spark.createDataFrame(
+        rows, "uevol_field_id string, src_id long, dst_id int, filter string"
+    )
+
+
+def q_multiple_fields_asof(spark, sf_dir):
+    """plans.get_multiple_fields (SQL/GetMultipleFields.sql): requested
+    series' values as-of 60% of the log, -1/-1 defaults for series
+    with no update yet."""
+    from .plans.queries import get_multiple_fields
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("max(event_id) * 3 DIV 5")).collect()[0][0]
+    args = _domain_args(spark, with_filters=False)
+    return get_multiple_fields(_domain_log(ev), args, int(cut)).orderBy(
+        "uevol_field_id", "src_id"
+    )
+
+
+SQL_MULTIPLE_FIELDS_ASOF = """
+WITH cut AS (SELECT max(event_id) * 3 // 5 AS c FROM events),
+args(uevol_field_id, src_id, dst_id) AS (
+  VALUES ('click', CAST(7 AS BIGINT), 0),
+         ('purchase', CAST(7 AS BIGINT), 0),
+         ('error', CAST(999999 AS BIGINT), 0)
+),
+latest AS (
+  SELECT a.uevol_field_id, a.src_id, a.dst_id,
+         ev.value, ev.event_id,
+         row_number() OVER (PARTITION BY a.uevol_field_id, a.src_id
+                            ORDER BY ev.event_id DESC) AS rn
+  FROM args a
+  JOIN events ev ON ev.event_type = a.uevol_field_id
+                AND ev.user_id = a.src_id
+                AND ev.event_id <= (SELECT c FROM cut)
+)
+SELECT a.uevol_field_id, a.src_id, a.dst_id,
+       '000' AS relative_path,
+       coalesce(l.value, -1.0) AS value,
+       coalesce(l.event_id, -1) AS instance_message_id
+FROM args a
+LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
+  USING (uevol_field_id, src_id, dst_id)
+"""
+
+
+def q_update_history_dense(spark, sf_dir):
+    """plans.get_update_history (SQL/GetUpdateHistory.sql): dense LOCF
+    value matrix (long format) for the requested series over the
+    [20%, 60%] window of the log, with a per-series value filter
+    applied to the filled matrix."""
+    from .plans.queries import get_update_history
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    start, end = int(mx) // 5, int(mx) * 3 // 5
+    args = _domain_args(spark, with_filters=True)
+    return get_update_history(_domain_log(ev), args, start, end).orderBy(
+        "uevol_field_id", "src_id", "instance_message_id"
+    )
+
+
+SQL_UPDATE_HISTORY_DENSE = """
+WITH b AS (SELECT max(event_id) // 5 AS s, max(event_id) * 3 // 5 AS e
+           FROM events),
+args(uevol_field_id, src_id, dst_id, flt) AS (
+  VALUES ('click', CAST(7 AS BIGINT), 0, NULL),
+         ('purchase', CAST(7 AS BIGINT), 0, 'value >= 20'),
+         ('error', CAST(999999 AS BIGINT), 0, NULL)
+),
+start_state AS (
+  SELECT a.uevol_field_id, a.src_id, a.dst_id,
+         (SELECT s FROM b) AS instance_message_id,
+         coalesce((
+           SELECT ev.value FROM events ev
+           WHERE ev.event_type = a.uevol_field_id AND ev.user_id = a.src_id
+             AND ev.event_id <= (SELECT s FROM b)
+           ORDER BY ev.event_id DESC LIMIT 1), -1.0) AS value
+  FROM args a
+),
+updates AS (
+  SELECT a.uevol_field_id, a.src_id, a.dst_id,
+         ev.event_id AS instance_message_id, ev.value
+  FROM events ev
+  JOIN args a ON ev.event_type = a.uevol_field_id AND ev.user_id = a.src_id
+  WHERE ev.event_id > (SELECT s FROM b) AND ev.event_id <= (SELECT e FROM b)
+),
+hist AS (SELECT * FROM start_state UNION ALL SELECT * FROM updates),
+ids AS (SELECT DISTINCT instance_message_id FROM hist),
+grid AS (
+  SELECT a.uevol_field_id, a.src_id, a.dst_id, i.instance_message_id
+  FROM (SELECT DISTINCT uevol_field_id, src_id, dst_id FROM args) a
+  CROSS JOIN ids i
+),
+dense AS (
+  SELECT g.uevol_field_id, g.src_id, g.dst_id, g.instance_message_id, h.value
+  FROM grid g LEFT JOIN hist h
+    USING (uevol_field_id, src_id, dst_id, instance_message_id)
+),
+filled AS (
+  SELECT uevol_field_id, src_id, dst_id, instance_message_id,
+         last_value(value IGNORE NULLS)
+           OVER (PARTITION BY uevol_field_id, src_id, dst_id
+                 ORDER BY instance_message_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM dense
+),
+good_ids AS (
+  SELECT instance_message_id FROM filled
+  GROUP BY instance_message_id
+  HAVING min(CASE WHEN uevol_field_id = 'purchase' AND src_id = 7
+                  THEN CASE WHEN value >= 20 THEN 1 ELSE 0 END
+                  ELSE 1 END) = 1
+)
+SELECT f.uevol_field_id, f.src_id, f.dst_id, f.instance_message_id, f.value
+FROM filled f
+WHERE f.instance_message_id IN (SELECT instance_message_id FROM good_ids)
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational workload (J1/J2, A2-A6, W, sorts) — bench headliners
 # ---------------------------------------------------------------------------
 
@@ -993,6 +1137,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction": q_compaction,
     "sessionization": q_sessionization,
     "daily_rollup": q_daily_rollup,
+    "multiple_fields_asof": q_multiple_fields_asof,
+    "update_history_dense": q_update_history_dense,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1027,6 +1173,8 @@ ORACLE_SQL: dict[str, str] = {
     "compaction": SQL_COMPACTION,
     "sessionization": SQL_SESSIONIZATION,
     "daily_rollup": SQL_DAILY_ROLLUP,
+    "multiple_fields_asof": SQL_MULTIPLE_FIELDS_ASOF,
+    "update_history_dense": SQL_UPDATE_HISTORY_DENSE,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
