@@ -83,6 +83,34 @@ UEVOL_MESSAGE = T.StructType(
     ]
 )
 
+# Equipment catalog (DataLoader.java:215-268).
+UEVOL_EQUIPMENT = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("uevol_subsystem_id", T.IntegerType(), True),
+        T.StructField("playback_activated", T.BooleanType(), True),
+        T.StructField("online_activated", T.BooleanType(), True),
+    ]
+)
+
+# Project KV config (DataLoader.java:440-471).
+UEVOL_PROJECT = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+# Subsystem catalog (DataLoader.java:473-497).
+UEVOL_SUBSYSTEM = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
 # Snapshot index + snapshot rows (iter.-3 model, SQL/GetMessage.sql:60-70,
 # 96-101). json_value holds the <=3-level nested field state.
 SNAPSHOT_INDEX = T.StructType(
@@ -108,6 +136,9 @@ DOMAIN_SCHEMAS: dict[str, T.StructType] = {
     "instance_message_replay": INSTANCE_MESSAGE,
     "uevol_field": UEVOL_FIELD,
     "uevol_message": UEVOL_MESSAGE,
+    "uevol_equipment": UEVOL_EQUIPMENT,
+    "uevol_project": UEVOL_PROJECT,
+    "uevol_subsystem": UEVOL_SUBSYSTEM,
     "snapshots": SNAPSHOT_INDEX,
     "snapshot_rows": SNAPSHOT_ROWS,
 }

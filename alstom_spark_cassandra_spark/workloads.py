@@ -834,6 +834,71 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: top 20 customers by lost
+    revenue (fact⋈3 dims, group, top-k)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {REV_SUM} AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_cube_events(spark, sf_dir):
+    """CUBE grouping sets over (event_type, day bucket) — all four
+    aggregation levels in one pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.expr(f"ts DIV {NS_PER_DAY}") % 7).alias("dow_idx"),
+            "value",
+        )
+        .cube("event_type", "dow_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type", "dow_idx")
+    )
+
+
+SQL_CUBE_EVENTS = f"""
+SELECT event_type, epoch_ns(ts) // {NS_PER_DAY} % 7 AS dow_idx,
+       count(*) AS n, {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY CUBE (event_type, dow_idx)
+"""
+
+
 def q_topk_per_group(spark, sf_dir):
     """W1-W4: top-3 parts by retail price per brand (window ranking)."""
     part = _t(spark, sf_dir, "part")
@@ -947,13 +1012,24 @@ WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
 def q_text_stats(spark, sf_dir):
     """Text-analysis suite: token count, fingerprint, quality,
     language-ID per document."""
+    from .functions.text_funcs import tokens
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # single-file local inputs under-split; give the heavy
+    # higher-order-function stage full parallelism (at scale the scan
+    # has enough natural partitions and this repartition is a no-op
+    # choice the caller makes)
+    n_cores = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n_cores:
+        docs = docs.repartition(n_cores)
+    base = docs.select("doc_id", "text", tokens(F.col("text")).alias("__t"))
+    t = F.col("__t")
+    return base.select(
         "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        doc_fingerprint(F.col("text")).alias("fingerprint"),
-        quality_score(F.col("text")).alias("quality"),
-        language_id(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text"), t).alias("n_tokens"),
+        doc_fingerprint(F.col("text"), t).alias("fingerprint"),
+        quality_score(F.col("text"), t).alias("quality"),
+        language_id(F.col("text"), t).alias("lang_pred"),
     ).orderBy("doc_id")
 
 
@@ -1143,6 +1219,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "cube_events": q_cube_events,
     "topk_per_group": q_topk_per_group,
     "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
@@ -1179,6 +1257,8 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q10": SQL_TPCH_Q10,
+    "cube_events": SQL_CUBE_EVENTS,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct_agg": SQL_DISTINCT_AGG,
     "rollup": SQL_ROLLUP,
