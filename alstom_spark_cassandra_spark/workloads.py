@@ -501,6 +501,77 @@ SELECT user_id, sum(new_s) AS n_sessions FROM (
 """
 
 
+def q_event_deltas(spark, sf_dir):
+    """Lag/delta per series — the reference materializes this as the
+    instance_message_id_previous / previous_value columns of the
+    change log (DataLoader.java:52-136); here it's a window lag."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            F.lag("value").over(w).alias("previous_value"),
+            "value",
+        )
+        .withColumn(
+            "delta",
+            F.when(
+                F.col("previous_value").isNotNull(),
+                half_up(F.col("value") - F.col("previous_value"), 2),
+            ),
+        )
+        .orderBy("user_id", "event_type", "event_id")
+    )
+
+
+SQL_EVENT_DELTAS = """
+SELECT user_id, event_type, event_id,
+       lag(event_id) OVER w AS prev_event_id,
+       lag(value) OVER w AS previous_value,
+       value,
+       CASE WHEN lag(value) OVER w IS NOT NULL
+            THEN floor((value - lag(value) OVER w) * 100 + 0.5) / 100.0
+       END AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
+"""
+
+
+def q_running_sum(spark, sf_dir):
+    """Cumulative per-user value along the event clock (running
+    window aggregate, W5 family)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            half_up(
+                F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"),
+                2,
+            ).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT user_id, event_id,
+       floor(CAST(sum(CAST(value AS DECIMAL(28,6)))
+                  OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) * 100 + 0.5) / 100.0 AS running_value
+FROM events
+"""
+
+
 def q_daily_rollup(spark, sf_dir):
     """F8/A4: per-day activity (integer day index keeps both engines
     timestamp-free and exact)."""
@@ -1212,6 +1283,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boundary_padding": q_boundary_padding,
     "compaction": q_compaction,
     "sessionization": q_sessionization,
+    "event_deltas": q_event_deltas,
+    "running_sum": q_running_sum,
     "daily_rollup": q_daily_rollup,
     "multiple_fields_asof": q_multiple_fields_asof,
     "update_history_dense": q_update_history_dense,
@@ -1250,6 +1323,8 @@ ORACLE_SQL: dict[str, str] = {
     "boundary_padding": SQL_BOUNDARY_PADDING,
     "compaction": SQL_COMPACTION,
     "sessionization": SQL_SESSIONIZATION,
+    "event_deltas": SQL_EVENT_DELTAS,
+    "running_sum": SQL_RUNNING_SUM,
     "daily_rollup": SQL_DAILY_ROLLUP,
     "multiple_fields_asof": SQL_MULTIPLE_FIELDS_ASOF,
     "update_history_dense": SQL_UPDATE_HISTORY_DENSE,
