@@ -340,32 +340,52 @@ def embedding_dup_pairs(
     threshold: float = 0.9,
     planes: int = 12,
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (a, b, cosine >= threshold).
 
     Random-hyperplane LSH: sign pattern over `planes` pseudo-random
     hyperplanes (deterministic via seeded per-dimension weights) forms
-    the bucket key; exact cosine verifies within buckets. Highly
-    similar vectors agree on all signs with high probability; at scale
-    run multiple tables (seeds) and union — one seed here keeps the
-    plan small.
+    the bucket key; exact cosine verifies within buckets. `tables`
+    independent hash tables (distinct seeds) union their candidates —
+    the standard recall knob: P(miss) ≈ (1 - p^planes)^tables for a
+    pair whose per-plane agreement probability is p.
     """
-    dim_w = _hyperplanes(df, vec_col, planes, seed)
-    sigs = df.select(
+    base = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "bucket",
-        _sign_bucket(F.col("v"), dim_w, planes),
     )
+    buckets = []
+    for t in range(tables):
+        dim_w = _hyperplanes(df, vec_col, planes, seed + t)
+        buckets.append(
+            base.select(
+                "doc",
+                "v",
+                F.lit(t).alias("table"),
+                _sign_bucket(F.col("v"), dim_w, planes).alias("bucket"),
+            )
+        )
+    sigs = buckets[0]
+    for b in buckets[1:]:
+        sigs = sigs.unionByName(b)
     l, r = sigs.alias("l"), sigs.alias("r")
-    cand = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")),
-    ).select(
-        F.col("l.doc").alias("a"),
-        F.col("r.doc").alias("b"),
-        _cosine(F.col("l.v"), F.col("r.v")).alias("cosine"),
+    cand = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("a"),
+            F.col("r.doc").alias("b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        # a pair found by several tables must verify once, not N times
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine"))
     )
     return cand.filter(F.col("cosine") >= threshold)
 
