@@ -141,6 +141,79 @@ def _assign(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist the IVF structure: centroids + per-vector assignment,
+    the assignment partitioned by centroid id so a probe reads only
+    its buckets' files (partition pruning = the IVF inverted list).
+
+    Build once, then `search_ivf_index` any number of query batches
+    without re-clustering or re-assigning — the 100 TB steady-state.
+    """
+    cents = _centroids(corpus, corpus_vec, corpus_id, n_centroids, seed)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = _assign(corpus, cents, corpus_vec, corpus_id, 1)
+    (
+        assigned.select("vec_id", F.col("__v").alias("v"), "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/assignment")
+    )
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Top-k search against a persisted IVF index. The filter on `cid`
+    prunes assignment partitions, so only nprobe/C of the corpus files
+    are read per query batch."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assignment = spark.read.parquet(f"{path}/assignment")
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    q_probes = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "__qv", "cid", cosine(F.col("__qv"), F.col("cv")).alias("__sim")
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__sim").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cid")
+    )
+    scored = assignment.join(F.broadcast(q_probes), "cid").select(
+        "query_id", "vec_id", cosine(F.col("v"), F.col("__qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

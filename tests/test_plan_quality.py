@@ -1,0 +1,65 @@
+"""Plan-quality regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast dims, no accidental cartesian
+products, pre-shuffle partial top-k) must survive refactors.
+
+These assert against the PHYSICAL plan text — cheap (no execution)
+and exactly what a 100 TB deployment cares about.
+"""
+
+import pytest
+
+from alstom_spark_cassandra_spark.workloads import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = SPARK_QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_field_window_pushes_filters_and_prunes(spark):
+    plan = plan_of(spark, "field_window")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(event_type,click)" in plan
+    # props (the widest column) must not be read
+    assert "props" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_latest_per_key_partial_topk_before_shuffle(spark):
+    plan = plan_of(spark, "latest_per_key")
+    # Spark's rank-limit pushdown: top-1 per key computed on the map
+    # side so the exchange only carries survivors
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 3  # window shuffle + output sort
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # local stats: everything broadcastable
+
+
+def test_tpch_q1_pushes_date_filter(spark):
+    plan = plan_of(spark, "tpch_q1")
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_no_cartesian_in_join_queries(spark):
+    # cross joins are legitimate only where a tiny side is broadcast
+    # (scalar bounds, query vectors); never a partitioned cartesian
+    for name in [
+        "tpch_q3",
+        "tpch_q10",
+        "semi_join",
+        "anti_join",
+        "reconstruct_message",
+        "compaction",
+    ]:
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "semi_join")
+    assert "LeftAnti" in plan_of(spark, "anti_join")

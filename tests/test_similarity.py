@@ -6,7 +6,12 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from alstom_spark_cassandra_spark.operators.similarity import cosine_topk, ivf_topk
+from alstom_spark_cassandra_spark.operators.similarity import (
+    build_ivf_index,
+    cosine_topk,
+    ivf_topk,
+    search_ivf_index,
+)
 
 
 @pytest.fixture(scope="module")
@@ -48,3 +53,30 @@ def test_ivf_topk_recall(spark, corpus):
         got.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(got.get(qi, set()) & exact[qi]) / 10 for qi, _ in queries]
     assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/8 of a gaussian ball
+
+
+def test_persisted_ivf_index_matches_inline(spark, corpus, tmp_path):
+    rows, df = corpus
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, path, n_centroids=8)
+    q = spark.createDataFrame(
+        [(0, rows[42][1])], "query_id long, query_vec array<double>"
+    )
+    stored = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in search_ivf_index(spark, path, q, k=10, nprobe=4).collect()
+    }
+    inline = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(df, q, k=10, n_centroids=8, nprobe=4).collect()
+    }
+    assert stored == inline
+    # partition pruning: probing must not read every cid partition
+    plan = (
+        spark.read.parquet(f"{path}/assignment")
+        .filter("cid = 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
