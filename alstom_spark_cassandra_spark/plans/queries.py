@@ -247,18 +247,15 @@ def get_message(
         F.col("new_value").cast("double").alias("value"),
     )
 
-    # 5a. changed fields with no delta row yet: seed from snap_min JSON
-    # (GetMessage.sql:247-358).
-    changed_no_delta = (
-        snap_min.join(F.broadcast(diff_fields), "uevol_field_id", "left_semi")
-        .join(
-            delta_latest.select("uevol_field_id").distinct(),
-            "uevol_field_id",
-            "left_anti",
-        )
+    # 5a. seed ALL of a changed field's snapshot paths
+    # (GetMessage.sql:247-358): paths the deltas did not touch keep
+    # their snapshot value; the per-path priority dedup below lets
+    # delta values win where both exist.
+    changed_seed = snap_min.join(
+        F.broadcast(diff_fields), "uevol_field_id", "left_semi"
     )
     seeded = flatten_json_value(
-        changed_no_delta.select("uevol_field_id", "json_value")
+        changed_seed.select("uevol_field_id", "json_value")
     ).select("uevol_field_id", "relative_path", "value")
 
     # 5b. unchanged = same ∪ (fields with no snapshot row at all ->
@@ -455,7 +452,9 @@ def get_update_history(
             .filter(F.col("__all_ok") == 1)
             .select("instance_message_id")
         )
-        filled = filled.join(good_ids, "instance_message_id", "left_semi")
+        filled = filled.join(
+            F.broadcast(good_ids), "instance_message_id", "left_semi"
+        )
 
     if not pivot:
         return filled.orderBy(*SERIES_KEY, "instance_message_id")

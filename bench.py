@@ -33,7 +33,11 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
     "topk_per_group",
+    "event_deltas",
+    "update_history_dense",
     "dedup_exact",
     "text_stats",
     "minhash_signatures",

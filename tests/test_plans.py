@@ -124,6 +124,61 @@ def test_get_message_snapshot_delta_equals_replay(domain):
         assert got == {k: float(v) for k, v in expect.items()}, f"at={at}"
 
 
+def test_get_message_nested_snapshot_fields(spark):
+    """Fields whose snapshot state is a nested JSON tree must flatten
+    to (relative_path, value) rows; delta updates override only the
+    paths they touch (reference GetMessage diff branch,
+    SQL/GetMessage.sql:271-355)."""
+    log = spark.createDataFrame(
+        [
+            # field 1 has one delta after the snapshot on path 000.002
+            (1, 1, 150, 0, 0, 0, "000.002", 0, 0, 777),
+        ],
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long, new_value long",
+    )
+    msg = spark.createDataFrame(
+        [(200, 1, 0, 0, 0, 0, 1, 3000, 3000)],
+        "id long, uevol_message_id int, src_ty int, src_id int, dst_ty int,"
+        " dst_id int, seq_nb int, log_time long, sync_time long",
+    )
+    fields = spark.createDataFrame(
+        [(1, 1, "nested_field"), (2, 1, "flat_field")],
+        "id int, uevol_message_id int, name string",
+    )
+    sidx = spark.createDataFrame(
+        [("s0", 100)], "name string, start_instance_message_id long"
+    )
+    srows = spark.createDataFrame(
+        [
+            ("s0", 1, 0, 0, 100, '{"000": {"001": 5, "002": 6}}'),
+            ("s0", 2, 0, 0, 100, '{"000": 9}'),
+        ],
+        "snapshot_name string, uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, json_value string",
+    )
+    out = get_message(log, fields, sidx, srows, msg, 200)
+    got = {(r.uevol_field_id, r.relative_path): r.value for r in out.collect()}
+    assert got == {
+        (1, "000.001"): 5.0,   # untouched nested path from snapshot
+        (1, "000.002"): 777.0,  # delta overrides the snapshot value
+        (2, "000"): 9.0,        # flat field straight from snapshot
+    }
+
+
+def test_get_multiple_fields_before_any_event(spark, domain):
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
+    out = get_multiple_fields(domain["log"], args, 0)
+    for r in out.collect():
+        assert (r.value, r.instance_message_id) == (-1.0, -1)
+
+
+def test_retrieve_field_no_filters_returns_all(domain):
+    out = retrieve_field(domain["log"], domain["msg"])
+    assert out.count() == domain["log"].count()
+
+
 def test_get_multiple_fields_defaults(spark, domain):
     args = make_arguments(spark, [1, N_FIELDS], [0, 0], [0, 0])
     out = get_multiple_fields(domain["log"], args, 150)
