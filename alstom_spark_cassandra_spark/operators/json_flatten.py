@@ -25,6 +25,42 @@ from pyspark.sql import types as T
 MAX_DEPTH = 3
 
 
+def json_degree(col, max_depth: int = MAX_DEPTH):
+    """Nesting degree of a json_value object: 0 for non-objects/null,
+    else 1 + the deepest nested-object level (capped at max_depth).
+
+    Parity with the reference's canary-path probe
+    (SQL/GetJsonDegree.sql:8-27), but schema-free: a level exists if
+    any value at the previous level re-parses as an object.
+    """
+    m = T.MapType(T.StringType(), T.StringType())
+    parsed = F.from_json(col, m)
+    degree = F.when(parsed.isNull(), F.lit(0))
+    level = parsed
+    for d in range(1, max_depth + 1):
+        if d < max_depth:
+            # does any value at this level parse as a nested object?
+            has_child = F.exists(
+                F.map_values(level),
+                lambda v: F.from_json(v, m).isNotNull(),
+            )
+            degree = degree.when(~has_child, F.lit(d))
+            # descend: merge all child maps (keys are unique per level
+            # in the reference's path encoding)
+            child_maps = F.filter(
+                F.transform(F.map_values(level), lambda v: F.from_json(v, m)),
+                lambda x: x.isNotNull(),
+            )
+            level = F.aggregate(
+                child_maps,
+                F.create_map().cast(m),
+                lambda acc, x: F.map_concat(acc, x),
+            )
+        else:
+            degree = degree.otherwise(F.lit(d))
+    return degree
+
+
 def flatten_json_value(
     df: DataFrame,
     json_col: str = "json_value",

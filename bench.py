@@ -56,13 +56,19 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
     spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
 
+    # best-of-2: the second run reuses codegen/caches; reporting the
+    # minimum removes one-off JIT/GC noise from the recorded baseline
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -112,6 +112,36 @@ def test_flatten_json_depths(spark):
     }
 
 
+def test_json_degree(spark):
+    from alstom_spark_cassandra_spark.operators.json_flatten import json_degree
+
+    df = spark.createDataFrame(
+        [
+            (0, None),
+            (1, "7"),  # not an object
+            (2, '{"000": 7}'),
+            (3, '{"000": {"001": 5}}'),
+            (4, '{"000": {"001": {"002": 9}}}'),
+        ],
+        "id int, j string",
+    )
+    got = {r.id: r.d for r in df.select("id", json_degree(F.col("j")).alias("d")).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_replay_switch_loader(spark, tmp_path):
+    from alstom_spark_cassandra_spark.sources.loader import Catalog
+
+    base = str(tmp_path)
+    spark.createDataFrame([(1,)], "x int").write.parquet(f"{base}/instance_field.parquet")
+    spark.createDataFrame([(2,)], "x int").write.parquet(
+        f"{base}/instance_field_replay.parquet"
+    )
+    live = Catalog(spark, base).instance_field.collect()[0].x
+    replay = Catalog(spark, base, replay=True).instance_field.collect()[0].x
+    assert (live, replay) == (1, 2)
+
+
 def test_locf_leading_nulls(spark):
     df = spark.createDataFrame(
         [
