@@ -414,7 +414,10 @@ def get_update_history(
         .agg(F.max_by("new_value", "iteration").cast("double").alias("value"))
     )
 
-    hist = start_state.unionByName(updates)
+    # hist feeds two branches (the time-point grid and the dense
+    # join): cache it like the reference materializes shared temp
+    # tables (SQL/GetMessage.sql:46-54). Bounded by window size.
+    hist = start_state.unionByName(updates).cache()
 
     # Dense grid: every series gets a row at every update time point,
     # like the reference's matrix (one row per distinct update id,
@@ -433,6 +436,9 @@ def get_update_history(
         r for r in arguments.select(*SERIES_KEY, "filter").collect() if r["filter"]
     ]
     if flt_rows:
+        # filled also feeds two branches (the veto aggregation and the
+        # surviving-row output)
+        filled = filled.cache()
         keep = None
         for r in flt_rows:
             series_match = (

@@ -1015,6 +1015,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_unpivot_lineitem(spark, sf_dir):
+    """Unpivot (melt) the lineitem measures into long format — the
+    inverse of X5's pivot, via stack()."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, val)",
+    ).orderBy("l_orderkey", "l_linenumber", "measure")
+
+
+SQL_UNPIVOT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, measure, val FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey < 100
+)
+"""
+
+
+def q_approx_stats(spark, sf_dir):
+    """Approximate aggregates (HyperLogLog distinct + quantile sketch)
+    per event_type — sketch implementations differ between engines, so
+    this is declared without an oracle (rows-only); the exact
+    counterpart is q_distinct_agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 1000).alias(
+                "value_p50_p95"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_rollup(spark, sf_dir):
     """Grouping-sets ROLLUP over orders (extension; the reference has
     no grouping sets — SURVEY §2.4)."""
@@ -1297,6 +1341,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "approx_stats": q_approx_stats,
     "dedup_exact": q_dedup_exact,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "text_stats": q_text_stats,
@@ -1337,6 +1383,8 @@ ORACLE_SQL: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct_agg": SQL_DISTINCT_AGG,
     "rollup": SQL_ROLLUP,
+    "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
+    # approx_stats: sketch-based -> rows-only check by design.
     "dedup_exact": SQL_DEDUP_EXACT,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
     "text_stats": SQL_TEXT_STATS,

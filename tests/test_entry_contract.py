@@ -19,6 +19,7 @@ def test_queries_and_oracles_consistent():
         "simhash_fingerprints",
         "embedding_dup_pairs",
         "ivf_topk",
+        "approx_stats",
     }
 
 

@@ -142,6 +142,19 @@ def test_replay_switch_loader(spark, tmp_path):
     assert (live, replay) == (1, 2)
 
 
+def test_register_all_sql_path(spark):
+    """The SQL API surface: registered views answer spark.sql queries
+    with the same plans as the DataFrame path."""
+    from alstom_spark_cassandra_spark.sources.loader import register_all
+
+    register_all(spark, "/root/testdata/sf0.001", ["events", "region"])
+    out = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    ).collect()
+    assert sum(r.n for r in out) == 1000
+    assert spark.sql("SELECT count(*) AS c FROM region").collect()[0].c == 5
+
+
 def test_locf_leading_nulls(spark):
     df = spark.createDataFrame(
         [
