@@ -229,8 +229,13 @@ def get_message(
             .distinct()
         )
     else:
+        # Single-snapshot branch (target beyond the last snapshot,
+        # GetMessage.sql:611-990): EVERY message field may have deltas
+        # — a field whose first-ever update falls after the snapshot
+        # has no snapshot row, so restricting the delta scan to
+        # snapshot fields would drop it.
         same = snap_min.select(*snap_cols).limit(0)
-        diff_fields = snap_min.select("uevol_field_id").distinct()
+        diff_fields = fields.select("uevol_field_id")
 
     # 4. deltas in (snap_min_start, target]: latest per (field, path).
     deltas = instance_field.filter(

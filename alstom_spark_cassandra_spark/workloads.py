@@ -743,6 +743,96 @@ WHERE f.instance_message_id IN (SELECT instance_message_id FROM good_ids)
 """
 
 
+def q_message_snapshot_delta(spark, sf_dir):
+    """plans.get_message end-to-end (SQL/GetMessage.sql): snapshots
+    are BUILT BY THE ENGINE at two epochs (latest-state argmax +
+    to_json), then the target message is reconstructed from nearest
+    snapshot + deltas. The oracle is the reconstruction invariant
+    itself — snapshot+delta must equal a plain full-log replay
+    (SURVEY.md §5.3) — so the driver's gate checks the property, not
+    just the plumbing."""
+    from .operators.latest import latest_per_key
+    from .plans.queries import get_message
+
+    ev = _t(spark, sf_dir, "events")
+    log = _domain_log(ev)
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    epochs = [("s0", mx // 5), ("s1", (mx * 2) // 5)]
+
+    sidx = spark.createDataFrame(
+        epochs, "name string, start_instance_message_id long"
+    )
+    snaps = []
+    for name, start in epochs:
+        state = latest_per_key(
+            log.filter(F.col("instance_message_id") <= start),
+            ["uevol_field_id", "src_id", "dst_id"],
+            "instance_message_id",
+            ["iteration"],
+        )
+        snaps.append(
+            state.select(
+                F.lit(name).alias("snapshot_name"),
+                "uevol_field_id",
+                "src_id",
+                "dst_id",
+                "instance_message_id",
+                F.to_json(
+                    F.create_map(F.lit("000"), F.col("new_value"))
+                ).alias("json_value"),
+            )
+        )
+    srows = snaps[0].unionByName(snaps[1])
+
+    fields = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("id"),
+            F.lit(1).cast("int").alias("uevol_message_id"),
+            F.col("event_type").alias("name"),
+        )
+    )
+    # target: user 7's last event at-or-before 60% of the log
+    at_id = int(
+        ev.filter(
+            (F.col("user_id") == 7) & (F.col("event_id") <= mx * 3 // 5)
+        )
+        .agg(F.max("event_id"))
+        .collect()[0][0]
+    )
+    msg = spark.createDataFrame(
+        [(at_id, 1, 0, 7, 0, 0, -1, 0, 0)],
+        "id long, uevol_message_id int, src_ty int, src_id int, dst_ty int,"
+        " dst_id int, seq_nb int, log_time long, sync_time long",
+    )
+    return get_message(log, fields, sidx, srows, msg, at_id).orderBy(
+        "uevol_field_id"
+    )
+
+
+SQL_MESSAGE_SNAPSHOT_DELTA = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+tgt AS (
+  SELECT max(event_id) AS a FROM events, mx
+  WHERE user_id = 7 AND event_id <= mx.m * 3 // 5
+),
+types AS (SELECT DISTINCT event_type FROM events),
+latest AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY event_id DESC) AS rn
+    FROM events, tgt WHERE user_id = 7 AND event_id <= tgt.a
+  ) WHERE rn = 1
+)
+SELECT t.event_type AS uevol_field_id, t.event_type AS name,
+       '000' AS relative_path,
+       coalesce(l.value, -1.0) AS value
+FROM types t LEFT JOIN latest l USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style relational workload (J1/J2, A2-A6, W, sorts) — bench headliners
 # ---------------------------------------------------------------------------
@@ -1332,6 +1422,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_rollup": q_daily_rollup,
     "multiple_fields_asof": q_multiple_fields_asof,
     "update_history_dense": q_update_history_dense,
+    "message_snapshot_delta": q_message_snapshot_delta,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1374,6 +1465,7 @@ ORACLE_SQL: dict[str, str] = {
     "daily_rollup": SQL_DAILY_ROLLUP,
     "multiple_fields_asof": SQL_MULTIPLE_FIELDS_ASOF,
     "update_history_dense": SQL_UPDATE_HISTORY_DENSE,
+    "message_snapshot_delta": SQL_MESSAGE_SNAPSHOT_DELTA,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,

@@ -167,6 +167,38 @@ def test_get_message_nested_snapshot_fields(spark):
     }
 
 
+def test_get_message_field_first_updated_after_last_snapshot(spark):
+    """A field whose FIRST update falls after the last snapshot has no
+    snapshot row; the single-snapshot branch must still surface its
+    deltas (reference ELSE branch scans deltas unrestricted,
+    SQL/GetMessage.sql:611-990)."""
+    log = spark.createDataFrame(
+        [(1, 1, 150, 0, 0, 0, "000", 0, 0, 42)],
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long, new_value long",
+    )
+    msg = spark.createDataFrame(
+        [(200, 1, 0, 0, 0, 0, 1, 3000, 3000)],
+        "id long, uevol_message_id int, src_ty int, src_id int, dst_ty int,"
+        " dst_id int, seq_nb int, log_time long, sync_time long",
+    )
+    fields = spark.createDataFrame(
+        [(1, 1, "late_field")], "id int, uevol_message_id int, name string"
+    )
+    sidx = spark.createDataFrame(
+        [("s0", 100)], "name string, start_instance_message_id long"
+    )
+    srows = spark.createDataFrame(
+        [],
+        "snapshot_name string, uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, json_value string",
+    )
+    out = get_message(log, fields, sidx, srows, msg, 200)
+    got = {(r.uevol_field_id, r.relative_path): r.value for r in out.collect()}
+    assert got == {(1, "000"): 42.0}
+
+
 def test_get_multiple_fields_before_any_event(spark, domain):
     args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
     out = get_multiple_fields(domain["log"], args, 0)
