@@ -509,15 +509,28 @@ def backup(
     The reference collects recent field ids to the driver and uses
     NOT IN (Backup.java:48-51); at scale that's the left_anti join
     used here.
+
+    The time->id cut is resolved to a driver-side scalar on purpose:
+    as a literal it pushes down to the parquet scans of BOTH branches
+    (and prunes partitions in an id/time-partitioned layout), where an
+    in-plan joined column cannot. One tiny aggregate job buys two
+    pruned scans — the same trade the reference's snapshot selection
+    makes (SQL/GetMessage.sql:63-88).
     """
-    bound = instance_message.filter(F.col("log_time") >= F.lit(log_time_limit)).agg(
-        F.min("id").alias("__cut")
+    row = (
+        instance_message.filter(F.col("log_time") >= F.lit(log_time_limit))
+        .agg(F.min("id").alias("cut"))
+        .collect()[0]
     )
-    log = instance_field.join(bound, F.lit(True), "left")
-    recent = log.filter(F.col("instance_message_id") >= F.col("__cut")).drop("__cut")
-    older = log.filter(
-        (F.col("instance_message_id") < F.col("__cut")) | F.col("__cut").isNull()
-    ).drop("__cut")
+    cut = row["cut"]
+    if cut is None:
+        # nothing is recent: the whole log compacts to latest-per-series
+        return latest_per_key(
+            instance_field, SERIES_KEY + ["relative_path"],
+            "instance_message_id", TIEBREAK,
+        )
+    recent = instance_field.filter(F.col("instance_message_id") >= F.lit(cut))
+    older = instance_field.filter(F.col("instance_message_id") < F.lit(cut))
     older_latest = latest_per_key(
         older, SERIES_KEY + ["relative_path"], "instance_message_id", TIEBREAK
     )

@@ -444,19 +444,24 @@ SELECT * FROM hi
 
 def q_compaction(spark, sf_dir):
     """S7/P6/U4 (Backup.java:30-61): recent raw events ∪ latest older
-    event per series — reconstruction-preserving log compaction."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value", _ts_ms().alias("ts_ms")
+    event per series — reconstruction-preserving log compaction, run
+    through plans.backup on the events-as-change-log mapping (valid
+    because ts is monotone in event_id, so the id cut == the ts cut
+    the oracle applies)."""
+    from .plans.queries import backup
+
+    ev = _t(spark, sf_dir, "events")
+    log = _domain_log(ev)
+    msg = ev.select(
+        F.col("event_id").alias("id"), _ts_ms().alias("log_time")
     )
-    recent = ev.filter(F.col("ts_ms") >= T_JAN25)
-    older_latest = latest_per_key(
-        ev.filter(F.col("ts_ms") < T_JAN25), ["user_id", "event_type"], "event_id"
-    )
-    return (
-        recent.unionByName(older_latest)
-        .select("event_id", "user_id", "event_type", "value")
-        .orderBy("event_id")
-    )
+    out = backup(log, msg, T_JAN25)
+    return out.select(
+        F.col("instance_message_id").alias("event_id"),
+        F.col("src_id").alias("user_id"),
+        F.col("uevol_field_id").alias("event_type"),
+        F.col("new_value").alias("value"),
+    ).orderBy("event_id")
 
 
 SQL_COMPACTION = f"""
