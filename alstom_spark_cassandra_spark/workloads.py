@@ -748,6 +748,81 @@ WHERE f.instance_message_id IN (SELECT instance_message_id FROM good_ids)
 """
 
 
+def q_retrieve_field_window(spark, sf_dir):
+    """plans.retrieve_field (RetrieveField.java:50-93): click-series
+    updates inside a wall-clock window, the time bounds resolved to
+    id bounds in-plan (no driver round-trips)."""
+    from .plans.queries import retrieve_field
+
+    ev = _t(spark, sf_dir, "events")
+    log = _domain_log(ev)
+    msg = ev.select(
+        F.col("event_id").alias("id"), _ts_ms().alias("log_time")
+    )
+    out = retrieve_field(
+        log,
+        msg,
+        uevol_field_id="click",
+        start_log_time=T_JAN05,
+        end_log_time=T_JAN15,
+    )
+    return out.select(
+        F.col("instance_message_id").alias("event_id"),
+        F.col("src_id").alias("user_id"),
+        F.col("new_value").alias("value"),
+    ).orderBy("event_id")
+
+
+SQL_RETRIEVE_FIELD_WINDOW = f"""
+WITH b AS (
+  SELECT min(event_id) AS lo, max(event_id) AS hi FROM events
+  WHERE epoch_ms(ts) >= {T_JAN05} AND epoch_ms(ts) <= {T_JAN15}
+)
+SELECT event_id, user_id, value
+FROM events, b
+WHERE event_type = 'click' AND event_id >= b.lo AND event_id <= b.hi
+"""
+
+
+def q_retrieve_message_asof(spark, sf_dir):
+    """plans.retrieve_message (RetrieveMessage.java:54-118): every
+    series of user 7 reconstructed at 60% of the log, -1 for series
+    with no update yet — the window-argmax replacement of the
+    reference's correlated per-field UDF."""
+    from .plans.queries import retrieve_message
+
+    ev = _t(spark, sf_dir, "events")
+    log7 = _domain_log(ev.filter(F.col("user_id") == 7))
+    fields = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("id"),
+            F.lit(1).cast("int").alias("uevol_message_id"),
+            F.col("event_type").alias("name"),
+        )
+    )
+    cut = int(ev.agg(F.expr("max(event_id) * 3 DIV 5")).collect()[0][0])
+    return retrieve_message(log7, fields, 1, cut)
+
+
+SQL_RETRIEVE_MESSAGE_ASOF = """
+WITH cut AS (SELECT max(event_id) * 3 // 5 AS c FROM events),
+latest AS (
+  SELECT event_type, value FROM (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY event_id DESC) AS rn
+    FROM events, cut WHERE user_id = 7 AND event_id <= cut.c
+  ) WHERE rn = 1
+)
+SELECT t.event_type AS uevol_field_id, t.event_type AS name,
+       coalesce(l.value, -1.0) AS value
+FROM (SELECT DISTINCT event_type FROM events) t
+LEFT JOIN latest l USING (event_type)
+"""
+
+
 def q_message_snapshot_delta(spark, sf_dir):
     """plans.get_message end-to-end (SQL/GetMessage.sql): snapshots
     are BUILT BY THE ENGINE at two epochs (latest-state argmax +
@@ -1428,6 +1503,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiple_fields_asof": q_multiple_fields_asof,
     "update_history_dense": q_update_history_dense,
     "message_snapshot_delta": q_message_snapshot_delta,
+    "retrieve_field_window": q_retrieve_field_window,
+    "retrieve_message_asof": q_retrieve_message_asof,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1471,6 +1548,8 @@ ORACLE_SQL: dict[str, str] = {
     "multiple_fields_asof": SQL_MULTIPLE_FIELDS_ASOF,
     "update_history_dense": SQL_UPDATE_HISTORY_DENSE,
     "message_snapshot_delta": SQL_MESSAGE_SNAPSHOT_DELTA,
+    "retrieve_field_window": SQL_RETRIEVE_FIELD_WINDOW,
+    "retrieve_message_asof": SQL_RETRIEVE_MESSAGE_ASOF,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
