@@ -1,0 +1,119 @@
+"""Scale probe: synthesize multi-million-row inputs and measure how
+the core operators scale (wall time vs rows, plain vs salted under
+skew). Local[N] cannot prove cluster behavior, but it can falsify it:
+superlinear growth or skew collapse would show here first.
+
+Usage: python scripts/scale_probe.py [rows_millions ...]
+Writes nothing outside /tmp; prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.latest import latest_per_key
+from alstom_spark_cassandra_spark.operators.locf import locf
+from alstom_spark_cassandra_spark.operators.setops import symmetric_diff_rows
+from alstom_spark_cassandra_spark.operators.skew import salted_agg
+from alstom_spark_cassandra_spark.session import get_spark
+
+
+def synth_events(spark, n_rows: int, n_users: int, skew: bool = False):
+    """Deterministic synthetic change log; `skew=True` sends ~50% of
+    rows to one hot user."""
+    df = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        (
+            F.when(F.pmod(F.xxhash64("id"), 2) == 0, F.lit(0)).otherwise(
+                F.pmod(F.xxhash64("id", F.lit(1)), n_users)
+            )
+            if skew
+            else F.pmod(F.xxhash64("id"), n_users)
+        ).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ["click", "view", "purchase", "signup", "error"]]),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 5) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), 100000) / 100.0).alias("value"),
+    )
+    return df
+
+
+def timed(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main():
+    sizes_m = [float(x) for x in sys.argv[1:]] or [1, 5, 10]
+    spark = get_spark(app_name="scale_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    for m in sizes_m:
+        n = int(m * 1_000_000)
+        ev = synth_events(spark, n, n_users=max(1000, n // 1000)).cache()
+        ev.count()  # materialize input so operator timing excludes synth
+
+        res = {
+            "rows_millions": m,
+            "latest_per_key": timed(
+                latest_per_key(ev, ["user_id", "event_type"], "event_id")
+            ),
+            "locf": timed(
+                locf(
+                    ev.select(
+                        "user_id",
+                        "event_id",
+                        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+                    ),
+                    ["user_id"],
+                    "event_id",
+                    "pv",
+                )
+            ),
+            "snapshot_diff": timed(
+                symmetric_diff_rows(
+                    latest_per_key(
+                        ev.filter(F.col("event_id") <= n // 2),
+                        ["user_id", "event_type"],
+                        "event_id",
+                    ).select("user_id", "event_type", "value"),
+                    latest_per_key(ev, ["user_id", "event_type"], "event_id").select(
+                        "user_id", "event_type", "value"
+                    ),
+                    ["user_id", "event_type", "value"],
+                )
+            ),
+            "groupby_agg": timed(
+                ev.groupBy("user_id", "event_type").agg(
+                    F.sum("value"), F.count(F.lit(1))
+                )
+            ),
+        }
+        print(json.dumps(res))
+        ev.unpersist()
+
+    # skew probe at the largest size: plain vs salted aggregation over
+    # a key distribution where one user owns half the rows
+    n = int(sizes_m[-1] * 1_000_000)
+    sk = synth_events(spark, n, n_users=1000, skew=True).cache()
+    sk.count()
+    plain = timed(
+        sk.groupBy("user_id").agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    salted = timed(
+        salted_agg(sk, ["user_id"], {"s": ("value", "sum"), "n": ("value", "count")}, n_salts=32)
+    )
+    print(json.dumps({"skew_rows_millions": sizes_m[-1], "plain_agg": plain, "salted_agg": salted}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
