@@ -8,11 +8,13 @@ groupBy((field, src, dst)) funnels those series into single reducers.
 Two standard remedies, expressed as reusable operators:
 
 - `salted_agg`: two-phase aggregation — partial agg on (keys, salt),
-  final agg on keys. Works for any algebraic aggregate (sum, count,
-  min, max) and is what Spark's partial aggregation already does for
-  SIMPLE aggregates; the explicit salt matters when the aggregate is
-  itself expensive (collect_list-ish, distinct-ish) or when AQE's
-  skew handling can't kick in (single-stage agg, no join).
+  final agg on keys. MEASURED guidance (SCALE.md): for plain
+  algebraic aggregates Spark's map-side partial aggregation already
+  collapses a hot key to one row per map task, and the plain groupBy
+  WINS (salting pays an extra shuffle). Reach for salted_agg only
+  when partial aggregation cannot compress: high-cardinality
+  composite keys, distinct-style aggregation, or as the pattern for
+  window work over a hot partition.
 - `salted_broadcast_left`: replicate-and-salt pattern for joining a
   skewed fact against a dimension too big to broadcast whole but
   small enough to replicate R ways: fact rows get a random salt in
