@@ -45,6 +45,7 @@ from .operators.dedup import (
 )
 from .operators.latest import latest_per_key
 from .operators.locf import locf
+from .operators.quantize import dequantize_embedding, quantize_embedding
 from .operators.multimodal import image_features
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
@@ -1388,7 +1389,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
     out = cosine_topk(emb, queries, k=10)
     return out.select(
-        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+        "query_id", "vec_id", half_up(F.col("cosine"), 6).alias("cosine"), "rank"
     )
 
 
@@ -1405,7 +1406,65 @@ s AS (
            AS cos
   FROM c CROSS JOIN q
 )
-SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+SELECT query_id, vec_id,
+       floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 10
+"""
+
+
+def q_ann_quantized_topk(spark, sf_dir):
+    """Cosine top-10 over int8-quantized-then-dequantized embeddings
+    (float queries, quantized corpus) — the 4x-storage scale path of
+    q_ann_cosine_topk with its accuracy loss made visible to the
+    oracle: DuckDB reproduces the quantizer arithmetically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # staged: quantize to a struct column first so the per-row scale
+    # (an array_max scan) is computed once, not inside the per-element
+    # dequantize lambda (O(d) instead of O(d^2) per row)
+    corpus = (
+        emb.select("vec_id", quantize_embedding(F.col("embedding")).alias("__q"))
+        .select("vec_id", dequantize_embedding(F.col("__q")).alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(corpus, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", half_up(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_QUANTIZED_TOPK = """
+WITH c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cq AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM c0
+),
+cd AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+         END AS dv
+  FROM cq
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, cd.vec_id,
+         list_dot_product(cd.dv, q.qv) /
+           (sqrt(list_dot_product(cd.dv, cd.dv)) *
+            sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM cd CROSS JOIN q
+)
+SELECT query_id, vec_id,
+       floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, vec_id ASC) AS rank
   FROM s
@@ -1521,6 +1580,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "image_features": q_image_features,
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -1566,6 +1626,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "image_features": SQL_IMAGE_FEATURES,
     # minhash_signatures / simhash_fingerprints / embedding_dup_pairs /
     # ivf_topk: hash-based or approximate -> rows-only check by design.
