@@ -1273,7 +1273,7 @@ def q_word_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     out = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
     return out.select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard")
+        "a", "b", half_up(F.col("jaccard"), 6).alias("jaccard")
     ).orderBy("a", "b")
 
 
@@ -1289,7 +1289,8 @@ i AS (
   GROUP BY 1, 2
 )
 SELECT i.a, i.b,
-       round(cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt), 6) AS jaccard
+       floor(cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) * 1000000 + 0.5)
+         / 1000000.0 AS jaccard
 FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
 WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
 """
