@@ -32,11 +32,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.filter_compiler import compile_filter
-from ..operators.asof import asof_snapshot_pair
+from ..operators.asof import asof_id_bounds, asof_snapshot_pair
 from ..operators.json_flatten import flatten_json_value
 from ..operators.latest import latest_per_key
-from ..operators.locf import locf, locf_pivot
-from ..operators.setops import symmetric_diff_rows, unchanged_rows
+from ..operators.locf import locf
 
 # Columns that identify one logical field series in the change log.
 SERIES_KEY = ["uevol_field_id", "src_id", "dst_id"]
@@ -84,36 +83,37 @@ def retrieve_field(
     )
 
     if seq_nb is not None and seq_nb != -1:
-        # seq_nb -> first message id at/after that seq (RetrieveField.java:66-70).
+        # seq_nb resolves to ONE message id and the log is filtered to
+        # exactly that message (RetrieveField.java:67-68 filters
+        # instance_message_id==resolved, not a range).
         bound = instance_message.filter(F.col("seq_nb") == F.lit(seq_nb)).agg(
-            F.min("id").alias("__min_id")
+            F.min("id").alias("min_id")
         )
         return (
             log.join(bound, F.lit(True), "left")
-            .filter(F.col("instance_message_id") >= F.col("__min_id"))
-            .drop("__min_id")
+            .filter(F.col("instance_message_id") == F.col("min_id"))
+            .drop("min_id")
             .orderBy("instance_message_id")
         )
 
-    if end_log_time is None and start_log_time is not None and duration is not None:
-        end_log_time = start_log_time + duration  # RetrieveField.java:85-89
-
-    msg = instance_message
-    if start_log_time is not None:
-        msg = msg.filter(F.col("log_time") >= F.lit(start_log_time))
-    if end_log_time is not None:
-        msg = msg.filter(F.col("log_time") <= F.lit(end_log_time))
-    if start_log_time is None and end_log_time is None:
+    if start_log_time is None and end_log_time is None and duration is None:
         return log.orderBy("instance_message_id")
 
-    bounds = msg.agg(F.min("id").alias("__min_id"), F.max("id").alias("__max_id"))
+    # time window -> id bounds, one aggregate in-plan (asof_id_bounds
+    # replaces RetrieveField.java:74-90's three orderBy().first() jobs)
+    bounds = asof_id_bounds(
+        instance_message,
+        start_time=start_log_time,
+        end_time=end_log_time,
+        duration=duration,
+    )
     return (
         log.join(bounds, F.lit(True), "left")
         .filter(
-            (F.col("instance_message_id") >= F.col("__min_id"))
-            & (F.col("instance_message_id") <= F.col("__max_id"))
+            (F.col("instance_message_id") >= F.col("min_id"))
+            & (F.col("instance_message_id") <= F.col("max_id"))
         )
-        .drop("__min_id", "__max_id")
+        .drop("min_id", "max_id")
         .orderBy("instance_message_id")
     )
 
@@ -123,6 +123,8 @@ def retrieve_message(
     uevol_field: DataFrame,
     uevol_message_id: int,
     at_instance_message_id: int,
+    src_id: int | None = None,
+    dst_id: int | None = None,
     default_value: int = -1,
 ) -> DataFrame:
     """Q1 (log-only): reconstruct every field of a message type at a
@@ -134,12 +136,25 @@ def retrieve_message(
     argmax over the narrowed log once, broadcast the field catalog,
     one left join; fields with no update yet get `default_value`
     (the reference's -1 convention).
+
+    The log is scoped to the target conversation pair and message type
+    exactly like the reference (RetrieveMessage.java:85-88 filters
+    src_id/dst_id/uevol_message_id before the per-field lookups) —
+    without it, another pair's later update would win the argmax.
     """
     fields = uevol_field.filter(
         F.col("uevol_message_id") == F.lit(uevol_message_id)
     ).select(F.col("id").alias("uevol_field_id"), "name")
 
-    narrowed = instance_field.filter(
+    narrowed = _apply_eq_filters(
+        instance_field,
+        {"src_id": src_id, "dst_id": dst_id},
+    )
+    if "uevol_message_id" in narrowed.columns:
+        narrowed = narrowed.filter(
+            F.col("uevol_message_id") == F.lit(uevol_message_id)
+        )
+    narrowed = narrowed.filter(
         F.col("instance_message_id") <= F.lit(at_instance_message_id)
     )
     latest = latest_per_key(
@@ -203,7 +218,15 @@ def get_message(
 
     # 2. snapshot pair (tiny index — driver scalar is fine and bounds
     # the delta scan, the reference's partition-pruning analog).
-    pair = asof_snapshot_pair(snapshot_index, at_instance_message_id).collect()[0]
+    pair_rows = asof_snapshot_pair(snapshot_index, at_instance_message_id).collect()
+    if not pair_rows:
+        raise ValueError(
+            f"no snapshot at or below instance_message_id="
+            f"{at_instance_message_id}; the snapshot index is empty or "
+            "starts later — reconstruct via retrieve_message (log-only) "
+            "instead"
+        )
+    pair = pair_rows[0]
     snap_min_name, snap_min_start = pair["snap_min_name"], pair["snap_min_start"]
     snap_max_name = pair["snap_max_name"]
 
@@ -220,11 +243,25 @@ def get_message(
             & (F.col("src_id") == F.lit(src_id))
             & (F.col("dst_id") == F.lit(dst_id))
         )
-        # 3. fields identical in both snapshots never changed in the
-        # epoch; singletons may have (GetMessage.sql:147-176).
-        same = unchanged_rows(snap_min, snap_max, snap_cols)
+        # 3. same/diff compares the snapshots' LAST-UPDATE ids
+        # (GetMessage.sql:150,172 group on uevol_field_id, src_id,
+        # dst_id, instance_message_id), NOT the values: a field that
+        # round-trips back to its old value inside the epoch has an
+        # identical json_value but a newer id, and must be treated as
+        # changed so its deltas are scanned.
+        id_cols = ["uevol_field_id", "src_id", "dst_id", "instance_message_id"]
+        conc = (
+            snap_min.select(*id_cols, "json_value")
+            .unionByName(snap_max.select(*id_cols, "json_value"))
+            .groupBy(*id_cols)
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.first("json_value").alias("json_value"),
+            )
+        )
+        same = conc.filter(F.col("__cnt") > 1).select(*snap_cols)
         diff_fields = (
-            symmetric_diff_rows(snap_min, snap_max, snap_cols)
+            conc.filter(F.col("__cnt") == 1)
             .select("uevol_field_id")
             .distinct()
         )
@@ -237,9 +274,13 @@ def get_message(
         same = snap_min.select(*snap_cols).limit(0)
         diff_fields = fields.select("uevol_field_id")
 
-    # 4. deltas in (snap_min_start, target]: latest per (field, path).
+    # 4. deltas in [snap_min_start, target]: inclusive lower bound like
+    # the reference's BETWEEN (GetMessage.sql:181,616) — safe whether
+    # the snapshot covers ids < start or <= start (re-applying the
+    # boundary update is idempotent under the argmax), and required
+    # for the < convention.
     deltas = instance_field.filter(
-        (F.col("instance_message_id") > F.lit(snap_min_start))
+        (F.col("instance_message_id") >= F.lit(snap_min_start))
         & (F.col("instance_message_id") <= F.lit(at_instance_message_id))
         & (F.col("src_id") == F.lit(src_id))
         & (F.col("dst_id") == F.lit(dst_id))
@@ -310,18 +351,77 @@ def make_arguments(
     """Positional zip of the parallel argument lists into one
     arguments DataFrame (reference: SQL/CreateArgumentsTable.sql:36-41
     does this with a 4-way cartesian join on positional ids; in Python
-    it's just zip)."""
+    it's just zip — strict, so a length mismatch raises instead of
+    silently dropping trailing fields).
+
+    -1 entries are wildcards; they are expanded against the actual
+    series of the log by `expand_arguments` (the reference validates/
+    expands against the latest snapshot the same way,
+    SQL/CreateArgumentsTable.sql:74-92) — get_multiple_fields and
+    get_update_history expand automatically.
+    """
     n = len(field_ids)
     src = list(src_ids) if src_ids else [-1] * n
     dst = list(dst_ids) if dst_ids else [-1] * n
     flt = list(filters) if filters else [None] * n
     rows = [
         (int(f), int(s), int(d), x)
-        for f, s, d, x in zip(field_ids, src, dst, flt)
+        for f, s, d, x in zip(field_ids, src, dst, flt, strict=True)
     ]
     return spark.createDataFrame(
         rows, "uevol_field_id int, src_id int, dst_id int, filter string"
     )
+
+
+def expand_arguments(arguments: DataFrame, instance_field: DataFrame) -> DataFrame:
+    """Resolve -1 wildcards to the concrete series present in the log
+    (reference: CreateArgumentsTable.sql:74-92 validates/expands the
+    argument intervals against the latest snapshot). A concrete
+    argument passes through iff its series exists; a -1 column matches
+    every value."""
+    series = instance_field.select(*SERIES_KEY).distinct()
+    a, s = arguments.alias("a"), series.alias("s")
+
+    def match(col: str):
+        # cast the -1 sentinel to the argument column's own type so a
+        # string-keyed series ('click') compares as '-1', not as a
+        # failing string->bigint ANSI cast
+        sentinel = F.lit(-1).cast(arguments.schema[col].dataType)
+        return (F.col(f"a.{col}") == sentinel) | (
+            F.col(f"a.{col}") == F.col(f"s.{col}")
+        )
+
+    # condition join (wildcards are inequalities) -> broadcast the tiny
+    # argument list so it's a BroadcastNestedLoopJoin over it, never a
+    # cartesian over the series set
+    return (
+        s.join(
+            F.broadcast(a),
+            match("uevol_field_id") & match("src_id") & match("dst_id"),
+        )
+        .select(
+            F.col("s.uevol_field_id").alias("uevol_field_id"),
+            F.col("s.src_id").alias("src_id"),
+            F.col("s.dst_id").alias("dst_id"),
+            F.col("a.filter").alias("filter"),
+        )
+        .dropDuplicates(SERIES_KEY)
+    )
+
+
+def _maybe_expand(arguments: DataFrame, instance_field: DataFrame) -> DataFrame:
+    # arguments is a tiny local relation; the take() is driver-local.
+    def sentinel(col: str):
+        return F.lit(-1).cast(arguments.schema[col].dataType)
+
+    has_wildcard = bool(
+        arguments.filter(
+            (F.col("uevol_field_id") == sentinel("uevol_field_id"))
+            | (F.col("src_id") == sentinel("src_id"))
+            | (F.col("dst_id") == sentinel("dst_id"))
+        ).take(1)
+    )
+    return expand_arguments(arguments, instance_field) if has_wildcard else arguments
 
 
 def get_multiple_fields(
@@ -336,8 +436,10 @@ def get_multiple_fields(
     Log-only formulation: latest update per requested series ≤ target;
     series with no update yet get the default (the reference seeds
     them from snapshots — callers with snapshots should use
-    get_message's machinery per message type).
+    get_message's machinery per message type). -1 wildcards in the
+    arguments expand against the log's series (J9).
     """
+    arguments = _maybe_expand(arguments, instance_field)
     narrowed = instance_field.filter(
         F.col("instance_message_id") <= F.lit(at_instance_message_id)
     ).join(F.broadcast(arguments.select(*SERIES_KEY)), SERIES_KEY, "left_semi")
@@ -373,6 +475,7 @@ def get_update_history(
     end_instance_message_id: int,
     pivot: bool = False,
     default_value: float = -1.0,
+    use_cache: bool = True,
 ) -> DataFrame:
     """Q3: dense value-over-time matrix for a set of series over an id
     window (reference: SQL/GetUpdateHistory.sql).
@@ -386,7 +489,13 @@ def get_update_history(
     are validated by the whitelist compiler before touching the plan
     (the reference string-concatenates them into SQL,
     SQL/GetUpdateHistory.sql:202-233).
+
+    `use_cache` pins the twice-consumed subplans for the duration of
+    the session (Spark caches are LRU-evictable, but services issuing
+    many histories per session may prefer use_cache=False and let the
+    subplans recompute).
     """
+    arguments = _maybe_expand(arguments, instance_field)
     # Start-of-window state per series (the reference calls
     # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29).
     # History treats each series as a scalar: min_by path picks the
@@ -422,7 +531,9 @@ def get_update_history(
     # hist feeds two branches (the time-point grid and the dense
     # join): cache it like the reference materializes shared temp
     # tables (SQL/GetMessage.sql:46-54). Bounded by window size.
-    hist = start_state.unionByName(updates).cache()
+    hist = start_state.unionByName(updates)
+    if use_cache:
+        hist = hist.cache()
 
     # Dense grid: every series gets a row at every update time point,
     # like the reference's matrix (one row per distinct update id,
@@ -440,7 +551,7 @@ def get_update_history(
     flt_rows = [
         r for r in arguments.select(*SERIES_KEY, "filter").collect() if r["filter"]
     ]
-    if flt_rows:
+    if flt_rows and use_cache:
         # filled also feeds two branches (the veto aggregation and the
         # surviving-row output)
         filled = filled.cache()

@@ -29,6 +29,7 @@ def _gen_domain(seed=7):
     rng = random.Random(seed)
     log_rows, msg_rows = [], []
     state = {}  # field -> value
+    last_id = {}  # field -> last update's instance_message_id
     snap_index, snap_rows = [], []
     for mid in range(1, N_MSGS + 1):
         msg_rows.append((mid, 1, 0, 0, 0, 0, mid, 1000 + mid * 10, 1000 + mid * 10))
@@ -36,13 +37,16 @@ def _gen_domain(seed=7):
             name = f"snap_{mid}"
             snap_index.append((name, mid - 1))
             for f, v in state.items():
-                snap_rows.append((name, f, 0, 0, mid - 1, json.dumps({"000": v})))
+                # snapshot rows carry the field's LAST-UPDATE id (the
+                # reference's same/diff groups on it)
+                snap_rows.append((name, f, 0, 0, last_id[f], json.dumps({"000": v})))
         # 1-2 field updates per message; occasionally a same-id tie
         for it in range(rng.choice([1, 1, 2])):
             f = rng.randrange(1, N_FIELDS)  # field N_FIELDS never updates
             v = rng.randrange(0, 1000)
             log_rows.append((f, 1, mid, 0, 0, 0, "000", it, state.get(f, -1), v))
             state[f] = v
+            last_id[f] = mid
     return log_rows, msg_rows, snap_index, snap_rows, state
 
 
@@ -92,8 +96,10 @@ def _replay_state(log_rows_df, at_id):
 
 
 def test_retrieve_field_seq_nb_and_window(domain):
+    # seq_nb resolves to exactly ONE message (RetrieveField.java:67-68)
     out = retrieve_field(domain["log"], domain["msg"], seq_nb=250)
-    assert out.agg(F.min("instance_message_id")).collect()[0][0] >= 250
+    ids = {r.instance_message_id for r in out.collect()}
+    assert ids == {250}
     out2 = retrieve_field(
         domain["log"], domain["msg"], start_log_time=1500, duration=1000
     )
@@ -122,6 +128,92 @@ def test_get_message_snapshot_delta_equals_replay(domain):
         got = {r.uevol_field_id: r.value for r in out.collect()}
         assert got.pop(N_FIELDS) == -1.0
         assert got == {k: float(v) for k, v in expect.items()}, f"at={at}"
+
+
+def test_retrieve_message_scoped_to_conversation_pair(spark):
+    """Another (src,dst) pair's later update must not win the argmax
+    (reference scopes the field log to the target pair,
+    RetrieveMessage.java:85-86)."""
+    log = spark.createDataFrame(
+        [
+            (5, 1, 90, 0, 1, 2, "000", 0, 0, 10),   # target pair
+            (5, 1, 95, 0, 3, 4, "000", 0, 0, 99),   # other pair, later
+        ],
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long, new_value long",
+    )
+    fields = spark.createDataFrame(
+        [(5, 1, "f5")], "id int, uevol_message_id int, name string"
+    )
+    out = retrieve_message(log, fields, 1, 100, src_id=1, dst_id=2)
+    assert out.collect()[0].value == 10
+
+
+def test_get_multiple_fields_wildcard_expansion(spark, domain):
+    """-1 src/dst wildcards expand against the log's concrete series
+    (reference CreateArgumentsTable.sql:74-92)."""
+    args = make_arguments(spark, [1])  # src/dst default to -1
+    out = get_multiple_fields(domain["log"], args, 150).collect()
+    assert len(out) == 1  # fixture has a single (0,0) pair per field
+    assert out[0].src_id == 0 and out[0].value != -1.0
+
+
+def test_make_arguments_rejects_length_mismatch(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_arguments(spark, [1, 2, 3], src_ids=[0, 0])
+
+
+def test_get_message_roundtrip_value_is_rescanned(spark):
+    """A field that changes and changes BACK between two snapshots has
+    identical json in both but different last-update ids — the
+    reference's id-based same/diff (GetMessage.sql:150) treats it as
+    changed; value-based comparison would skip its deltas."""
+    log = spark.createDataFrame(
+        [
+            (1, 1, 50, 0, 0, 0, "000", 0, 0, 5),
+            (1, 1, 120, 0, 0, 0, "000", 0, 0, 7),    # change...
+            (1, 1, 180, 0, 0, 0, "000", 0, 0, 5),    # ...and back
+        ],
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long, new_value long",
+    )
+    msg = spark.createDataFrame(
+        [(150, 1, 0, 0, 0, 0, 1, 2500, 2500)],
+        "id long, uevol_message_id int, src_ty int, src_id int, dst_ty int,"
+        " dst_id int, seq_nb int, log_time long, sync_time long",
+    )
+    fields = spark.createDataFrame(
+        [(1, 1, "f1")], "id int, uevol_message_id int, name string"
+    )
+    sidx = spark.createDataFrame(
+        [("s0", 100), ("s1", 200)], "name string, start_instance_message_id long"
+    )
+    srows = spark.createDataFrame(
+        [
+            ("s0", 1, 0, 0, 50, '{"000": 5}'),
+            ("s1", 1, 0, 0, 180, '{"000": 5}'),  # same value, newer id
+        ],
+        "snapshot_name string, uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, json_value string",
+    )
+    out = get_message(log, fields, sidx, srows, msg, 150)
+    # at id 150 the field is mid-round-trip: the delta at 120 must win
+    assert out.collect()[0].value == 7.0
+
+
+def test_get_message_empty_snapshot_index_raises(spark, domain):
+    import pytest as _pytest
+
+    empty_idx = domain["sidx"].limit(0)
+    with _pytest.raises(ValueError, match="no snapshot"):
+        get_message(
+            domain["log"], domain["fields"], empty_idx, domain["srows"],
+            domain["msg"], 150,
+        )
 
 
 def test_get_message_nested_snapshot_fields(spark):
