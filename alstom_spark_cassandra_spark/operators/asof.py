@@ -84,6 +84,8 @@ def asof_snapshot_pair(
         )
     )
     # Snapshot index is tiny (K epochs): join of two <=1-row frames.
-    # LEFT join on a true condition so a missing snap_max yields nulls
-    # (the reference's single-snapshot ELSE branch) instead of 0 rows.
-    return below.join(above, F.lit(True), "left")
+    # FULL OUTER on a true condition so a missing side yields nulls,
+    # never 0 rows: no snap_max = the reference's single-snapshot ELSE
+    # branch; no snap_min = target precedes the first snapshot (the
+    # caller decides whether to fall back to a log-only replay).
+    return below.join(above, F.lit(True), "full")

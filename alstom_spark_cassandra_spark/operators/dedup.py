@@ -28,7 +28,7 @@ everything stays in whole-stage codegen — no Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,15 +38,19 @@ from pyspark.sql import functions as F
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one row per exact `text_col` value — the smallest id wins
-    (deterministic). Shuffles digests, not documents."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(
-        F.col(id_col).asc()
+    (deterministic).
+
+    Aggregation, not a window: groupBy gets map-side partial
+    aggregation, so the exchange carries one (text, min_id) pair per
+    distinct text per partition instead of every full row (windows
+    have no partial step). The winner ids then semi-join the original
+    rows back."""
+    winners = (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    return df.join(winners, id_col, "left_semi")
 
 
 # --------------------------------------------------------------------------
@@ -114,6 +118,12 @@ def minhash_lsh_pairs(
     LSH banding proposes candidates (docs sharing any band of the
     MinHash signature), then the exact n-gram Jaccard verifies.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            "a 0-row band would put every document in one bucket and "
+            "degrade candidate generation to the full cross product"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_cols = [
@@ -181,15 +191,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs (a, b, jaccard), a < b.
 
-    Set-based: explode shingles, self-equi-join on shingle to count
-    intersections, join set sizes, filter by threshold. Shingles
-    occurring in more than `max_shingle_freq` docs are dropped from
-    candidate generation (skew guard — they can't discriminate), but
-    intersection/union counts stay exact because the final Jaccard is
-    recomputed from full sets.
+    Candidate generation: explode shingles and self-equi-join on
+    shingle. Shingles occurring in more than `max_shingle_freq` docs
+    are dropped from candidate generation ONLY (skew guard — they
+    cannot discriminate); the final Jaccard is then recomputed
+    exactly from the FULL shingle sets of each candidate pair, so the
+    reported similarity is never understated by the filter. (A pair
+    sharing nothing but ultra-frequent shingles is not proposed; its
+    true Jaccard is bounded by max_shingle_freq's discriminative
+    floor.)
     """
     sh = shingle_df(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     freq_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -199,25 +211,14 @@ def ngram_jaccard_pairs(
     sh_f = sh.join(freq_ok, "shingle", "left_semi")
     l = sh_f.select(F.col("doc").alias("a"), "shingle")
     r = sh_f.select(F.col("doc").alias("b"), "shingle")
-    inter = (
+    cand = (
         l.join(r, "shingle")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("__i"))
+        .select("a", "b")
+        .distinct()
     )
-    out = (
-        inter.join(sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b")), "b")
-        .select(
-            "a",
-            "b",
-            (
-                F.col("__i").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("__i")).cast("double")
-            ).alias("jaccard"),
-        )
-    )
-    return out.filter(F.col("jaccard") >= threshold)
+    verified = _verify_jaccard(df, cand, text_col, id_col, n)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------
@@ -314,23 +315,8 @@ def simhash_pairs(
 # embedding near-dup
 # --------------------------------------------------------------------------
 
-def _cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x * x), F.lit(0.0).cast("double"), lambda s, x: s + x
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x * x), F.lit(0.0).cast("double"), lambda s, x: s + x
-        )
-    )
-    return dot / (na * nb)
+# one cosine implementation for the whole engine (zero-norm safe)
+from .similarity import cosine as _cosine  # noqa: E402
 
 
 def embedding_dup_pairs(
@@ -357,7 +343,7 @@ def embedding_dup_pairs(
     )
     buckets = []
     for t in range(tables):
-        dim_w = _hyperplanes(df, vec_col, planes, seed + t)
+        dim_w = _hyperplanes(planes, seed + t)
         buckets.append(
             base.select(
                 "doc",
@@ -390,9 +376,10 @@ def embedding_dup_pairs(
     return cand.filter(F.col("cosine") >= threshold)
 
 
-def _hyperplanes(df: DataFrame, vec_col: str, planes: int, seed: int):
+def _hyperplanes(planes: int, seed: int):
     """planes × dim pseudo-random ±1 weights, derived deterministically
-    from (seed, plane, dim) via a hash — no driver-side state."""
+    from (seed, plane, dim) via a hash — no driver-side state, no
+    dependence on the data."""
 
     def make_proj(p: int):
         def weight(x, i):

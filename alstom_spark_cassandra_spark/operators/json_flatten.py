@@ -36,25 +36,31 @@ def json_degree(col, max_depth: int = MAX_DEPTH):
     m = T.MapType(T.StringType(), T.StringType())
     parsed = F.from_json(col, m)
     degree = F.when(parsed.isNull(), F.lit(0))
-    level = parsed
+    # each level is an ARRAY of maps (one per surviving subtree) —
+    # never merged into one map, because sibling branches legitimately
+    # reuse relative keys ('000', '001', ...) and map_concat would
+    # throw DUPLICATED_MAP_KEY on them
+    level = F.array(parsed)
     for d in range(1, max_depth + 1):
         if d < max_depth:
-            # does any value at this level parse as a nested object?
+            # does any value anywhere at this level parse as an object?
             has_child = F.exists(
-                F.map_values(level),
-                lambda v: F.from_json(v, m).isNotNull(),
+                level,
+                lambda mp: F.exists(
+                    F.map_values(mp), lambda v: F.from_json(v, m).isNotNull()
+                ),
             )
             degree = degree.when(~has_child, F.lit(d))
-            # descend: merge all child maps (keys are unique per level
-            # in the reference's path encoding)
-            child_maps = F.filter(
-                F.transform(F.map_values(level), lambda v: F.from_json(v, m)),
-                lambda x: x.isNotNull(),
-            )
-            level = F.aggregate(
-                child_maps,
-                F.create_map().cast(m),
-                lambda acc, x: F.map_concat(acc, x),
+            level = F.flatten(
+                F.transform(
+                    level,
+                    lambda mp: F.filter(
+                        F.transform(
+                            F.map_values(mp), lambda v: F.from_json(v, m)
+                        ),
+                        lambda x: x.isNotNull(),
+                    ),
+                )
             )
         else:
             degree = degree.otherwise(F.lit(d))
@@ -105,7 +111,9 @@ def flatten_json_value(
         ).select(
             *other,
             F.col("__path").alias(path_col),
-            F.col("__v").cast("double").alias(value_col),
+            # try_cast: one malformed/non-numeric leaf in a 100 TB log
+            # must yield null, not an ANSI CAST_INVALID_INPUT abort
+            F.col("__v").try_cast("double").alias(value_col),
         )
         levels.append(leaves)
         cur = reparsed.filter(F.col("__child").isNotNull()).select(

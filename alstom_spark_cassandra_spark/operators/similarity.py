@@ -47,7 +47,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO crash) when either vector has
+    zero norm — a padded/zeroed embedding in a large corpus must not
+    abort the job; null similarities sort last under desc ordering."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -181,6 +184,24 @@ def search_ivf_index(
     are read per query batch."""
     cents = spark.read.parquet(f"{path}/centroids")
     assignment = spark.read.parquet(f"{path}/assignment")
+    return _probe_and_rank(
+        assignment, cents, queries, k, nprobe, query_id, query_vec, "v"
+    )
+
+
+def _probe_and_rank(
+    assignment: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id: str,
+    query_vec: str,
+    assign_vec: str,
+) -> DataFrame:
+    """Shared IVF search body: pick each query's nprobe nearest
+    centroids, score only those buckets, rank top-k (used by both the
+    inline ivf_topk and the persisted-index search)."""
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
@@ -202,7 +223,9 @@ def search_ivf_index(
         .select("query_id", "__qv", "cid")
     )
     scored = assignment.join(F.broadcast(q_probes), "cid").select(
-        "query_id", "vec_id", cosine(F.col("v"), F.col("__qv")).alias("cosine")
+        "query_id",
+        "vec_id",
+        cosine(F.col(assign_vec), F.col("__qv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -234,34 +257,6 @@ def ivf_topk(
     """
     cents = _centroids(corpus, corpus_vec, corpus_id, n_centroids, seed)
     corpus_assigned = _assign(corpus, cents, corpus_vec, corpus_id, 1)
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(query_vec).cast("array<double>").alias("__qv"),
-    )
-    q_probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id", "__qv", "cid", cosine(F.col("__qv"), F.col("cv")).alias("__sim")
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cid"))
-            ),
-        )
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "cid")
-    )
-    scored = corpus_assigned.join(F.broadcast(q_probes), "cid").select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("__v"), F.col("__qv")).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    return _probe_and_rank(
+        corpus_assigned, cents, queries, k, nprobe, query_id, query_vec, "__v"
     )

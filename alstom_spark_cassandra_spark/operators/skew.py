@@ -52,8 +52,15 @@ def salted_agg(
         if fn not in merge_fn:
             raise ValueError(f"{fn} is not algebraic; use groupBy directly")
 
+    # salt from row CONTENT, never monotonically_increasing_id: a
+    # nondeterministic salt recomputed on task retry moves rows between
+    # (key, salt) partitions mid-shuffle and silently double/under
+    # counts (the SPARK-23207 failure class). Hashing all columns keeps
+    # replays bit-identical; identical duplicate rows sharing a salt is
+    # harmless for aggregation.
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[
@@ -77,11 +84,12 @@ def salted_broadcast_left(
 ) -> DataFrame:
     """Skew-spread inner equi-join: fact rows get a deterministic salt,
     dim rows replicate n_salts ways, join on (key, salt)."""
+    # deterministic content-derived salt (see salted_agg note)
     f = fact.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
-            "int"
-        ),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
+        ).cast("int"),
     )
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -219,7 +219,7 @@ def get_message(
     # 2. snapshot pair (tiny index — driver scalar is fine and bounds
     # the delta scan, the reference's partition-pruning analog).
     pair_rows = asof_snapshot_pair(snapshot_index, at_instance_message_id).collect()
-    if not pair_rows:
+    if not pair_rows or pair_rows[0]["snap_min_name"] is None:
         raise ValueError(
             f"no snapshot at or below instance_message_id="
             f"{at_instance_message_id}; the snapshot index is empty or "

@@ -62,6 +62,26 @@ def test_simhash_near_dups(docs):
     assert (1, 4) not in pairs and (1, 5) not in pairs
 
 
+def test_ngram_jaccard_exact_despite_frequency_filter(spark):
+    """Identical docs whose every shingle exceeds max_shingle_freq for
+    candidate purposes must still verify with jaccard == 1.0 when
+    proposed — and sizes must come from full sets, never the filtered
+    subset (regression: filtered intersection understated Jaccard)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(1, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, "text", "doc_id", n=1, threshold=0.99,
+                              max_shingle_freq=10)
+    pairs = {(r.a, r.b): r.jaccard for r in out.collect()}
+    assert pairs == {(1, 2): 1.0, (1, 3): 1.0, (2, 3): 1.0}
+
+
+def test_minhash_rejects_bad_band_count(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=16, bands=32)
+
+
 def test_embedding_dup_pairs(spark):
     import random
 

@@ -77,6 +77,13 @@ def test_asof_snapshot_pair(spark):
     # beyond the last snapshot -> snap_max is null (single-snapshot branch)
     r = asof_snapshot_pair(idx, 999).collect()[0]
     assert r.snap_min_name == "s2" and r.snap_max_name is None
+    # before the first snapshot -> snap_min null, snap_max present
+    # (not an empty frame)
+    idx2 = spark.createDataFrame(
+        [("s1", 100), ("s2", 200)], "name string, start_instance_message_id long"
+    )
+    r = asof_snapshot_pair(idx2, 50).collect()[0]
+    assert r.snap_min_name is None and r.snap_max_name == "s1"
 
 
 def test_setops_same_diff(spark):
@@ -122,11 +129,34 @@ def test_json_degree(spark):
             (2, '{"000": 7}'),
             (3, '{"000": {"001": 5}}'),
             (4, '{"000": {"001": {"002": 9}}}'),
+            # sibling branches reusing relative keys (the reference's
+            # normal path encoding) must not crash on map merging
+            (5, '{"000": {"002": 1}, "001": {"002": 2}}'),
         ],
         "id int, j string",
     )
     got = {r.id: r.d for r in df.select("id", json_degree(F.col("j")).alias("d")).collect()}
-    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 2}
+
+
+def test_flatten_non_numeric_leaf_yields_null(spark):
+    df = spark.createDataFrame(
+        [(1, '{"000": "abc", "001": 5}')], "uevol_field_id int, json_value string"
+    )
+    got = {
+        (r.uevol_field_id, r.relative_path): r.value
+        for r in flatten_json_value(df).collect()
+    }
+    assert got == {(1, "000"): None, (1, "001"): 5.0}
+
+
+def test_cosine_zero_vector_yields_null(spark):
+    from alstom_spark_cassandra_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0])], "id int, a array<double>, b array<double>"
+    )
+    assert df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c is None
 
 
 def test_replay_switch_loader(spark, tmp_path):
