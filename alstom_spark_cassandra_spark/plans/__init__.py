@@ -1,13 +1,17 @@
 from .queries import (
+    Arguments,
     backup,
     get_message,
     get_multiple_fields,
     get_update_history,
+    make_arguments,
     retrieve_field,
     retrieve_message,
 )
 
 __all__ = [
+    "Arguments",
+    "make_arguments",
     "backup",
     "get_message",
     "get_multiple_fields",

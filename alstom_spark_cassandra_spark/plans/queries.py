@@ -27,6 +27,7 @@ pruning, not a table lookup.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -341,15 +342,44 @@ def get_message(
     )
 
 
+_WILDCARDS = (-1, "-1")
+
+
+@dataclass(frozen=True)
+class Arguments:
+    """The requested (field, src, dst, filter) series — the reference
+    procedures' argument lists (SQL/CreateArgumentsTable.sql).
+
+    These are query PARAMETERS, so they live driver-side: wildcard
+    detection and per-series filter extraction are plain Python and
+    never launch a Spark job (in local mode every job — even take(1)
+    on a 3-row relation — costs ~0.5s of scheduling overhead; a query
+    that probes its own arguments twice pays a second of pure tax).
+    `df(spark)` materializes the broadcastable relation lazily."""
+
+    rows: tuple[tuple, ...]
+    schema: str = "uevol_field_id int, src_id int, dst_id int, filter string"
+
+    def df(self, spark) -> DataFrame:
+        return spark.createDataFrame(list(self.rows), self.schema)
+
+    @property
+    def has_wildcard(self) -> bool:
+        return any(
+            r[0] in _WILDCARDS or r[1] in _WILDCARDS or r[2] in _WILDCARDS
+            for r in self.rows
+        )
+
+
 def make_arguments(
     spark,
     field_ids: Sequence[int],
     src_ids: Sequence[int] | None = None,
     dst_ids: Sequence[int] | None = None,
     filters: Sequence[str | None] | None = None,
-) -> DataFrame:
+) -> Arguments:
     """Positional zip of the parallel argument lists into one
-    arguments DataFrame (reference: SQL/CreateArgumentsTable.sql:36-41
+    Arguments set (reference: SQL/CreateArgumentsTable.sql:36-41
     does this with a 4-way cartesian join on positional ids; in Python
     it's just zip — strict, so a length mismatch raises instead of
     silently dropping trailing fields).
@@ -359,18 +389,19 @@ def make_arguments(
     expands against the latest snapshot the same way,
     SQL/CreateArgumentsTable.sql:74-92) — get_multiple_fields and
     get_update_history expand automatically.
+
+    `spark` is unused (kept for signature stability); the rows stay
+    driver-side until a plan needs the relation.
     """
     n = len(field_ids)
     src = list(src_ids) if src_ids else [-1] * n
     dst = list(dst_ids) if dst_ids else [-1] * n
     flt = list(filters) if filters else [None] * n
-    rows = [
+    rows = tuple(
         (int(f), int(s), int(d), x)
         for f, s, d, x in zip(field_ids, src, dst, flt, strict=True)
-    ]
-    return spark.createDataFrame(
-        rows, "uevol_field_id int, src_id int, dst_id int, filter string"
     )
+    return Arguments(rows)
 
 
 def expand_arguments(arguments: DataFrame, instance_field: DataFrame) -> DataFrame:
@@ -424,9 +455,25 @@ def _maybe_expand(arguments: DataFrame, instance_field: DataFrame) -> DataFrame:
     return expand_arguments(arguments, instance_field) if has_wildcard else arguments
 
 
+def _resolve_args(
+    arguments: Arguments | DataFrame, instance_field: DataFrame
+) -> tuple[DataFrame, tuple[tuple, ...] | None]:
+    """-> (args_df, rows | None). rows are the driver-known argument
+    tuples when learning them needs no Spark job (an Arguments set
+    with no wildcards); None means only the DataFrame knows them
+    (wildcard expansion against the log, or a caller-supplied
+    DataFrame — that path keeps the legacy take(1) probe)."""
+    if isinstance(arguments, Arguments):
+        df = arguments.df(instance_field.sparkSession)
+        if arguments.has_wildcard:
+            return expand_arguments(df, instance_field), None
+        return df, arguments.rows
+    return _maybe_expand(arguments, instance_field), None
+
+
 def get_multiple_fields(
     instance_field: DataFrame,
-    arguments: DataFrame,
+    arguments: Arguments | DataFrame,
     at_instance_message_id: int,
     default_value: float = -1.0,
 ) -> DataFrame:
@@ -439,7 +486,21 @@ def get_multiple_fields(
     get_message's machinery per message type). -1 wildcards in the
     arguments expand against the log's series (J9).
     """
-    arguments = _maybe_expand(arguments, instance_field)
+    arguments, _ = _resolve_args(arguments, instance_field)
+    return _multiple_fields_resolved(
+        instance_field, arguments, at_instance_message_id, default_value
+    )
+
+
+def _multiple_fields_resolved(
+    instance_field: DataFrame,
+    arguments: DataFrame,
+    at_instance_message_id: int,
+    default_value: float = -1.0,
+) -> DataFrame:
+    """get_multiple_fields body once wildcards are already resolved —
+    callers that resolved the arguments themselves (get_update_history)
+    must not pay a second resolution probe."""
     narrowed = instance_field.filter(
         F.col("instance_message_id") <= F.lit(at_instance_message_id)
     ).join(F.broadcast(arguments.select(*SERIES_KEY)), SERIES_KEY, "left_semi")
@@ -470,7 +531,7 @@ def get_multiple_fields(
 
 def get_update_history(
     instance_field: DataFrame,
-    arguments: DataFrame,
+    arguments: Arguments | DataFrame,
     start_instance_message_id: int,
     end_instance_message_id: int,
     pivot: bool = False,
@@ -495,13 +556,13 @@ def get_update_history(
     many histories per session may prefer use_cache=False and let the
     subplans recompute).
     """
-    arguments = _maybe_expand(arguments, instance_field)
+    arguments, arg_rows = _resolve_args(arguments, instance_field)
     # Start-of-window state per series (the reference calls
     # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29).
     # History treats each series as a scalar: min_by path picks the
     # "000" scalar row when a field has nested paths.
     start_state = (
-        get_multiple_fields(
+        _multiple_fields_resolved(
             instance_field, arguments, start_instance_message_id, default_value
         )
         .groupBy(*SERIES_KEY)
@@ -548,13 +609,23 @@ def get_update_history(
     # reference AND-chains them over the pivoted result,
     # SQL/GetUpdateHistory.sql:221-233): a time point survives only if
     # every filtered series satisfies its predicate there.
-    flt_rows = [
-        r for r in arguments.select(*SERIES_KEY, "filter").collect() if r["filter"]
-    ]
-    if flt_rows and use_cache:
-        # filled also feeds two branches (the veto aggregation and the
-        # surviving-row output)
-        filled = filled.cache()
+    if arg_rows is not None:
+        flt_rows = [
+            {"uevol_field_id": f, "src_id": s, "dst_id": d, "filter": x}
+            for (f, s, d, x) in arg_rows
+            if x
+        ]
+    else:
+        flt_rows = [
+            r
+            for r in arguments.select(*SERIES_KEY, "filter").collect()
+            if r["filter"]
+        ]
+    if flt_rows:
+        if use_cache:
+            # filled also feeds two branches (the veto aggregation and
+            # the surviving-row output)
+            filled = filled.cache()
         keep = None
         for r in flt_rows:
             series_match = (
@@ -594,10 +665,15 @@ def get_update_history(
             F.col("dst_id"),
         ),
     )
-    series_names = sorted(
-        f"id{r['uevol_field_id']}_src{r['src_id']}_dst{r['dst_id']}"
-        for r in series.collect()
-    )
+    if arg_rows is not None:
+        series_names = sorted(
+            {f"id{f}_src{s}_dst{d}" for (f, s, d, _x) in arg_rows}
+        )
+    else:
+        series_names = sorted(
+            f"id{r['uevol_field_id']}_src{r['src_id']}_dst{r['dst_id']}"
+            for r in series.collect()
+        )
     return (
         keyed.groupBy("instance_message_id")
         .pivot("__series", series_names)

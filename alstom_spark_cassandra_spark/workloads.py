@@ -624,12 +624,14 @@ def _domain_log(ev: DataFrame) -> DataFrame:
 
 
 def _domain_args(spark, with_filters: bool):
-    rows = [
+    from .plans.queries import Arguments
+
+    rows = (
         ("click", 7, 0, None),
         ("purchase", 7, 0, "value >= 20" if with_filters else None),
         ("error", 999999, 0, None),  # nonexistent series -> defaults
-    ]
-    return spark.createDataFrame(
+    )
+    return Arguments(
         rows, "uevol_field_id string, src_id long, dst_id int, filter string"
     )
 

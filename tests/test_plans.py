@@ -342,6 +342,19 @@ def test_get_update_history_pivot_and_filter(spark, domain):
         assert r.value is None or r.value >= 0
 
 
+def test_update_history_filter_independent_of_cache(spark, domain):
+    """use_cache is a performance knob only — the veto filter must
+    apply either way (regression: the whole filter block was gated on
+    use_cache, so uncached histories silently skipped user filters)."""
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0], ["value >= 0", None])
+    key = ["uevol_field_id", "src_id", "dst_id", "instance_message_id"]
+    cached = get_update_history(domain["log"], args, 50, 120, use_cache=True)
+    uncached = get_update_history(domain["log"], args, 50, 120, use_cache=False)
+    assert sorted(map(tuple, cached.select(*key, "value").collect())) == sorted(
+        map(tuple, uncached.select(*key, "value").collect())
+    )
+
+
 def test_update_history_rejects_bad_filter(spark, domain):
     args = make_arguments(spark, [1], [0], [0], ["value > 0; DROP TABLE x"])
     with pytest.raises(FilterSyntaxError):
