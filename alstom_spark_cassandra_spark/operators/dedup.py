@@ -410,3 +410,103 @@ def _sign_bucket(v: Column, dim_w, planes: int) -> Column:
             F.when(proj(v) > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         )
     return bucket
+
+
+# --------------------------------------------------------------------------
+# cluster formation: similar-pair edges -> connected components -> corpus
+# --------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    vertices: DataFrame | None = None,
+    vertex_col: str | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(v, cluster) for every vertex: cluster = the minimum vertex id
+    reachable through the (undirected) edge set. The step from
+    pairwise near-dup output to actual dedup groups.
+
+    Iterative min-label propagation with POINTER JUMPING: each round
+    first takes the min of a vertex's label and its neighbors' labels
+    (one shuffle join + partial-agg'd min), then compresses paths by
+    replacing every label with its label's label (a second join on the
+    small labels relation). Jumping makes convergence O(log diameter)
+    rounds instead of O(diameter) — the same doubling idea as
+    MapReduce large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) without the edge
+    rewriting. Near-dup graphs are forests of shallow blobs, so this
+    is 2-4 rounds in practice.
+
+    Each round ends in `localCheckpoint` — iterative plans otherwise
+    stack lineage until analysis itself dominates, and a lost executor
+    would recompute the whole chain. Convergence is detected with a
+    take(1) probe on changed labels (one tiny job per round; inherent
+    to fixpoint iteration).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    if vertices is not None:
+        verts = vertices.select(
+            F.col(vertex_col or src).alias("v")
+        ).distinct()
+    else:
+        verts = sym.select(F.col("s").alias("v")).distinct()
+    labels = verts.select("v", F.col("v").alias("lbl")).localCheckpoint()
+
+    for _ in range(max_iter):
+        incoming = (
+            sym.join(labels.withColumnRenamed("v", "s"), "s")
+            .select(F.col("d").alias("v"), "lbl")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("__nl"))
+        )
+        stepped = (
+            labels.join(incoming, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("__nl", "lbl")).alias("lbl"),
+                F.col("lbl").alias("__old"),
+            )
+        )
+        parent = labels.select(
+            F.col("v").alias("__p"), F.col("lbl").alias("__pl")
+        )
+        jumped = (
+            stepped.join(parent, stepped["lbl"] == parent["__p"], "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("__pl", "lbl")).alias("lbl"),
+                "__old",
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("lbl") != F.col("__old")).take(1)
+        labels = jumped.drop("__old")
+        if not changed:
+            break
+    return labels.select("v", F.col("lbl").alias("cluster"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Remove near-duplicates from a corpus: one canonical row (the
+    minimum id of its connected component) survives per cluster of
+    similar pairs; rows in no pair pass through untouched.
+
+    Only the ids travel through the component computation — the
+    left_anti join against the (tiny) loser set is what touches the
+    full-width rows, so document text/payload never shuffles."""
+    cc = connected_components(pairs, a, b)
+    losers = cc.filter(F.col("cluster") != F.col("v")).select(
+        F.col("v").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

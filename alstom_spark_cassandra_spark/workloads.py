@@ -37,6 +37,8 @@ from .functions.text_funcs import (
     token_count,
 )
 from .operators.dedup import (
+    connected_components,
+    dedup_corpus,
     dedup_exact,
     embedding_dup_pairs,
     minhash_signatures,
@@ -1298,6 +1300,90 @@ WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup groups: word-Jaccard >= 0.8 pairs as edges, connected
+    components (pointer-jumping label propagation) as the cluster id
+    (min doc_id of the component); unpaired docs are singletons."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    return (
+        connected_components(pairs, vertices=docs, vertex_col="doc_id")
+        .select(F.col("v").alias("doc_id"), "cluster")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE
+s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, unnest(w) AS sh FROM s),
+i AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS cnt
+  FROM e l JOIN e r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
+  WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
+),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM s
+  UNION
+  SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.v
+)
+SELECT v AS doc_id, min(lbl) AS cluster FROM reach GROUP BY v ORDER BY doc_id
+"""
+
+
+def q_dedup_corpus(spark, sf_dir):
+    """The deduplicated corpus itself: one canonical doc (min id) per
+    near-dup cluster survives; text never shuffles — only ids travel
+    through the component computation."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    return (
+        dedup_corpus(docs, pairs, "doc_id")
+        .select("doc_id", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_CORPUS = r"""
+WITH RECURSIVE
+s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, unnest(w) AS sh FROM s),
+i AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS cnt
+  FROM e l JOIN e r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
+  WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
+),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM s
+  UNION
+  SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.v
+),
+comp AS (SELECT v, min(lbl) AS cluster FROM reach GROUP BY v)
+SELECT d.doc_id, length(d.text) AS text_len
+FROM documents d JOIN comp c ON c.v = d.doc_id
+WHERE c.cluster = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Text-analysis suite: token count, fingerprint, quality,
     language-ID per document."""
@@ -1580,6 +1666,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_stats": q_approx_stats,
     "dedup_exact": q_dedup_exact,
     "word_jaccard_pairs": q_word_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
     "text_stats": q_text_stats,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1626,6 +1714,8 @@ ORACLE_SQL: dict[str, str] = {
     # approx_stats: sketch-based -> rows-only check by design.
     "dedup_exact": SQL_DEDUP_EXACT,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_corpus": SQL_DEDUP_CORPUS,
     "text_stats": SQL_TEXT_STATS,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

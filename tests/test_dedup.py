@@ -96,3 +96,38 @@ def test_embedding_dup_pairs(spark):
     pairs = {(r.a, r.b): r.cosine for r in out.collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from alstom_spark_cassandra_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "a long, b long")
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = {
+        r.v: r.cluster
+        for r in connected_components(
+            edges, vertices=verts, vertex_col="doc_id"
+        ).collect()
+    }
+    # chain 1-2-3 collapses to 1; pair 4-5 to 4; 6 is a singleton
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 33-vertex path exercises pointer jumping (min-propagation
+    alone would need 32 rounds; jumping needs ~log2)."""
+    from alstom_spark_cassandra_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "a long, b long"
+    )
+    got = connected_components(edges, max_iter=10).collect()
+    assert {r.cluster for r in got} == {0} and len(got) == 33
+
+
+def test_dedup_corpus_keeps_canonical(spark, docs):
+    from alstom_spark_cassandra_spark.operators.dedup import dedup_corpus
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = dedup_corpus(docs, pairs, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4, 5]
