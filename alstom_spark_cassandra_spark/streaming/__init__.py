@@ -1,10 +1,12 @@
 from .live_state import (
+    dedup_stream,
     latest_value_stream,
     stateful_latest_value,
     windowed_event_counts,
 )
 
 __all__ = [
+    "dedup_stream",
     "latest_value_stream",
     "stateful_latest_value",
     "windowed_event_counts",

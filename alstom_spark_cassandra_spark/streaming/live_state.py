@@ -122,3 +122,32 @@ def windowed_event_counts(
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("sum_value"),
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    exact: bool = False,
+) -> DataFrame:
+    """Streaming exact-dedup: the first arrival per key wins (the
+    streaming counterpart of `operators.dedup.dedup_exact` — dedup a
+    document/event feed at ingest instead of as a batch pass).
+
+    Default path is `dropDuplicatesWithinWatermark`: a key's state is
+    dropped once the event-time watermark passes it, so state is
+    bounded by traffic inside the watermark horizon, not by stream
+    lifetime — the only formulation that survives an unbounded 100 TB
+    feed. Two occurrences separated by more than the horizon both
+    pass; that is the deliberate trade, and downstream batch
+    `dedup_exact` mops up the stragglers.
+
+    `exact=True` switches to `dropDuplicates`: exact forever, state
+    grows with distinct keys — only for bounded key domains (the
+    reference's catalog tables).
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    if exact:
+        return wm.dropDuplicates(key_cols)
+    return wm.dropDuplicatesWithinWatermark(key_cols)

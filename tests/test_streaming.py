@@ -95,3 +95,40 @@ def test_windowed_event_counts(spark, tmp_path):
     got = {(r.event_type): (r.n, r.sum_value) for r in rows}
     assert got["click"] == (2, 3.0)
     assert got["view"] == (1, 3.0)
+
+
+def test_dedup_stream(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from alstom_spark_cassandra_spark.streaming import dedup_stream
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    df = spark.createDataFrame(
+        [
+            ("h1", t(1), 1),
+            ("h1", t(5), 2),   # dup of h1 within the horizon -> dropped
+            ("h2", t(3), 3),
+            ("h2", t(4), 4),   # dup of h2 -> dropped
+            ("h3", t(9), 5),
+        ],
+        "content_hash string, ts timestamp, payload int",
+    )
+    path = str(tmp_path / "dedup_src")
+    df.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+    out = dedup_stream(src, ["content_hash"], ts_col="ts", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_stream_out").collect()
+    assert sorted(r.content_hash for r in rows) == ["h1", "h2", "h3"]
+    # first arrival (by event time within the batch) wins per key
+    assert {r.content_hash: r.payload for r in rows}["h1"] in (1, 2)
