@@ -63,3 +63,11 @@ def test_no_cartesian_in_join_queries(spark):
 def test_semi_anti_join_strategies(spark):
     assert "LeftSemi" in plan_of(spark, "semi_join")
     assert "LeftAnti" in plan_of(spark, "anti_join")
+
+
+def test_dedup_corpus_anti_join_and_pushdown(spark):
+    plan = plan_of(spark, "dedup_corpus")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the doc_id slice must reach the documents parquet scan
+    assert "LessThan(doc_id,100)" in plan
