@@ -1234,6 +1234,58 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
+def q_exact_quantiles(spark, sf_dir):
+    """EXACT per-group quantiles (p50/p95 of value per event_type) by
+    nearest-rank selection: rank = ceil(p*n) computed in INTEGER
+    arithmetic ((p_num*n + p_den-1) div p_den), then the value at that
+    rank. Rank selection returns an actual data point, so it is
+    bit-identical across engines — interpolated quantiles
+    (percentile/quantile_cont) differ by ULPs and split at rounding
+    boundaries (group midpoints are exactly the .xx5 cases).
+
+    Scale: one sort-shuffle per group (window); the exact path for
+    auditable stats. The sketch path for 100 TB is q_approx_stats
+    (percentile_approx), which never fully sorts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("value"))
+            ).alias("p50"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(19 * n + 19) DIV 20"),
+                    F.col("value"),
+                )
+            ).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EXACT_QUANTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+       max(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_rollup(spark, sf_dir):
     """Grouping-sets ROLLUP over orders (extension; the reference has
     no grouping sets — SURVEY §2.4)."""
@@ -1662,6 +1714,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
+    "exact_quantiles": q_exact_quantiles,
     "unpivot_lineitem": q_unpivot_lineitem,
     "approx_stats": q_approx_stats,
     "dedup_exact": q_dedup_exact,
@@ -1710,6 +1763,7 @@ ORACLE_SQL: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct_agg": SQL_DISTINCT_AGG,
     "rollup": SQL_ROLLUP,
+    "exact_quantiles": SQL_EXACT_QUANTILES,
     "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
     # approx_stats: sketch-based -> rows-only check by design.
     "dedup_exact": SQL_DEDUP_EXACT,
