@@ -1,0 +1,78 @@
+"""Deterministic sampling / splitting (training-data pipeline layer).
+
+Monte-Carlo `df.sample()` is nondeterministic across retries and
+engines — useless for reproducible training mixes. These operators
+are CONTENT-ADDRESSED: the bucket is a hash of the row's own content,
+so (a) reruns, task retries, and different engines agree row-by-row,
+(b) exact duplicates land in the same split — no train/eval leakage
+through copies, and (c) changing the salt re-draws the whole
+assignment.
+
+md5 (not xxhash64) on purpose: every engine has it, so the split is
+auditable anywhere (DuckDB, Trino, pandas). The first 4 hex chars
+give 65536 uniform buckets; comparison happens on the lowercase hex
+STRING (lexicographic == numeric for fixed-width hex), so no integer
+parsing is involved at all. Everything is JVM-side codegen — no
+Python, no shuffle; a split/sample is a narrow map + filter that
+stacks under whatever scan it follows and lets pushdown through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 65536
+
+
+def _hex_bucket(content: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), content)), 1, 4)
+
+
+def _below_cut(content: Column, salt: str, frac: float) -> Column:
+    """bucket(content) < floor(frac * 65536), as a codegen-friendly
+    predicate. frac=1.0 must short-circuit: the hex compare against a
+    5-char '10000' would sort lexicographically below 'a***'."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction {frac} outside [0, 1]")
+    cut = int(frac * _BUCKETS)
+    if cut >= _BUCKETS:
+        return F.lit(True)
+    return _hex_bucket(content, salt) < F.lit(format(cut, "04x"))
+
+
+def hash_split(
+    df: DataFrame,
+    content_col: str,
+    train_frac: float = 0.9,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'eval' by content hash.
+
+    Resolution is 1/65536 (~0.0015%): train_frac is rounded down to a
+    whole bucket count, so the realized fraction is
+    floor(train_frac * 65536) / 65536.
+    """
+    return df.withColumn(
+        split_col,
+        F.when(
+            _below_cut(F.col(content_col), salt, train_frac), F.lit("train")
+        ).otherwise(F.lit("eval")),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    content_col: str,
+    rate: float,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep a deterministic ~`rate` fraction of rows by content hash.
+
+    Nested property: hash_sample(rate=0.1) is a SUPERSET of
+    hash_sample(rate=0.01) under the same salt — shrinking a corpus
+    keeps the smaller sample inside the bigger one, so ablation
+    subsets stay comparable.
+    """
+    return df.filter(_below_cut(F.col(content_col), salt, rate))

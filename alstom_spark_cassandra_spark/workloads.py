@@ -49,6 +49,7 @@ from .operators.latest import latest_per_key
 from .operators.locf import locf
 from .operators.quantize import dequantize_embedding, quantize_embedding
 from .operators.multimodal import image_features
+from .operators.sampling import hash_split
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
 from .sources.loader import load_table
@@ -1436,6 +1437,38 @@ ORDER BY d.doc_id
 """
 
 
+def q_train_split(spark, sf_dir):
+    """Content-addressed 90/10 train/eval split over documents
+    (operators/sampling.hash_split): md5 buckets, so the assignment is
+    reproducible on any engine and exact duplicates cannot leak
+    across the split. Output is integer-only (counts/sums/id bounds)
+    — no float in the oracle comparison at all."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "text")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("sum_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_TRAIN_SPLIT = """
+SELECT CASE WHEN substr(md5('split-v1' || text), 1, 4) < 'e666'
+            THEN 'train' ELSE 'eval' END AS split,
+       count(*) AS n,
+       sum(length(text)) AS sum_len,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Text-analysis suite: token count, fingerprint, quality,
     language-ID per document."""
@@ -1722,6 +1755,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_corpus": q_dedup_corpus,
     "text_stats": q_text_stats,
+    "train_split": q_train_split,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -1771,6 +1805,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "text_stats": SQL_TEXT_STATS,
+    "train_split": SQL_TRAIN_SPLIT,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,

@@ -1,0 +1,55 @@
+"""Deterministic sampling/split tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, f"document number {i} with some content") for i in range(500)]
+    rows += [(900, rows[3][1])]  # exact duplicate of doc 3's text
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hash_split_deterministic_and_leakproof(corpus):
+    a = {r.doc_id: r.split for r in hash_split(corpus, "text").collect()}
+    b = {r.doc_id: r.split for r in hash_split(corpus, "text").collect()}
+    assert a == b
+    # duplicates go to the same side: no train/eval leakage via copies
+    assert a[3] == a[900]
+    # roughly 90/10 (binomial slack on 501 docs)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.82 <= train / len(a) <= 0.97
+
+
+def test_hash_split_salt_redraws(corpus):
+    a = {r.doc_id: r.split for r in hash_split(corpus, "text").collect()}
+    c = {r.doc_id: r.split for r in hash_split(corpus, "text", salt="v2").collect()}
+    assert a != c
+
+
+def test_hash_split_frac_one_all_train(corpus):
+    assert (
+        hash_split(corpus, "text", train_frac=1.0)
+        .filter(F.col("split") == "eval")
+        .count()
+        == 0
+    )
+
+
+def test_hash_sample_nested(corpus):
+    big = {r.doc_id for r in hash_sample(corpus, "text", 0.5).collect()}
+    small = {r.doc_id for r in hash_sample(corpus, "text", 0.1).collect()}
+    assert small <= big
+    assert 0.35 <= len(big) / 501 <= 0.65
+    assert len(small) < len(big)
+
+
+def test_hash_sample_rejects_bad_rate(corpus):
+    with pytest.raises(ValueError):
+        hash_sample(corpus, "text", 1.5)
