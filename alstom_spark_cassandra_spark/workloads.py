@@ -48,7 +48,7 @@ from .operators.dedup import (
 from .operators.latest import latest_per_key
 from .operators.locf import locf
 from .operators.quantize import dequantize_embedding, quantize_embedding
-from .operators.multimodal import image_features
+from .operators.multimodal import audio_features, frame_sample, image_features
 from .operators.sampling import hash_split
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
@@ -1674,6 +1674,71 @@ FROM documents
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio branch of the multimodal plumbing: same binary-payload
+    shape, decoded by the deterministic stub kernel (16-bit-PCM fake —
+    see operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = audio_features(docs)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id")
+
+
+SQL_AUDIO_FEATURES = """
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  CAST(16000 AS INTEGER) AS sample_rate,
+  CAST(strlen(text) // 2 AS BIGINT) AS n_samples,
+  round(CASE WHEN strlen(text) = 0 THEN 0.0
+             ELSE ((strlen(text) * 17) % 1000) / 1000.0 END, 6) AS rms
+FROM documents
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling stand-in: one media row fans out to one
+    row per sampled 128-byte stride (each frame keeps its first 64
+    bytes), aggregated back per document so the oracle compares
+    integer frame counts / index sums / byte totals. The fan-out shape
+    (mapInPandas emitting a variable number of output rows per input
+    row) is the real thing under test."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = frame_sample(docs, every_n_bytes=128)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("frame_idx").alias("sum_idx"),
+            F.sum(F.octet_length("frame_bytes")).alias("sum_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id,
+       count(*) AS n_frames,
+       sum(k // 128) AS sum_idx,
+       sum(CASE WHEN len = 0 THEN 0 ELSE least(64, len - k) END) AS sum_bytes
+FROM (
+  SELECT doc_id, strlen(text) AS len,
+         unnest(range(0, greatest(strlen(text), 1), 128)) AS k
+  FROM documents
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --- approximate operators: declared without oracle (rows-only check) ------
 
 def q_minhash_signatures(spark, sf_dir):
@@ -1760,6 +1825,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1810,6 +1877,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "image_features": SQL_IMAGE_FEATURES,
+    "audio_features": SQL_AUDIO_FEATURES,
+    "frame_sample": SQL_FRAME_SAMPLE,
     # minhash_signatures / simhash_fingerprints / embedding_dup_pairs /
     # ivf_topk: hash-based or approximate -> rows-only check by design.
 }
