@@ -471,6 +471,42 @@ def _resolve_args(
     return _maybe_expand(arguments, instance_field), None
 
 
+_MAX_PUSHDOWN_SERIES = 64
+
+
+def _series_restrict(
+    df: DataFrame,
+    arguments: DataFrame,
+    arg_rows: tuple[tuple, ...] | None,
+) -> DataFrame:
+    """Restrict the log to the argument series.
+
+    When the series are driver-known (arg_rows) and few, the
+    restriction is an OR-of-equality-conjunctions Column — a plain
+    predicate Catalyst pushes into the parquet scan (PushedFilters),
+    engaging row-group stats / dictionary / bloom pruning. A broadcast
+    semi-join filters just as early in the executor but can never
+    reach the scan, so at 100 TB the pushed predicate is the
+    difference between skipping row groups and reading them. Falls
+    back to the semi-join for wildcard-expanded / DataFrame arguments
+    or long argument lists (a 1000-term OR predicate is worse than a
+    broadcast hash probe).
+    """
+    if arg_rows is not None and 0 < len(arg_rows) <= _MAX_PUSHDOWN_SERIES:
+        pred = None
+        for f, s, d in {(r[0], r[1], r[2]) for r in arg_rows}:
+            c = (
+                (F.col("uevol_field_id") == F.lit(f))
+                & (F.col("src_id") == F.lit(s))
+                & (F.col("dst_id") == F.lit(d))
+            )
+            pred = c if pred is None else (pred | c)
+        return df.filter(pred)
+    return df.join(
+        F.broadcast(arguments.select(*SERIES_KEY)), SERIES_KEY, "left_semi"
+    )
+
+
 def get_multiple_fields(
     instance_field: DataFrame,
     arguments: Arguments | DataFrame,
@@ -486,9 +522,10 @@ def get_multiple_fields(
     get_message's machinery per message type). -1 wildcards in the
     arguments expand against the log's series (J9).
     """
-    arguments, _ = _resolve_args(arguments, instance_field)
+    arguments, arg_rows = _resolve_args(arguments, instance_field)
     return _multiple_fields_resolved(
-        instance_field, arguments, at_instance_message_id, default_value
+        instance_field, arguments, at_instance_message_id, default_value,
+        arg_rows=arg_rows,
     )
 
 
@@ -497,13 +534,18 @@ def _multiple_fields_resolved(
     arguments: DataFrame,
     at_instance_message_id: int,
     default_value: float = -1.0,
+    arg_rows: tuple[tuple, ...] | None = None,
+    pre_restricted: bool = False,
 ) -> DataFrame:
     """get_multiple_fields body once wildcards are already resolved —
     callers that resolved the arguments themselves (get_update_history)
-    must not pay a second resolution probe."""
+    must not pay a second resolution probe. `pre_restricted` marks an
+    input already narrowed to the argument series (shared scan)."""
     narrowed = instance_field.filter(
         F.col("instance_message_id") <= F.lit(at_instance_message_id)
-    ).join(F.broadcast(arguments.select(*SERIES_KEY)), SERIES_KEY, "left_semi")
+    )
+    if not pre_restricted:
+        narrowed = _series_restrict(narrowed, arguments, arg_rows)
     latest = latest_per_key(
         narrowed, SERIES_KEY + ["relative_path"], "instance_message_id", TIEBREAK
     ).select(
@@ -557,13 +599,26 @@ def get_update_history(
     subplans recompute).
     """
     arguments, arg_rows = _resolve_args(arguments, instance_field)
+    # ONE log scan feeds both the start-state and the in-window
+    # branches: id ≤ end + the series restriction (pushed into the
+    # scan when the series are driver-known). Cached because both
+    # branches consume it — bounded by the requested series' rows up
+    # to the window end.
+    base = instance_field.filter(
+        F.col("instance_message_id") <= F.lit(end_instance_message_id)
+    )
+    base = _series_restrict(base, arguments, arg_rows)
+    if use_cache:
+        base = base.cache()
+
     # Start-of-window state per series (the reference calls
     # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29).
     # History treats each series as a scalar: min_by path picks the
     # "000" scalar row when a field has nested paths.
     start_state = (
         _multiple_fields_resolved(
-            instance_field, arguments, start_instance_message_id, default_value
+            base, arguments, start_instance_message_id, default_value,
+            pre_restricted=True,
         )
         .groupBy(*SERIES_KEY)
         .agg(F.min_by("value", "relative_path").alias("value"))
@@ -577,11 +632,9 @@ def get_update_history(
     )
 
     updates = (
-        instance_field.filter(
-            (F.col("instance_message_id") > F.lit(start_instance_message_id))
-            & (F.col("instance_message_id") <= F.lit(end_instance_message_id))
+        base.filter(
+            F.col("instance_message_id") > F.lit(start_instance_message_id)
         )
-        .join(F.broadcast(arguments.select(*SERIES_KEY)), SERIES_KEY, "left_semi")
         # Two updates of one series at the same message id: the matrix
         # cell is written last-iteration-wins (the reference's loop
         # overwrites, SQL/GetUpdateHistory.sql:162-172).

@@ -73,43 +73,66 @@ def _ts_ms(col: str = "ts") -> F.Column:
 
 # Exact-decimal aggregation: float sums depend on addition order, so a
 # Spark partial-agg sum and a DuckDB sequential sum can land on
-# opposite sides of a rounding boundary. Summing through DECIMAL(28,6)
-# is exact and order-independent on both engines. The final rounding
-# must ALSO be engine-identical: Spark's round() rounds the double's
-# shortest decimal representation (BigDecimal.valueOf, HALF_UP) while
-# DuckDB rounds the binary value — they disagree exactly at .xx5. So
-# rounding here is explicit floor(x*10^s + 0.5)/10^s, which is pure
-# IEEE arithmetic and bit-identical on both engines (values are
+# opposite sides of a rounding boundary. The order-independent sum here
+# splits each value (all are fixed-point with ≤6 decimals, carried in
+# doubles) into two LONG sums — the integer part and the 10^6-scaled
+# fractional part; integer addition is exact and order-free, and long
+# sums stay in whole-stage codegen instead of the boxed-BigDecimal path
+# a DECIMAL(28,6) sum takes (~4× slower measured). Overflow envelope:
+# the fraction sum holds to ~9e12 rows, the integer sum to
+# ~9e18/max(value) rows — beyond the 100 TB target either way.
+# Per-row floor(x*1e6 + 0.5) is pure IEEE arithmetic on identical
+# parquet doubles, so both engines extract bit-identical longs.
+# The final rounding must ALSO be engine-identical: Spark's round()
+# rounds the double's shortest decimal representation
+# (BigDecimal.valueOf, HALF_UP) while DuckDB rounds the binary value —
+# they disagree exactly at .xx5. So rounding here is explicit
+# floor(x*10^s + 0.5)/10^s, bit-identical on both engines (values are
 # non-negative in these workloads).
+
+_FRAC = 1_000_000  # 6 decimals, mirroring the former DECIMAL(28,6)
+
 
 def half_up(col, scale: int = 2):
     m = float(10**scale)
     return F.floor(col * m + F.lit(0.5)) / F.lit(m)
 
 
+def _dsum_parts(expr):
+    hi = F.floor(expr)  # long
+    lo = F.floor(expr * F.lit(float(_FRAC)) + F.lit(0.5)) - hi * F.lit(_FRAC)
+    return F.sum(hi).cast("double") + F.sum(lo).cast("double") / F.lit(
+        float(_FRAC)
+    )
+
+
 def dsum(expr, scale: int = 2):
-    return half_up(F.sum(expr.cast("decimal(28,6)")).cast("double"), scale)
+    return half_up(_dsum_parts(expr), scale)
 
 
 def davg(expr, scale: int = 2):
-    return half_up(
-        F.sum(expr.cast("decimal(28,6)")).cast("double") / F.count(expr), scale
+    return half_up(_dsum_parts(expr) / F.count(expr), scale)
+
+
+def _sql_dsum_parts(expr: str) -> str:
+    hi = f"CAST(floor({expr}) AS BIGINT)"
+    lo = f"(CAST(floor(({expr}) * {_FRAC}.0 + 0.5) AS BIGINT) - {hi} * {_FRAC})"
+    return (
+        f"(CAST(sum({hi}) AS DOUBLE)"
+        f" + CAST(sum({lo}) AS DOUBLE) / {_FRAC}.0)"
     )
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
     m = 10**scale
-    return (
-        f"floor(CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
-        f" * {m} + 0.5) / {m}.0"
-    )
+    return f"floor({_sql_dsum_parts(expr)} * {m} + 0.5) / {m}.0"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
     m = 10**scale
     return (
-        f"floor(CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
-        f" / count({expr}) * {m} + 0.5) / {m}.0"
+        f"floor({_sql_dsum_parts(expr)} / count({expr})"
+        f" * {m} + 0.5) / {m}.0"
     )
 
 
