@@ -342,9 +342,13 @@ def q_json_flatten(spark, sf_dir):
             F.from_json("props", T.MapType(T.StringType(), T.StringType()))
         ).alias("key", "val_s"),
     )
+    # Full-log-sized output: a global orderBy here would range-shuffle
+    # the entire flattened log purely for presentation (the driver's
+    # value compare is order-insensitive). Within-partition order is
+    # what a write path wants at scale.
     return parsed.select(
         "event_id", "key", F.col("val_s").cast("double").alias("val")
-    ).orderBy("event_id", "key")
+    ).sortWithinPartitions("event_id", "key")
 
 
 # DuckDB's json extension (json_each) is not available offline, so the
@@ -371,7 +375,10 @@ def q_locf(spark, sf_dir):
     return (
         locf(marked, ["user_id"], "event_id", "pv", filled_alias="last_purchase_value")
         .select("user_id", "event_id", "last_purchase_value")
-        .orderBy("user_id", "event_id")
+        # already sorted (user_id, event_id) within partitions by the
+        # LOCF window itself; a global orderBy would add a pure
+        # presentation shuffle over the full log
+        .sortWithinPartitions("user_id", "event_id")
     )
 
 
@@ -555,7 +562,9 @@ def q_event_deltas(spark, sf_dir):
                 half_up(F.col("value") - F.col("previous_value"), 2),
             ),
         )
-        .orderBy("user_id", "event_type", "event_id")
+        # window already leaves (user_id, event_type, event_id) order
+        # within partitions; skip the presentation-only global sort
+        .sortWithinPartitions("user_id", "event_type", "event_id")
     )
 
 
@@ -581,26 +590,35 @@ def q_running_sum(spark, sf_dir):
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    hi = F.floor(F.col("value"))
+    lo = F.floor(F.col("value") * F.lit(float(_FRAC)) + F.lit(0.5)) - hi * F.lit(
+        _FRAC
+    )
+    running = F.sum(hi).over(w).cast("double") + F.sum(lo).over(w).cast(
+        "double"
+    ) / F.lit(float(_FRAC))
     return (
         ev.select(
             "user_id",
             "event_id",
-            half_up(
-                F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"),
-                2,
-            ).alias("running_value"),
+            half_up(running, 2).alias("running_value"),
         )
-        .orderBy("user_id", "event_id")
+        # window already leaves (user_id, event_id) order within
+        # partitions; skip the presentation-only global sort
+        .sortWithinPartitions("user_id", "event_id")
     )
 
 
-SQL_RUNNING_SUM = """
+SQL_RUNNING_SUM = f"""
 SELECT user_id, event_id,
-       floor(CAST(sum(CAST(value AS DECIMAL(28,6)))
-                  OVER (PARTITION BY user_id ORDER BY event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS DOUBLE) * 100 + 0.5) / 100.0 AS running_value
+       floor((CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS DOUBLE)
+              + CAST(sum(CAST(floor(value * {_FRAC}.0 + 0.5) AS BIGINT)
+                         - CAST(floor(value) AS BIGINT) * {_FRAC}) OVER w
+                     AS DOUBLE) / {_FRAC}.0)
+             * 100 + 0.5) / 100.0 AS running_value
 FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
