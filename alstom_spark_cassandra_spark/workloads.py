@@ -1147,6 +1147,186 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: order count per priority for a quarter, gated
+    on an EXISTS probe into lineitem (J6 semi-join with a residual
+    inequality). Adapted predicate: the synthetic schema has no
+    l_commitdate/l_receiptdate, so "late" is l_shipdate >
+    o_orderdate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: per-group conditional counts (CASE-in-agg)
+    over a fact⋈fact join window. Adapted: grouped by l_returnflag
+    (no l_shipmode in the synthetic schema); integer-only output."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one month — a ratio of two
+    exact split-long sums, so the single float division is the same
+    IEEE op on both engines."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        half_up(
+            F.lit(100.0) * _dsum_parts(promo) / _dsum_parts(rev), 4
+        ).alias("promo_revenue")
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT floor(100.0
+             * {_sql_dsum_parts(
+                 "CASE WHEN p_type = 'PROMO'"
+                 " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {_sql_dsum_parts("l_extendedprice * (1 - l_discount)")}
+             * 10000 + 0.5) / 10000.0 AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18: large-volume orders — group-by-HAVING on an exact
+    centi-unit long sum (no float boundary in the HAVING compare),
+    then the small surviving set broadcast into orders/customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.sum(
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    ).alias("qty_c")
+    big = (
+        li.groupBy("l_orderkey").agg(qty_c).filter(F.col("qty_c") > 20000)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sel = orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+    return (
+        sel.join(cust, sel.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            (F.col("qty_c") / F.lit(100.0)).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 20000
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       qty_c / 100.0 AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19: revenue under an OR of three brand/size/quantity
+    conjunctions — the disjunctive-pushdown stress case (P8 family)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#34") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT {REV_SUM} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 SQL_TPCH_Q10 = f"""
 SELECT c_custkey, c_name, c_acctbal, n_name, {REV_SUM} AS revenue
 FROM customer, orders, lineitem, nation
@@ -1849,6 +2029,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
     "cube_events": q_cube_events,
     "topk_per_group": q_topk_per_group,
     "distinct_agg": q_distinct_agg,
@@ -1901,6 +2086,11 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q5": SQL_TPCH_Q5,
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q4": SQL_TPCH_Q4,
+    "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q19": SQL_TPCH_Q19,
     "cube_events": SQL_CUBE_EVENTS,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct_agg": SQL_DISTINCT_AGG,
