@@ -53,6 +53,7 @@ from .operators.sampling import hash_split
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
 from .sources.loader import load_table
+from .streaming.live_state import latest_value_stream
 
 # epoch-millis literals (UTC)
 T_JAN05 = 1704412800000
@@ -1895,6 +1896,58 @@ FROM documents
 """
 
 
+def q_stream_latest_state(spark, sf_dir):
+    """Online mode (SURVEY §2.10): the latest-value-per-series state
+    maintained as a STREAMING aggregation (streaming/live_state.py) —
+    the events parquet replayed through readStream with an
+    availableNow trigger into a complete-mode memory sink. The oracle
+    is the plain batch argmax: live and playback modes must agree on
+    the final state, which is exactly the reference's online/replay
+    table-switch contract (SQL/GetMessage.sql:17-23) with the
+    equivalence actually enforced."""
+    import uuid
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # footer read only
+    # the file source streams a DIRECTORY; glob down to the one table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = latest_value_stream(
+        src, ["user_id", "event_type"], order_col="event_id", value_col="value"
+    )
+    name = f"stream_latest_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "event_type",
+            "last_update_id",
+            F.col("current_value").alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+SQL_STREAM_LATEST_STATE = """
+SELECT user_id, event_type, max(event_id) AS last_update_id,
+       max_by(value, event_id) AS value
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """Audio branch of the multimodal plumbing: same binary-payload
     shape, decoded by the deterministic stub kernel (16-bit-PCM fake —
@@ -2047,6 +2100,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus": q_dedup_corpus,
     "text_stats": q_text_stats,
     "train_split": q_train_split,
+    "stream_latest_state": q_stream_latest_state,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -2104,6 +2158,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "text_stats": SQL_TEXT_STATS,
     "train_split": SQL_TRAIN_SPLIT,
+    "stream_latest_state": SQL_STREAM_LATEST_STATE,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
