@@ -613,21 +613,37 @@ def get_update_history(
 
     # Start-of-window state per series (the reference calls
     # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29).
-    # History treats each series as a scalar: min_by path picks the
-    # "000" scalar row when a field has nested paths.
-    start_state = (
-        _multiple_fields_resolved(
-            base, arguments, start_instance_message_id, default_value,
-            pre_restricted=True,
+    # History treats each series as a scalar: the min relative_path
+    # ("000" when a field has nested paths), at its latest value ≤
+    # start. One aggregation instead of window-argmax + re-aggregate:
+    # min_by over the (path asc, id desc, iteration desc) total order
+    # picks the min-path group's latest row directly — the same row,
+    # one exchange.
+    asof = (
+        base.filter(
+            F.col("instance_message_id") <= F.lit(start_instance_message_id)
         )
         .groupBy(*SERIES_KEY)
-        .agg(F.min_by("value", "relative_path").alias("value"))
+        .agg(
+            F.min_by(
+                F.col("new_value").cast("double"),
+                F.struct(
+                    F.col("relative_path").alias("p"),
+                    (-F.col("instance_message_id")).alias("nid"),
+                    (-F.col("iteration")).alias("nit"),
+                ),
+            ).alias("value")
+        )
+    )
+    start_state = (
+        arguments.select(*SERIES_KEY)
+        .join(F.broadcast(asof), SERIES_KEY, "left")
         .select(
             *SERIES_KEY,
             F.lit(start_instance_message_id).cast("long").alias(
                 "instance_message_id"
             ),
-            "value",
+            F.coalesce("value", F.lit(default_value)).alias("value"),
         )
     )
 
@@ -643,19 +659,28 @@ def get_update_history(
     )
 
     # hist feeds two branches (the time-point grid and the dense
-    # join): cache it like the reference materializes shared temp
-    # tables (SQL/GetMessage.sql:46-54). Bounded by window size.
+    # union) but both re-derive from the CACHED base with one cheap
+    # aggregation each — a second cache here would only add another
+    # materialization barrier.
     hist = start_state.unionByName(updates)
-    if use_cache:
-        hist = hist.cache()
 
     # Dense grid: every series gets a row at every update time point,
     # like the reference's matrix (one row per distinct update id,
     # SQL/GetUpdateHistory.sql:136-141), then LOCF fills the gaps.
+    # Union + re-aggregate instead of a grid outer join: null
+    # placeholder rows for every (id × series) cell collapse against
+    # the real rows in one hash aggregation (max ignores the null
+    # placeholders), which costs one exchange where the sort-merge
+    # left join costs two plus its sorts.
     ids = hist.select("instance_message_id").distinct()
-    series = arguments.select(*SERIES_KEY).distinct()
-    grid = ids.crossJoin(F.broadcast(series))
-    dense = grid.join(hist, [*SERIES_KEY, "instance_message_id"], "left")
+    placeholders = ids.crossJoin(
+        F.broadcast(arguments.select(*SERIES_KEY))
+    ).withColumn("value", F.lit(None).cast("double"))
+    dense = (
+        hist.unionByName(placeholders)
+        .groupBy(*SERIES_KEY, "instance_message_id")
+        .agg(F.max("value").alias("value"))
+    )
     filled = locf(dense, SERIES_KEY, "instance_message_id")
 
     # Per-series user filters are applied to the FILLED matrix (the
