@@ -1691,6 +1691,41 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_term_frequency(spark, sf_dir):
+    """Corpus vocabulary statistics: top-50 terms by document
+    frequency (+ total term frequency) — the explode→aggregate shape
+    of building a tokenizer vocabulary or IDF table over a corpus.
+    Exact oracle via DuckDB unnest(string_split_regex). Lowercased so
+    the vocabulary is case-folded; ties broken by term for a
+    deterministic top-k."""
+    from .functions.text_funcs import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    term = F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    return (
+        docs.select("doc_id", term)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("term_freq"),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
+SQL_TERM_FREQUENCY = r"""
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+FROM (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+)
+GROUP BY term
+ORDER BY doc_freq DESC, term ASC
+LIMIT 50
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Text-analysis suite: token count, fingerprint, quality,
     language-ID per document."""
@@ -2099,6 +2134,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_corpus": q_dedup_corpus,
     "text_stats": q_text_stats,
+    "term_frequency": q_term_frequency,
     "train_split": q_train_split,
     "stream_latest_state": q_stream_latest_state,
     "token_estimate": q_token_estimate,
@@ -2157,6 +2193,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "text_stats": SQL_TEXT_STATS,
+    "term_frequency": SQL_TERM_FREQUENCY,
     "train_split": SQL_TRAIN_SPLIT,
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
     "token_estimate": SQL_TOKEN_ESTIMATE,
