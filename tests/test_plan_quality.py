@@ -71,3 +71,32 @@ def test_dedup_corpus_anti_join_and_pushdown(spark):
     assert "CartesianProduct" not in plan
     # the doc_id slice must reach the documents parquet scan
     assert "LessThan(doc_id,100)" in plan
+
+
+def test_exact_sums_avoid_decimal_aggregation(spark):
+    # the split-long exact sums must not regress to the boxed
+    # DECIMAL(28,6) aggregation path (~4x slower, measured)
+    for name in ["tpch_q1", "tpch_q3", "running_sum", "daily_rollup"]:
+        plan = plan_of(spark, name)
+        assert "decimal(28,6)" not in plan.lower(), name
+
+
+def test_update_history_series_predicate_reaches_scan(spark):
+    plan = plan_of(spark, "update_history_dense")
+    # driver-known argument series compile to an OR-of-conjunctions
+    # predicate pushed into the parquet scan, not a semi-join
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "event_type" in pushed and "user_id" in pushed
+    # log scanned once: base is cached, both branches read the cache
+    # (the plan TEXT repeats the cached subtree at every
+    # InMemoryTableScan reference, so count cache reads, not scans)
+    assert "InMemoryTableScan" in plan
+    # dense grid is union+re-aggregate, never a sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_full_log_outputs_have_no_global_sort_exchange(spark):
+    # presentation orderBy on full-log-sized outputs would add a
+    # rangepartitioning exchange over the whole dataset
+    for name in ["json_flatten", "locf", "event_deltas", "running_sum"]:
+        assert "rangepartitioning" not in plan_of(spark, name).lower(), name
