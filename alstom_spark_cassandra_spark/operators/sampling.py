@@ -76,3 +76,28 @@ def hash_sample(
     subsets stay comparable.
     """
     return df.filter(_below_cut(F.col(content_col), salt, rate))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    content_col: str,
+    strata_col: str,
+    rates: dict[object, float],
+    default_rate: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalancing /
+    data-mixture op (e.g. keep all rare-language docs, 5% of the
+    dominant one). Same content-addressed buckets as hash_sample, so
+    each stratum's sample is reproducible, leak-proof for duplicates,
+    and nested across rates; strata not listed in `rates` get
+    `default_rate` (0 = dropped). Still one codegen-friendly filter:
+    no shuffle, no sampling state.
+    """
+    pred: Column = _below_cut(F.col(content_col), salt, default_rate)
+    for stratum, rate in rates.items():
+        pred = F.when(
+            F.col(strata_col) == F.lit(stratum),
+            _below_cut(F.col(content_col), salt, rate),
+        ).otherwise(pred)
+    return df.filter(pred)

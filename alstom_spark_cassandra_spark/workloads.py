@@ -49,7 +49,7 @@ from .operators.latest import latest_per_key
 from .operators.locf import locf
 from .operators.quantize import dequantize_embedding, quantize_embedding
 from .operators.multimodal import audio_features, frame_sample, image_features
-from .operators.sampling import hash_split
+from .operators.sampling import hash_split, stratified_hash_sample
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
 from .sources.loader import load_table
@@ -1726,6 +1726,81 @@ LIMIT 50
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Class-rebalancing sample: keep every non-English document,
+    deterministically downsample 'en' (the dominant class) to 25% by
+    content hash (operators/sampling.stratified_hash_sample) — the
+    data-mixture op of corpus building. Integer-only aggregate
+    output."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs, "text", "lang", {"en": 0.25}, default_rate=1.0
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("sum_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# 0.25 * 65536 = 16384 = 0x4000
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, count(*) AS n, sum(length(text)) AS sum_len
+FROM documents
+WHERE lang <> 'en' OR substr(md5('sample-v1' || text), 1, 4) < '4000'
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Per-document top-3 distinctive terms: term-frequency joined to
+    global document frequency, ranked (tf desc, df asc, term asc) —
+    the TF-IDF shape with an integer-only total order so the oracle
+    is exact (no log() whose libm rounding could differ between
+    engines). Window is partitioned by doc_id: embarrassingly
+    parallel at corpus scale."""
+    from .functions.text_funcs import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
+SQL_DISTINCTIVE_TERMS = r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1)
+SELECT doc_id, rank, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+           AS rank
+  FROM tf JOIN dfreq USING (term)
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Text-analysis suite: token count, fingerprint, quality,
     language-ID per document."""
@@ -2135,6 +2210,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus": q_dedup_corpus,
     "text_stats": q_text_stats,
     "term_frequency": q_term_frequency,
+    "distinctive_terms": q_distinctive_terms,
+    "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,
     "stream_latest_state": q_stream_latest_state,
     "token_estimate": q_token_estimate,
@@ -2194,6 +2271,8 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_corpus": SQL_DEDUP_CORPUS,
     "text_stats": SQL_TEXT_STATS,
     "term_frequency": SQL_TERM_FREQUENCY,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "train_split": SQL_TRAIN_SPLIT,
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
     "token_estimate": SQL_TOKEN_ESTIMATE,

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 from alstom_spark_cassandra_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    stratified_hash_sample,
 )
 
 
@@ -53,3 +54,24 @@ def test_hash_sample_nested(corpus):
 def test_hash_sample_rejects_bad_rate(corpus):
     with pytest.raises(ValueError):
         hash_sample(corpus, "text", 1.5)
+
+
+def test_stratified_hash_sample(spark):
+    rows = [(i, f"doc {i}", "en" if i % 5 else "fr") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = stratified_hash_sample(
+        df, "text", "lang", {"en": 0.2}, default_rate=1.0
+    )
+    by_lang = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lang["fr"] == 100          # default rate 1.0 keeps all
+    assert 40 <= by_lang["en"] <= 125    # ~0.2 of 400, binomial slack
+    # per-stratum sample is the same rows as the global hash_sample
+    en_global = {
+        r.doc_id
+        for r in hash_sample(df.filter(F.col("lang") == "en"), "text", 0.2).collect()
+    }
+    en_strat = {r.doc_id for r in out.filter(F.col("lang") == "en").collect()}
+    assert en_strat == en_global
