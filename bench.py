@@ -32,14 +32,22 @@ HEADLINE = [
     "sessionization",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
     "topk_per_group",
     "event_deltas",
     "update_history_dense",
     "dedup_exact",
     "text_stats",
+    "term_frequency",
+    "distinctive_terms",
+    "train_split",
     "minhash_signatures",
     "ann_cosine_topk",
 ]
