@@ -494,7 +494,9 @@ def _series_restrict(
     """
     if arg_rows is not None and 0 < len(arg_rows) <= _MAX_PUSHDOWN_SERIES:
         pred = None
-        for f, s, d in {(r[0], r[1], r[2]) for r in arg_rows}:
+        # sorted: a set-ordered OR chain would make the emitted plan
+        # text vary run-to-run with PYTHONHASHSEED
+        for f, s, d in sorted({(r[0], r[1], r[2]) for r in arg_rows}):
             c = (
                 (F.col("uevol_field_id") == F.lit(f))
                 & (F.col("src_id") == F.lit(s))
@@ -535,17 +537,17 @@ def _multiple_fields_resolved(
     at_instance_message_id: int,
     default_value: float = -1.0,
     arg_rows: tuple[tuple, ...] | None = None,
-    pre_restricted: bool = False,
 ) -> DataFrame:
     """get_multiple_fields body once wildcards are already resolved —
-    callers that resolved the arguments themselves (get_update_history)
-    must not pay a second resolution probe. `pre_restricted` marks an
-    input already narrowed to the argument series (shared scan)."""
-    narrowed = instance_field.filter(
-        F.col("instance_message_id") <= F.lit(at_instance_message_id)
+    callers that resolved the arguments themselves must not pay a
+    second resolution probe."""
+    narrowed = _series_restrict(
+        instance_field.filter(
+            F.col("instance_message_id") <= F.lit(at_instance_message_id)
+        ),
+        arguments,
+        arg_rows,
     )
-    if not pre_restricted:
-        narrowed = _series_restrict(narrowed, arguments, arg_rows)
     latest = latest_per_key(
         narrowed, SERIES_KEY + ["relative_path"], "instance_message_id", TIEBREAK
     ).select(
@@ -750,7 +752,7 @@ def get_update_history(
     else:
         series_names = sorted(
             f"id{r['uevol_field_id']}_src{r['src_id']}_dst{r['dst_id']}"
-            for r in series.collect()
+            for r in arguments.select(*SERIES_KEY).distinct().collect()
         )
     return (
         keyed.groupBy("instance_message_id")

@@ -99,9 +99,15 @@ def half_up(col, scale: int = 2):
     return F.floor(col * m + F.lit(0.5)) / F.lit(m)
 
 
-def _dsum_parts(expr):
+def _split_parts(expr):
+    """(integer part, 10^6-scaled fraction part) as exact longs."""
     hi = F.floor(expr)  # long
     lo = F.floor(expr * F.lit(float(_FRAC)) + F.lit(0.5)) - hi * F.lit(_FRAC)
+    return hi, lo
+
+
+def _dsum_parts(expr):
+    hi, lo = _split_parts(expr)
     return F.sum(hi).cast("double") + F.sum(lo).cast("double") / F.lit(
         float(_FRAC)
     )
@@ -591,10 +597,7 @@ def q_running_sum(spark, sf_dir):
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    hi = F.floor(F.col("value"))
-    lo = F.floor(F.col("value") * F.lit(float(_FRAC)) + F.lit(0.5)) - hi * F.lit(
-        _FRAC
-    )
+    hi, lo = _split_parts(F.col("value"))
     running = F.sum(hi).over(w).cast("double") + F.sum(lo).over(w).cast(
         "double"
     ) / F.lit(float(_FRAC))
@@ -1746,11 +1749,14 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
-# 0.25 * 65536 = 16384 = 0x4000
+# 0.25 * 65536 = 16384 = 0x4000. IS DISTINCT FROM, not <>: a NULL
+# stratum falls through every when() to the default rate on the Spark
+# side, so the oracle must keep NULL langs too.
 SQL_STRATIFIED_SAMPLE = """
 SELECT lang, count(*) AS n, sum(length(text)) AS sum_len
 FROM documents
-WHERE lang <> 'en' OR substr(md5('sample-v1' || text), 1, 4) < '4000'
+WHERE lang IS DISTINCT FROM 'en'
+   OR substr(md5('sample-v1' || text), 1, 4) < '4000'
 GROUP BY lang ORDER BY lang
 """
 
@@ -1769,7 +1775,10 @@ def q_distinctive_terms(spark, sf_dir):
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # derive df from tf (one row per (doc, term)) instead of a second
+    # explode of the corpus: Spark shares no common subtrees across a
+    # join's inputs, so the alternative tokenizes everything twice
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
@@ -2036,7 +2045,9 @@ def q_stream_latest_state(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_latest_state did not drain in 300s")
     return (
         spark.table(name)
         .select(

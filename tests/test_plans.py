@@ -342,6 +342,17 @@ def test_get_update_history_pivot_and_filter(spark, domain):
         assert r.value is None or r.value >= 0
 
 
+def test_get_update_history_pivot_with_wildcard_args(spark, domain):
+    """Wildcard arguments reach the pivot path with arg_rows unknown
+    (regression: the series-name fallback referenced a variable the
+    dense-grid rewrite had deleted -> NameError)."""
+    args = make_arguments(spark, [1, 2], [-1, -1], [0, 0])
+    wide = get_update_history(domain["log"], args, 50, 120, pivot=True)
+    assert wide.columns[0] == "instance_message_id"
+    assert len(wide.columns) >= 3
+    assert wide.count() > 0
+
+
 def test_update_history_filter_independent_of_cache(spark, domain):
     """use_cache is a performance knob only — the veto filter must
     apply either way (regression: the whole filter block was gated on
