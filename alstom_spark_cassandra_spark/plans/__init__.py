@@ -3,6 +3,7 @@ from .queries import (
     backup,
     get_message,
     get_multiple_fields,
+    get_multiple_fields_history,
     get_update_history,
     make_arguments,
     retrieve_field,
@@ -15,6 +16,7 @@ __all__ = [
     "backup",
     "get_message",
     "get_multiple_fields",
+    "get_multiple_fields_history",
     "get_update_history",
     "retrieve_field",
     "retrieve_message",

@@ -573,6 +573,69 @@ def _multiple_fields_resolved(
     )
 
 
+def _scalar_state(
+    restricted: DataFrame,
+    arguments: DataFrame,
+    at_instance_message_id: int,
+    default_value: float,
+) -> DataFrame:
+    """One value per requested series at a message id: the min
+    relative_path's latest update ≤ the target ("000" when a field
+    has nested paths), default for series with no update yet. One
+    aggregation: min_by over the (path asc, id desc, iteration desc)
+    total order picks the min-path group's latest row directly.
+    `restricted` must already be narrowed to the argument series."""
+    asof = (
+        restricted.filter(
+            F.col("instance_message_id") <= F.lit(at_instance_message_id)
+        )
+        .groupBy(*SERIES_KEY)
+        .agg(
+            F.min_by(
+                F.col("new_value").cast("double"),
+                F.struct(
+                    F.col("relative_path").alias("p"),
+                    (-F.col("instance_message_id")).alias("nid"),
+                    (-F.col("iteration")).alias("nit"),
+                ),
+            ).alias("value")
+        )
+    )
+    return (
+        arguments.select(*SERIES_KEY)
+        .join(F.broadcast(asof), SERIES_KEY, "left")
+        .select(
+            *SERIES_KEY,
+            F.coalesce("value", F.lit(default_value)).alias("value"),
+        )
+    )
+
+
+def get_multiple_fields_history(
+    instance_field: DataFrame,
+    arguments: Arguments | DataFrame,
+    at_instance_message_id: int,
+    default_value: float = -1.0,
+) -> DataFrame:
+    """Scalar per-series state at a message id — the reference's
+    GetMultipleFieldsHistory (SQL/GetMultipleFieldsHistory.sql:8),
+    whose output `start_table(uevol_field_id, src_id, dst_id, value)`
+    seeds GetUpdateHistory (SQL/GetMultipleFieldsHistory.sql:358-369,
+    SQL/GetUpdateHistory.sql:29).
+
+    Differs from get_multiple_fields in shape: history treats each
+    series as ONE scalar (the min relative_path, "000" for nested
+    fields) instead of one row per (series, path). Log-only
+    formulation like get_multiple_fields — snapshot seeding is
+    get_message's machinery.
+    """
+    arguments, arg_rows = _resolve_args(arguments, instance_field)
+    restricted = _series_restrict(instance_field, arguments, arg_rows)
+    return _scalar_state(
+        restricted, arguments, at_instance_message_id, default_value
+    ).orderBy(*SERIES_KEY)
+
+
 def get_update_history(
     instance_field: DataFrame,
     arguments: Arguments | DataFrame,
@@ -614,39 +677,16 @@ def get_update_history(
         base = base.cache()
 
     # Start-of-window state per series (the reference calls
-    # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29).
-    # History treats each series as a scalar: the min relative_path
-    # ("000" when a field has nested paths), at its latest value ≤
-    # start. One aggregation instead of window-argmax + re-aggregate:
-    # min_by over the (path asc, id desc, iteration desc) total order
-    # picks the min-path group's latest row directly — the same row,
-    # one exchange.
-    asof = (
-        base.filter(
-            F.col("instance_message_id") <= F.lit(start_instance_message_id)
-        )
-        .groupBy(*SERIES_KEY)
-        .agg(
-            F.min_by(
-                F.col("new_value").cast("double"),
-                F.struct(
-                    F.col("relative_path").alias("p"),
-                    (-F.col("instance_message_id")).alias("nid"),
-                    (-F.col("iteration")).alias("nit"),
-                ),
-            ).alias("value")
-        )
-    )
-    start_state = (
-        arguments.select(*SERIES_KEY)
-        .join(F.broadcast(asof), SERIES_KEY, "left")
-        .select(
-            *SERIES_KEY,
-            F.lit(start_instance_message_id).cast("long").alias(
-                "instance_message_id"
-            ),
-            F.coalesce("value", F.lit(default_value)).alias("value"),
-        )
+    # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29);
+    # same aggregation, over the shared cached base scan.
+    start_state = _scalar_state(
+        base, arguments, start_instance_message_id, default_value
+    ).select(
+        *SERIES_KEY,
+        F.lit(start_instance_message_id).cast("long").alias(
+            "instance_message_id"
+        ),
+        "value",
     )
 
     updates = (

@@ -725,6 +725,36 @@ LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
 """
 
 
+def q_multiple_fields_state(spark, sf_dir):
+    """plans.get_multiple_fields_history
+    (SQL/GetMultipleFieldsHistory.sql): scalar per-series state at 40%
+    of the log — the start_table that seeds GetUpdateHistory."""
+    from .plans.queries import get_multiple_fields_history
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("max(event_id) * 2 DIV 5")).collect()[0][0]
+    args = _domain_args(spark, with_filters=False)
+    return get_multiple_fields_history(_domain_log(ev), args, int(cut))
+
+
+SQL_MULTIPLE_FIELDS_STATE = """
+WITH cut AS (SELECT max(event_id) * 2 // 5 AS c FROM events),
+args(uevol_field_id, src_id, dst_id) AS (
+  VALUES ('click', CAST(7 AS BIGINT), 0),
+         ('purchase', CAST(7 AS BIGINT), 0),
+         ('error', CAST(999999 AS BIGINT), 0)
+)
+SELECT a.uevol_field_id, a.src_id, a.dst_id,
+       coalesce((
+         SELECT ev.value FROM events ev
+         WHERE ev.event_type = a.uevol_field_id AND ev.user_id = a.src_id
+           AND ev.event_id <= (SELECT c FROM cut)
+         ORDER BY ev.event_id DESC LIMIT 1), -1.0) AS value
+FROM args a
+ORDER BY a.uevol_field_id, a.src_id, a.dst_id
+"""
+
+
 def q_update_history_dense(spark, sf_dir):
     """plans.get_update_history (SQL/GetUpdateHistory.sql): dense LOCF
     value matrix (long format) for the requested series over the
@@ -2194,6 +2224,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_sum": q_running_sum,
     "daily_rollup": q_daily_rollup,
     "multiple_fields_asof": q_multiple_fields_asof,
+    "multiple_fields_state": q_multiple_fields_state,
     "update_history_dense": q_update_history_dense,
     "message_snapshot_delta": q_message_snapshot_delta,
     "retrieve_field_window": q_retrieve_field_window,
@@ -2255,6 +2286,7 @@ ORACLE_SQL: dict[str, str] = {
     "running_sum": SQL_RUNNING_SUM,
     "daily_rollup": SQL_DAILY_ROLLUP,
     "multiple_fields_asof": SQL_MULTIPLE_FIELDS_ASOF,
+    "multiple_fields_state": SQL_MULTIPLE_FIELDS_STATE,
     "update_history_dense": SQL_UPDATE_HISTORY_DENSE,
     "message_snapshot_delta": SQL_MESSAGE_SNAPSHOT_DELTA,
     "retrieve_field_window": SQL_RETRIEVE_FIELD_WINDOW,

@@ -342,6 +342,38 @@ def test_get_update_history_pivot_and_filter(spark, domain):
         assert r.value is None or r.value >= 0
 
 
+def test_get_multiple_fields_history_scalar_state(spark):
+    """The start_table shape (SQL/GetMultipleFieldsHistory.sql:358-369):
+    one scalar per series — the MIN relative_path's latest value ≤ the
+    target; default for untouched series."""
+    from alstom_spark_cassandra_spark.plans.queries import (
+        get_multiple_fields_history,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # series 1: nested paths — "000" is the scalar row
+            (1, 0, 0, 10, "000", 0, 100),
+            (1, 0, 0, 20, "000.001", 0, 777),  # later but deeper path
+            (1, 0, 0, 15, "000", 0, 150),
+            (1, 0, 0, 99, "000", 0, 999),  # after the cut
+            # series 2: only a deep path
+            (2, 0, 0, 12, "001", 0, 55),
+        ],
+        "uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, relative_path string, iteration int,"
+        " new_value long",
+    )
+    args = make_arguments(spark, [1, 2, 3], [0, 0, 0], [0, 0, 0])
+    got = {
+        r.uevol_field_id: r.value
+        for r in get_multiple_fields_history(log, args, 30).collect()
+    }
+    assert got[1] == 150.0  # latest "000" row ≤ 30, not the deeper path
+    assert got[2] == 55.0   # min path present is "001"
+    assert got[3] == -1.0   # no update yet -> default
+
+
 def test_get_update_history_pivot_with_wildcard_args(spark, domain):
     """Wildcard arguments reach the pivot path with arg_rows unknown
     (regression: the series-name fallback referenced a variable the
