@@ -100,6 +100,37 @@ def main():
         print(json.dumps(res))
         ev.unpersist()
 
+    # exact-sum probe at the largest size: order-independent exact
+    # aggregation via DECIMAL(28,6) (boxed BigDecimal buffer) vs the
+    # split-long formulation (two codegen long sums) vs plain double
+    # (inexact; the floor)
+    n = int(sizes_m[-1] * 1_000_000)
+    ex = synth_events(spark, n, n_users=1000).cache()
+    ex.count()
+    keys = ["user_id", "event_type"]
+    dec = timed(
+        ex.groupBy(*keys).agg(F.sum(F.col("value").cast("decimal(28,6)")))
+    )
+    hi = F.floor(F.col("value"))
+    lo = F.floor(F.col("value") * 1e6 + F.lit(0.5)) - hi * F.lit(1_000_000)
+    split = timed(
+        ex.groupBy(*keys).agg(
+            (F.sum(hi).cast("double") + F.sum(lo).cast("double") / 1e6)
+        )
+    )
+    dbl = timed(ex.groupBy(*keys).agg(F.sum("value")))
+    print(
+        json.dumps(
+            {
+                "exact_sum_rows_millions": sizes_m[-1],
+                "decimal_28_6": dec,
+                "split_long": split,
+                "plain_double": dbl,
+            }
+        )
+    )
+    ex.unpersist()
+
     # skew probe at the largest size: plain vs salted aggregation over
     # a key distribution where one user owns half the rows
     n = int(sizes_m[-1] * 1_000_000)
