@@ -943,7 +943,12 @@ def q_message_snapshot_delta(spark, sf_dir):
                 ).alias("json_value"),
             )
         )
-    srows = snaps[0].unionByName(snaps[1])
+    # get_message consumes snapshot rows in several subtrees
+    # (same/diff, changed seeds, no-update-yet); in the reference they
+    # are STORED per-epoch tables (SQL/GetMessage.sql:60-70), so
+    # materialize the derived snapshots once instead of recomputing
+    # the argmax window per consumer.
+    srows = snaps[0].unionByName(snaps[1]).cache()
 
     fields = (
         ev.select("event_type")
