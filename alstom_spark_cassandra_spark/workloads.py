@@ -1845,6 +1845,64 @@ ORDER BY doc_id, rank
 """
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing for pretraining batches: documents are packed
+    contiguously into 2048-token bins (a doc starts in the bin where
+    the running token count left off — boundary-straddling, as packed
+    pretraining actually works). Packing is SHARD-LOCAL (1000 docs per
+    shard): each shard packs independently, so the running-sum window
+    is partitioned and the op parallelizes at corpus scale instead of
+    serializing through one global cumulative sum. Integer-only
+    output: per-bin doc count and token sum."""
+    from .functions.text_funcs import tokens
+
+    budget = 2048
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / 1000).cast("long").alias("shard"),
+        F.size(tokens(F.col("text"))).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = docs.withColumn(
+        "bin", ((F.sum("tok").over(w) - F.col("tok")) / budget).cast("long")
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id // 1000 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, shard, tok,
+         (sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - tok) // 2048 AS bin
+  FROM toks
+)
+SELECT shard, bin, count(*) AS n_docs, sum(tok) AS sum_tokens,
+       min(doc_id) AS first_doc
+FROM binned
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Text-analysis suite: token count, fingerprint, quality,
     language-ID per document."""
@@ -2259,6 +2317,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_frequency": q_term_frequency,
     "distinctive_terms": q_distinctive_terms,
     "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
     "train_split": q_train_split,
     "stream_latest_state": q_stream_latest_state,
     "token_estimate": q_token_estimate,
@@ -2321,6 +2380,7 @@ ORACLE_SQL: dict[str, str] = {
     "term_frequency": SQL_TERM_FREQUENCY,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "sequence_pack": SQL_SEQUENCE_PACK,
     "train_split": SQL_TRAIN_SPLIT,
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
     "token_estimate": SQL_TOKEN_ESTIMATE,
