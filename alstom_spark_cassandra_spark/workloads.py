@@ -947,7 +947,10 @@ def q_message_snapshot_delta(spark, sf_dir):
     # (same/diff, changed seeds, no-update-yet); in the reference they
     # are STORED per-epoch tables (SQL/GetMessage.sql:60-70), so
     # materialize the derived snapshots once instead of recomputing
-    # the argmax window per consumer.
+    # the argmax window per consumer. The cache pins for the session
+    # (the returned plan references it, so it cannot be unpersisted
+    # here) — bounded by series cardinality × 2 epochs, and identical
+    # plans share one cache entry across reruns.
     srows = snaps[0].unionByName(snaps[1]).cache()
 
     fields = (
@@ -1859,7 +1862,7 @@ def q_sequence_pack(spark, sf_dir):
     budget = 2048
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") / 1000).cast("long").alias("shard"),
+        F.expr("doc_id DIV 1000").alias("shard"),
         F.size(tokens(F.col("text"))).alias("tok"),
     )
     w = (
@@ -1867,9 +1870,11 @@ def q_sequence_pack(spark, sf_dir):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # integer DIV, not fp-divide+cast: exact at any scale, matching
+    # the oracle's // semantics past 2^53
     binned = docs.withColumn(
-        "bin", ((F.sum("tok").over(w) - F.col("tok")) / budget).cast("long")
-    )
+        "cum", F.sum("tok").over(w)
+    ).withColumn("bin", F.expr(f"(cum - tok) DIV {budget}"))
     return (
         binned.groupBy("shard", "bin")
         .agg(

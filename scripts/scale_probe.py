@@ -111,13 +111,11 @@ def main():
     dec = timed(
         ex.groupBy(*keys).agg(F.sum(F.col("value").cast("decimal(28,6)")))
     )
-    hi = F.floor(F.col("value"))
-    lo = F.floor(F.col("value") * 1e6 + F.lit(0.5)) - hi * F.lit(1_000_000)
-    split = timed(
-        ex.groupBy(*keys).agg(
-            (F.sum(hi).cast("double") + F.sum(lo).cast("double") / 1e6)
-        )
-    )
+    # the engine's own formulation — import, don't copy, so the probe
+    # keeps measuring what the engine actually runs
+    from alstom_spark_cassandra_spark.workloads import _dsum_parts
+
+    split = timed(ex.groupBy(*keys).agg(_dsum_parts(F.col("value"))))
     dbl = timed(ex.groupBy(*keys).agg(F.sum("value")))
     print(
         json.dumps(
