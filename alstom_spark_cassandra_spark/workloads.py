@@ -1812,10 +1812,13 @@ def q_distinctive_terms(spark, sf_dir):
     terms = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # derive df from tf (one row per (doc, term)) instead of a second
-    # explode of the corpus: Spark shares no common subtrees across a
-    # join's inputs, so the alternative tokenizes everything twice
+    # tf feeds both join sides (df is derived from it — one row per
+    # (doc, term)); Spark shares no common subtrees across a join's
+    # inputs, so cache the aggregate or the corpus is tokenized and
+    # re-aggregated once per side
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).cache()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
