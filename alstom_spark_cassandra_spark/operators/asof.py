@@ -22,7 +22,7 @@ partial+final aggregation — no wide shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,3 +89,62 @@ def asof_snapshot_pair(
     # branch; no snap_min = target precedes the first snapshot (the
     # caller decides whether to fall back to a log-only replay).
     return below.join(above, F.lit(True), "full")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_on: str,
+    right_on: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic backward as-of join: attach to every left row the
+    `value_cols` of the LATEST right row with right_on ≤ left_on,
+    per `on` keys (no prior right row → nulls, like an ASOF LEFT
+    JOIN). The reference's Q2 is this op specialized to the change
+    log (latest field update at a message id, RetrieveMessage.java:
+    92-108's correlated lookup); exposing it generically covers
+    event-to-dimension-version alignment.
+
+    Plan shape: union both sides (right rows carry the payload, left
+    rows a null payload), one window per key carries the last payload
+    forward, keep the left rows — one shuffle + one sort, never the
+    O(|left|×|right|) pair space of a naive range join, and ties
+    (right_on == left_on) resolve INCLUSIVE because right rows sort
+    before left rows at the same instant.
+    """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with left columns — "
+            "rename on the right side first"
+        )
+    payload = [f"__asof_{c}" for c in value_cols]
+    l2 = left.withColumn("__ord", F.col(left_on)).withColumn(
+        "__side", F.lit(1)
+    )
+    r2 = (
+        right.select(
+            *on,
+            F.col(right_on).alias("__ord"),
+            *[F.col(c).alias(p) for c, p in zip(value_cols, payload)],
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ord", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(p, ignorenulls=True).over(w).alias(c)
+            for c, p in zip(value_cols, payload)
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop(
+        "__ord", "__side", *payload
+    )

@@ -755,6 +755,52 @@ ORDER BY a.uevol_field_id, a.src_id, a.dst_id
 """
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Generic backward as-of join (operators/asof.asof_join): every
+    purchase event picks up the user's latest at-or-before signup
+    (event id + value) — event-to-dimension-version alignment, the
+    union+window formulation that never materializes the range-join
+    pair space. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("value").alias("signup_value"),
+    )
+    return (
+        asof_join(
+            purchases,
+            signups,
+            on=["user_id"],
+            left_on="event_id",
+            right_on="event_id",
+            value_cols=["signup_event_id", "signup_value"],
+        )
+        .select(
+            "user_id", "event_id", "value", "signup_event_id", "signup_value"
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+SQL_ASOF_JOIN_EVENTS = """
+SELECT p.user_id, p.event_id, p.value,
+       s.event_id AS signup_event_id, s.value AS signup_value
+FROM (SELECT user_id, event_id, value FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, event_id, value FROM events
+                WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.event_id >= s.event_id
+ORDER BY p.user_id, p.event_id
+"""
+
+
 def q_update_history_dense(spark, sf_dir):
     """plans.get_update_history (SQL/GetUpdateHistory.sql): dense LOCF
     value matrix (long format) for the requested series over the
@@ -2281,6 +2327,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_per_key": q_latest_per_key,
     "field_window": q_field_window,
     "asof_bounds": q_asof_bounds,
+    "asof_join_events": q_asof_join_events,
     "reconstruct_message": q_reconstruct_message,
     "anti_join": q_anti_join,
     "semi_join": q_semi_join,
@@ -2344,6 +2391,7 @@ ORACLE_SQL: dict[str, str] = {
     "latest_per_key": SQL_LATEST_PER_KEY,
     "field_window": SQL_FIELD_WINDOW,
     "asof_bounds": SQL_ASOF_BOUNDS,
+    "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "reconstruct_message": SQL_RECONSTRUCT_MESSAGE,
     "anti_join": SQL_ANTI_JOIN,
     "semi_join": SQL_SEMI_JOIN,

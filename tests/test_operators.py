@@ -215,3 +215,34 @@ def test_locf_pivot_matrix(spark):
     assert rows[1] == (10.0, None)
     assert rows[2] == (10.0, 20.0)
     assert rows[3] == (30.0, 20.0)
+
+
+def test_asof_join_backward_inclusive(spark):
+    from alstom_spark_cassandra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 2), (1, 5), (1, 9), (2, 4)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 5, 50.0), (1, 7, 70.0), (3, 1, 99.0)],
+        "k int, t long, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_on="t", right_on="t", value_cols=["v"]
+    )
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got[(1, 2)] == 10.0   # latest right at-or-before 2
+    assert got[(1, 5)] == 50.0   # tie is inclusive
+    assert got[(1, 9)] == 70.0
+    assert got[(2, 4)] is None   # no right rows for this key
+    assert len(got) == 4         # every left row survives
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest as _pytest
+
+    from alstom_spark_cassandra_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 2, 3.0)], "k int, t long, v double")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on=["k"], left_on="t", right_on="t", value_cols=["v"])
