@@ -1897,6 +1897,68 @@ ORDER BY doc_id, rank
 """
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus curation as ONE lazy plan: quality-filter
+    (band score ≥ 0.65 — the {0.7, 1.0} bands; no value lands near
+    the threshold) → exact dedup (min doc_id wins) → content-addressed
+    90/10 split → per-split stats. The composition is the point: a
+    corpus pass that filters, dedups and splits in a single scan-shaped
+    pipeline with one aggregation at the end, no intermediate
+    materialization."""
+    from .functions.text_funcs import quality_score, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        quality_score(F.col("text"), toks).alias("q"),
+    ).filter(F.col("q") >= 0.65)
+    kept = dedup_exact(scored, "text", "doc_id")
+    return (
+        hash_split(kept, "text")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_CORPUS_PIPELINE = rf"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, len(t) AS n_tokens FROM toks
+  WHERE round(
+    (CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END) +
+    (CASE WHEN len(t) > 0
+          AND length(array_to_string(t, '')) * 1.0 / len(t)
+              BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END) +
+    (CASE WHEN len(list_filter(t,
+            x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) > 0
+          THEN 0.3 ELSE 0.0 END), 2) >= 0.65
+),
+dedup AS (
+  SELECT s.* FROM scored s
+  JOIN (SELECT min(doc_id) AS doc_id FROM scored GROUP BY text) w
+    USING (doc_id)
+)
+SELECT CASE WHEN substr(md5('split-v1' || text), 1, 4) < 'e666'
+            THEN 'train' ELSE 'eval' END AS split,
+       count(*) AS n, sum(n_tokens) AS sum_tokens,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM dedup
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_sequence_pack(spark, sf_dir):
     """Sequence packing for pretraining batches: documents are packed
     contiguously into 2048-token bins (a doc starts in the bin where
@@ -2373,6 +2435,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinctive_terms": q_distinctive_terms,
     "stratified_sample": q_stratified_sample,
     "sequence_pack": q_sequence_pack,
+    "corpus_pipeline": q_corpus_pipeline,
     "train_split": q_train_split,
     "stream_latest_state": q_stream_latest_state,
     "token_estimate": q_token_estimate,
@@ -2437,6 +2500,7 @@ ORACLE_SQL: dict[str, str] = {
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "sequence_pack": SQL_SEQUENCE_PACK,
+    "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "train_split": SQL_TRAIN_SPLIT,
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
     "token_estimate": SQL_TOKEN_ESTIMATE,
