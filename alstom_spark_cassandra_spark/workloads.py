@@ -2278,6 +2278,69 @@ ORDER BY user_id, event_type
 """
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a STREAM
+    (streaming/live_state.windowed_event_counts): daily event counts
+    and exact value sums per event_type, replayed availableNow into a
+    complete-mode memory sink. Oracle: the same windows computed as a
+    plain batch GROUP BY — the watermark path must converge to the
+    batch answer once the stream drains."""
+    import uuid
+
+    from .streaming.live_state import windowed_event_counts
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # ts is long nanos (nanosAsLong); windowing needs a timestamp
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = windowed_event_counts(src, window="1 day", watermark="1 day")
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_windowed_counts did not drain in 300s")
+    out = spark.table(name)
+    hi, lo = _split_parts(F.col("sum_value"))
+    return (
+        out.select(
+            F.col("window.start").cast("date").cast("string").alias("day"),
+            "event_type",
+            "n",
+            half_up(
+                hi.cast("double") + lo.cast("double") / F.lit(float(_FRAC)), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# The stream sums doubles within each (day, type) group; group sums are
+# small enough (≤ tens of thousands of 2-decimal values) that the
+# half-up rounding to 2 decimals of the float sum is stable, and the
+# per-row split/round on BOTH sides pins the remaining bits.
+SQL_STREAM_WINDOWED_COUNTS = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type, count(*) AS n,
+       floor((CAST(CAST(floor(sum(value)) AS BIGINT) AS DOUBLE)
+              + (CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT)
+                 - CAST(floor(sum(value)) AS BIGINT) * 1000000) / 1000000.0)
+             * 100 + 0.5) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """Audio branch of the multimodal plumbing: same binary-payload
     shape, decoded by the deterministic stub kernel (16-bit-PCM fake —
@@ -2438,6 +2501,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "train_split": q_train_split,
     "stream_latest_state": q_stream_latest_state,
+    "stream_windowed_counts": q_stream_windowed_counts,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -2503,6 +2567,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "train_split": SQL_TRAIN_SPLIT,
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
+    "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
