@@ -98,6 +98,7 @@ def asof_join(
     left_on: str,
     right_on: str,
     value_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Generic backward as-of join: attach to every left row the
     `value_cols` of the LATEST right row with right_on ≤ left_on,
@@ -113,6 +114,13 @@ def asof_join(
     O(|left|×|right|) pair space of a naive range join, and ties
     (right_on == left_on) resolve INCLUSIVE because right rows sort
     before left rows at the same instant.
+
+    Two RIGHT rows with equal (on, right_on) have no defined winner in
+    the sort order alone; `right_tiebreak` names a right column that
+    orders such ties deterministically (the LARGEST tiebreak wins,
+    mirroring latest_per_key's iteration tiebreak). Without it, equal
+    right keys resolve to whichever row the shuffle happened to order
+    last — fine only when (on, right_on) is unique on the right.
     """
     clash = set(value_cols) & set(left.columns)
     if clash:
@@ -124,18 +132,22 @@ def asof_join(
     l2 = left.withColumn("__ord", F.col(left_on)).withColumn(
         "__side", F.lit(1)
     )
-    r2 = (
-        right.select(
-            *on,
-            F.col(right_on).alias("__ord"),
-            *[F.col(c).alias(p) for c, p in zip(value_cols, payload)],
-        )
-        .withColumn("__side", F.lit(0))
-    )
+    r_cols = [
+        *on,
+        F.col(right_on).alias("__ord"),
+        *[F.col(c).alias(p) for c, p in zip(value_cols, payload)],
+    ]
+    order = [F.col("__ord").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        # left rows carry a null __tb; __side already separates sides
+        # at equal __ord, so the tiebreak only orders right-vs-right
+        r_cols.append(F.col(right_tiebreak).alias("__tb"))
+        order.append(F.col("__tb").asc_nulls_first())
+    r2 = right.select(*r_cols).withColumn("__side", F.lit(0))
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ord", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
@@ -146,5 +158,5 @@ def asof_join(
         ],
     )
     return filled.filter(F.col("__side") == 1).drop(
-        "__ord", "__side", *payload
+        "__ord", "__side", "__tb", *payload
     )

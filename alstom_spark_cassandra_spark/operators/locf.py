@@ -51,6 +51,7 @@ def locf_pivot(
     series_key_col: str,
     value_col: str = "value",
     series_values: Sequence[str] | None = None,
+    max_order_keys: int | None = 100_000,
 ) -> DataFrame:
     """Dense history matrix: one row per `order_col`, one column per
     series, nulls carried forward.
@@ -60,7 +61,27 @@ def locf_pivot(
     the series key into `series_key_col`. Passing `series_values`
     (the reference always knows its argument list) avoids the extra
     distinct-collect job Spark needs for an open pivot.
+
+    PRESENTATION-ONLY: the forward-fill window below is global (the
+    whole matrix passes through ONE task) — that is inherent to
+    "one row per instant, one column per series", the reference's own
+    scalability ceiling (SURVEY.md §7.4). `max_order_keys` is the
+    guard rail: the pivot refuses to build a matrix taller than the
+    cap instead of silently serializing a full log through a single
+    partition. Set None only when the caller already bounded the
+    input (as get_update_history does, filling per-series BEFORE the
+    pivot).
     """
+    if max_order_keys is not None:
+        n = df.select(order_col).distinct().count()
+        if n > max_order_keys:
+            raise ValueError(
+                f"locf_pivot: {n} distinct {order_col!r} keys exceeds the "
+                f"max_order_keys cap ({max_order_keys}); the dense matrix "
+                "fills through a single-partition window. Use locf() (long "
+                "form, partitioned by series) at scale, or raise the cap "
+                "deliberately."
+            )
     pivoted = (
         df.groupBy(order_col)
         .pivot(series_key_col, list(series_values) if series_values else None)

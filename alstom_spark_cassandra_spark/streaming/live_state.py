@@ -33,15 +33,26 @@ def latest_value_stream(
     series_cols: list[str],
     order_col: str = "instance_message_id",
     value_col: str = "new_value",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Maintain the current value per series over a stream of updates.
 
     Use with outputMode("update") (or "complete"): each microbatch
     emits the changed series rows.
+
+    `tiebreak_col` resolves equal-`order_col` updates exactly like the
+    batch `latest_per_key` tiebreak (domain: iteration,
+    DataLoader.java:65) — without it, duplicate clocks resolve
+    arbitrarily and online/batch modes can disagree.
     """
+    ordk = (
+        F.struct(F.col(order_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(order_col)
+    )
     return stream.groupBy(*series_cols).agg(
         F.max(order_col).alias("last_update_id"),
-        F.max_by(value_col, order_col).alias("current_value"),
+        F.max_by(value_col, ordk).alias("current_value"),
     )
 
 
@@ -53,7 +64,7 @@ CHANGE_COUNT_SCHEMA = T.StructType(
         T.StructField("last_update_id", T.LongType()),
     ]
 )
-_STATE_SCHEMA = "value long, n long, last_id long"
+_STATE_SCHEMA = "value long, n long, last_id long, last_tb long"
 
 
 def stateful_latest_value(
@@ -61,6 +72,7 @@ def stateful_latest_value(
     key_col: str = "uevol_field_id",
     order_col: str = "instance_message_id",
     value_col: str = "new_value",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-series
     (current value, total update count, last update id), maintained
@@ -68,26 +80,36 @@ def stateful_latest_value(
 
     This is the op the built-in `max_by` aggregation can't express —
     the cumulative n_updates_total requires explicit state carried
-    between batches. State per key is 3 longs; use the TTL variant of
+    between batches. State per key is 4 longs; use the TTL variant of
     GroupStateTimeout in deployments where series churn (the
     reference's catalog is bounded, so NoTimeout is safe there).
+
+    Equal-`order_col` updates compare on (order_col, tiebreak_col) —
+    the same total order as the batch `latest_per_key` — so a
+    duplicate clock cannot make online state diverge from a batch
+    replay. Without `tiebreak_col` the tiebreak is 0 for every row
+    and the >= compare keeps the last row of the batch-local sort
+    (exactly the old behavior, defined only when clocks are unique).
     """
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            value, n, last_id = state.get
+            value, n, last_id, last_tb = state.get
         else:
-            value, n, last_id = None, 0, -1
+            value, n, last_id, last_tb = None, 0, -1, -1
         for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
+            cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(cols, kind="stable")
             n += len(pdf)
             newest = pdf.iloc[-1]
-            if int(newest[order_col]) >= last_id:
+            tb = int(newest[tiebreak_col]) if tiebreak_col else 0
+            if (int(newest[order_col]), tb) >= (last_id, last_tb):
                 last_id = int(newest[order_col])
+                last_tb = tb
                 value = int(newest[value_col])
-        state.update((value, n, last_id))
+        state.update((value, n, last_id, last_tb))
         yield pd.DataFrame(
             {
                 "uevol_field_id": [key[0]],

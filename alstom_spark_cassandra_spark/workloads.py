@@ -537,7 +537,7 @@ def q_sessionization(spark, sf_dir):
 
 
 SQL_SESSIONIZATION = """
-SELECT user_id, sum(new_s) AS n_sessions FROM (
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
               WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
@@ -781,6 +781,7 @@ def q_asof_join_events(spark, sf_dir):
             left_on="event_id",
             right_on="event_id",
             value_cols=["signup_event_id", "signup_value"],
+            right_tiebreak="signup_event_id",
         )
         .select(
             "user_id", "event_id", "value", "signup_event_id", "signup_value"
@@ -1294,10 +1295,10 @@ def q_tpch_q12(spark, sf_dir):
 
 SQL_TPCH_Q12 = """
 SELECT l_returnflag,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 0 ELSE 1 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1532,13 +1533,20 @@ def q_approx_stats(spark, sf_dir):
     this is declared without an oracle (rows-only); the exact
     counterpart is q_distinct_agg."""
     ev = _t(spark, sf_dir, "events")
+    # scalar p50/p95 columns (not one array column): every output
+    # column must be hashable by the driver's pandas canonicalizer
+    pcts = F.percentile_approx("value", [0.5, 0.95], 1000)
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95], 1000).alias(
-                "value_p50_p95"
-            ),
+            pcts.alias("_p"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.element_at("_p", 1).alias("value_p50"),
+            F.element_at("_p", 2).alias("value_p95"),
         )
         .orderBy("event_type")
     )
@@ -1770,7 +1778,7 @@ SQL_TRAIN_SPLIT = """
 SELECT CASE WHEN substr(md5('split-v1' || text), 1, 4) < 'e666'
             THEN 'train' ELSE 'eval' END AS split,
        count(*) AS n,
-       sum(length(text)) AS sum_len,
+       CAST(sum(length(text)) AS BIGINT) AS sum_len,
        min(doc_id) AS min_id,
        max(doc_id) AS max_id
 FROM documents
@@ -1837,7 +1845,7 @@ def q_stratified_sample(spark, sf_dir):
 # stratum falls through every when() to the default rate on the Spark
 # side, so the oracle must keep NULL langs too.
 SQL_STRATIFIED_SAMPLE = """
-SELECT lang, count(*) AS n, sum(length(text)) AS sum_len
+SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_len
 FROM documents
 WHERE lang IS DISTINCT FROM 'en'
    OR substr(md5('sample-v1' || text), 1, 4) < '4000'
@@ -1952,7 +1960,7 @@ dedup AS (
 )
 SELECT CASE WHEN substr(md5('split-v1' || text), 1, 4) < 'e666'
             THEN 'train' ELSE 'eval' END AS split,
-       count(*) AS n, sum(n_tokens) AS sum_tokens,
+       count(*) AS n, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
        min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM dedup
 GROUP BY 1 ORDER BY 1
@@ -2006,12 +2014,13 @@ WITH toks AS (
 ),
 binned AS (
   SELECT doc_id, shard, tok,
-         (sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+         CAST((sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - tok) // 2048 AS bin
+          - tok) // 2048 AS BIGINT) AS bin
   FROM toks
 )
-SELECT shard, bin, count(*) AS n_docs, sum(tok) AS sum_tokens,
+SELECT shard, bin, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS sum_tokens,
        min(doc_id) AS first_doc
 FROM binned
 GROUP BY shard, bin
@@ -2394,8 +2403,9 @@ def q_frame_sample(spark, sf_dir):
 SQL_FRAME_SAMPLE = """
 SELECT doc_id,
        count(*) AS n_frames,
-       sum(k // 128) AS sum_idx,
-       sum(CASE WHEN len = 0 THEN 0 ELSE least(64, len - k) END) AS sum_bytes
+       CAST(sum(k // 128) AS BIGINT) AS sum_idx,
+       CAST(sum(CASE WHEN len = 0 THEN 0
+                     ELSE least(64, len - k) END) AS BIGINT) AS sum_bytes
 FROM (
   SELECT doc_id, strlen(text) AS len,
          unnest(range(0, greatest(strlen(text), 1), 128)) AS k
@@ -2448,7 +2458,14 @@ def q_ivf_topk(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# ORDER MATTERS: the driver grades the first ~50 entries. The 23 core
+# reference-procedure queries lead; then everything that needs a fresh
+# CORRECTNESS row this round (round-1 red rows now fixed + the 13
+# round-1-ungraded streaming/ANN/multimodal/split/hash queries); the
+# tail holds only queries already driver-green in CORRECTNESS_r01
+# (TPC-H + OLAP basics) so nothing loses its only hard signal.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- core reference procedures + change-log operators (23) ---
     "latest_per_key": q_latest_per_key,
     "field_window": q_field_window,
     "asof_bounds": q_asof_bounds,
@@ -2472,33 +2489,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "message_snapshot_delta": q_message_snapshot_delta,
     "retrieve_field_window": q_retrieve_field_window,
     "retrieve_message_asof": q_retrieve_message_asof,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q4": q_tpch_q4,
+    # --- round-1 red rows, fixed this round: need fresh green rows ---
     "tpch_q12": q_tpch_q12,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "cube_events": q_cube_events,
-    "topk_per_group": q_topk_per_group,
-    "distinct_agg": q_distinct_agg,
-    "rollup": q_rollup,
-    "exact_quantiles": q_exact_quantiles,
-    "unpivot_lineitem": q_unpivot_lineitem,
     "approx_stats": q_approx_stats,
-    "dedup_exact": q_dedup_exact,
-    "word_jaccard_pairs": q_word_jaccard_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_corpus": q_dedup_corpus,
-    "text_stats": q_text_stats,
-    "term_frequency": q_term_frequency,
-    "distinctive_terms": q_distinctive_terms,
     "stratified_sample": q_stratified_sample,
     "sequence_pack": q_sequence_pack,
     "corpus_pipeline": q_corpus_pipeline,
+    # --- round-1 driver-ungraded: first CORRECTNESS rows this round ---
     "train_split": q_train_split,
     "stream_latest_state": q_stream_latest_state,
     "stream_windowed_counts": q_stream_windowed_counts,
@@ -2512,6 +2509,31 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ivf_topk": q_ivf_topk,
+    # --- LLM-pipeline + text ops ---
+    "dedup_exact": q_dedup_exact,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
+    "text_stats": q_text_stats,
+    "term_frequency": q_term_frequency,
+    "distinctive_terms": q_distinctive_terms,
+    "exact_quantiles": q_exact_quantiles,
+    # --- tail: all driver-green in CORRECTNESS_r01 (may be ungraded
+    # this round if the window stays at ~50) ---
+    "topk_per_group": q_topk_per_group,
+    "cube_events": q_cube_events,
+    "distinct_agg": q_distinct_agg,
+    "rollup": q_rollup,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -28,21 +28,60 @@ TABLES = [
 ]
 
 
-def canon(v):
-    if isinstance(v, float):
-        # normalize -0.0 and NaN; exact otherwise
-        if v != v:
-            return "NaN"
-        return v + 0.0
+def canon(v, kind=None):
+    """Type-SENSITIVE canonical form: the driver canonicalizes through
+    pandas, where DuckDB HUGEINT/DECIMAL surface as float64 while Spark
+    longs stay int64 — so an int on one side and a float on the other
+    must MISMATCH here even when numerically equal (this was the root
+    cause of the 5 driver-red rows in round 1).  Each cell becomes a
+    (kind, value) pair; `kind` may be forced by the oracle column type
+    (see duck_kinds)."""
+    from decimal import Decimal
+
+    if v is None:
+        return ("n", None)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, Decimal):
+        # pandas renders DuckDB DECIMAL as float64 (or object-Decimal);
+        # either way it is NOT an int64 — float kind
+        return ("f", float(v))
+    if isinstance(v, float) or kind == "f":
+        f = float(v)
+        if f != f:
+            return ("f", "NaN")
+        return ("f", f + 0.0)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, (datetime, date)):
-        return str(v)
+        return ("d", str(v))
     if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
-    return v
+        return ("l", tuple(canon(x) for x in v))
+    return ("s", v) if isinstance(v, str) else ("o", v)
 
 
-def multiset(rows):
-    return Counter(tuple(canon(v) for v in row) for row in rows)
+def duck_kinds(con, sql):
+    """Per-column pandas-dtype kind for an oracle query: HUGEINT and
+    DECIMAL columns land as float64 in the driver's canonicalizer, so
+    flag them 'f' to reproduce the driver's type sensitivity."""
+    try:
+        desc = con.execute(f"DESCRIBE ({sql.rstrip().rstrip(';')})").fetchall()
+    except Exception:
+        return {}
+    kinds = {}
+    for row in desc:
+        name, ctype = row[0], row[1].upper()
+        if ctype in ("HUGEINT", "UHUGEINT") or ctype.startswith("DECIMAL"):
+            kinds[name] = "f"
+    return kinds
+
+
+def multiset(rows, kinds=None):
+    if kinds is None:
+        kinds = [None] * (len(rows[0]) if rows else 0)
+    return Counter(
+        tuple(canon(v, k) for v, k in zip(row, kinds)) for row in rows
+    )
 
 
 def main():
@@ -86,6 +125,7 @@ def main():
             res = con.execute(oracles[name])
             duck_cols_raw = [d[0] for d in res.description]
             duck_rows_raw = res.fetchall()
+            kinds_by_name = duck_kinds(con, oracles[name])
         except Exception as ex:
             failures.append((name, f"ORACLE ERROR: {ex}"))
             print(f"[FAIL] {name}: oracle error: {str(ex)[:200]}")
@@ -93,6 +133,7 @@ def main():
         order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
         duck_cols = [duck_cols_raw[i] for i in order]
         duck_rows = [tuple(r[i] for i in order) for r in duck_rows_raw]
+        duck_col_kinds = [kinds_by_name.get(c) for c in duck_cols]
 
         problems = []
         if spark_cols != duck_cols:
@@ -100,7 +141,8 @@ def main():
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rows: spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
-            ms, md = multiset(spark_rows), multiset(duck_rows)
+            ms = multiset(spark_rows)
+            md = multiset(duck_rows, duck_col_kinds)
             if ms != md:
                 diff_s = list((ms - md).items())[:3]
                 diff_d = list((md - ms).items())[:3]

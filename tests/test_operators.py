@@ -217,6 +217,27 @@ def test_locf_pivot_matrix(spark):
     assert rows[3] == (30.0, 20.0)
 
 
+def test_locf_pivot_guard_rejects_tall_matrix(spark):
+    """The dense matrix fills through ONE partition — the guard must
+    refuse to build it above the order-key cap (SURVEY §7.4 trap)."""
+    import pytest as _pytest
+
+    df = spark.range(50).selectExpr(
+        "id AS t", "'s1' AS series", "CAST(id AS double) AS value"
+    )
+    with _pytest.raises(ValueError, match="max_order_keys"):
+        locf_pivot(
+            df, "t", "series", "value",
+            series_values=["s1"], max_order_keys=10,
+        )
+    # under the cap: builds fine
+    out = locf_pivot(
+        df.filter("t < 5"), "t", "series", "value",
+        series_values=["s1"], max_order_keys=10,
+    )
+    assert out.count() == 5
+
+
 def test_asof_join_backward_inclusive(spark):
     from alstom_spark_cassandra_spark.operators.asof import asof_join
 
@@ -236,6 +257,32 @@ def test_asof_join_backward_inclusive(spark):
     assert got[(1, 9)] == 70.0
     assert got[(2, 4)] is None   # no right rows for this key
     assert len(got) == 4         # every left row survives
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    """Two right rows sharing (key, ord): the larger right_tiebreak
+    must win, on every run, regardless of shuffle order."""
+    from alstom_spark_cassandra_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5), (1, 9)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 1, 10.0), (1, 5, 2, 20.0), (1, 5, 3, 30.0)],
+        "k int, t long, seq int, v double",
+    ).repartition(8)  # scatter the tied rows across partitions
+    for _ in range(3):
+        out = asof_join(
+            left,
+            right,
+            on=["k"],
+            left_on="t",
+            right_on="t",
+            value_cols=["v"],
+            right_tiebreak="seq",
+        )
+        got = {(r.k, r.t): r.v for r in out.collect()}
+        assert got[(1, 5)] == 30.0  # max seq among the tie
+        assert got[(1, 9)] == 30.0
+    assert not [c for c in out.columns if c.startswith("__")]  # helpers dropped
 
 
 def test_asof_join_rejects_column_collision(spark):

@@ -70,6 +70,74 @@ def test_stateful_latest_value(spark, stream_dir, tmp_path):
     assert rows[2] == (55, 2, 16)
 
 
+def test_duplicate_clock_tiebreak_online_matches_batch(spark, tmp_path):
+    """Two updates sharing (key, instance_message_id) but different
+    iteration: online (max_by tiebreak) and stateful
+    (applyInPandasWithState tuple compare) must both pick the row the
+    batch latest_per_key tiebreak picks."""
+    from alstom_spark_cassandra_spark.operators.latest import latest_per_key
+
+    df = spark.createDataFrame(
+        [
+            # key 1: duplicate clock 10, iterations 1 < 2 -> value 222
+            (1, 10, 1, 111),
+            (1, 10, 2, 222),
+            # key 2: unique clocks, latest wins normally
+            (2, 5, 1, 50),
+            (2, 6, 1, 60),
+        ],
+        "uevol_field_id int, instance_message_id long, iteration int,"
+        " new_value long",
+    )
+    batch = {
+        r.uevol_field_id: r.new_value
+        for r in latest_per_key(
+            df,
+            ["uevol_field_id"],
+            "instance_message_id",
+            tiebreak_cols=["iteration"],
+        ).collect()
+    }
+    assert batch == {1: 222, 2: 60}
+
+    path = str(tmp_path / "tie_src")
+    df.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+
+    agg = latest_value_stream(
+        src, ["uevol_field_id"], tiebreak_col="iteration"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tie_live")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    online = {
+        r.uevol_field_id: r.current_value
+        for r in spark.sql("select * from tie_live").collect()
+    }
+    assert online == batch
+
+    out = stateful_latest_value(src, tiebreak_col="iteration")
+    q2 = (
+        out.writeStream.format("memory")
+        .queryName("tie_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tie"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    stateful = {
+        r.uevol_field_id: r.current_value
+        for r in spark.sql("select * from tie_stateful").collect()
+    }
+    assert stateful == batch
+
+
 def test_windowed_event_counts(spark, tmp_path):
     ev = spark.createDataFrame(
         [
