@@ -514,20 +514,154 @@ def get_multiple_fields(
     arguments: Arguments | DataFrame,
     at_instance_message_id: int,
     default_value: float = -1.0,
+    snapshot_index: DataFrame | None = None,
+    snapshot_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Q2: current value of each requested (field, src, dst) series at
     a message id (reference: SQL/GetMultipleFields.sql).
 
-    Log-only formulation: latest update per requested series ≤ target;
-    series with no update yet get the default (the reference seeds
-    them from snapshots — callers with snapshots should use
-    get_message's machinery per message type). -1 wildcards in the
-    arguments expand against the log's series (J9).
+    Without snapshots: log-only formulation — latest update per
+    requested series ≤ target; series with no update yet get the
+    default. -1 wildcards in the arguments expand against the log's
+    series (J9).
+
+    With `snapshot_index` + `snapshot_rows`: the reference's
+    snapshot-seeded formulation (SQL/GetMultipleFields.sql:44-67
+    snapshot pair, 343-356 no-update-yet ⟕ snapshots) — only the
+    deltas in [nearest snapshot ≤ target, target] are scanned, and a
+    series with no update in that window takes its value from the
+    snapshot instead of the default. On a snapshotted deployment this
+    is both the correct cold-series answer AND the partition-pruning
+    win: the log scan is bounded by one snapshot epoch, not the full
+    history.
     """
     arguments, arg_rows = _resolve_args(arguments, instance_field)
-    return _multiple_fields_resolved(
-        instance_field, arguments, at_instance_message_id, default_value,
+    if snapshot_index is None:
+        return _multiple_fields_resolved(
+            instance_field, arguments, at_instance_message_id, default_value,
+            arg_rows=arg_rows,
+        )
+    if snapshot_rows is None:
+        raise ValueError("snapshot_index given without snapshot_rows")
+    return _multiple_fields_snapshot_seeded(
+        instance_field,
+        snapshot_index,
+        snapshot_rows,
+        arguments,
+        at_instance_message_id,
+        default_value,
         arg_rows=arg_rows,
+    )
+
+
+def _multiple_fields_snapshot_seeded(
+    instance_field: DataFrame,
+    snapshot_index: DataFrame,
+    snapshot_rows: DataFrame,
+    arguments: DataFrame,
+    at_instance_message_id: int,
+    default_value: float,
+    arg_rows: tuple[tuple, ...] | None,
+) -> DataFrame:
+    """Snapshot-seeded Q2 body (arguments already resolved).
+
+    Stages, all one lazy plan after the two tiny scalar lookups:
+      1. snapshot pair around the target
+         (SQL/GetMultipleFields.sql:44-67) — the snap_min epoch bounds
+         the delta scan exactly like the reference's
+         `instance_message_id>=@snap_min_start` reduction (:160-162);
+      2. latest delta per (series, path) in [snap_min_start, target]
+         (:163-199 diff_update_prem/diff_update_rec argmax);
+      3. seed rows from the snapshots for everything the deltas did
+         not touch: snap_min preferred, snap_max only for a series
+         absent from snap_min (the reference's no-update-yet left
+         join against the CONCATENATED snapshot pair, :343-356 — the
+         priority dedup keeps one row where the reference's plain
+         join could emit both epochs');
+      4. series in neither log window nor snapshots -> default
+         sentinel row, same as the log-only path.
+
+    Equivalence invariant (tested): when snapshots are exact
+    latest-state captures of the same log, the result ≡ the log-only
+    full replay.
+    """
+    pair_rows = asof_snapshot_pair(
+        snapshot_index, at_instance_message_id
+    ).collect()
+    if not pair_rows or pair_rows[0]["snap_min_name"] is None:
+        raise ValueError(
+            f"no snapshot at or below instance_message_id="
+            f"{at_instance_message_id}; pass snapshot_index=None for the "
+            "log-only replay instead"
+        )
+    pair = pair_rows[0]
+    snap_min_name = pair["snap_min_name"]
+    snap_min_start = pair["snap_min_start"]
+    snap_max_name = pair["snap_max_name"]
+
+    # 2. deltas bounded to one snapshot epoch — the scan-pruning win.
+    # Inclusive lower bound: re-applying the boundary update is
+    # idempotent under the argmax (same convention as get_message).
+    deltas = _series_restrict(
+        instance_field.filter(
+            (F.col("instance_message_id") >= F.lit(snap_min_start))
+            & (F.col("instance_message_id") <= F.lit(at_instance_message_id))
+        ),
+        arguments,
+        arg_rows,
+    )
+    delta_latest = latest_per_key(
+        deltas, SERIES_KEY + ["relative_path"], "instance_message_id", TIEBREAK
+    ).select(
+        *SERIES_KEY,
+        "relative_path",
+        F.col("new_value").cast("double").alias("value"),
+        "instance_message_id",
+    )
+
+    # 3. snapshot seeds for the argument series, flattened to paths.
+    def seed(name: str) -> DataFrame:
+        rows = _series_restrict(
+            snapshot_rows.filter(F.col("snapshot_name") == F.lit(name)),
+            arguments,
+            arg_rows,
+        )
+        return flatten_json_value(
+            rows.select(*SERIES_KEY, "instance_message_id", "json_value")
+        ).select(
+            *SERIES_KEY, "relative_path", "value", "instance_message_id"
+        )
+
+    seeds = seed(snap_min_name).withColumn("__prio", F.lit(1))
+    if snap_max_name is not None and snap_max_name != snap_min_name:
+        seeds = seeds.unionByName(
+            seed(snap_max_name).withColumn("__prio", F.lit(2))
+        )
+
+    # deltas win over snap_min win over snap_max, per (series, path).
+    ranked = delta_latest.withColumn("__prio", F.lit(0)).unionByName(seeds)
+    w = Window.partitionBy(*SERIES_KEY, "relative_path").orderBy("__prio")
+    best = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+    # 4. default rows for series with nothing anywhere; `best` holds
+    # <= paths-per-series rows for the requested series only —
+    # broadcast it, not the preserved arguments side.
+    return (
+        arguments.select(*SERIES_KEY)
+        .join(F.broadcast(best), SERIES_KEY, "left")
+        .select(
+            *SERIES_KEY,
+            F.coalesce("relative_path", F.lit("000")).alias("relative_path"),
+            F.coalesce("value", F.lit(default_value)).alias("value"),
+            F.coalesce("instance_message_id", F.lit(-1)).alias(
+                "instance_message_id"
+            ),
+        )
+        .orderBy(*SERIES_KEY, "relative_path")
     )
 
 

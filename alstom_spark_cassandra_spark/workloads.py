@@ -755,6 +755,89 @@ ORDER BY a.uevol_field_id, a.src_id, a.dst_id
 """
 
 
+def q_multiple_fields_snapshot(spark, sf_dir):
+    """Snapshot-seeded Q2 (SQL/GetMultipleFields.sql:44-67, 343-356):
+    the engine builds a latest-state snapshot at 40% of the log, then
+    answers the multi-series as-of at 42% from snapshot + the 2%-wide
+    delta window. Series with no update inside the window take the
+    SNAPSHOT value (the reference's no-update-yet ⟕ snapshot seed) —
+    the log-only path would have re-scanned the whole history for
+    them. Oracle: the reconstruction invariant — snapshot+delta must
+    equal a full-log replay (SURVEY.md §5.3)."""
+    from .operators.latest import latest_per_key as lpk
+    from .plans.queries import Arguments, get_multiple_fields
+
+    ev = _t(spark, sf_dir, "events")
+    log = _domain_log(ev)
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    snap_at, target = (mx * 2) // 5, (mx * 21) // 50
+
+    sidx = spark.createDataFrame(
+        [("s0", snap_at)], "name string, start_instance_message_id long"
+    )
+    srows = lpk(
+        log.filter(F.col("instance_message_id") <= snap_at),
+        ["uevol_field_id", "src_id", "dst_id"],
+        "instance_message_id",
+        ["iteration"],
+    ).select(
+        F.lit("s0").alias("snapshot_name"),
+        "uevol_field_id",
+        "src_id",
+        "dst_id",
+        "instance_message_id",
+        F.to_json(F.create_map(F.lit("000"), F.col("new_value"))).alias(
+            "json_value"
+        ),
+    )
+    args = Arguments(
+        tuple(
+            ("click", u, 0, None) for u in (3, 7, 11, 29, 101)
+        )
+        + (("purchase", 7, 0, None), ("error", 999999, 0, None)),
+        "uevol_field_id string, src_id long, dst_id int, filter string",
+    )
+    return get_multiple_fields(
+        log,
+        args,
+        int(target),
+        snapshot_index=sidx,
+        snapshot_rows=srows,
+    )
+
+
+SQL_MULTIPLE_FIELDS_SNAPSHOT = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+tgt AS (SELECT m * 21 // 50 AS c FROM mx),
+args(uevol_field_id, src_id, dst_id) AS (
+  VALUES ('click', CAST(3 AS BIGINT), 0),
+         ('click', CAST(7 AS BIGINT), 0),
+         ('click', CAST(11 AS BIGINT), 0),
+         ('click', CAST(29 AS BIGINT), 0),
+         ('click', CAST(101 AS BIGINT), 0),
+         ('purchase', CAST(7 AS BIGINT), 0),
+         ('error', CAST(999999 AS BIGINT), 0)
+),
+latest AS (
+  SELECT a.uevol_field_id, a.src_id, a.dst_id,
+         ev.value, ev.event_id,
+         row_number() OVER (PARTITION BY a.uevol_field_id, a.src_id
+                            ORDER BY ev.event_id DESC) AS rn
+  FROM args a
+  JOIN events ev ON ev.event_type = a.uevol_field_id
+                AND ev.user_id = a.src_id
+                AND ev.event_id <= (SELECT c FROM tgt)
+)
+SELECT a.uevol_field_id, a.src_id, a.dst_id,
+       '000' AS relative_path,
+       coalesce(l.value, -1.0) AS value,
+       coalesce(l.event_id, -1) AS instance_message_id
+FROM args a
+LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l
+  USING (uevol_field_id, src_id, dst_id)
+"""
+
+
 def q_asof_join_events(spark, sf_dir):
     """Generic backward as-of join (operators/asof.asof_join): every
     purchase event picks up the user's latest at-or-before signup
@@ -2485,6 +2568,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_rollup": q_daily_rollup,
     "multiple_fields_asof": q_multiple_fields_asof,
     "multiple_fields_state": q_multiple_fields_state,
+    "multiple_fields_snapshot": q_multiple_fields_snapshot,
     "update_history_dense": q_update_history_dense,
     "message_snapshot_delta": q_message_snapshot_delta,
     "retrieve_field_window": q_retrieve_field_window,
@@ -2556,6 +2640,7 @@ ORACLE_SQL: dict[str, str] = {
     "daily_rollup": SQL_DAILY_ROLLUP,
     "multiple_fields_asof": SQL_MULTIPLE_FIELDS_ASOF,
     "multiple_fields_state": SQL_MULTIPLE_FIELDS_STATE,
+    "multiple_fields_snapshot": SQL_MULTIPLE_FIELDS_SNAPSHOT,
     "update_history_dense": SQL_UPDATE_HISTORY_DENSE,
     "message_snapshot_delta": SQL_MESSAGE_SNAPSHOT_DELTA,
     "retrieve_field_window": SQL_RETRIEVE_FIELD_WINDOW,

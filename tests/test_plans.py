@@ -130,6 +130,79 @@ def test_get_message_snapshot_delta_equals_replay(domain):
         assert got == {k: float(v) for k, v in expect.items()}, f"at={at}"
 
 
+def test_get_multiple_fields_snapshot_seeded_equals_replay(spark, domain):
+    """Property: snapshot-seeded Q2 ≡ log-only full replay, at targets
+    on and between snapshot boundaries (every field's first update
+    precedes the nearest snapshot here; the snap_max fallback edge is
+    pinned separately below)."""
+    args = make_arguments(
+        spark,
+        list(range(1, N_FIELDS + 1)),
+        src_ids=[0] * N_FIELDS,
+        dst_ids=[0] * N_FIELDS,
+    )
+    for at in [100, 101, 199, 250, 300]:
+        log_only = get_multiple_fields(domain["log"], args, at)
+        seeded = get_multiple_fields(
+            domain["log"], args, at,
+            snapshot_index=domain["sidx"], snapshot_rows=domain["srows"],
+        )
+        lo = {tuple(r[:4]): (r.value, r.instance_message_id)
+              for r in log_only.collect()}
+        se = {tuple(r[:4]): (r.value, r.instance_message_id)
+              for r in seeded.collect()}
+        assert se == lo, f"at={at}"
+
+
+def test_get_multiple_fields_snapshot_seeds_cold_series(spark):
+    """The headline case the log-only path got wrong on snapshotted
+    deployments: a series with NO update in the delta window must take
+    its SNAPSHOT value (SQL/GetMultipleFields.sql:343-356), not the
+    default sentinel. A series absent from snap_min falls back to
+    snap_max (the reference's concatenated-pair join), and a series in
+    neither stays default."""
+    log = spark.createDataFrame(
+        [
+            # field 1: updated at 10, never again -> snapshot carries it
+            (1, 1, 10, 0, 0, 0, "000", 0, 0, 111),
+            # field 2: updated at 10 AND inside the window at 60
+            (2, 1, 10, 0, 0, 0, "000", 0, 0, 20),
+            (2, 1, 60, 0, 0, 0, "000", 0, 0, 22),
+            # field 3: first update AFTER the target (70) -> only in
+            # snap_max; reference parity: seeded from snap_max
+            (3, 1, 70, 0, 0, 0, "000", 0, 0, 33),
+        ],
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long,"
+        " new_value long",
+    )
+    sidx = spark.createDataFrame(
+        [("lo", 50), ("hi", 80)], "name string, start_instance_message_id long"
+    )
+    srows = spark.createDataFrame(
+        [
+            ("lo", 1, 0, 0, 10, '{"000": 111}'),
+            ("lo", 2, 0, 0, 10, '{"000": 20}'),
+            ("hi", 1, 0, 0, 10, '{"000": 111}'),
+            ("hi", 2, 0, 0, 60, '{"000": 22}'),
+            ("hi", 3, 0, 0, 70, '{"000": 33}'),
+        ],
+        "snapshot_name string, uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, json_value string",
+    )
+    args = make_arguments(spark, [1, 2, 3, 4], src_ids=[0] * 4, dst_ids=[0] * 4)
+    out = get_multiple_fields(
+        log, args, 65, snapshot_index=sidx, snapshot_rows=srows
+    )
+    got = {r.uevol_field_id: (r.value, r.instance_message_id)
+           for r in out.collect()}
+    assert got[1] == (111.0, 10)   # cold series: snapshot seed, not -1
+    assert got[2] == (22.0, 60)    # window delta wins over snapshot
+    assert got[3] == (33.0, 70)    # snap_max fallback (reference parity)
+    assert got[4] == (-1.0, -1)    # nowhere: default sentinel
+
+
 def test_retrieve_message_scoped_to_conversation_pair(spark):
     """Another (src,dst) pair's later update must not win the argmax
     (reference scopes the field log to the target pair,
