@@ -64,6 +64,9 @@ def retrieve_field(
     start_log_time: int | None = None,
     end_log_time: int | None = None,
     duration: int | None = None,
+    uevol_message_id: int | None = None,
+    src_ty: int | None = None,
+    dst_ty: int | None = None,
 ) -> DataFrame:
     """Q2-interval: field updates matching dynamic filters, bounded to a
     seq_nb / time window (reference: RetrieveField.java:50-93).
@@ -72,6 +75,14 @@ def retrieve_field(
     `orderBy().first()` driver round-trips (RetrieveField.java:66-90).
     Here the bounds stay in-plan: 1-row aggregates cross-joined in, so
     the whole query is one Spark job and the log scan happens once.
+
+    `uevol_message_id`/`src_ty`/`dst_ty` narrow the MESSAGE set the
+    time bounds are resolved from (RetrieveField.java:60-62), so the
+    id window is the filtered messages' min/max id — still applied to
+    the field log as a RANGE, exactly like the reference (:76-88).
+    seq_nb deliberately resolves against the UNFILTERED message table
+    (the reference uses `instanceMessage`, not the filtered set, at
+    :66) — parity over plausibility.
     """
     log = _apply_eq_filters(
         instance_field,
@@ -80,6 +91,14 @@ def retrieve_field(
             "new_value": value,
             "src_id": src_id,
             "dst_id": dst_id,
+        },
+    )
+    msgs = _apply_eq_filters(
+        instance_message,
+        {
+            "uevol_message_id": uevol_message_id,
+            "src_ty": src_ty,
+            "dst_ty": dst_ty,
         },
     )
 
@@ -101,9 +120,10 @@ def retrieve_field(
         return log.orderBy("instance_message_id")
 
     # time window -> id bounds, one aggregate in-plan (asof_id_bounds
-    # replaces RetrieveField.java:74-90's three orderBy().first() jobs)
+    # replaces RetrieveField.java:74-90's three orderBy().first() jobs);
+    # resolved from the type-filtered message set (:60-62, 75-81)
     bounds = asof_id_bounds(
-        instance_message,
+        msgs,
         start_time=start_log_time,
         end_time=end_log_time,
         duration=duration,
@@ -715,32 +735,43 @@ def _scalar_state(
 ) -> DataFrame:
     """One value per requested series at a message id: the min
     relative_path's latest update ≤ the target ("000" when a field
-    has nested paths), default for series with no update yet. One
-    aggregation: min_by over the (path asc, id desc, iteration desc)
-    total order picks the min-path group's latest row directly.
-    `restricted` must already be narrowed to the argument series."""
-    asof = (
-        restricted.filter(
-            F.col("instance_message_id") <= F.lit(at_instance_message_id)
-        )
+    has nested paths), default for series with no update yet. ONE
+    aggregation total: min_by over the (path asc, id desc, iteration
+    desc) total order picks the min-path group's latest row, and the
+    per-series default is a sentinel row unioned INTO the same
+    aggregation (path "￿" sorts after every real path, so it only
+    wins when the series has no update at all) — the union folds into
+    the one exchange where an `arguments ⟕ asof` join would cost a
+    broadcast build. `restricted` must already be narrowed to the
+    argument series."""
+    updates = restricted.filter(
+        F.col("instance_message_id") <= F.lit(at_instance_message_id)
+    ).select(
+        *SERIES_KEY,
+        "relative_path",
+        F.col("instance_message_id").cast("long").alias("__id"),
+        F.col("iteration").cast("long").alias("__it"),
+        F.col("new_value").cast("double").alias("__v"),
+    )
+    defaults = arguments.select(*SERIES_KEY).select(
+        *SERIES_KEY,
+        F.lit("￿").alias("relative_path"),
+        F.lit(-1).cast("long").alias("__id"),
+        F.lit(-1).cast("long").alias("__it"),
+        F.lit(default_value).cast("double").alias("__v"),
+    )
+    return (
+        updates.unionByName(defaults)
         .groupBy(*SERIES_KEY)
         .agg(
             F.min_by(
-                F.col("new_value").cast("double"),
+                F.col("__v"),
                 F.struct(
                     F.col("relative_path").alias("p"),
-                    (-F.col("instance_message_id")).alias("nid"),
-                    (-F.col("iteration")).alias("nit"),
+                    (-F.col("__id")).alias("nid"),
+                    (-F.col("__it")).alias("nit"),
                 ),
             ).alias("value")
-        )
-    )
-    return (
-        arguments.select(*SERIES_KEY)
-        .join(F.broadcast(asof), SERIES_KEY, "left")
-        .select(
-            *SERIES_KEY,
-            F.coalesce("value", F.lit(default_value)).alias("value"),
         )
     )
 
@@ -823,39 +854,71 @@ def get_update_history(
         "value",
     )
 
-    updates = (
-        base.filter(
-            F.col("instance_message_id") > F.lit(start_instance_message_id)
-        )
-        # Two updates of one series at the same message id: the matrix
-        # cell is written last-iteration-wins (the reference's loop
-        # overwrites, SQL/GetUpdateHistory.sql:162-172).
-        .groupBy(*SERIES_KEY, "instance_message_id")
-        .agg(F.max_by("new_value", "iteration").cast("double").alias("value"))
+    # Raw in-window updates — NOT pre-aggregated: same-message-id
+    # iteration ties (the reference's loop overwrites,
+    # SQL/GetUpdateHistory.sql:162-172) resolve inside the single
+    # dense-grid aggregation below instead of paying their own
+    # exchange first.
+    raw_updates = base.filter(
+        F.col("instance_message_id") > F.lit(start_instance_message_id)
+    ).select(
+        *SERIES_KEY,
+        "instance_message_id",
+        F.col("new_value").cast("double").alias("value"),
+        F.col("iteration").cast("long").alias("__it"),
     )
-
-    # hist feeds two branches (the time-point grid and the dense
-    # union) but both re-derive from the CACHED base with one cheap
-    # aggregation each — a second cache here would only add another
-    # materialization barrier.
-    hist = start_state.unionByName(updates)
 
     # Dense grid: every series gets a row at every update time point,
     # like the reference's matrix (one row per distinct update id,
     # SQL/GetUpdateHistory.sql:136-141), then LOCF fills the gaps.
-    # Union + re-aggregate instead of a grid outer join: null
-    # placeholder rows for every (id × series) cell collapse against
-    # the real rows in one hash aggregation (max ignores the null
-    # placeholders), which costs one exchange where the sort-merge
-    # left join costs two plus its sorts.
-    ids = hist.select("instance_message_id").distinct()
+    # Union + one aggregate instead of a grid outer join: null
+    # placeholder rows for every (id × series) cell lose max_by's
+    # (is-real, iteration) order to any real row, so one hash
+    # aggregation resolves placeholders AND iteration ties where the
+    # join shape costs two exchanges plus sorts.
+    ids = (
+        raw_updates.select("instance_message_id")
+        .distinct()
+        .unionByName(
+            arguments.select(
+                F.lit(start_instance_message_id)
+                .cast("long")
+                .alias("instance_message_id")
+            ).limit(1)
+        )
+    )
     placeholders = ids.crossJoin(
         F.broadcast(arguments.select(*SERIES_KEY))
-    ).withColumn("value", F.lit(None).cast("double"))
+    ).select(
+        *SERIES_KEY,
+        "instance_message_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("__it"),
+    )
+    dense_in = (
+        start_state.withColumn("__it", F.lit(-1).cast("long"))
+        .unionByName(raw_updates)
+        .unionByName(placeholders)
+    )
+    # ONE exchange hash-partitioned by the series key carries the
+    # aggregation AND the LOCF window: HashPartitioning(series)
+    # satisfies the agg's (series, id) clustering, and the fill window
+    # partitions by series anyway. Per-series parallelism is already
+    # the fill's (and the reference matrix's) inherent bound, so the
+    # subset partitioning costs nothing at scale that the LOCF did not
+    # already cost.
     dense = (
-        hist.unionByName(placeholders)
+        dense_in.repartition(*SERIES_KEY)
         .groupBy(*SERIES_KEY, "instance_message_id")
-        .agg(F.max("value").alias("value"))
+        .agg(
+            F.max_by(
+                "value",
+                F.struct(
+                    F.col("value").isNotNull().cast("int").alias("real"),
+                    F.col("__it").alias("it"),
+                ),
+            ).alias("value")
+        )
     )
     filled = locf(dense, SERIES_KEY, "instance_message_id")
 
@@ -876,10 +939,6 @@ def get_update_history(
             if r["filter"]
         ]
     if flt_rows:
-        if use_cache:
-            # filled also feeds two branches (the veto aggregation and
-            # the surviving-row output)
-            filled = filled.cache()
         keep = None
         for r in flt_rows:
             series_match = (
@@ -892,15 +951,19 @@ def get_update_history(
                 compile_filter(r["filter"], "value"), F.lit(False)
             )
             keep = ok if keep is None else (keep & ok)
-        good_ids = (
-            filled.withColumn("__ok", keep.cast("int"))
-            .groupBy("instance_message_id")
-            .agg(F.min("__ok").alias("__all_ok"))
+        # A time point survives only if EVERY filtered series passes:
+        # min(ok) over a window partitioned by the time point, instead
+        # of an aggregate + broadcast-semi-join back — the window is
+        # one exchange on the same matrix; the join shape would scan
+        # `filled` twice (once to build the broadcast) plus a build
+        # barrier.
+        w_id = Window.partitionBy("instance_message_id")
+        filled = (
+            filled.withColumn(
+                "__all_ok", F.min(keep.cast("int")).over(w_id)
+            )
             .filter(F.col("__all_ok") == 1)
-            .select("instance_message_id")
-        )
-        filled = filled.join(
-            F.broadcast(good_ids), "instance_message_id", "left_semi"
+            .drop("__all_ok")
         )
 
     if not pivot:

@@ -98,6 +98,102 @@ def test_embedding_dup_pairs(spark):
     assert (1, 3) not in pairs
 
 
+@pytest.fixture(scope="module")
+def recall_corpus(spark):
+    """40 random-word docs, each with one near-dup partner (a few words
+    replaced): the ground-truth pair set for recall gates is exactly
+    the 40 constructed (2i, 2i+1) pairs."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{j:03d}" for j in range(400)]
+    rows = []
+    for i in range(40):
+        words = [rng.choice(vocab) for _ in range(60)]
+        near = list(words)
+        for _ in range(3):  # ~3 of 60 words replaced -> high jaccard
+            near[rng.randrange(60)] = rng.choice(vocab)
+        rows.append((2 * i, " ".join(words)))
+        rows.append((2 * i + 1, " ".join(near)))
+    truth = {(2 * i, 2 * i + 1) for i in range(40)}
+    return spark.createDataFrame(rows, "doc_id long, text string"), truth
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, recall_corpus):
+    """Recall gate: banded MinHash candidates must recover >= 90% of
+    the pairs the EXACT n-gram Jaccard finds at the same threshold
+    (the verify step makes precision exact; banding only risks
+    recall)."""
+    docs, _ = recall_corpus
+    exact = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    approx = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=32, bands=16,
+            threshold=0.5,
+        ).collect()
+    }
+    assert exact, "fixture must produce exact pairs"
+    assert len(approx & exact) / len(exact) >= 0.9
+    # precision is exact by construction: every reported pair verifies
+    assert approx <= exact
+
+
+def test_simhash_recall_on_constructed_near_dups(spark, recall_corpus):
+    """Recall gate: the pigeonhole-banded SimHash pass must find >= 90%
+    of the constructed near-dup pairs at fixture scale."""
+    docs, truth = recall_corpus
+    found = {
+        (r.a, r.b)
+        for r in simhash_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+    }
+    assert len(found & truth) / len(truth) >= 0.9
+
+
+def test_embedding_dup_recall_vs_brute_force(spark):
+    """Recall gate: multi-table RH-LSH must recover >= 90% of the pairs
+    brute-force cosine finds at the same threshold; precision is exact
+    (candidates verify with true cosine)."""
+    import math
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(50):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        dup = [x + rng.gauss(0, 0.02) for x in v]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, dup))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    exact = {
+        (a, b)
+        for ai, (a, va) in enumerate(rows)
+        for b, vb in (r for r in rows[ai + 1:])
+        if cos(va, vb) >= 0.95
+    }
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = {
+        (r.a, r.b)
+        for r in embedding_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.95, planes=12, tables=3
+        ).collect()
+    }
+    assert exact, "fixture must produce exact pairs"
+    assert len(approx & exact) / len(exact) >= 0.9
+    assert approx <= exact
+
+
 def test_connected_components_chain_and_singleton(spark):
     from alstom_spark_cassandra_spark.operators.dedup import connected_components
 

@@ -107,6 +107,49 @@ def test_retrieve_field_seq_nb_and_window(domain):
     assert ids and min(ids) >= 50 and max(ids) <= 150
 
 
+def test_retrieve_field_message_type_narrows_bounds(spark):
+    """uevol_message_id/src_ty/dst_ty narrow the message set the time
+    bounds resolve from (RetrieveField.java:60-62): the id window is
+    the FILTERED messages' min/max id, applied as a range."""
+    log = spark.createDataFrame(
+        [(1, 1, i, 0, 0, 0, "000", 0, 0, i * 10) for i in range(1, 11)],
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long,"
+        " new_value long",
+    )
+    msg = spark.createDataFrame(
+        [
+            (i, 1 if i <= 5 else 2, 3 if i <= 5 else 4, 0, 0, 0, i,
+             100 * i, 100 * i)
+            for i in range(1, 11)
+        ],
+        "id long, uevol_message_id int, src_ty int, src_id int, dst_ty int,"
+        " dst_id int, seq_nb int, log_time long, sync_time long",
+    )
+    all_ids = {
+        r.instance_message_id
+        for r in retrieve_field(
+            log, msg, start_log_time=0, end_log_time=5000
+        ).collect()
+    }
+    assert all_ids == set(range(1, 11))
+    typed = {
+        r.instance_message_id
+        for r in retrieve_field(
+            log, msg, start_log_time=0, end_log_time=5000, uevol_message_id=2
+        ).collect()
+    }
+    assert typed == set(range(6, 11))  # bounds from type-2 messages only
+    by_ty = {
+        r.instance_message_id
+        for r in retrieve_field(
+            log, msg, start_log_time=0, end_log_time=5000, src_ty=3
+        ).collect()
+    }
+    assert by_ty == set(range(1, 6))
+
+
 def test_retrieve_message_matches_replay(domain):
     at = 200
     expect = _replay_state(domain["log"], at)

@@ -55,6 +55,29 @@ def test_ivf_topk_recall(spark, corpus):
     assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4/8 of a gaussian ball
 
 
+def test_ivf_topk_high_probe_recall_gate(spark, corpus):
+    """Recall gate: recall@10 >= 0.9 vs the exact brute force at
+    nprobe=6/8, and exactly 1.0 when every centroid is probed (full
+    probing degenerates to the exact scan)."""
+    rows, df = corpus
+    queries = [(qi, rows[qi * 7][1]) for qi in range(8)]
+    q = spark.createDataFrame(queries, "query_id long, query_vec array<double>")
+    exact = {qi: set(_brute_py(rows, qv, 10)) for qi, qv in queries}
+
+    out = ivf_topk(df, q, k=10, n_centroids=8, nprobe=6)
+    got: dict[int, set] = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(got.get(qi, set()) & exact[qi]) / 10 for qi, _ in queries]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+    full = ivf_topk(df, q, k=10, n_centroids=8, nprobe=8)
+    got_full: dict[int, set] = {}
+    for r in full.collect():
+        got_full.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(got_full[qi] == exact[qi] for qi, _ in queries)
+
+
 def test_persisted_ivf_index_matches_inline(spark, corpus, tmp_path):
     rows, df = corpus
     path = str(tmp_path / "ivf")

@@ -165,6 +165,77 @@ def test_windowed_event_counts(spark, tmp_path):
     assert got["view"] == (1, 3.0)
 
 
+def test_stateful_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery: stop the stateful query, append new source
+    files, restart from the SAME checkpoint — the cumulative
+    n_updates_total must count batch-1 updates too, which is only
+    possible if the per-key state was recovered, not rebuilt."""
+    schema = (
+        "uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, new_value long"
+    )
+    src_dir = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "ckpt_restart")
+    out_dir = str(tmp_path / "restart_out")
+
+    batch1 = spark.createDataFrame(
+        [(1, 0, 0, 10, 100), (1, 0, 0, 20, 200), (2, 0, 0, 15, 999)], schema
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src_dir)
+
+    # memory sink cannot recover from a checkpoint; foreachBatch can,
+    # and the monotone batch_id distinguishes pre/post-restart output
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    def run_once():
+        src = spark.readStream.schema(batch1.schema).parquet(src_dir)
+        out = stateful_latest_value(src)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def emitted(min_batch=0):
+        rows = spark.read.parquet(out_dir).filter(
+            F.col("batch_id") >= min_batch
+        )
+        return {
+            r.uevol_field_id: (
+                r.current_value, r.n_updates_total, r.last_update_id
+            )
+            for r in rows.collect()
+        }
+
+    run_once()
+    first = emitted()
+    assert first[1] == (200, 2, 20)
+    assert first[2] == (999, 1, 15)
+    max_batch = (
+        spark.read.parquet(out_dir).agg(F.max("batch_id")).collect()[0][0]
+    )
+
+    # the query is stopped; new data lands; restart from the checkpoint
+    batch2 = spark.createDataFrame(
+        [(1, 0, 0, 30, 300), (3, 0, 0, 5, 50)], schema
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    run_once()
+    second = emitted(min_batch=max_batch + 1)
+    # key 1: 2 old + 1 new update -> n=3 proves recovered state
+    assert second[1] == (300, 3, 30)
+    assert second[3] == (50, 1, 5)
+    # key 2 saw no new rows: update mode emits only changed keys
+    assert 2 not in second
+
+
 def test_dedup_stream(spark, tmp_path):
     from datetime import datetime, timezone
 
