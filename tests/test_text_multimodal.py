@@ -82,3 +82,90 @@ def test_frame_sample_fanout(media):
     got = {r.doc_id: r["count"] for r in out}
     assert got[1] == 3  # 3000 bytes / 1000 stride
     assert got[3] == 1  # empty payload still yields one (empty) frame row
+
+def _make_bmp(width, height, bgr_rows):
+    """Hand-build an uncompressed 24-bit BMP (bottom-up)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    pixel_data = b"".join(
+        bytes(row) + b"\x00" * (stride - width * 3) for row in bgr_rows
+    )
+    px_off = 14 + 40
+    file_size = px_off + len(pixel_data)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, px_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + pixel_data
+
+
+def _make_wav(sample_rate, samples):
+    """Hand-build a 16-bit mono PCM WAV with the stdlib."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_image_kernel_decodes_real_bmp(spark):
+    """Seam test: a genuine BMP payload must be REALLY decoded (true
+    width/height/luma), not run through the fake — proving the kernel
+    layer, not just the plumbing, is exercised end to end."""
+    white = _make_bmp(2, 2, [[255, 255, 255] * 2] * 2)
+    black = _make_bmp(3, 1, [[0, 0, 0] * 3])
+    junk = b"\x01\x02" * 700  # not BMP -> deterministic fake path
+    df = spark.createDataFrame(
+        [(1, bytearray(white)), (2, bytearray(black)), (3, bytearray(junk))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in image_features(df).collect()}
+    assert (out[1].width, out[1].height) == (2, 2)
+    assert out[1].mean_luma == pytest.approx(1.0)
+    assert (out[2].width, out[2].height) == (3, 1)
+    assert out[2].mean_luma == pytest.approx(0.0)
+    assert (out[3].width, out[3].height) == (64 + (1400 % 512), 64 + (200 % 512))
+
+
+def test_audio_kernel_decodes_real_wav(spark):
+    """Seam test: a genuine PCM WAV decodes via stdlib `wave` with the
+    true sample rate / count / RMS."""
+    wav = _make_wav(44100, [16384, -16384] * 50)  # |s| = 2^14 constant
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"q" * 64))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in audio_features(df).collect()}
+    assert out[1].sample_rate == 44100
+    assert out[1].n_samples == 100
+    assert out[1].rms == pytest.approx(0.5)
+    assert out[2].sample_rate == 16000  # fake path for non-WAV bytes
+
+
+def test_kernel_injection_seam(spark):
+    """Operators accept a user kernel (e.g. a GPU codec wrapper) and
+    route every payload through it."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "doc_id long, payload binary"
+    )
+    out = {
+        r.doc_id: r
+        for r in image_features(
+            df, kernel=lambda p: (len(p), 7, 0.25)
+        ).collect()
+    }
+    assert (out[1].width, out[1].height, out[1].mean_luma) == (3, 7, 0.25)
+    assert (out[2].width, out[2].height) == (0, 7)  # None -> b""
+    audio = {
+        r.doc_id: r
+        for r in audio_features(df, kernel=lambda p: (8000, len(p), 0.5)).collect()
+    }
+    assert audio[1].n_samples == 3 and audio[1].sample_rate == 8000
