@@ -1512,6 +1512,641 @@ LIMIT 20
 """
 
 
+# --- the remaining 12 TPC-H queries ----------------------------------------
+# The synthetic schema has no partsupp / l_commitdate / c_phone /
+# comments, so (as with q4/q12 above) predicates are adapted while each
+# query's DISTINCTIVE SHAPE is kept: q2's correlated scalar min, q13's
+# outer-join double aggregation, q15's view + scalar max, q17/q22's
+# correlated threshold, q20's nested INs, q21's EXISTS/NOT-EXISTS
+# self-joins. The part↔supplier cost relation (partsupp) is derived
+# from the lineitem bridge. Threshold comparisons that TPC-H states on
+# floats are restated on exact centi-unit longs on BOTH engines, so no
+# row can land on opposite sides of a float boundary.
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier: correlated scalar-min subquery,
+    decorrelated Spark-side into a per-part min joined back (Catalyst
+    gets one shuffle on l_partkey instead of a rescan per row; the
+    oracle keeps the textbook correlated form). Cost(part, supp) :=
+    min observed unit price in the lineitem bridge."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    asia_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(asia_supp), li.l_suppkey == asia_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(asia_supp), cost.l_suppkey == asia_supp.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, supplier, nation, region, ps
+WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+  AND p_size = 15 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND ps.cost = (
+    SELECT min(ps2.cost)
+    FROM ps ps2, supplier s2, nation n2, region r2
+    WHERE ps2.l_partkey = p_partkey AND ps2.l_suppkey = s2.s_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations (either
+    direction), grouped by the nation pair and ship year."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year, {sql_dsum("volume")} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                       AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: NATION_3's share of EUROPE
+    revenue per order year — a ratio of two exact split-long sums
+    (one IEEE division, engine-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cdim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey")
+    )
+    sdim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey, "left_semi")
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            half_up(_dsum_parts(nat) / _dsum_parts(vol), 4).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8 = f"""
+SELECT o_year,
+       floor({_sql_dsum_parts(
+           "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END")}
+             / {_sql_dsum_parts("volume")}
+             * 10000 + 0.5) / 10000.0 AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                        AND TIMESTAMP '1997-12-31'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit by nation and year. No partsupp
+    cost: cost proxy is 0.6 * p_retailprice * l_quantity (identical
+    IEEE expression on both engines; profits may be negative — the
+    split-long sum and explicit half-up are sign-agnostic and
+    engine-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    sdim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT nation, o_year, {sql_dsum("amount")} AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE 'red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock: per-part value (from NATION_7
+    suppliers' shipped revenue) exceeding a fraction of the total.
+    The HAVING-vs-global-scalar compare runs on exact centi-unit
+    longs (part_value * 10000 > total), and the scalar total is a
+    1-row aggregate cross-joined in-plan — no driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sdim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    val = (
+        li.join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(cents).alias("val_c"))
+    )
+    total = val.agg(F.sum("val_c").alias("total_c"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c") * 10000 > F.col("total_c"))
+        .select(
+            "ps_partkey", (F.col("val_c") / F.lit(100.0)).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH val AS (
+  SELECT l_partkey AS ps_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS val_c
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, val_c / 100.0 AS part_value
+FROM val
+WHERE val_c * 10000 > (SELECT CAST(sum(val_c) AS BIGINT) FROM val)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join
+    inside a derived table, then a second aggregation over the first
+    — the double-aggregation shape."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: a revenue view reused by both the
+    outer query and the scalar max — registered as a temp view and
+    CACHED, because Spark shares no common subtrees across a join's
+    two inputs (the view would be recomputed per consumer)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .cache()
+    )
+    revenue.createOrReplaceTempView("revenue0")
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(revenue), supp.s_suppkey == revenue.supplier_no
+        )
+        .crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         {REV_SUM} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship count: NOT IN excluded
+    suppliers (negative balance, the complaints analog) via left_anti,
+    count-distinct suppliers per (brand, type, size) over the
+    lineitem bridge."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bridge = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        bridge.join(F.broadcast(bad), bridge.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), bridge.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) bridge, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: the correlated
+    per-part average-quantity threshold, decorrelated into one
+    per-part aggregate joined back. `l_quantity < 0.2 * avg(qty)` is
+    restated as `5 * qty_centi * n < sum_centi` — exact integer
+    arithmetic on both engines, no float boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(qty_c).alias("sum_qty_c"), F.count(F.lit(1)).alias("n_li")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == per_part.agg_partkey)
+        .filter(qty_c * F.lit(5) * F.col("n_li") < F.col("sum_qty_c"))
+        .agg(
+            half_up(_dsum_parts(F.col("l_extendedprice")) / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+SQL_TPCH_Q17 = f"""
+SELECT floor({_sql_dsum_parts("l_extendedprice")} / 7.0 * 100 + 0.5)
+       / 100.0 AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+  AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * 5
+      * (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = lineitem.l_partkey)
+      < (SELECT sum(CAST(floor(l2.l_quantity * 100 + 0.5) AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 excess-inventory suppliers: nested IN subqueries —
+    suppliers (in NATION_5) IN the set who shipped > 50 units of any
+    red part during 1997. Both INs become semi-joins; the HAVING
+    threshold compares exact centi-unit longs."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    big_shippers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .filter(F.col("qty_c") > 5000)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey,
+            "left_semi",
+        )
+        .join(
+            F.broadcast(big_shippers),
+            supp.s_suppkey == big_shippers.l_suppkey,
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 5000)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+ORDER BY s_name
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting: the EXISTS /
+    NOT-EXISTS self-join pair on lineitem. "Late" adapts to
+    l_shipdate > o_orderdate (no l_commitdate in the synthetic
+    schema): count, per NATION_9 supplier, the multi-supplier 'F'
+    orders where ONLY that supplier shipped late."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.col("l_orderkey").alias("o1"),
+            F.col("l_suppkey").alias("s1"),
+            "o_orderdate",
+        )
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    exists_other = l1.join(
+        l2, (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")),
+        "left_semi",
+    )
+    # NOT EXISTS another supplier late in the same order: l3 is late
+    # relative to ITS order date, which equals l1's (same order).
+    l3 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    waiting = exists_other.join(
+        l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        waiting.join(supp, F.col("s1") == supp.s_suppkey)
+        .join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey,
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity: customers from selected
+    segments (last-2-digits of c_name, the phone-prefix analog) with
+    above-average positive balance and NO orders. The correlated
+    average threshold is restated as `bal_centi * n > sum_centi`
+    (exact integers); the NOT EXISTS is a left_anti. "No orders"
+    adapts to "no orders since 1998-07-01" (every synthetic customer
+    has at least one all-time order)."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", 17, 2)
+    )
+    codes = ["11", "17", "28", "30", "31"]
+    sel = cust.filter(F.col("cntrycode").isin(codes))
+    bal_c = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    thresh = (
+        sel.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(bal_c).alias("sum_c"), F.count(F.lit(1)).alias("n_pos"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        sel.crossJoin(F.broadcast(thresh))
+        .filter(bal_c * F.col("n_pos") > F.col("sum_c"))
+        .join(orders, sel.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+SQL_TPCH_Q22 = f"""
+SELECT cntrycode, count(*) AS numcust, {sql_dsum("c_acctbal")} AS totacctbal
+FROM (
+  SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE substring(c_name, 17, 2) IN ('11', '17', '28', '30', '31')
+) cust
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+      * (SELECT count(*) FROM customer
+         WHERE c_acctbal > 0.0
+           AND substring(c_name, 17, 2) IN ('11', '17', '28', '30', '31'))
+      > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+         FROM customer
+         WHERE c_acctbal > 0.0
+           AND substring(c_name, 17, 2) IN ('11', '17', '28', '30', '31'))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-07-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 def q_cube_events(spark, sf_dir):
     """CUBE grouping sets over (event_type, day bucket) — all four
     aggregation levels in one pass."""
@@ -2541,31 +3176,21 @@ def q_ivf_topk(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
-# ORDER MATTERS: the driver grades the first ~50 entries. The 23 core
-# reference-procedure queries lead; then everything that needs a fresh
-# CORRECTNESS row this round (round-1 red rows now fixed + the 13
-# round-1-ungraded streaming/ANN/multimodal/split/hash queries); the
-# tail holds only queries already driver-green in CORRECTNESS_r01
-# (TPC-H + OLAP basics) so nothing loses its only hard signal.
+# ORDER MATTERS: the driver grades the first ~50 entries. Everything
+# that has never had a driver CORRECTNESS row leads (round-1 red rows
+# now fixed, the 13 round-1-ungraded streaming/ANN/multimodal/split/
+# hash queries, and the 12 TPC-H queries new this round), plus the
+# flagship reference procedures; the tail holds only queries already
+# driver-green in CORRECTNESS_r01, so every query has at least one
+# hard driver signal across rounds (and all are locally gated every
+# round by scripts/check_oracle.py regardless of position).
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- core reference procedures + change-log operators (23) ---
+    # --- flagship reference procedures + change-log operators ---
     "latest_per_key": q_latest_per_key,
-    "field_window": q_field_window,
-    "asof_bounds": q_asof_bounds,
     "asof_join_events": q_asof_join_events,
-    "reconstruct_message": q_reconstruct_message,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
     "snapshot_diff": q_snapshot_diff,
-    "json_flatten": q_json_flatten,
-    "locf": q_locf,
-    "pivot_matrix": q_pivot_matrix,
-    "boundary_padding": q_boundary_padding,
     "compaction": q_compaction,
     "sessionization": q_sessionization,
-    "event_deltas": q_event_deltas,
-    "running_sum": q_running_sum,
-    "daily_rollup": q_daily_rollup,
     "multiple_fields_asof": q_multiple_fields_asof,
     "multiple_fields_state": q_multiple_fields_state,
     "multiple_fields_snapshot": q_multiple_fields_snapshot,
@@ -2593,6 +3218,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ivf_topk": q_ivf_topk,
+    # --- TPC-H queries new this round: first CORRECTNESS rows ---
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     # --- LLM-pipeline + text ops ---
     "dedup_exact": q_dedup_exact,
     "word_jaccard_pairs": q_word_jaccard_pairs,
@@ -2602,8 +3240,20 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_frequency": q_term_frequency,
     "distinctive_terms": q_distinctive_terms,
     "exact_quantiles": q_exact_quantiles,
-    # --- tail: all driver-green in CORRECTNESS_r01 (may be ungraded
-    # this round if the window stays at ~50) ---
+    # --- tail: all driver-green in CORRECTNESS_r01 (ungraded this
+    # round if the window stays at ~50; locally gated every round) ---
+    "field_window": q_field_window,
+    "asof_bounds": q_asof_bounds,
+    "reconstruct_message": q_reconstruct_message,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "json_flatten": q_json_flatten,
+    "locf": q_locf,
+    "pivot_matrix": q_pivot_matrix,
+    "boundary_padding": q_boundary_padding,
+    "event_deltas": q_event_deltas,
+    "running_sum": q_running_sum,
+    "daily_rollup": q_daily_rollup,
     "topk_per_group": q_topk_per_group,
     "cube_events": q_cube_events,
     "distinct_agg": q_distinct_agg,
@@ -2655,6 +3305,18 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q8": SQL_TPCH_Q8,
+    "tpch_q9": SQL_TPCH_Q9,
+    "tpch_q11": SQL_TPCH_Q11,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q20": SQL_TPCH_Q20,
+    "tpch_q21": SQL_TPCH_Q21,
+    "tpch_q22": SQL_TPCH_Q22,
     "cube_events": SQL_CUBE_EVENTS,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "distinct_agg": SQL_DISTINCT_AGG,
