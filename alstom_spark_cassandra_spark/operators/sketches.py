@@ -1,0 +1,76 @@
+"""Mergeable distinct-count sketches (Apache DataSketches HLL via the
+Spark 4 `hll_*` built-ins — JVM-side, no Python in the path).
+
+The reference computes every distinct count exactly
+(SQL/GetUpdateHistory.sql GROUP BYs); at 100 TB an exact
+count-distinct per reporting window means re-scanning raw data for
+every window. The sketch layer changes the economics: scan raw data
+ONCE into per-(fine-grained-key) partial sketches — kilobytes per
+group, mergeable — then answer any coarser rollup by unioning
+sketches, never touching raw data again. Register-wise max is the
+exact union operation for HLL, so union-of-partials ≡ one-pass sketch
+of the union (pinned by test_hll_merge_equals_direct), and the
+standard error is ~1.04/sqrt(2^lgk) (~1.6% at the default lgk=12,
+~2.5 KB per sketch).
+
+Typical deployment: persist `hll_partial_sketches(df, ["day",
+"event_type"], "user_id")` as a tiny parquet table; serve
+daily/weekly/all-time distinct-user questions from it with
+`hll_rollup`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_partial_sketches(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lgk: int = 12,
+    sketch_col: str = "hll_sketch",
+) -> DataFrame:
+    """One binary HLL sketch of `value_col`'s distinct values per
+    `keys` group. Partial aggregation applies map-side, so only
+    sketches shuffle — never raw values."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias(sketch_col)
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    keys: list[str],
+    sketch_col: str = "hll_sketch",
+    estimate_col: str = "approx_distinct",
+    keep_sketch: bool = False,
+) -> DataFrame:
+    """Roll partial sketches up to a coarser key set and estimate.
+    With keep_sketch=True the merged sketch column is retained, so
+    rollups compose (day -> month -> year) without revisiting finer
+    levels."""
+    merged = sketches.groupBy(*keys).agg(
+        F.hll_union_agg(sketch_col).alias(sketch_col)
+    )
+    out = merged.withColumn(
+        estimate_col, F.hll_sketch_estimate(sketch_col).cast("long")
+    )
+    return out if keep_sketch else out.drop(sketch_col)
+
+
+def approx_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lgk: int = 12,
+    estimate_col: str = "approx_distinct",
+) -> DataFrame:
+    """One-shot estimate (sketch never materialized to the caller):
+    scan -> partial sketches -> merged estimate per group."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(value_col, F.lit(lgk)))
+        .cast("long")
+        .alias(estimate_col)
+    )

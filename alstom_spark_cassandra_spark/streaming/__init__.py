@@ -1,6 +1,7 @@
 from .live_state import (
     dedup_stream,
     latest_value_stream,
+    sessionize_stream,
     stateful_latest_value,
     windowed_event_counts,
 )
@@ -8,6 +9,7 @@ from .live_state import (
 __all__ = [
     "dedup_stream",
     "latest_value_stream",
+    "sessionize_stream",
     "stateful_latest_value",
     "windowed_event_counts",
 ]

@@ -146,6 +146,41 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: group events into per-key sessions
+    separated by more than `gap` of event-time silence, via the
+    built-in `session_window` (merging-window state store — state per
+    OPEN session, closed sessions are emitted and dropped once the
+    watermark passes, so state is bounded by concurrent activity, not
+    stream length).
+
+    Boundary contract: `session_window(gap=G)` merges two events iff
+    their gap is `<= G` — touching ranges count as overlapping (pinned
+    by `test_sessionize_stream_boundary`). That is exactly the batch
+    `sessionization` rule `split iff diff > G`, so the SAME gap value
+    gates stream ≡ batch with no off-by-one adjustment.
+
+    `ts_col` must be TimestampType (convert long-nanos change-log
+    clocks with `F.timestamp_millis(ts DIV 1_000_000)` first — ms
+    truncation on BOTH modes, so neither sees sub-ms gaps the other
+    doesn't). Pass watermark=None only for availableNow replays that
+    emit in complete mode.
+    """
+    key_cols = key_cols or ["user_id"]
+    wm = stream.withWatermark(ts_col, watermark) if watermark else stream
+    return wm.groupBy(F.session_window(ts_col, gap), *key_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("first_event"),
+        F.max(ts_col).alias("last_event"),
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

@@ -49,6 +49,8 @@ from .operators.latest import latest_per_key
 from .operators.locf import locf
 from .operators.quantize import dequantize_embedding, quantize_embedding
 from .operators.multimodal import audio_features, frame_sample, image_features
+from .operators.range_join import interval_join
+from .operators.sketches import hll_partial_sketches, hll_rollup
 from .operators.sampling import hash_split, stratified_hash_sample
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
@@ -544,6 +546,135 @@ SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM (
               ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
 ) GROUP BY user_id
+"""
+
+
+def q_hll_distinct_users(spark, sf_dir):
+    """Mergeable-sketch distinct counting (operators/sketches.py):
+    daily per-type HLL partials rolled up to per-type distinct-user
+    estimates — the scan-once-rollup-forever pattern for 100 TB
+    distinct counts. No oracle (DuckDB cannot reproduce DataSketches
+    register values; rows-only driver check by contract) — accuracy
+    and the union≡direct merge algebra are pinned locally in
+    tests/test_sketches.py."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.timestamp_micros(F.expr("ts DIV 1000"))).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    daily = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
+    return hll_rollup(daily, ["event_type"]).orderBy("event_type")
+
+
+def _session_bounds(spark, sf_dir):
+    """Per-user session intervals [s_start, s_end] in epoch-ms, from
+    the same 30-min-gap rule as q_sessionization (lag + cumsum; the
+    RANGE-frame default makes tied timestamps share a session id on
+    both engines)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", _ts_ms().alias("ts_ms"))
+    w = Window.partitionBy("user_id").orderBy("ts_ms")
+    flagged = ev.withColumn(
+        "__new",
+        F.when(
+            F.col("ts_ms") - F.lag("ts_ms").over(w) > 1_800_000, 1
+        ).otherwise(F.when(F.lag("ts_ms").over(w).isNull(), 1).otherwise(0)),
+    )
+    return (
+        flagged.withColumn("sid", F.sum("__new").over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_ms").alias("s_start"), F.max("ts_ms").alias("s_end"))
+    )
+
+
+# shared session-bounds CTE for the interval-join oracles; the CAST on
+# the cumulative sum keeps sid BIGINT (DuckDB window sums go HUGEINT)
+_SQL_SESSION_BOUNDS = """
+WITH marks AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+), sess AS (
+  SELECT user_id, ts_ms,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms)
+              AS BIGINT) AS sid
+  FROM marks
+), bounds AS (
+  SELECT user_id, sid, min(ts_ms) AS s_start, max(ts_ms) AS s_end
+  FROM sess GROUP BY user_id, sid
+)
+"""
+
+
+def q_session_error_counts(spark, sf_dir):
+    """KEYED interval join (operators/range_join.py): error events
+    joined into their user's session intervals — the range predicate
+    rides an equi-join on user_id (co-partitioned, no cartesian),
+    then a per-session error count."""
+    bounds = _session_bounds(spark, sf_dir).withColumnRenamed(
+        "user_id", "b_user"
+    )
+    errors = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", _ts_ms().alias("ts_ms"))
+    )
+    return (
+        interval_join(
+            errors, bounds, "ts_ms", "s_start", "s_end",
+            keys=[("user_id", "b_user")],
+        )
+        .groupBy(
+            F.col("b_user").alias("user_id"), "sid", "s_start", "s_end"
+        )
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy("user_id", "sid")
+    )
+
+
+SQL_SESSION_ERROR_COUNTS = _SQL_SESSION_BOUNDS + """
+SELECT b.user_id, b.sid, b.s_start, b.s_end, count(*) AS n_errors
+FROM bounds b JOIN events e
+  ON e.user_id = b.user_id
+ AND epoch_ms(e.ts) BETWEEN b.s_start AND b.s_end
+ AND e.event_type = 'error'
+GROUP BY b.user_id, b.sid, b.s_start, b.s_end
+ORDER BY b.user_id, b.sid
+"""
+
+
+def q_interval_event_counts(spark, sf_dir):
+    """BUCKETED interval join (operators/range_join.py): user 0's
+    sessions become global time windows with NO shared key — the
+    1-hour bucket decomposition turns the containment predicate into
+    an equi-join on bucket id (no BroadcastNestedLoopJoin), counting
+    ALL users' events inside each window."""
+    windows = (
+        _session_bounds(spark, sf_dir)
+        .filter(F.col("user_id") == 0)
+        .select("sid", "s_start", "s_end")
+    )
+    ev = _t(spark, sf_dir, "events").select(_ts_ms().alias("ts_ms"))
+    return (
+        interval_join(
+            ev, windows, "ts_ms", "s_start", "s_end",
+            bucket_width=3_600_000,
+        )
+        .groupBy("sid", "s_start", "s_end")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("sid")
+    )
+
+
+SQL_INTERVAL_EVENT_COUNTS = _SQL_SESSION_BOUNDS + """
+SELECT w.sid, w.s_start, w.s_end, count(*) AS n_events
+FROM (SELECT sid, s_start, s_end FROM bounds WHERE user_id = 0) w
+JOIN events e ON epoch_ms(e.ts) BETWEEN w.s_start AND w.s_end
+GROUP BY w.sid, w.s_start, w.s_end
+ORDER BY w.sid
 """
 
 
@@ -3068,6 +3199,52 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_sessionization(spark, sf_dir):
+    """Sessionization as a STREAM (streaming/live_state.
+    sessionize_stream): the built-in merging `session_window` replayed
+    availableNow, then collapsed to per-user session counts. Oracle:
+    the batch lag+cumsum sessionization — the session-window state
+    machine must converge to the batch answer on the same log.
+
+    `session_window` merges on `diff <= gap` (touching ranges
+    overlap — see sessionize_stream's boundary contract), exactly the
+    batch rule's `split iff diff > 1800000 ms`, so the same 30-minute
+    gap serves both modes; both truncate the nanosecond clock to ms so
+    neither sees sub-ms gaps."""
+    import uuid
+
+    from .streaming.live_state import sessionize_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_millis(F.expr("ts DIV 1000000")))
+    )
+    sess = sessionize_stream(
+        src, key_cols=["user_id"], gap="30 minutes", watermark=None
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_sessionization did not drain in 300s")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
 def q_audio_features(spark, sf_dir):
     """Audio branch of the multimodal plumbing: same binary-payload
     shape, decoded by the deterministic stub kernel (16-bit-PCM fake —
@@ -3208,6 +3385,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "train_split": q_train_split,
     "stream_latest_state": q_stream_latest_state,
     "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessionization": q_stream_sessionization,
+    "session_error_counts": q_session_error_counts,
+    "interval_event_counts": q_interval_event_counts,
+    "hll_distinct_users": q_hll_distinct_users,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -3337,6 +3518,9 @@ ORACLE_SQL: dict[str, str] = {
     "train_split": SQL_TRAIN_SPLIT,
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
+    "stream_sessionization": SQL_SESSIONIZATION,
+    "session_error_counts": SQL_SESSION_ERROR_COUNTS,
+    "interval_event_counts": SQL_INTERVAL_EVENT_COUNTS,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,

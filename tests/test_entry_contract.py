@@ -20,6 +20,7 @@ def test_queries_and_oracles_consistent():
         "embedding_dup_pairs",
         "ivf_topk",
         "approx_stats",
+        "hll_distinct_users",
     }
 
 

@@ -1,0 +1,79 @@
+"""HLL sketch layer: merge algebra + accuracy + plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.sketches import (
+    approx_distinct,
+    hll_partial_sketches,
+    hll_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # 40k rows, 3 types x 20 days, per-type user cardinalities
+    # large enough to leave HLL's exact sparse mode
+    rows = spark.range(40_000).select(
+        (F.col("id") % 3).cast("int").alias("type_id"),
+        (F.col("id") % 20).cast("int").alias("day"),
+        # distinct users per type: hash spread over ~7000 values
+        F.abs(F.hash("id") % 7001).alias("user_id"),
+    )
+    return rows.cache()
+
+
+def test_hll_merge_equals_direct(spark, events):
+    """Union-of-daily-partials must give the SAME estimate as a
+    one-pass sketch per type: register-wise max is the exact HLL
+    union, not an approximation of it."""
+    daily = hll_partial_sketches(events, ["type_id", "day"], "user_id")
+    merged = hll_rollup(daily, ["type_id"])
+    direct = approx_distinct(events, ["type_id"], "user_id")
+    m = {r.type_id: r.approx_distinct for r in merged.collect()}
+    d = {r.type_id: r.approx_distinct for r in direct.collect()}
+    assert m == d
+
+
+def test_hll_accuracy(spark, events):
+    exact = {
+        r.type_id: r.n
+        for r in events.groupBy("type_id")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r.type_id: r.approx_distinct
+        for r in approx_distinct(events, ["type_id"], "user_id").collect()
+    }
+    for t, n in exact.items():
+        # lgk=12 -> ~1.6% standard error; 5% is > 3 sigma
+        assert abs(est[t] - n) / n < 0.05, (t, est[t], n)
+
+
+def test_hll_rollup_composes(spark, events):
+    """day -> (type, parity-of-day) -> type composes to the same
+    estimates as a one-hop rollup when sketches are kept."""
+    daily = hll_partial_sketches(events, ["type_id", "day"], "user_id")
+    mid = hll_rollup(
+        daily.withColumn("bucket", F.col("day") % 2),
+        ["type_id", "bucket"],
+        keep_sketch=True,
+    )
+    two_hop = hll_rollup(mid, ["type_id"])
+    one_hop = hll_rollup(daily, ["type_id"])
+    assert {(r.type_id, r.approx_distinct) for r in two_hop.collect()} == {
+        (r.type_id, r.approx_distinct) for r in one_hop.collect()
+    }
+
+
+def test_hll_partial_agg_in_plan(spark, events):
+    """Map-side partial aggregation must appear: only sketches
+    shuffle, never raw values."""
+    plan = (
+        hll_partial_sketches(events, ["type_id"], "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_hll_sketch_agg" in plan.lower() or "partial" in plan.lower()

@@ -271,3 +271,44 @@ def test_dedup_stream(spark, tmp_path):
     assert sorted(r.content_hash for r in rows) == ["h1", "h2", "h3"]
     # first arrival (by event time within the batch) wins per key
     assert {r.content_hash: r.payload for r in rows}["h1"] in (1, 2)
+
+
+def test_sessionize_stream_boundary(spark, tmp_path):
+    """Pin the gap-boundary contract: session_window merges on
+    `diff <= gap` (touching ranges overlap), so with gap = G an event
+    exactly G after its predecessor stays in the SAME session — the
+    batch rule `split iff diff > G` — while G+1ms splits."""
+    from alstom_spark_cassandra_spark.streaming import sessionize_stream
+
+    G = 1_800_000  # 30 min in ms
+    base = 1_700_000_000_000
+    rows = [
+        # user 1: gaps of exactly G -> one session of 3 events
+        (1, base), (1, base + G), (1, base + 2 * G),
+        # user 2: gap of G+1 -> two sessions
+        (2, base), (2, base + G + 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_ms long").withColumn(
+        "ts", F.timestamp_millis("ts_ms")
+    )
+    path = str(tmp_path / "sess_src")
+    df.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+    sess = sessionize_stream(
+        src, key_cols=["user_id"], gap="30 minutes", watermark=None
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_boundary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = spark.sql(
+        "select user_id, count(*) as n_sessions, sum(n_events) as n_events "
+        "from sess_boundary group by user_id"
+    ).collect()
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in out}
+    assert got[1] == (1, 3)
+    assert got[2] == (2, 2)
