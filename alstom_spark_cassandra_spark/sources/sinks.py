@@ -49,14 +49,19 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table (Hive-style layout). Joins between two
-    tables bucketed the same way on the same key execute with zero
-    shuffle; sort_cols additionally pre-sorts within buckets so
-    sort-merge joins skip their sort."""
+    """Bucketed table (Hive-style layout; external when `path` is
+    given, managed otherwise). Joins between two tables bucketed the
+    same way on the same key execute with zero shuffle
+    (test_bucketed_join_no_shuffle asserts the Exchange-free plan);
+    sort_cols additionally pre-sorts within buckets so sort-merge
+    joins skip their sort."""
     w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.format("parquet").saveAsTable(table_name)
 
 

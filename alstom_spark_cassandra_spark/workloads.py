@@ -2888,7 +2888,9 @@ def q_text_stats(spark, sf_dir):
     # has enough natural partitions and this repartition is a no-op
     # choice the caller makes)
     n_cores = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_cores:
+    # inputFiles() is driver-side file-listing metadata; the previous
+    # rdd.getNumPartitions() probe silently converted the plan to RDD
+    if len(docs.inputFiles()) < n_cores:
         docs = docs.repartition(n_cores)
     base = docs.select("doc_id", "text", tokens(F.col("text")).alias("__t"))
     t = F.col("__t")

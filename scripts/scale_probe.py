@@ -141,6 +141,72 @@ def main():
         salted_agg(sk, ["user_id"], {"s": ("value", "sum"), "n": ("value", "count")}, n_salts=32)
     )
     print(json.dumps({"skew_rows_millions": sizes_m[-1], "plain_agg": plain, "salted_agg": salted}))
+
+    # interval-join probe: points into global (un-keyed) intervals.
+    # The bucketed strategy's cost knob is avg(span/width): ~1-2
+    # exploded rows per interval at width≈span, ~10 at width=span/10.
+    from alstom_spark_cassandra_spark.operators.range_join import interval_join
+
+    n = int(sizes_m[-1] * 1_000_000)
+    span = 500_000
+    pts = spark.range(n).select((F.col("id") * 1000).alias("ts")).cache()
+    pts.count()
+    n_iv = max(64, n // 10_000)
+    step = n * 1000 // n_iv
+    iv = (
+        spark.range(n_iv)
+        .select(
+            (F.col("id") * step).alias("lo"),
+            (F.col("id") * step + span).alias("hi"),
+            F.col("id").alias("iid"),
+        )
+        .cache()
+    )
+    iv.count()
+    wide = timed(
+        interval_join(pts, iv, "ts", "lo", "hi", bucket_width=span)
+        .groupBy("iid")
+        .count()
+    )
+    narrow = timed(
+        interval_join(pts, iv, "ts", "lo", "hi", bucket_width=span // 10)
+        .groupBy("iid")
+        .count()
+    )
+    print(
+        json.dumps(
+            {
+                "interval_join_points_millions": sizes_m[-1],
+                "n_intervals": n_iv,
+                "bucket_eq_span": wide,
+                "bucket_tenth_span": narrow,
+            }
+        )
+    )
+    pts.unpersist()
+    iv.unpersist()
+
+    # sketch probe: distinct users per type, HLL vs exact. The exact
+    # path shuffles every distinct (type, user) pair; the sketch path
+    # shuffles one ~2.5 KB sketch per (type, partition).
+    from alstom_spark_cassandra_spark.operators.sketches import approx_distinct
+
+    hi_card = synth_events(spark, n, n_users=max(1000, n // 10)).cache()
+    hi_card.count()
+    hll_t = timed(approx_distinct(hi_card, ["event_type"], "user_id"))
+    exact_t = timed(
+        hi_card.groupBy("event_type").agg(F.count_distinct("user_id"))
+    )
+    print(
+        json.dumps(
+            {
+                "distinct_rows_millions": sizes_m[-1],
+                "hll_sketch": hll_t,
+                "exact_count_distinct": exact_t,
+            }
+        )
+    )
+    hi_card.unpersist()
     spark.stop()
 
 

@@ -100,3 +100,34 @@ def test_full_log_outputs_have_no_global_sort_exchange(spark):
     # rangepartitioning exchange over the whole dataset
     for name in ["json_flatten", "locf", "event_deltas", "running_sum"]:
         assert "rangepartitioning" not in plan_of(spark, name).lower(), name
+
+
+def test_interval_queries_no_nested_loop(spark):
+    """Both interval-join strategies must plan equi-joins: the range
+    predicate rides as residual, never a BroadcastNestedLoopJoin or
+    cartesian."""
+    for name in ["session_error_counts", "interval_event_counts"]:
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_new_tpch_no_cartesian(spark):
+    """The round-2 TPC-H additions keep the no-cartesian contract
+    (scalar-subquery crossJoins are broadcast of 1-row aggregates)."""
+    for name in [
+        "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+        "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20",
+        "tpch_q21", "tpch_q22",
+    ]:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hll_sketch_partial_agg(spark):
+    """Sketch aggregation must run map-side partial: only sketches
+    cross the exchange, never raw user ids."""
+    plan = plan_of(spark, "hll_distinct_users")
+    lowered = plan.lower()
+    assert "hll_sketch_agg" in lowered
+    assert "partial" in lowered

@@ -36,3 +36,62 @@ def test_compacted_log_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert "series_bucket" in back.columns
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key: the join plan
+    must contain NO shuffle exchange — the co-location contract that
+    makes repeated fact-fact joins affordable at 100 TB."""
+    from alstom_spark_cassandra_spark.sources.sinks import write_bucketed
+
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 10_000, 3).select(
+        F.col("id").alias("k"), (F.col("id") + 7).alias("vb")
+    )
+    # one file per bucket: Spark only trusts bucket sort order when
+    # each bucket is a single file (else it re-sorts before the SMJ)
+    write_bucketed(a.coalesce(1), "bkt_a", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "bkt_a"))
+    write_bucketed(b.coalesce(1), "bkt_b", ["k"], 8, sort_cols=["k"],
+                   path=str(tmp_path / "bkt_b"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # sort-elimination on bucketed scans moved behind a legacy flag in
+    # Spark 3.0 (multi-file buckets would need a merge-sort reader);
+    # with coalesce(1) above each bucket is one file, so it is safe
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        assert j.count() == 3334
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # pre-sorted buckets: no per-partition Sort before the SMJ
+        assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_bucketed_agg_no_shuffle(spark, tmp_path):
+    """GroupBy on the bucket key reuses the bucketed layout: no
+    exchange before the final aggregate."""
+    from alstom_spark_cassandra_spark.sources.sinks import write_bucketed
+
+    a = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    write_bucketed(a, "bkt_g", ["k"], 8, path=str(tmp_path / "bkt_g"))
+    try:
+        g = spark.table("bkt_g").groupBy("k").agg(F.sum("v").alias("s"))
+        assert g.count() == 100
+        plan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_g")
