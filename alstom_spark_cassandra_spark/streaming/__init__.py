@@ -1,5 +1,6 @@
 from .live_state import (
     dedup_stream,
+    interval_join_stream,
     latest_value_stream,
     sessionize_stream,
     stateful_latest_value,
@@ -8,6 +9,7 @@ from .live_state import (
 
 __all__ = [
     "dedup_stream",
+    "interval_join_stream",
     "latest_value_stream",
     "sessionize_stream",
     "stateful_latest_value",

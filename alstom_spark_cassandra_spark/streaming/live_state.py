@@ -181,6 +181,39 @@ def sessionize_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event joined to
+    right events with the same key inside [left_ts, left_ts + horizon]
+    (inclusive) — the attribution/correlation shape (click -> purchase,
+    command -> acknowledgement).
+
+    The time-range condition plus both watermarks lets Spark derive
+    state eviction: a buffered left row is dropped once the right
+    watermark passes left_ts + horizon, so state is bounded by traffic
+    within the horizon, not stream length. Column names must be
+    disjoint across the two inputs (rename before calling); inner-join
+    matches emit immediately — the watermark only bounds state, it
+    does not delay output.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

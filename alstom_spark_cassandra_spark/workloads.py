@@ -2519,6 +2519,77 @@ WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
 """
 
 
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): documents
+    whose word 3-grams leak from the held-out benchmark slice
+    (doc_id % 97 == 0) — the benchmark gram set broadcasts, corpus
+    grams never shuffle."""
+    from .operators.decontam import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_contamination(corpus, bench, n=3).orderBy("doc_id")
+
+
+SQL_DECONTAMINATION = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams
+  FROM t WHERE len(w) >= 3
+),
+bg AS (SELECT DISTINCT unnest(grams) AS sh FROM g WHERE doc_id % 97 = 0),
+cg AS (SELECT doc_id, unnest(grams) AS sh FROM g WHERE doc_id % 97 <> 0)
+SELECT cg.doc_id, count(*) AS n_hits
+FROM cg JOIN bg USING (sh)
+GROUP BY cg.doc_id ORDER BY cg.doc_id
+"""
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII pattern counts per document (operators/decontam.py):
+    RE2-compatible regexes run JVM-side via regexp_count; the same
+    pattern strings run verbatim in the DuckDB oracle."""
+    from .operators.decontam import PII_PATTERNS, pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pii_scan(docs)
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"n_{name}").cast("long").alias(f"n_{name}")
+            for name in PII_PATTERNS
+        ],
+        F.col("n_pii_total").cast("long").alias("n_pii_total"),
+    ).orderBy("doc_id")
+
+
+def _sql_pii() -> str:
+    from .operators.decontam import PII_PATTERNS
+
+    cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))"
+        for p in PII_PATTERNS.values()
+    )
+    return (
+        f"SELECT doc_id,\n       {cols},\n"
+        f"       {total} AS n_pii_total\n"
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+SQL_PII_SCAN = _sql_pii()
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup groups: word-Jaccard >= 0.8 pairs as edges, connected
     components (pointer-jumping label propagation) as the cluster id
@@ -3247,6 +3318,79 @@ def q_stream_sessionization(spark, sf_dir):
     )
 
 
+def q_stream_attribution(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join (streaming/live_state.
+    interval_join_stream): clicks joined to same-user purchases within
+    the following hour, both sides replayed as independent streams.
+    Oracle: the identical batch self-join — stream-stream state
+    buffering must reproduce the batch answer once drained."""
+    import uuid
+
+    from .streaming.live_state import interval_join_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def _src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_millis(F.expr("ts DIV 1000000")))
+        )
+
+    clicks = (
+        _src()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        _src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    j = interval_join_stream(
+        clicks, purchases, "c_user", "p_user", "c_ts", "p_ts", "1 hour"
+    )
+    name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_attribution did not drain in 300s")
+    return (
+        spark.table(name)
+        .select(
+            F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
+SQL_STREAM_ATTRIBUTION = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_ms(p.ts) >= epoch_ms(c.ts)
+ AND epoch_ms(p.ts) <= epoch_ms(c.ts) + 3600000
+ORDER BY c.user_id, click_id, purchase_id
+"""
+
+
 def q_audio_features(spark, sf_dir):
     """Audio branch of the multimodal plumbing: same binary-payload
     shape, decoded by the deterministic stub kernel (16-bit-PCM fake —
@@ -3388,9 +3532,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_latest_state": q_stream_latest_state,
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sessionization": q_stream_sessionization,
+    "stream_attribution": q_stream_attribution,
     "session_error_counts": q_session_error_counts,
     "interval_event_counts": q_interval_event_counts,
     "hll_distinct_users": q_hll_distinct_users,
+    "decontamination": q_decontamination,
+    "pii_scan": q_pii_scan,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -3521,8 +3668,11 @@ ORACLE_SQL: dict[str, str] = {
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "stream_sessionization": SQL_SESSIONIZATION,
+    "stream_attribution": SQL_STREAM_ATTRIBUTION,
     "session_error_counts": SQL_SESSION_ERROR_COUNTS,
     "interval_event_counts": SQL_INTERVAL_EVENT_COUNTS,
+    "decontamination": SQL_DECONTAMINATION,
+    "pii_scan": SQL_PII_SCAN,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,

@@ -312,3 +312,46 @@ def test_sessionize_stream_boundary(spark, tmp_path):
     got = {r.user_id: (r.n_sessions, r.n_events) for r in out}
     assert got[1] == (1, 3)
     assert got[2] == (2, 2)
+
+
+def test_interval_join_stream_horizon(spark, tmp_path):
+    """Stream-stream attribution: inclusive horizon boundary, key
+    isolation, and no matches before the left event."""
+    from alstom_spark_cassandra_spark.streaming import interval_join_stream
+
+    H = 3_600_000  # 1h in ms
+    base = 1_700_000_000_000
+    clicks = spark.createDataFrame(
+        [(1, base, 10), (2, base, 20)],
+        "c_user int, c_ms long, click_id long",
+    ).withColumn("c_ts", F.timestamp_millis("c_ms")).drop("c_ms")
+    purchases = spark.createDataFrame(
+        [
+            (1, base + H, 100),      # exactly at horizon: inclusive
+            (1, base + H + 1, 101),  # 1ms past: excluded
+            (1, base - 1, 102),      # before the click: excluded
+            (2, base + 5, 200),      # other user's window
+        ],
+        "p_user int, p_ms long, purchase_id long",
+    ).withColumn("p_ts", F.timestamp_millis("p_ms")).drop("p_ms")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.coalesce(1).write.parquet(cdir)
+    purchases.coalesce(1).write.parquet(pdir)
+    j = interval_join_stream(
+        spark.readStream.schema(clicks.schema).parquet(cdir),
+        spark.readStream.schema(purchases.schema).parquet(pdir),
+        "c_user", "p_user", "c_ts", "p_ts", "1 hour",
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("select * from attr_test").collect()
+    }
+    assert got == {(10, 100), (20, 200)}
