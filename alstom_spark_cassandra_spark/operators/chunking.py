@@ -1,0 +1,103 @@
+"""Context-window document chunking and intra-document repetition.
+
+Two per-document operators for the pretraining prep path, both pure
+higher-order-function row transforms — zero shuffles, zero Python:
+
+- **Chunking**: split each document's token sequence into
+  fixed-length overlapping windows (the context-window prep step
+  before `sequence_pack` bins chunks into batches). Every token is
+  covered; consecutive chunks share `overlap` tokens; short docs
+  yield exactly one chunk. Fan-out is an explode of a per-row
+  computed index range, so a 100 TB corpus chunks in one map stage.
+
+- **Repetition scoring**: the fraction of duplicated word n-grams
+  inside each document (the "repetition removal" quality signal of
+  Gopher/MassiveText-style pipelines — high dup_frac means looping
+  or boilerplate text). Derived entirely from `size()` arithmetic on
+  the shingle arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """(id, chunk_id, n_chunk_tokens, chunk_text) rows. Chunk k spans
+    tokens [k*step, k*step + chunk_tokens) with step = chunk_tokens -
+    overlap; the number of chunks is ceil((n_tokens - overlap) /
+    step), floored at 1, which covers every token and never emits a
+    window that adds no new tokens."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = _toks(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(step))).cast("int"),
+    )
+    chunked = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"),
+        F.col("chunk_id") * step + 1,
+        F.lit(chunk_tokens),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_distinct_grams, dup_frac) per document, where
+    dup_frac = 1 - distinct/total over word n-grams (0.0 for docs
+    shorter than n tokens — nothing to repeat)."""
+    toks = _toks(F.col(text_col))
+    total = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(total - 1, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        F.when(total > 0, total).otherwise(F.lit(0)).alias("n_grams"),
+        F.when(total > 0, distinct).otherwise(F.lit(0)).alias(
+            "n_distinct_grams"
+        ),
+        F.when(
+            total > 0,
+            F.floor(
+                (1 - distinct / total.cast("double")) * 1e6 + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -2590,6 +2590,81 @@ def _sql_pii() -> str:
 SQL_PII_SCAN = _sql_pii()
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking (operators/chunking.py): 32-token
+    windows with 8-token overlap — pure per-row explode, no
+    shuffle."""
+    from .operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS BIGINT)) AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id, chunk_id,
+       len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_chunk_tokens,
+       array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Intra-document repetition (operators/chunking.py): duplicated
+    word-trigram fraction per doc — the Gopher-style repetition
+    quality signal, HOF-only."""
+    from .operators.chunking import repetition_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_scores(docs, n=3)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
+        "dup_frac",
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION_SCORES = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_transform(range(1, len(w) - 1),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0 THEN
+         floor((1 - len(list_distinct(grams))
+                    / CAST(len(grams) AS DOUBLE)) * 1000000 + 0.5)
+           / 1000000.0
+       ELSE 0.0 END AS dup_frac
+FROM g ORDER BY doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup groups: word-Jaccard >= 0.8 pairs as edges, connected
     components (pointer-jumping label propagation) as the cluster id
@@ -3538,6 +3613,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "decontamination": q_decontamination,
     "pii_scan": q_pii_scan,
+    "doc_chunks": q_doc_chunks,
+    "repetition_scores": q_repetition_scores,
     "token_estimate": q_token_estimate,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_quantized_topk": q_ann_quantized_topk,
@@ -3673,6 +3750,8 @@ ORACLE_SQL: dict[str, str] = {
     "interval_event_counts": SQL_INTERVAL_EVENT_COUNTS,
     "decontamination": SQL_DECONTAMINATION,
     "pii_scan": SQL_PII_SCAN,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,

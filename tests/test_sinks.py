@@ -95,3 +95,31 @@ def test_bucketed_agg_no_shuffle(spark, tmp_path):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_g")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a
+    dynamic pruning subquery into the fact scan: only the dim's
+    surviving partitions are read — at 100 TB this is the difference
+    between scanning a day and scanning a decade."""
+    from alstom_spark_cassandra_spark.sources.sinks import write_partitioned
+
+    fact = spark.range(10_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("day_idx"),
+        (F.col("id") % 997).alias("v"),
+    )
+    out = str(tmp_path / "fact_part")
+    write_partitioned(fact, out, ["day_idx"])
+    dim = spark.createDataFrame(
+        [(i, "hot" if i == 3 else "cold") for i in range(10)],
+        "day_idx long, label string",
+    )
+    j = (
+        spark.read.parquet(out)
+        .join(dim, "day_idx")
+        .filter(F.col("label") == "hot")
+    )
+    assert j.count() == 1000
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
