@@ -120,10 +120,26 @@ def decode_wav(payload: bytes) -> tuple[int, int, float] | None:
             frames = wav.readframes(n)
     except (wave.Error, EOFError):
         return None
-    if width != 2 or not frames:
-        return (sr, n, 0.0) if width == 2 else None
-    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
-    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    if not frames:
+        return sr, n, 0.0
+    if width == 1:  # unsigned 8-bit PCM, centred on 128
+        total = sum((b - 128) ** 2 for b in frames)
+        rms = (total / len(frames)) ** 0.5 / 128.0
+    elif width == 2:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+    elif width == 3:  # 24-bit little-endian signed
+        cnt = len(frames) // 3
+        total = sum(
+            int.from_bytes(frames[3 * i : 3 * i + 3], "little", signed=True) ** 2
+            for i in range(cnt)
+        )
+        rms = (total / cnt) ** 0.5 / 8388608.0
+    elif width == 4:
+        samples = struct.unpack(f"<{len(frames) // 4}i", frames)
+        rms = (sum(s * s for s in samples) / len(samples)) ** 0.5 / 2147483648.0
+    else:  # exotic widths: real header values, sentinel rms
+        return sr, n, -1.0
     return sr, n, rms
 
 
