@@ -44,8 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Driver testdata writes events.ts as parquet TIMESTAMP(NANOS),
-        # which vanilla Spark rejects; read it as a long (nanoseconds).
+        # Older testdata generations wrote events.ts as parquet
+        # TIMESTAMP(NANOS), which vanilla Spark rejects; reading it as
+        # a long keeps that encoding loadable. The loader canonicalizes
+        # either encoding (long-ns or timestamp[us]) to epoch-ms —
+        # sources/loader.normalize_event_time.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

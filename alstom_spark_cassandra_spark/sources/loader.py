@@ -24,8 +24,51 @@ query predicates.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 REPLAY_SWITCHED = {"instance_field", "instance_message"}
+
+# Canonical event-log clock: LONG epoch-milliseconds, the reference's
+# own time axis (Java/.../DataLoader.java:151-152 — log_time is plain
+# epoch-millis). The driver's parquet has carried `events.ts` as
+# TIMESTAMP(NANOS) (read as long ns via nanosAsLong) in rounds 1-2 and
+# as timestamp[us] (TIMESTAMP_NTZ) from round 3 — a real lakehouse
+# sees exactly this kind of writer drift, so the adaptation lives HERE,
+# at the loader boundary, and every query downstream sees one stable
+# encoding. tests/test_testdata_contract.py fails loudly if a future
+# regeneration introduces an encoding this function doesn't recognize.
+_EVENT_TIME_COL = "ts"
+
+
+def epoch_ms_expr(df: DataFrame, col: str = _EVENT_TIME_COL) -> F.Column:
+    """Epoch-milliseconds LONG from whatever physical encoding `col`
+    carries. Session timezone is pinned UTC (session.py), so casting
+    TIMESTAMP_NTZ to TIMESTAMP preserves the instant."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # parquet TIMESTAMP(NANOS) surfaced via nanosAsLong
+        return F.expr(f"{col} DIV 1000000")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_millis(F.col(col).cast("timestamp"))
+    raise TypeError(
+        f"unsupported event-time encoding for column {col!r}: {dt}"
+    )
+
+
+def normalize_event_time(df: DataFrame, col: str = _EVENT_TIME_COL) -> DataFrame:
+    """Rewrite `col` to canonical long epoch-ms (no-op if absent)."""
+    if col not in df.columns:
+        return df
+    return df.withColumn(col, epoch_ms_expr(df, col))
+
+
+def stream_event_time(df: DataFrame, col: str = _EVENT_TIME_COL) -> DataFrame:
+    """Streaming variant: rewrite `col` to TimestampType truncated to
+    whole milliseconds (watermarks/windows need a timestamp; the ms
+    truncation matches the batch engines' epoch-ms axis so stream and
+    batch sessionization see identical gaps)."""
+    return df.withColumn(col, F.timestamp_millis(epoch_ms_expr(df, col)))
 
 
 def _resolve_replay(name: str, replay: bool) -> str:
@@ -49,12 +92,14 @@ def load_table(
     name = _resolve_replay(name, replay)
     if base.startswith("cassandra://"):
         keyspace = base[len("cassandra://") :]
-        return (
+        df = (
             spark.read.format("org.apache.spark.sql.cassandra")
             .options(table=name, keyspace=keyspace)
             .load()
         )
-    return spark.read.parquet(f"{base}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{base}/{name}.parquet")
+    return normalize_event_time(df)
 
 
 class Catalog:

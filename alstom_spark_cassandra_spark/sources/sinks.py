@@ -12,8 +12,9 @@ parquet with the two layouts that matter at 100 TB:
 - **bucketed** by join/agg key: repeated joins and aggregations on
   the bucket key skip their shuffle entirely (bucketed scan).
 
-`day_col` derives the canonical integer day index from the nanosecond
-log clock, matching the workloads' day arithmetic.
+`day_col` derives the canonical integer day index from the epoch-ms
+log clock (the loader's canonical encoding — sources/loader.
+normalize_event_time), matching the workloads' day arithmetic.
 """
 
 from __future__ import annotations
@@ -23,11 +24,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-NS_PER_DAY = 86_400_000_000_000
+MS_PER_DAY = 86_400_000
 
 
-def day_col(ts_ns_col: str = "ts") -> F.Column:
-    return F.expr(f"{ts_ns_col} DIV {NS_PER_DAY}")
+def day_col(ts_ms_col: str = "ts") -> F.Column:
+    return F.expr(f"{ts_ms_col} DIV {MS_PER_DAY}")
 
 
 def write_partitioned(

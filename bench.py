@@ -65,31 +65,37 @@ def main():
     spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
 
     # best-of-2: the second run reuses codegen/caches; reporting the
-    # minimum removes one-off JIT/GC noise from the recorded baseline
+    # minimum removes one-off JIT/GC noise from the recorded baseline.
+    # Each query is error-isolated: one broken query must never zero
+    # out the whole bench artifact (round 3 lost its bench to a single
+    # analysis error) — it lands in "errors" and the rest still time.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
         best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                el = time.time() - t0
+                best = el if best is None or el < best else best
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -11,7 +11,7 @@ from alstom_spark_cassandra_spark.sources.sinks import (
 
 def test_partitioned_write_prunes(spark, tmp_path):
     ev = spark.createDataFrame(
-        [(i, i * 86_400_000_000_000 + 5, float(i)) for i in range(10)],
+        [(i, i * 86_400_000 + 5, float(i)) for i in range(10)],
         "event_id long, ts long, value double",
     ).withColumn("day_idx", day_col())
     out = str(tmp_path / "ev_part")
