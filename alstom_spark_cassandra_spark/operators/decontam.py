@@ -48,18 +48,21 @@ def benchmark_contamination(
     the benchmark. Clean documents do not appear (inner join) —
     anti-join the result against the corpus to keep the clean side.
 
-    Documents shorter than n tokens fall back to a whole-text shingle
-    (shingle_df semantics); filter them out beforehand if that guard
-    is unwanted.
+    Documents shorter than n tokens contribute no grams on either
+    side (they cannot contain a full n-gram, so they can neither be
+    contaminated nor contaminate) — this overrides shingle_df's
+    whole-text fallback, which exists for dedup where every doc must
+    produce a signature.
     """
+    has_n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= n
     bench_grams = (
-        shingle_df(benchmark, text_col, id_col, n)
+        shingle_df(benchmark.filter(has_n_tokens), text_col, id_col, n)
         .select("shingle")
         .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    corpus_grams = shingle_df(corpus, text_col, id_col, n)
+    corpus_grams = shingle_df(corpus.filter(has_n_tokens), text_col, id_col, n)
     return (
         corpus_grams.join(bench_grams, "shingle")
         # shingle_df emits DISTINCT grams per doc, so plain count is

@@ -51,7 +51,7 @@ def locf_pivot(
     series_key_col: str,
     value_col: str = "value",
     series_values: Sequence[str] | None = None,
-    max_order_keys: int | None = 100_000,
+    max_order_keys: int | None = None,
 ) -> DataFrame:
     """Dense history matrix: one row per `order_col`, one column per
     series, nulls carried forward.
@@ -65,12 +65,13 @@ def locf_pivot(
     PRESENTATION-ONLY: the forward-fill window below is global (the
     whole matrix passes through ONE task) — that is inherent to
     "one row per instant, one column per series", the reference's own
-    scalability ceiling (SURVEY.md §7.4). `max_order_keys` is the
-    guard rail: the pivot refuses to build a matrix taller than the
-    cap instead of silently serializing a full log through a single
-    partition. Set None only when the caller already bounded the
-    input (as get_update_history does, filling per-series BEFORE the
-    pivot).
+    scalability ceiling (SURVEY.md §7.4). `max_order_keys` is an
+    OPT-IN guard rail: when set, the pivot refuses to build a matrix
+    taller than the cap instead of silently serializing a full log
+    through a single partition — at the cost of one extra
+    distinct-count job per call, which is why it is off by default
+    (callers that already bounded the input, as get_update_history
+    does by filling per-series BEFORE the pivot, pay nothing).
     """
     if max_order_keys is not None:
         n = df.select(order_col).distinct().count()

@@ -555,17 +555,46 @@ def q_hll_distinct_users(spark, sf_dir):
     """Mergeable-sketch distinct counting (operators/sketches.py):
     daily per-type HLL partials rolled up to per-type distinct-user
     estimates — the scan-once-rollup-forever pattern for 100 TB
-    distinct counts. No oracle (DuckDB cannot reproduce DataSketches
-    register values; rows-only driver check by contract) — accuracy
-    and the union≡direct merge algebra are pinned locally in
-    tests/test_sketches.py."""
+    distinct counts. DuckDB cannot reproduce DataSketches register
+    values, so the estimate itself is not emitted; instead the query
+    emits the EXACT distinct count (reproducible in SQL) plus an
+    in-query accuracy verdict `within_bound` = |approx - exact| ≤
+    3σ·exact (σ = 1.04/√2^lgk ≈ 1.6% at lgk=12). The oracle asserts
+    exact_distinct and `within_bound = TRUE`, making the sketch's
+    accuracy claim hard-checkable by the driver; the union≡direct
+    merge algebra is additionally pinned in tests/test_sketches.py.
+    (The exact column is the correctness gate only — a production
+    rollup serves from the sketch table alone.)"""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("day", F.timestamp_millis(F.col("ts"))).alias("day"),
         "user_id",
     )
     daily = hll_partial_sketches(ev, ["event_type", "day"], "user_id")
-    return hll_rollup(daily, ["event_type"]).orderBy("event_type")
+    est = hll_rollup(daily, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    rel_bound = 3 * 1.04 / (2**12) ** 0.5
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(rel_bound)
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_HLL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def _session_bounds(spark, sf_dir):
@@ -1971,32 +2000,31 @@ ORDER BY custdist DESC, c_count DESC
 
 
 def q_tpch_q15(spark, sf_dir):
-    """TPC-H Q15 top supplier: a revenue view reused by both the
-    outer query and the scalar max — registered as a temp view and
-    CACHED, because Spark shares no common subtrees across a join's
-    two inputs (the view would be recomputed per consumer)."""
+    """TPC-H Q15 top supplier. The scalar max over the revenue view is
+    an unpartitioned window max over the ALREADY AGGREGATED revenue
+    rows (one row per supplier — small after the agg at any scale), so
+    lineitem is scanned exactly once and nothing needs caching or
+    temp-view registration (a previous cache+view here leaked cached
+    blocks across repeated bench runs)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
     )
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
         )
-        .cache()
     )
-    revenue.createOrReplaceTempView("revenue0")
-    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = (
+        revenue.withColumn(
+            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .drop("max_revenue")
+    )
     supp = _t(spark, sf_dir, "supplier")
     return (
-        supp.join(
-            F.broadcast(revenue), supp.s_suppkey == revenue.supplier_no
-        )
-        .crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        supp.join(F.broadcast(top), supp.s_suppkey == top.supplier_no)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -3694,6 +3722,7 @@ ORACLE_SQL: dict[str, str] = {
     "boundary_padding": SQL_BOUNDARY_PADDING,
     "compaction": SQL_COMPACTION,
     "sessionization": SQL_SESSIONIZATION,
+    "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
     "event_deltas": SQL_EVENT_DELTAS,
     "running_sum": SQL_RUNNING_SUM,
     "daily_rollup": SQL_DAILY_ROLLUP,

@@ -86,3 +86,29 @@ def test_pii_redact(spark):
     assert "10.0.42.1" not in red
     assert "555" not in red
     assert "https://" not in red
+
+
+def test_short_docs_neither_contaminate_nor_flag(spark):
+    """Docs with < n tokens produce no grams on either side — the
+    whole-text shingle fallback (a dedup-only behavior) must not leak
+    into contamination semantics (matches the DuckDB oracle's
+    len(w) >= n filter)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "fox jumps"),  # short doc, substring of benchmark
+            (2, "the quick brown fox jumps today"),
+        ],
+        "doc_id long, text string",
+    )
+    # short benchmark entry must not flag the identical short corpus doc
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "fox jumps")],
+        "doc_id long, text string",
+    )
+    out = benchmark_contamination(corpus, bench, n=5).collect()
+    hits = {r.doc_id: r.n_hits for r in out}
+    assert set(hits) == {2}
+    # and the filtering form keeps the short doc
+    kept = decontaminate(corpus, bench, n=5)
+    assert {r.doc_id for r in kept.collect()} == {1}

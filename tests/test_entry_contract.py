@@ -14,13 +14,14 @@ def test_queries_and_oracles_consistent():
     # every oracle key is a declared query
     assert set(oracles) <= set(qs)
     # the only keys without an oracle are the hash-based/approx ops
+    # (hll_distinct_users graduated: it now emits exact_distinct +
+    # within_bound, both DuckDB-reproducible)
     assert set(qs) - set(oracles) == {
         "minhash_signatures",
         "simhash_fingerprints",
         "embedding_dup_pairs",
         "ivf_topk",
         "approx_stats",
-        "hll_distinct_users",
     }
 
 
