@@ -108,8 +108,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
 
 def decode_wav(payload: bytes) -> tuple[int, int, float] | None:
     """REAL decoder for PCM WAV — stdlib `wave`. Returns
-    (sample_rate, n_samples, rms in [0,1]) or None when the payload
-    is not a PCM WAV."""
+    (sample_rate, n_samples, rms) or None when the payload is not a
+    PCM WAV. rms is in [0,1] for the supported sample widths
+    (8/16/24/32-bit); exotic widths return real header values with a
+    -1.0 SENTINEL rms — filter `rms >= 0` before aggregating."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     try:
@@ -120,6 +122,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, float] | None:
             frames = wav.readframes(n)
     except (wave.Error, EOFError):
         return None
+    if width > 1:
+        # a truncated data chunk can yield a partial trailing sample;
+        # struct.unpack would raise and crash the task — trim to whole
+        # samples instead
+        frames = frames[: len(frames) - len(frames) % width]
     if not frames:
         return sr, n, 0.0
     if width == 1:  # unsigned 8-bit PCM, centred on 128

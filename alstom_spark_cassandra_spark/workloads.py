@@ -2405,15 +2405,25 @@ SELECT l_orderkey, l_linenumber, measure, val FROM (
 
 
 def q_approx_stats(spark, sf_dir):
-    """Approximate aggregates (HyperLogLog distinct + quantile sketch)
-    per event_type — sketch implementations differ between engines, so
-    this is declared without an oracle (rows-only); the exact
-    counterpart is q_distinct_agg."""
+    """Approximate aggregates (HyperLogLog++ distinct + GK quantile
+    sketch) per event_type. Sketch register values differ between
+    engines, so the estimates themselves are not emitted; the query
+    emits the driver-checkable accuracy CLAIMS instead:
+
+    - `users_ok`: |approx_count_distinct - exact| ≤ 3·rsd·exact
+      (default rsd = 5%);
+    - `p50_ok`/`p95_ok`: the approximate percentile's RANK is within
+      ±1% of its target — percentile_approx(accuracy=1000) returns an
+      actual data point with rank error ≤ 1/1000, checked two-sided
+      and tie-robust via count(< v) / count(≤ v).
+
+    The oracle asserts exact_users and all-TRUE verdicts. Exact
+    counterparts: q_distinct_agg, q_exact_quantiles."""
     ev = _t(spark, sf_dir, "events")
     # scalar p50/p95 columns (not one array column): every output
     # column must be hashable by the driver's pandas canonicalizer
     pcts = F.percentile_approx("value", [0.5, 0.95], 1000)
-    return (
+    approx = (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
@@ -2422,11 +2432,44 @@ def q_approx_stats(spark, sf_dir):
         .select(
             "event_type",
             "approx_users",
-            F.element_at("_p", 1).alias("value_p50"),
-            F.element_at("_p", 2).alias("value_p95"),
+            F.element_at("_p", 1).alias("p50"),
+            F.element_at("_p", 2).alias("p95"),
         )
-        .orderBy("event_type")
     )
+    joined = ev.join(F.broadcast(approx), "event_type")
+    delta = 0.01  # rank tolerance; sketch guarantees 0.001
+    checked = joined.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.first("approx_users").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") < F.col("p50"), 1)).alias("lt50"),
+        F.count(F.when(F.col("value") <= F.col("p50"), 1)).alias("le50"),
+        F.count(F.when(F.col("value") < F.col("p95"), 1)).alias("lt95"),
+        F.count(F.when(F.col("value") <= F.col("p95"), 1)).alias("le95"),
+    )
+    return checked.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(3 * 0.05)
+        ).alias("users_ok"),
+        (
+            (F.col("le50") >= (0.5 - delta) * F.col("n"))
+            & (F.col("lt50") <= (0.5 + delta) * F.col("n"))
+        ).alias("p50_ok"),
+        (
+            (F.col("le95") >= (0.95 - delta) * F.col("n"))
+            & (F.col("lt95") <= (0.95 + delta) * F.col("n"))
+        ).alias("p95_ok"),
+    ).orderBy("event_type")
+
+
+SQL_APPROX_STATS = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def q_exact_quantiles(spark, sf_dir):
@@ -3589,15 +3632,24 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (scale path of q_ann_cosine_topk) —
-    approximate, rows-only check; recall vs brute force is pinned in
-    tests/test_similarity.py."""
+    """IVF top-k (scale path of q_ann_cosine_topk), driven at FULL
+    probe (nprobe = n_centroids) so the whole IVF pipeline — seeded
+    centroid construction, cell assignment, per-cell scoring, merge,
+    rank — must reproduce the exact brute-force top-10 bit-for-bit;
+    the oracle is the same exact-cosine SQL as ann_cosine_topk. (The
+    driver's embeddings are unstructured random vectors, so a
+    PARTIAL-probe recall floor would be a data-dependent claim —
+    partial-probe recall ≥ 0.9 is pinned instead on the clustered
+    fixture in tests/test_similarity.py, where the IVF assumption
+    actually holds.)"""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
-    return out.select("query_id", "vec_id", "rank")
+    out = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16)
+    return out.select(
+        "query_id", "vec_id", half_up(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3723,6 +3775,8 @@ ORACLE_SQL: dict[str, str] = {
     "compaction": SQL_COMPACTION,
     "sessionization": SQL_SESSIONIZATION,
     "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
+    "approx_stats": SQL_APPROX_STATS,
+    "ivf_topk": SQL_ANN_COSINE_TOPK,
     "event_deltas": SQL_EVENT_DELTAS,
     "running_sum": SQL_RUNNING_SUM,
     "daily_rollup": SQL_DAILY_ROLLUP,
@@ -3789,6 +3843,9 @@ ORACLE_SQL: dict[str, str] = {
     "image_features": SQL_IMAGE_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
-    # minhash_signatures / simhash_fingerprints / embedding_dup_pairs /
-    # ivf_topk: hash-based or approximate -> rows-only check by design.
+    # minhash_signatures / simhash_fingerprints / embedding_dup_pairs:
+    # engine-specific hashes (xxhash64 signatures, LSH buckets on data
+    # with no planted near-dups) -> rows-only check by design. Their
+    # semantics are pinned by oracle-checked consumers (dedup_clusters,
+    # dedup_corpus) and tests/test_dedup.py.
 }

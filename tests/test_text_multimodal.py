@@ -169,3 +169,18 @@ def test_kernel_injection_seam(spark):
         for r in audio_features(df, kernel=lambda p: (8000, len(p), 0.5)).collect()
     }
     assert audio[1].n_samples == 3 and audio[1].sample_rate == 8000
+
+
+def test_truncated_wav_does_not_crash():
+    """A WAV whose data chunk claims more bytes than exist yields a
+    partial trailing sample; decode_wav must trim to whole samples
+    instead of letting struct.error escape and kill the Spark task."""
+    from alstom_spark_cassandra_spark.operators.multimodal import decode_wav
+
+    wav = bytearray(_make_wav(8000, [1000, -1000, 1000, -1000]))
+    truncated = bytes(wav[:-1])  # chop mid-sample
+    out = decode_wav(truncated)
+    assert out is not None
+    sr, n, rms = out
+    assert sr == 8000
+    assert 0.0 <= rms <= 1.0
