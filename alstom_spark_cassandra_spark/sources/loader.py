@@ -71,6 +71,63 @@ def stream_event_time(df: DataFrame, col: str = _EVENT_TIME_COL) -> DataFrame:
     return df.withColumn(col, F.timestamp_millis(epoch_ms_expr(df, col)))
 
 
+def _raw_ts_literal(dt, ms: int) -> F.Column:
+    """A literal comparable to the RAW `ts` column without casting the
+    column (a cast on the column side would defeat parquet pushdown).
+    Session timezone is pinned UTC, so the rendered wall-clock instant
+    is exact for both timestamp flavors."""
+    if isinstance(dt, T.LongType):
+        return F.lit(ms * 1_000_000)  # nanosAsLong
+    from datetime import datetime, timedelta, timezone
+
+    iso = (
+        datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(milliseconds=ms)
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(f"TIMESTAMP_NTZ '{iso}'")
+    if isinstance(dt, T.TimestampType):
+        return F.expr(f"TIMESTAMP '{iso}'")
+    raise TypeError(f"unsupported event-time encoding: {dt}")
+
+
+def load_table_window(
+    spark: SparkSession,
+    base: str,
+    name: str,
+    lo_ms: int | None = None,
+    hi_ms: int | None = None,
+    replay: bool = False,
+    col: str = _EVENT_TIME_COL,
+) -> DataFrame:
+    """`load_table` for time-windowed scans: the inclusive epoch-ms
+    window [lo_ms, hi_ms] is expressed as plain comparisons on the RAW
+    physical column BEFORE canonicalization, so it reaches the parquet
+    scan as a pushed filter (row-group / page skipping — on a 100 TB
+    time-ordered log this is the difference between scanning a day and
+    scanning the archive). A filter on the derived epoch-ms column
+    cannot be pushed: parquet accepts only bare-column predicates.
+
+    Bound mapping is exact because epoch-ms is floor(raw / unit):
+    ms >= lo  ⟺  raw >= lo*unit;  ms <= hi  ⟺  raw < (hi+1)*unit.
+    """
+    if base.startswith("cassandra://"):
+        # Cassandra path: predicate pushdown happens via the connector
+        # on the canonical column instead.
+        df = load_table(spark, base, name, replay)
+        if lo_ms is not None:
+            df = df.filter(F.col(col) >= lo_ms)
+        if hi_ms is not None:
+            df = df.filter(F.col(col) <= hi_ms)
+        return df
+    raw = spark.read.parquet(f"{base}/{_resolve_replay(name, replay)}.parquet")
+    dt = raw.schema[col].dataType
+    if lo_ms is not None:
+        raw = raw.filter(F.col(col) >= _raw_ts_literal(dt, lo_ms))
+    if hi_ms is not None:
+        raw = raw.filter(F.col(col) < _raw_ts_literal(dt, hi_ms + 1))
+    return normalize_event_time(raw, col)
+
+
 def _resolve_replay(name: str, replay: bool) -> str:
     # SQL/GetMessage.sql:17-23 — replay flag swaps to *_replay tables.
     if replay and name in REPLAY_SWITCHED:

@@ -54,7 +54,7 @@ from .operators.sketches import hll_partial_sketches, hll_rollup
 from .operators.sampling import hash_split, stratified_hash_sample
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
-from .sources.loader import load_table
+from .sources.loader import load_table, load_table_window
 from .streaming.live_state import latest_value_stream
 
 # epoch-millis literals (UTC)
@@ -67,6 +67,17 @@ MS_PER_DAY = 86_400_000
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _tw(
+    spark: SparkSession,
+    sf_dir: str,
+    lo_ms: int | None = None,
+    hi_ms: int | None = None,
+) -> DataFrame:
+    """events scan with the [lo_ms, hi_ms] window pushed to parquet
+    (row-group skipping) — see sources/loader.load_table_window."""
+    return load_table_window(spark, sf_dir, "events", lo_ms, hi_ms)
 
 
 def _ts_ms(col: str = "ts") -> F.Column:
@@ -180,14 +191,9 @@ FROM (
 def q_field_window(spark, sf_dir):
     """P1-P3: dynamic conjunctive filters + time-window range scan
     (reference RetrieveField, Java/.../RetrieveField.java:50-93)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tw(spark, sf_dir, T_JAN05, T_JAN15)
     return (
-        ev.filter(
-            (F.col("event_type") == "click")
-            & (F.col("value") >= 100.0)
-            & (_ts_ms() >= T_JAN05)
-            & (_ts_ms() <= T_JAN15)
-        )
+        ev.filter((F.col("event_type") == "click") & (F.col("value") >= 100.0))
         .select("event_id", _ts_ms().alias("ts_ms"), "user_id", "value")
         .orderBy("event_id")
     )
@@ -204,8 +210,8 @@ WHERE event_type = 'click' AND value >= 100.0
 def q_asof_bounds(spark, sf_dir):
     """J10/A1: wall-clock window -> message-id bounds as one aggregate
     (replaces the reference's orderBy().first() round-trips)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.filter((_ts_ms() >= T_JAN10) & (_ts_ms() <= T_JAN15)).agg(
+    ev = _tw(spark, sf_dir, T_JAN10, T_JAN15)
+    return ev.agg(
         F.min("event_id").alias("min_id"), F.max("event_id").alias("max_id")
     )
 
@@ -436,7 +442,9 @@ def q_boundary_padding(spark, sf_dir):
     """U3/W2: interval rows padded with boundary state — the last
     click at-or-before each window edge re-stamped to the edge
     (reference Retrieve_field.scala:51-54,69-74)."""
-    ev = _t(spark, sf_dir, "events")
+    # window edges need the last click at-or-BEFORE each edge, so only
+    # the upper bound is pushable to the scan
+    ev = _tw(spark, sf_dir, None, T_JAN15)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", _ts_ms().alias("ts_ms"), "value"
     )
@@ -1127,7 +1135,9 @@ def q_retrieve_field_window(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     log = _domain_log(ev)
-    msg = ev.select(
+    # bound resolution only touches messages inside the window, so the
+    # message scan is loaded with the window pushed to parquet
+    msg = _tw(spark, sf_dir, T_JAN05, T_JAN15).select(
         F.col("event_id").alias("id"), _ts_ms().alias("log_time")
     )
     out = retrieve_field(

@@ -18,8 +18,19 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def full_plan_of(spark, name: str) -> str:
+    """plan_of with scan metadata (PushedFilters etc.) untruncated —
+    the default renders only 100 chars per metadata entry."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        return plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+
+
 def test_field_window_pushes_filters_and_prunes(spark):
-    plan = plan_of(spark, "field_window")
+    plan = full_plan_of(spark, "field_window")
     assert "PushedFilters: [" in plan
     assert "EqualTo(event_type,click)" in plan
     # props (the widest column) must not be read
@@ -131,3 +142,26 @@ def test_hll_sketch_partial_agg(spark):
     lowered = plan.lower()
     assert "hll_sketch_agg" in lowered
     assert "partial" in lowered
+
+
+def test_time_window_pushed_to_raw_ts(spark):
+    """The [lo, hi] epoch-ms window must reach the parquet scan as
+    bare-column ts predicates (row-group skipping at 100 TB) — a
+    filter on the DERIVED epoch-ms column cannot push. Guards
+    load_table_window's raw-encoding literal mapping."""
+    for name in ("field_window", "asof_bounds"):
+        pushed = full_plan_of(spark, name).split("PushedFilters")[1][:2000]
+        assert (
+            "GreaterThanOrEqual(ts," in pushed
+            or "GreaterThan(ts," in pushed
+        ), name
+        assert "LessThan(ts," in pushed, name
+
+
+def test_tpch_q15_single_lineitem_scan(spark):
+    """The scalar-max rework must keep exactly one lineitem scan (the
+    window max over aggregated rows replaced the cached second
+    consumer)."""
+    plan = full_plan_of(spark, "tpch_q15")
+    assert plan.count("lineitem.parquet") == 1
+    assert "InMemoryTableScan" not in plan  # no cache dependency
