@@ -101,3 +101,36 @@ def repetition_scores(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def chunk_dedup(
+    chunks: DataFrame,
+    text_col: str = "chunk_text",
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_id",
+) -> DataFrame:
+    """Corpus-wide duplicate-chunk marking — C4/CCNet-style line dedup
+    generalized to context chunks: the FIRST occurrence of each
+    distinct chunk text in (id, idx) order is canonical; every later
+    occurrence is flagged `is_dup`.
+
+    Returns (id_col, idx_col, is_dup) ONLY: rows are projected to
+    (id, idx, md5 digest) before the dedup window, so chunk text never
+    travels through the shuffle — at 100 TB the exchange carries ~48
+    bytes/chunk regardless of chunk size. Callers re-join on
+    (id, idx) to drop or keep flagged chunks.
+    """
+    from pyspark.sql import Window
+
+    keyed = chunks.select(
+        F.col(id_col),
+        F.col(idx_col),
+        F.md5(F.col(text_col)).alias("__digest"),
+    )
+    w = Window.partitionBy("__digest").orderBy(id_col, idx_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col, idx_col, (F.col("__rn") > 1).alias("is_dup")
+        )
+    )

@@ -101,3 +101,58 @@ def stratified_hash_sample(
             _below_cut(F.col(content_col), salt, rate),
         ).otherwise(pred)
     return df.filter(pred)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    n: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Cap rows per group at the top-n under `order_cols` — the
+    domain-balancing op of pretraining mixes (e.g. at most N docs per
+    source/domain, best-first), and the generic guard against a few
+    giant domains dominating a 100 TB crawl.
+
+    row_number + filter compiles to Spark's WindowGroupLimit: each map
+    task discards rows past rank n BEFORE the exchange, so shuffle
+    volume is ≤ n rows per (group, map partition), not the raw group
+    size — a hot domain with 10^9 pages ships only n·tasks rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    content_col: str,
+    salt: str = "shuffle-v1",
+    shard_hex_chars: int = 1,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global training order WITHOUT a global total-order
+    bottleneck: md5(salt || content) gives every row a shard (hex
+    prefix, 16^shard_hex_chars shards) and an intra-shard position;
+    reading shards in label order yields one canonical permutation.
+
+    Reruns, retries, and other engines (md5 is everywhere) agree
+    row-by-row; changing the salt re-draws the whole order — the
+    epoch-reshuffle knob. The only window is per-shard, so at 100 TB
+    pick shard_hex_chars=3-4 (4096/65536 shards) and each window
+    partition holds corpus/shards rows; no single task ever sees a
+    total order.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(content_col).cast("string")))
+    from pyspark.sql import Window
+
+    out = df.withColumn("__key", key).withColumn(
+        shard_col, F.substring("__key", 1, shard_hex_chars)
+    )
+    w = Window.partitionBy(shard_col).orderBy("__key", content_col)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("__key")

@@ -51,7 +51,12 @@ from .operators.quantize import dequantize_embedding, quantize_embedding
 from .operators.multimodal import audio_features, frame_sample, image_features
 from .operators.range_join import interval_join
 from .operators.sketches import hll_partial_sketches, hll_rollup
-from .operators.sampling import hash_split, stratified_hash_sample
+from .operators.sampling import (
+    cap_per_group,
+    deterministic_shuffle,
+    hash_split,
+    stratified_hash_sample,
+)
 from .operators.setops import symmetric_diff_rows
 from .operators.similarity import cosine_topk, ivf_topk
 from .sources.loader import load_table, load_table_window
@@ -2708,6 +2713,113 @@ FROM e ORDER BY doc_id, chunk_id
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus-wide duplicate-chunk marking (operators/chunking.
+    chunk_dedup): C4-style line dedup generalized to the 32/8 context
+    chunks of q_doc_chunks — first occurrence in (doc_id, chunk_id)
+    order is canonical, later identical chunks are flagged; per-doc
+    totals. Only (doc_id, chunk_id, md5) travel through the dedup
+    shuffle."""
+    from .operators.chunking import chunk_dedup, chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    flags = chunk_dedup(chunks)
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CHUNK_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS BIGINT)) AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_id FROM c
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+           AS chunk_text
+  FROM e
+),
+f AS (
+  SELECT doc_id, chunk_id,
+         (row_number() OVER (PARTITION BY chunk_text
+                             ORDER BY doc_id, chunk_id) > 1) AS is_dup
+  FROM ch
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Domain balancing (operators/sampling.cap_per_group): at most 50
+    docs per source, longest-first — WindowGroupLimit discards losers
+    before the exchange, so a hot domain never floods the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], 50
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("source", "rk")
+
+
+SQL_DOMAIN_CAP = """
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 50 ORDER BY source, rk
+"""
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Reproducible training order (operators/sampling.
+    deterministic_shuffle): md5-keyed shard + intra-shard position,
+    engine-portable (md5 everywhere) and free of any global
+    total-order bottleneck."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shuffle(docs, "doc_id")
+    return out.select(
+        "shard", F.col("pos").cast("long").alias("pos"), "doc_id"
+    ).orderBy("shard", "pos")
+
+
+SQL_CORPUS_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, md5('shuffle-v1' || CAST(doc_id AS VARCHAR)) AS kk
+  FROM documents
+)
+SELECT substr(kk, 1, 1) AS shard,
+       CAST(row_number() OVER (PARTITION BY substr(kk, 1, 1)
+                               ORDER BY kk, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM k ORDER BY shard, pos
+"""
+
+
 def q_repetition_scores(spark, sf_dir):
     """Intra-document repetition (operators/chunking.py): duplicated
     word-trigram fraction per doc — the Gopher-style repetition
@@ -3723,6 +3835,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    # --- new this round: chunk dedup, domain caps, corpus shuffle ---
+    "chunk_dedup": q_chunk_dedup,
+    "domain_cap": q_domain_cap,
+    "corpus_shuffle": q_corpus_shuffle,
     # --- flagship reference procedures, kept in-window ---
     "latest_per_key": q_latest_per_key,
     "asof_join_events": q_asof_join_events,
@@ -3846,6 +3962,9 @@ ORACLE_SQL: dict[str, str] = {
     "decontamination": SQL_DECONTAMINATION,
     "pii_scan": SQL_PII_SCAN,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -80,3 +80,26 @@ def test_chunking_no_shuffle(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_chunk_dedup_flags_later_occurrences(spark):
+    from alstom_spark_cassandra_spark.operators.chunking import chunk_dedup
+
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, "alpha beta"),
+            (1, 1, "gamma delta"),
+            (2, 0, "alpha beta"),   # dup of (1,0)
+            (2, 1, "unique text"),
+            (3, 0, "gamma delta"),  # dup of (1,1)
+        ],
+        "doc_id long, chunk_id long, chunk_text string",
+    )
+    out = {(r.doc_id, r.chunk_id): r.is_dup for r in chunk_dedup(chunks).collect()}
+    assert out == {
+        (1, 0): False, (1, 1): False,
+        (2, 0): True, (2, 1): False,
+        (3, 0): True,
+    }
+    # text must not survive into the shuffled output
+    assert "chunk_text" not in chunk_dedup(chunks).columns

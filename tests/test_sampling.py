@@ -75,3 +75,46 @@ def test_stratified_hash_sample(spark):
     }
     en_strat = {r.doc_id for r in out.filter(F.col("lang") == "en").collect()}
     assert en_strat == en_global
+
+
+def test_cap_per_group_keeps_topn_and_prelimits(spark):
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(s, i, 100 - i) for s in ("a", "b") for i in range(20)],
+        "source string, doc_id long, score long",
+    )
+    out = cap_per_group(df, ["source"], [F.col("score").desc(), "doc_id"], 3)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert {r.score for r in rows} == {100, 99, 98}
+    # WindowGroupLimit = losers dropped before the exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_deterministic_shuffle_is_stable_and_sharded(spark):
+    from alstom_spark_cassandra_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = deterministic_shuffle(df, "doc_id").collect()
+    b = deterministic_shuffle(df, "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    order_a = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos))]
+    assert order_a != sorted(order_a)  # actually permuted
+    # a different salt re-draws the permutation
+    c = deterministic_shuffle(df, "doc_id", salt="epoch-2").collect()
+    order_c = [r.doc_id for r in sorted(c, key=lambda r: (r.shard, r.pos))]
+    assert order_a != order_c
+    # positions are contiguous within each shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r.shard].append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
