@@ -207,6 +207,51 @@ def main():
         )
     )
     hi_card.unpersist()
+
+    # round-4 ops: domain cap, deterministic shuffle, chunk dedup —
+    # all on a synthetic doc corpus (text stays tiny so the probe
+    # times the operator shape, not string materialization)
+    from alstom_spark_cassandra_spark.operators.chunking import chunk_dedup
+    from alstom_spark_cassandra_spark.operators.sampling import (
+        cap_per_group,
+        deterministic_shuffle,
+    )
+
+    docs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.pmod(F.xxhash64("id"), 1000).alias("source"),
+            F.pmod(F.xxhash64("id", F.lit(5)), 100000).alias("n_chars"),
+            # ~10% duplicated chunk texts via modulo collapse
+            F.concat(
+                F.lit("chunk "), (F.col("id") % (n // 10 or 1)).cast("string")
+            ).alias("chunk_text"),
+            (F.col("id") % 100).alias("chunk_id"),
+        )
+        .cache()
+    )
+    docs.count()
+    cap_t = timed(
+        cap_per_group(
+            docs, ["source"], [F.col("n_chars").desc(), "doc_id"], 100
+        )
+    )
+    shuf_t = timed(
+        deterministic_shuffle(docs.select("doc_id"), "doc_id", shard_hex_chars=3)
+    )
+    dedup_t = timed(chunk_dedup(docs, "chunk_text", "doc_id", "chunk_id"))
+    print(
+        json.dumps(
+            {
+                "corpus_rows_millions": sizes_m[-1],
+                "cap_per_group": cap_t,
+                "deterministic_shuffle_4096_shards": shuf_t,
+                "chunk_dedup": dedup_t,
+            }
+        )
+    )
+    docs.unpersist()
     spark.stop()
 
 
