@@ -6,11 +6,13 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementations live in ``alstom_spark_cassandra_spark.workloads``;
-this file is the thin adapter. NOTE: sessions must carry
-``spark.sql.legacy.parquet.nanosAsLong=true`` (events.ts is parquet
-TIMESTAMP(NANOS)); ``entry`` sets it for the driver-provided session
-via a RuntimeConfig check and the package's own ``get_spark`` factory
-always sets it.
+this file is the thin adapter. NOTE on event time: the loader
+canonicalizes whatever physical encoding ``events.ts`` carries
+(TIMESTAMP(NANOS)-as-long in older testdata generations,
+timestamp[us] since round 3) to long epoch-milliseconds — see
+``sources/loader.normalize_event_time``. ``_prepare`` keeps
+``nanosAsLong`` set so the old encoding stays readable, and pins the
+session to UTC so timestamp output is canonical.
 """
 
 from __future__ import annotations
@@ -25,9 +27,10 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _prepare(spark: SparkSession) -> None:
-    """Make a driver-provided session able to read the testdata:
-    events.ts is parquet TIMESTAMP(NANOS) (rejected by default), and
-    UTC keeps any timestamp output canonical."""
+    """Make a driver-provided session able to read any testdata
+    generation: nanosAsLong keeps parquet TIMESTAMP(NANOS) readable
+    (the loader canonicalizes it, like timestamp[us], to epoch-ms),
+    and UTC keeps timestamp output canonical."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -56,7 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query. Keys absent here
-    (minhash_signatures, simhash_fingerprints, embedding_dup_pairs,
-    ivf_topk) are hash-based/approximate operators -> rows-only check
-    as the contract allows."""
+    (minhash_signatures, simhash_fingerprints, embedding_dup_pairs)
+    are engine-specific-hash operators -> rows-only check as the
+    contract allows; every other query, including the approximate
+    ones, carries a hard oracle (exact companions + in-query accuracy
+    verdicts)."""
     return dict(ORACLE_SQL)
