@@ -1,0 +1,75 @@
+"""load_table_window bound mapping: the inclusive epoch-ms window must
+select exactly the rows whose FLOOR(ms) falls inside, for every
+physical ts encoding — the (hi+1)*unit exclusive-upper trick is easy
+to get off-by-one at sub-ms offsets."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from alstom_spark_cassandra_spark.sources.loader import (
+    load_table,
+    load_table_window,
+)
+
+BASE_MS = 1_704_844_800_000  # T_JAN10
+
+# event rows at sub-ms offsets around a [BASE_MS+1, BASE_MS+2] window:
+# (event_id, offset in microseconds from BASE_MS, expected ms)
+ROWS = [
+    (0, 0, BASE_MS),          # ms = BASE     -> below window
+    (1, 999, BASE_MS),        # .999 ms floors to BASE -> below
+    (2, 1000, BASE_MS + 1),   # exactly lo    -> in
+    (3, 1500, BASE_MS + 1),   # 1.5 ms        -> in
+    (4, 2000, BASE_MS + 2),   # exactly hi    -> in
+    (5, 2999, BASE_MS + 2),   # 2.999 floors to hi -> in (the trap)
+    (6, 3000, BASE_MS + 3),   # just past     -> out
+]
+LO, HI = BASE_MS + 1, BASE_MS + 2
+EXPECT_IDS = {2, 3, 4, 5}
+
+
+def _write(tmp_path, kind: str) -> str:
+    ids = [r[0] for r in ROWS]
+    if kind == "us":
+        ts = pa.array(
+            [BASE_MS * 1000 + r[1] for r in ROWS], pa.timestamp("us")
+        )
+    else:  # long nanoseconds (the pre-round-3 encoding via nanosAsLong)
+        ts = pa.array(
+            [BASE_MS * 1_000_000 + r[1] * 1000 for r in ROWS], pa.int64()
+        )
+    t = pa.table({"event_id": pa.array(ids, pa.int64()), "ts": ts})
+    d = tmp_path / f"enc_{kind}"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("kind", ["us", "ns_long"])
+def test_window_bounds_exact_at_sub_ms(spark, tmp_path, kind):
+    base = _write(tmp_path, kind)
+    got = {
+        r.event_id
+        for r in load_table_window(spark, base, "events", LO, HI).collect()
+    }
+    assert got == EXPECT_IDS
+
+    # canonicalized ms values agree with the expected floor
+    full = {r.event_id: r.ts for r in load_table(spark, base, "events").collect()}
+    assert full == {r[0]: r[2] for r in ROWS}
+
+
+@pytest.mark.parametrize("kind", ["us", "ns_long"])
+def test_half_open_bounds(spark, tmp_path, kind):
+    base = _write(tmp_path, kind)
+    lo_only = {
+        r.event_id
+        for r in load_table_window(spark, base, "events", LO, None).collect()
+    }
+    assert lo_only == {2, 3, 4, 5, 6}
+    hi_only = {
+        r.event_id
+        for r in load_table_window(spark, base, "events", None, HI).collect()
+    }
+    assert hi_only == {0, 1, 2, 3, 4, 5}
