@@ -3587,6 +3587,50 @@ def q_stream_sessionization(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup at ingest (streaming/live_state.
+    dedup_stream, exact=True): first arrival per (user_id, event_type)
+    wins, replayed availableNow. Only the KEY columns are emitted, so
+    the result is arrival-order-independent and must equal the batch
+    DISTINCT — the oracle. (The watermark-bounded
+    dropDuplicatesWithinWatermark path, whose output depends on the
+    replay horizon, is pinned in tests/test_streaming.py instead.)"""
+    import uuid
+
+    from .streaming.live_state import dedup_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    from .sources.loader import stream_event_time
+
+    src = stream_event_time(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dd = dedup_stream(
+        src, ["user_id", "event_type"], ts_col="ts", exact=True
+    ).select("user_id", "event_type")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_dedup did not drain in 300s")
+    return spark.table(name).orderBy("user_id", "event_type")
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
+
+
 def q_stream_attribution(spark, sf_dir):
     """Watermarked STREAM-STREAM interval join (streaming/live_state.
     interval_join_stream): clicks joined to same-user purchases within
@@ -3799,6 +3843,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sessionization": q_stream_sessionization,
     "stream_attribution": q_stream_attribution,
+    "stream_dedup": q_stream_dedup,
     # --- last driver row is round-1 (incl. the five silently broken
     # by the ts regression while sitting in the ungraded tail) ---
     "field_window": q_field_window,
@@ -3963,6 +4008,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scan": SQL_PII_SCAN,
     "doc_chunks": SQL_DOC_CHUNKS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "repetition_scores": SQL_REPETITION_SCORES,
