@@ -103,3 +103,19 @@ def test_chunk_dedup_flags_later_occurrences(spark):
     }
     # text must not survive into the shuffled output
     assert "chunk_text" not in chunk_dedup(chunks).columns
+
+
+def test_chunk_dedup_skew_safe_path_agrees(spark):
+    from alstom_spark_cassandra_spark.operators.chunking import chunk_dedup
+
+    chunks = spark.createDataFrame(
+        [(d, c, f"t{(d * 7 + c) % 5}") for d in range(10) for c in range(4)],
+        "doc_id long, chunk_id long, chunk_text string",
+    )
+    fast = {(r.doc_id, r.chunk_id): r.is_dup for r in chunk_dedup(chunks).collect()}
+    safe = {
+        (r.doc_id, r.chunk_id): r.is_dup
+        for r in chunk_dedup(chunks, skew_safe=True).collect()
+    }
+    assert fast == safe
+    assert sum(fast.values()) == 40 - 5  # 5 distinct texts are canonical
