@@ -1,18 +1,77 @@
 from .asof import asof_id_bounds, asof_snapshot_pair
+from .chunking import chunk_dedup, chunk_documents, repetition_scores
+from .decontam import (
+    benchmark_contamination,
+    decontaminate,
+    pii_counts,
+    pii_redact,
+    pii_scan,
+)
+from .dedup import (
+    connected_components,
+    dedup_corpus,
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from .json_flatten import flatten_json_value
 from .latest import latest_per_key
 from .locf import locf, locf_pivot
+from .multimodal import audio_features, frame_sample, image_features
+from .quantize import dequantize_embedding, quantize_embedding
 from .range_join import interval_join
+from .sampling import (
+    cap_per_group,
+    deterministic_shuffle,
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
 from .setops import symmetric_diff_rows, unchanged_rows
+from .similarity import build_ivf_index, cosine_topk, ivf_topk, search_ivf_index
+from .sketches import hll_partial_sketches, hll_rollup
 
 __all__ = [
     "asof_id_bounds",
     "asof_snapshot_pair",
+    "audio_features",
+    "benchmark_contamination",
+    "build_ivf_index",
+    "cap_per_group",
+    "chunk_dedup",
+    "chunk_documents",
+    "connected_components",
+    "cosine_topk",
+    "decontaminate",
+    "dedup_corpus",
+    "dedup_exact",
+    "dequantize_embedding",
+    "deterministic_shuffle",
+    "embedding_dup_pairs",
     "flatten_json_value",
+    "frame_sample",
+    "hash_sample",
+    "hash_split",
+    "hll_partial_sketches",
+    "hll_rollup",
+    "image_features",
     "interval_join",
+    "ivf_topk",
     "latest_per_key",
     "locf",
     "locf_pivot",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "pii_counts",
+    "pii_redact",
+    "pii_scan",
+    "quantize_embedding",
+    "repetition_scores",
+    "search_ivf_index",
+    "simhash",
+    "stratified_hash_sample",
     "symmetric_diff_rows",
     "unchanged_rows",
 ]

@@ -1,4 +1,32 @@
-from .loader import Catalog, load_table, register_all
+from .loader import (
+    Catalog,
+    epoch_ms_expr,
+    load_table,
+    load_table_window,
+    normalize_event_time,
+    register_all,
+    stream_event_time,
+)
 from .schemas import DOMAIN_SCHEMAS, TESTDATA_TABLES
+from .sinks import (
+    day_col,
+    write_bucketed,
+    write_compacted_log,
+    write_partitioned,
+)
 
-__all__ = ["Catalog", "load_table", "register_all", "DOMAIN_SCHEMAS", "TESTDATA_TABLES"]
+__all__ = [
+    "Catalog",
+    "DOMAIN_SCHEMAS",
+    "TESTDATA_TABLES",
+    "day_col",
+    "epoch_ms_expr",
+    "load_table",
+    "load_table_window",
+    "normalize_event_time",
+    "register_all",
+    "stream_event_time",
+    "write_bucketed",
+    "write_compacted_log",
+    "write_partitioned",
+]
