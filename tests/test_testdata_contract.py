@@ -47,6 +47,20 @@ EXPECTED_COLUMNS = {
 # encodings normalize_event_time knows how to canonicalize
 KNOWN_TS_ENCODINGS = {"timestamp[ns]", "timestamp[us]", "timestamp[ms]", "int64"}
 
+# dtypes the exact-arithmetic layer and the vector ops depend on
+# (value drifting double->decimal, or embedding float->double, would
+# silently change hashing/oracle behavior — fail loudly here instead)
+CRITICAL_DTYPES = {
+    "events": {"event_id": "int64", "user_id": "int64", "value": "double",
+               "event_type": "string", "props": "string"},
+    "lineitem": {"l_quantity": "double", "l_extendedprice": "double",
+                 "l_discount": "double", "l_tax": "double"},
+    "orders": {"o_totalprice": "double"},
+    "documents": {"doc_id": "int64", "text": "string", "n_chars": "int64"},
+    "embeddings": {"vec_id": "int64",
+                   "embedding": "list<element: float>"},
+}
+
 
 @pytest.mark.parametrize("table", sorted(EXPECTED_COLUMNS))
 def test_table_exists_with_expected_columns(table):
@@ -58,6 +72,17 @@ def test_table_exists_with_expected_columns(table):
         f"{table}: columns drifted — missing {sorted(want - got)}, "
         f"present {sorted(got)}"
     )
+
+
+@pytest.mark.parametrize("table", sorted(CRITICAL_DTYPES))
+def test_critical_column_dtypes(table):
+    schema = pq.read_schema(f"{SF}/{table}.parquet")
+    got = {f.name: str(f.type) for f in schema}
+    for col, want in CRITICAL_DTYPES[table].items():
+        assert got.get(col) == want, (
+            f"{table}.{col}: dtype drifted to {got.get(col)!r} "
+            f"(engine assumes {want!r})"
+        )
 
 
 def test_events_ts_encoding_is_adaptable():
