@@ -355,3 +355,52 @@ def test_interval_join_stream_horizon(spark, tmp_path):
         for r in spark.sql("select * from attr_test").collect()
     }
     assert got == {(10, 100), (20, 200)}
+
+
+def test_dedup_stream_state_survives_restart(spark, tmp_path):
+    """Checkpoint recovery for the exact dedup path: a key seen before
+    the restart must STILL be suppressed after it — only possible if
+    the dedup state store was recovered, not rebuilt."""
+    from alstom_spark_cassandra_spark.streaming import dedup_stream
+
+    schema = "content_hash string, ts timestamp, payload int"
+    src_dir = str(tmp_path / "dd_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    out_dir = str(tmp_path / "dd_out")
+
+    from datetime import datetime, timezone
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        out = dedup_stream(src, ["content_hash"], ts_col="ts", exact=True)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", t(1), 1), ("b", t(2), 2)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    assert sorted(
+        r.content_hash for r in spark.read.parquet(out_dir).collect()
+    ) == ["a", "b"]
+
+    # restart with one duplicate key and one new key
+    spark.createDataFrame(
+        [("a", t(30), 3), ("c", t(31), 4)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    got = sorted(r.content_hash for r in spark.read.parquet(out_dir).collect())
+    # 'a' emitted once only — the pre-restart state suppressed its dup
+    assert got == ["a", "b", "c"]
