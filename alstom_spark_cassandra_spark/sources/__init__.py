@@ -6,6 +6,7 @@ from .loader import (
     normalize_event_time,
     register_all,
     stream_event_time,
+    stream_source,
 )
 from .schemas import DOMAIN_SCHEMAS, TESTDATA_TABLES
 from .sinks import (
@@ -26,6 +27,7 @@ __all__ = [
     "normalize_event_time",
     "register_all",
     "stream_event_time",
+    "stream_source",
     "write_bucketed",
     "write_compacted_log",
     "write_partitioned",

@@ -71,6 +71,31 @@ def stream_event_time(df: DataFrame, col: str = _EVENT_TIME_COL) -> DataFrame:
     return df.withColumn(col, F.timestamp_millis(epoch_ms_expr(df, col)))
 
 
+def stream_source(
+    spark: SparkSession, base: str, name: str, schema=None
+) -> DataFrame:
+    """File-stream source for one logical table, adaptive to layout:
+    Spark's file stream needs a DIRECTORY basePath, so a flat
+    `{name}.parquet` FILE is read via pathGlobFilter on its parent,
+    while a `{name}.parquet/` directory of part-files is read
+    directly (the glob would match no leaf file there). Event time is
+    canonicalized like the batch loader (`stream_event_time`)."""
+    import os
+
+    path = f"{base}/{name}.parquet"
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(base)
+        )
+    return stream_event_time(raw) if _EVENT_TIME_COL in raw.columns else raw
+
+
 def _raw_ts_literal(dt, ms: int) -> F.Column:
     """A literal comparable to the RAW `ts` column without casting the
     column (a cast on the column side would defeat parquet pushdown).

@@ -3434,14 +3434,9 @@ def q_stream_latest_state(spark, sf_dir):
     equivalence actually enforced."""
     import uuid
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # footer read only
-    # the file source streams a DIRECTORY; glob down to the one table
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from .sources.loader import stream_source
+
+    src = stream_source(spark, sf_dir, "events")
     agg = latest_value_stream(
         src, ["user_id", "event_type"], order_col="event_id", value_col="value"
     )
@@ -3488,15 +3483,9 @@ def q_stream_windowed_counts(spark, sf_dir):
 
     from .streaming.live_state import windowed_event_counts
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    from .sources.loader import stream_event_time
+    from .sources.loader import stream_source
 
-    src = stream_event_time(
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = stream_source(spark, sf_dir, "events")
     agg = windowed_event_counts(src, window="1 day", watermark="1 day")
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
     q = (
@@ -3556,15 +3545,9 @@ def q_stream_sessionization(spark, sf_dir):
 
     from .streaming.live_state import sessionize_stream
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    from .sources.loader import stream_event_time
+    from .sources.loader import stream_source
 
-    src = stream_event_time(
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = stream_source(spark, sf_dir, "events")
     sess = sessionize_stream(
         src, key_cols=["user_id"], gap="30 minutes", watermark=None
     )
@@ -3599,15 +3582,9 @@ def q_stream_dedup(spark, sf_dir):
 
     from .streaming.live_state import dedup_stream
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    from .sources.loader import stream_event_time
+    from .sources.loader import stream_source
 
-    src = stream_event_time(
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = stream_source(spark, sf_dir, "events")
     dd = dedup_stream(
         src, ["user_id", "event_type"], ts_col="ts", exact=True
     ).select("user_id", "event_type")
@@ -3641,17 +3618,13 @@ def q_stream_attribution(spark, sf_dir):
 
     from .streaming.live_state import interval_join_stream
 
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    from .sources.loader import stream_source
 
-    from .sources.loader import stream_event_time
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema  # one footer read, reused
 
     def _src():
-        return stream_event_time(
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        return stream_source(spark, sf_dir, "events", schema=schema)
 
     clicks = (
         _src()
