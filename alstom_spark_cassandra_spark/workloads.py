@@ -2974,6 +2974,59 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_token_rarity(spark, sf_dir):
+    """Token-rarity quality scoring — the integer-exact cousin of the
+    CCNet-style LM-perplexity filter: per doc, the fraction of tokens
+    that are corpus-rare (term_freq ≤ 2, ~OOV) and the mean corpus
+    frequency of its tokens. High oov_frac = gibberish/rare-script
+    text; very low = boilerplate. Two passes over the exploded
+    tokens: vocabulary counts (map-side partial agg), then a
+    token-join back (hot tokens like stopwords are AQE-skew-split;
+    the vocab side has one row per token). Everything is integer
+    until the two final divisions, so the oracle compares exactly."""
+    from .functions.text_funcs import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tok.join(vocab, "term")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tf") <= 2, 1).otherwise(0)).alias("n_rare"),
+            F.sum("tf").alias("tf_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            half_up(F.col("n_rare") / F.col("n_tokens"), 4).alias("oov_frac"),
+            half_up(F.col("tf_sum") / F.col("n_tokens"), 2).alias(
+                "mean_term_freq"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_RARITY = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+vocab AS (SELECT term, count(*) AS tf FROM tok GROUP BY term)
+SELECT doc_id, count(*) AS n_tokens,
+       floor(sum(CASE WHEN tf <= 2 THEN 1 ELSE 0 END)
+             / count(*) * 10000 + 0.5) / 10000.0 AS oov_frac,
+       floor(sum(tf) / count(*) * 100 + 0.5) / 100.0 AS mean_term_freq
+FROM tok JOIN vocab USING (term)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_term_frequency(spark, sf_dir):
     """Corpus vocabulary statistics: top-50 terms by document
     frequency (+ total term frequency) — the explode→aggregate shape
@@ -3853,10 +3906,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
-    # --- new this round: chunk dedup, domain caps, corpus shuffle ---
+    # --- new this round: chunk dedup, domain caps, corpus shuffle,
+    # token rarity ---
     "chunk_dedup": q_chunk_dedup,
     "domain_cap": q_domain_cap,
     "corpus_shuffle": q_corpus_shuffle,
+    "token_rarity": q_token_rarity,
     # --- flagship reference procedures, kept in-window ---
     "latest_per_key": q_latest_per_key,
     "asof_join_events": q_asof_join_events,
@@ -3984,6 +4039,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
+    "token_rarity": SQL_TOKEN_RARITY,
     "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
