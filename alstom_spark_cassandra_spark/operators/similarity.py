@@ -260,3 +260,51 @@ def ivf_topk(
     return _probe_and_rank(
         corpus_assigned, cents, queries, k, nprobe, query_id, query_vec, "__v"
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    pos_col: str = "pos",
+    mean_col: str = "mean_val",
+    scale: int = 9,
+) -> DataFrame:
+    """Element-wise mean vector per group — centroid / pooling
+    aggregation (class centroids, doc-level pooling of chunk
+    embeddings, k-means update steps) — in LONG (group, pos, mean)
+    layout, the shape that scales: no group ever materializes a wide
+    row, and downstream joins/rollups address single components.
+
+    Exact across engines and partitionings: each component is
+    quantized to 10^-scale (scale=9 preserves full float32 precision
+    for unit-scale embeddings), summed as LONGS — integer addition is
+    order-free, so Spark's partial aggregation and any oracle agree
+    bit-for-bit — and divided once at the end. posexplode fans out
+    rows (group, pos, component); the groupBy partial-aggregates
+    map-side, so the exchange carries one partial sum per
+    (group, pos, task), independent of group sizes.
+
+    Overflow envelope: |q| ≤ 10^scale·max|x|; at scale=9 and |x| ≤ 10
+    the long sum holds to ~9·10^8 rows per group — beyond that, drop
+    scale or pre-aggregate per shard.
+    """
+    m = 10**scale
+    exploded = df.select(
+        *group_cols,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            pos_col, "__x"
+        ),
+    )
+    q = F.floor(F.col("__x") * F.lit(float(m)) + F.lit(0.5)).cast("long")
+    return (
+        exploded.withColumn("__q", q)
+        .groupBy(*group_cols, pos_col)
+        .agg(
+            (
+                F.sum("__q").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(float(m))
+            ).alias(mean_col)
+        )
+    )

@@ -3027,6 +3027,38 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_mean_embedding(spark, sf_dir):
+    """Class-centroid pooling (operators/similarity.mean_pool):
+    element-wise mean vector per label in long (label, pos, mean)
+    layout. Components quantize to 1e-9 and sum as longs, so the
+    partial-aggregated Spark sum and DuckDB's sequential sum agree
+    exactly; one division at the end, half-up to 6 decimals on both
+    engines. Dim is pinned at 64 by the testdata contract."""
+    from .operators.similarity import mean_pool
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = mean_pool(emb, ["label"], "embedding")
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        half_up(F.col("mean_val"), 6).alias("mean_val"),
+    ).orderBy("label", "pos")
+
+
+SQL_MEAN_EMBEDDING = """
+WITH e AS (
+  SELECT label, t.i AS pos,
+         CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings, range(0, 64) t(i)
+)
+SELECT CAST(label AS BIGINT) AS label, pos,
+       floor(CAST(sum(q) AS DOUBLE) / count(*) / 1000000000
+             * 1000000 + 0.5) / 1000000.0 AS mean_val
+FROM e GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 def q_term_frequency(spark, sf_dir):
     """Corpus vocabulary statistics: top-50 terms by document
     frequency (+ total term frequency) — the explode→aggregate shape
@@ -3912,6 +3944,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "corpus_shuffle": q_corpus_shuffle,
     "token_rarity": q_token_rarity,
+    "mean_embedding": q_mean_embedding,
     # --- flagship reference procedures, kept in-window ---
     "latest_per_key": q_latest_per_key,
     "asof_join_events": q_asof_join_events,
@@ -4040,6 +4073,7 @@ ORACLE_SQL: dict[str, str] = {
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "token_rarity": SQL_TOKEN_RARITY,
+    "mean_embedding": SQL_MEAN_EMBEDDING,
     "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

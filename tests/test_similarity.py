@@ -103,3 +103,27 @@ def test_persisted_ivf_index_matches_inline(spark, corpus, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_mean_pool_exact_and_partition_free(spark):
+    from alstom_spark_cassandra_spark.operators.similarity import mean_pool
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0]), (0, [3.0, 4.0]), (1, [0.5, 0.5])],
+        "label int, embedding array<double>",
+    )
+    got = {
+        (r.label, r.pos): r.mean_val
+        for r in mean_pool(df, ["label"], "embedding").collect()
+    }
+    assert got[(0, 0)] == 2.0 and got[(0, 1)] == 1.0
+    assert got[(1, 0)] == 0.5 and got[(1, 1)] == 0.5
+    # repartitioning must not change a single bit (order-free long sums)
+    got2 = {
+        (r.label, r.pos): r.mean_val
+        for r in mean_pool(
+            df.repartition(7), ["label"], "embedding"
+        ).collect()
+    }
+    assert got == got2
