@@ -3882,12 +3882,14 @@ def q_ivf_topk(spark, sf_dir):
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 85 are also locally gated every round by
+# most ~2 rounds old (all 91 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-4 window:
-# never-graded tpch_q22, the nine round-3 red rows (timestamp
-# regression, fixed at the loader), the 33 queries whose only driver
-# row is round-1, and six flagship reference procedures; the tail is
-# the round-3-green streaming/ANN/multimodal/TPC-H block.
+# never-graded tpch_q22; the nine round-3 red rows (timestamp
+# regression, fixed at the loader) plus the new stream_dedup; the 33
+# queries whose only driver row is round-1; the six queries new this
+# round (chunk_dedup, domain_cap, corpus_shuffle, token_rarity,
+# mean_embedding); and the flagship latest_per_key. The tail is the
+# round-3-green streaming/ANN/multimodal/TPC-H block.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never graded by the driver ---
     "tpch_q22": q_tpch_q22,
