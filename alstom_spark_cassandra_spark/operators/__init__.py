@@ -8,10 +8,13 @@ from .decontam import (
     pii_scan,
 )
 from .dedup import (
+    build_minhash_index,
     connected_components,
     dedup_corpus,
     dedup_exact,
     embedding_dup_pairs,
+    incremental_dedup_pairs,
+    minhash_bands,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -30,7 +33,13 @@ from .sampling import (
     stratified_hash_sample,
 )
 from .setops import symmetric_diff_rows, unchanged_rows
-from .similarity import build_ivf_index, cosine_topk, ivf_topk, search_ivf_index
+from .similarity import (
+    build_ivf_index,
+    cosine_topk,
+    ivf_topk,
+    mean_pool,
+    search_ivf_index,
+)
 from .sketches import hll_partial_sketches, hll_rollup
 
 __all__ = [
@@ -39,6 +48,7 @@ __all__ = [
     "audio_features",
     "benchmark_contamination",
     "build_ivf_index",
+    "build_minhash_index",
     "cap_per_group",
     "chunk_dedup",
     "chunk_documents",
@@ -57,11 +67,14 @@ __all__ = [
     "hll_partial_sketches",
     "hll_rollup",
     "image_features",
+    "incremental_dedup_pairs",
     "interval_join",
     "ivf_topk",
     "latest_per_key",
     "locf",
     "locf_pivot",
+    "mean_pool",
+    "minhash_bands",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "pii_counts",

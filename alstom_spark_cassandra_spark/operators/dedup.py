@@ -104,6 +104,40 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    sig_df: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band, key) bucket rows from a signature table: each band
+    hashes its signature slice to one bucket key. Shared by the
+    one-shot LSH pair search and the persisted incremental index."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b),
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig_df.select("doc", *band_cols)
+    return banded.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band{b}").alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -124,21 +158,8 @@ def minhash_lsh_pairs(
             "a 0-row band would put every document in one bucket and "
             "degrade candidate generation to the full cross product"
         )
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("doc", *band_cols)
-    bucketed = banded.select(
-        "doc",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key")) for b in range(bands)])
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
+    bucketed = minhash_bands(sig, num_hashes, bands)
     left = bucketed.alias("l")
     right = bucketed.alias("r")
     cand = (
@@ -510,3 +531,95 @@ def dedup_corpus(
         F.col("v").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Persist the corpus's MinHash structure: signatures plus the
+    (doc, band, key) bucket table, buckets partitioned by band so an
+    incremental probe reads only matching band directories.
+
+    Build once over the 100 TB corpus; from then on every append
+    dedups against the INDEX (kilobytes per doc) — the old corpus
+    text is never re-shingled, re-hashed, or re-scanned. Mirrors the
+    IVF pattern (similarity.build_ivf_index): scan once, probe
+    forever.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig.write.mode("overwrite").parquet(f"{path}/signatures")
+    bands_df = minhash_bands(sig, num_hashes, bands)
+    bands_df.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands"
+    )
+
+
+def incremental_dedup_pairs(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs (a, b, est_jaccard) touching the NEW batch only:
+    new×new and new×indexed candidates from band-bucket joins, scored
+    by signature agreement (the MinHash estimator: fraction of equal
+    signature positions — an unbiased estimate of Jaccard with
+    σ = √(J(1-J)/num_hashes)).
+
+    The old corpus participates only through its persisted index:
+    bucket rows for candidate generation, signatures for scoring.
+    Ids must be unique across old∪new; output has a < b. Exact
+    verification (when both texts are at hand) stays available via
+    _verify_jaccard / minhash_lsh_pairs; at steady state the
+    estimator is the point — it needs no old text.
+    """
+    new_sig = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
+    new_bands = minhash_bands(new_sig, num_hashes, bands)
+    old_bands = spark.read.parquet(f"{index_path}/bands")
+    old_sigs = spark.read.parquet(f"{index_path}/signatures")
+
+    all_bands = old_bands.unionByName(new_bands)
+    l, r = new_bands.alias("l"), all_bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") != F.col("r.doc")),
+        )
+        .select(
+            F.least("l.doc", "r.doc").alias("a"),
+            F.greatest("l.doc", "r.doc").alias("b"),
+        )
+        .distinct()
+    )
+    sigs = old_sigs.unionByName(new_sig)
+    est = (
+        cand.join(sigs.select(F.col("doc").alias("a"), F.col("sig").alias("__sa")), "a")
+        .join(sigs.select(F.col("doc").alias("b"), F.col("sig").alias("__sb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)

@@ -3027,6 +3027,58 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Steady-state dedup against a persisted MinHash index
+    (operators/dedup.build_minhash_index + incremental_dedup_pairs):
+    the corpus is indexed ONCE (signatures + band buckets partitioned
+    by band); a 'new batch' — here a re-crawl simulated as every doc
+    re-arriving under id+10000 — is deduped touching only the index,
+    never the old text. Candidates come from band-bucket joins
+    (new×indexed and new×new), scored by signature agreement; at
+    threshold 1.0 a surviving pair has identical signatures, and the
+    final text-equality verify (both texts at hand in this demo)
+    makes the output exactly the identical-text pairs with a new
+    side — the oracle. Partial-threshold behavior is pinned in
+    tests/test_dedup.py."""
+    import tempfile
+
+    from .operators.dedup import build_minhash_index, incremental_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index_path = f"{tempfile.gettempdir()}/minhash_index_{abs(hash(sf_dir))}"
+    build_minhash_index(docs, index_path, "text", "doc_id")
+    new_batch = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    pairs = incremental_dedup_pairs(
+        spark, new_batch, index_path, "text", "doc_id", threshold=1.0
+    )
+    all_docs = docs.unionByName(new_batch)
+    ta = all_docs.select(F.col("doc_id").alias("a"), F.col("text").alias("__ta"))
+    tb = all_docs.select(F.col("doc_id").alias("b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select("a", "b")
+        .orderBy("a", "b")
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM all_docs x JOIN all_docs y
+  ON x.text = y.text AND x.doc_id < y.doc_id
+WHERE y.doc_id >= 10000 OR x.doc_id >= 10000
+ORDER BY a, b
+"""
+
+
 def q_mean_embedding(spark, sf_dir):
     """Class-centroid pooling (operators/similarity.mean_pool):
     element-wise mean vector per label in long (label, pos, mean)
@@ -3947,6 +3999,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle": q_corpus_shuffle,
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
+    "incremental_dedup": q_incremental_dedup,
     # --- flagship reference procedures, kept in-window ---
     "latest_per_key": q_latest_per_key,
     "asof_join_events": q_asof_join_events,
@@ -4076,6 +4129,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "token_rarity": SQL_TOKEN_RARITY,
     "mean_embedding": SQL_MEAN_EMBEDDING,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -227,3 +227,42 @@ def test_dedup_corpus_keeps_canonical(spark, docs):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
     out = dedup_corpus(docs, pairs, "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [1, 4, 5]
+
+
+def test_incremental_dedup_index_roundtrip(spark, tmp_path):
+    """Build an index on an old corpus, dedup a new batch against it:
+    the exact re-crawl is found at est=1.0, the near-dup at a lower
+    but high estimate, the fresh doc matches nothing — and the old
+    corpus text is never passed to the search."""
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_dedup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    old = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark engines " * 5)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(old, idx, "text", "doc_id")
+
+    new = spark.createDataFrame(
+        [
+            (101, base),                        # exact re-crawl of 1
+            (102, base + "with a tiny suffix"),  # near-dup of 1
+            (103, "entirely novel content nothing shared here " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): r.est_jaccard
+        for r in incremental_dedup_pairs(
+            spark, new, idx, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got[(1, 101)] == 1.0
+    assert (1, 102) in got and 0.5 <= got[(1, 102)] < 1.0
+    assert not any(103 in pair for pair in got)
+    # new x new: 101 and 102 are near-dups of each other too
+    assert (101, 102) in got
