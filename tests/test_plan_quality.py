@@ -165,3 +165,35 @@ def test_tpch_q15_single_lineitem_scan(spark):
     plan = full_plan_of(spark, "tpch_q15")
     assert plan.count("lineitem.parquet") == 1
     assert "InMemoryTableScan" not in plan  # no cache dependency
+
+
+def test_mean_pool_partial_agg_before_exchange(spark):
+    """The posexplode fan-out must partial-aggregate map-side so the
+    exchange carries (group, pos) partial sums, not raw components."""
+    plan = plan_of(spark, "mean_embedding")
+    assert "partial_sum" in plan or "HashAggregate" in plan.split("Exchange")[1]
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """Band-bucket candidate generation and the signature joins must
+    stay equi-joins — never a cross product over doc pairs."""
+    plan = plan_of(spark, "incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_shuffle_no_global_sort_before_window(spark):
+    """The shard window must partition by shard — a single global
+    window (empty partition spec) would serialize the corpus through
+    one task."""
+    from alstom_spark_cassandra_spark.workloads import SPARK_QUERIES
+
+    df = SPARK_QUERIES["corpus_shuffle"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    # every windowspecdefinition in the optimized plan must carry a
+    # non-empty partition spec (shard#...)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "shard" in m.group(1), m.group(0)
