@@ -3935,16 +3935,24 @@ def q_ivf_topk(spark, sf_dir):
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
 # most ~2 rounds old (all 91 are also locally gated every round by
-# scripts/check_oracle.py regardless of position). Round-4 window:
-# never-graded tpch_q22; the nine round-3 red rows (timestamp
-# regression, fixed at the loader) plus the new stream_dedup; the 33
-# queries whose only driver row is round-1; the six queries new this
-# round (chunk_dedup, domain_cap, corpus_shuffle, token_rarity,
-# mean_embedding); and the flagship latest_per_key. The tail is the
-# round-3-green streaming/ANN/multimodal/TPC-H block.
+# scripts/check_oracle.py regardless of position). Round-4 window (exactly 50):
+# never-graded first — tpch_q22 and the six queries new this round
+# (chunk_dedup, domain_cap, corpus_shuffle, token_rarity,
+# mean_embedding, incremental_dedup); then the nine round-3 red rows
+# (timestamp regression, fixed at the loader) plus the new
+# stream_dedup; then the 33 queries whose only driver row is
+# round-1. The tail is the round-3-green flagship/streaming/ANN/
+# multimodal/TPC-H block.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never graded by the driver ---
     "tpch_q22": q_tpch_q22,
+    # --- never graded: new this round ---
+    "chunk_dedup": q_chunk_dedup,
+    "domain_cap": q_domain_cap,
+    "corpus_shuffle": q_corpus_shuffle,
+    "token_rarity": q_token_rarity,
+    "mean_embedding": q_mean_embedding,
+    "incremental_dedup": q_incremental_dedup,
     # --- round-3 red (ts regression), fixed: need fresh green rows ---
     "compaction": q_compaction,
     "sessionization": q_sessionization,
@@ -3992,14 +4000,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
-    # --- new this round: chunk dedup, domain caps, corpus shuffle,
-    # token rarity ---
-    "chunk_dedup": q_chunk_dedup,
-    "domain_cap": q_domain_cap,
-    "corpus_shuffle": q_corpus_shuffle,
-    "token_rarity": q_token_rarity,
-    "mean_embedding": q_mean_embedding,
-    "incremental_dedup": q_incremental_dedup,
     # --- flagship reference procedures, kept in-window ---
     "latest_per_key": q_latest_per_key,
     "asof_join_events": q_asof_join_events,
