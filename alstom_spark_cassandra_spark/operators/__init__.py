@@ -9,11 +9,13 @@ from .decontam import (
 )
 from .dedup import (
     build_minhash_index,
+    build_simhash_index,
     connected_components,
     dedup_corpus,
     dedup_exact,
     embedding_dup_pairs,
     incremental_dedup_pairs,
+    incremental_simhash_pairs,
     minhash_bands,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -49,6 +51,7 @@ __all__ = [
     "benchmark_contamination",
     "build_ivf_index",
     "build_minhash_index",
+    "build_simhash_index",
     "cap_per_group",
     "chunk_dedup",
     "chunk_documents",
@@ -68,6 +71,7 @@ __all__ = [
     "hll_rollup",
     "image_features",
     "incremental_dedup_pairs",
+    "incremental_simhash_pairs",
     "interval_join",
     "ivf_topk",
     "latest_per_key",

@@ -274,19 +274,16 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return per_doc.select("doc", fp.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Near-dup pairs (a, b, hamming) with Hamming distance <=
-    max_hamming, found by banding the 64-bit fingerprint into
-    max_hamming+1 bit-slices (pigeonhole: a pair within the distance
-    must agree exactly on at least one slice)."""
-    fp = simhash(df, text_col, id_col)
+def simhash_bands(fp_df: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc, simhash, band, key) bucket rows: the 64-bit fingerprint
+    sliced into max_hamming+1 bands (pigeonhole — a pair within the
+    distance agrees exactly on at least one slice). Shared by the
+    one-shot pair search and the persisted incremental index; the
+    fingerprint rides along (8 bytes) so index probes need no second
+    lookup."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
+
     # band b covers bits [b*width, (b+1)*width), last band to bit 63
     def band_key(b: int):
         lo = b * width
@@ -298,7 +295,7 @@ def simhash_pairs(
             .alias("key")
         )
 
-    bands = fp.select(
+    return fp_df.select(
         "doc",
         "simhash",
         F.explode(
@@ -310,6 +307,20 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.band", "bk.key")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) with Hamming distance <=
+    max_hamming, found by banding the 64-bit fingerprint into
+    max_hamming+1 bit-slices (pigeonhole: a pair within the distance
+    must agree exactly on at least one slice)."""
+    fp = simhash(df, text_col, id_col)
+    bands = simhash_bands(fp, max_hamming)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(
@@ -623,3 +634,60 @@ def incremental_dedup_pairs(
         )
     )
     return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def build_simhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> None:
+    """Persist the corpus's SimHash structure: (doc, simhash, band,
+    key) bucket rows partitioned by band — the Hamming-distance twin
+    of build_minhash_index. ~32 bytes/doc/band; an append dedups
+    against this forever without re-reading old text."""
+    fp = simhash(df, text_col, id_col)
+    simhash_bands(fp, max_hamming).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+
+
+def incremental_simhash_pairs(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming ≤ max_hamming) touching the NEW
+    batch only — new×indexed plus new×new band-bucket candidates,
+    verified by exact Hamming distance on the fingerprints carried in
+    the band rows. Old corpus text is never touched. Ids must be
+    unique across old∪new; output has a < b."""
+    new_bands = simhash_bands(
+        simhash(new_docs, text_col, id_col), max_hamming
+    )
+    old_bands = spark.read.parquet(f"{index_path}/bands")
+    all_bands = old_bands.unionByName(new_bands)
+    l, r = new_bands.alias("l"), all_bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc") != F.col("r.doc")),
+        )
+        .select(
+            F.least("l.doc", "r.doc").alias("a"),
+            F.greatest("l.doc", "r.doc").alias("b"),
+            F.col("l.simhash").alias("fa"),
+            F.col("r.simhash").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

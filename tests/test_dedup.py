@@ -266,3 +266,38 @@ def test_incremental_dedup_index_roundtrip(spark, tmp_path):
     assert not any(103 in pair for pair in got)
     # new x new: 101 and 102 are near-dups of each other too
     assert (101, 102) in got
+
+
+def test_incremental_simhash_index_roundtrip(spark, tmp_path):
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_simhash_index,
+        incremental_simhash_pairs,
+    )
+
+    base = [f"word{i:02d}" for i in range(48)]  # 48 distinct tokens
+    old = spark.createDataFrame(
+        [(1, " ".join(base)),
+         (2, "totally different words " + "x y z w v u t s " * 6)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "sh_idx")
+    build_simhash_index(old, idx, "text", "doc_id", max_hamming=7)
+
+    near = base.copy()
+    near[0] = "CHANGED"  # 1/48 of the weight moves -> small hamming
+    new = spark.createDataFrame(
+        [(101, " ".join(base)),        # exact re-crawl of 1
+         (102, " ".join(near)),        # near-dup of 1
+         (103, "novel content entirely " + "p q r s t u v w " * 6)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): r.hamming
+        for r in incremental_simhash_pairs(
+            spark, new, idx, "text", "doc_id", max_hamming=7
+        ).collect()
+    }
+    assert got[(1, 101)] == 0
+    assert (1, 102) in got and got[(1, 102)] <= 7
+    assert (101, 102) in got
+    assert not any(103 in p_ for p_ in got)
