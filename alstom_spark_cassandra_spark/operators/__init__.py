@@ -18,6 +18,7 @@ from .dedup import (
     incremental_simhash_pairs,
     minhash_bands,
     minhash_signatures,
+    minhash_signatures_portable,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -80,6 +81,7 @@ __all__ = [
     "mean_pool",
     "minhash_bands",
     "minhash_signatures",
+    "minhash_signatures_portable",
     "ngram_jaccard_pairs",
     "pii_counts",
     "pii_redact",

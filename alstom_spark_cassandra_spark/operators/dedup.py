@@ -691,3 +691,32 @@ def incremental_simhash_pairs(
     return cand.select("a", "b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Cross-engine-verifiable MinHash: identical structure to
+    minhash_signatures (min over seeded hashes of the shingle set),
+    but seeded md5 hex strings instead of xxhash64 longs, so any
+    engine with md5 (DuckDB, Trino, pandas) reproduces every
+    signature component bit-for-bit — the audit/oracle path. One
+    column per component (h0..h{k-1}).
+
+    Production dedup stays on minhash_signatures: xxhash64 longs hash
+    ~5× faster and shuffle 4× smaller. The min-aggregation shape, the
+    shingle definition, and the per-seed independence are the SAME
+    code pattern, so a green oracle here pins the machinery the fast
+    path runs."""
+    sh = shingle_df(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)

@@ -3884,11 +3884,43 @@ ORDER BY doc_id
 # --- approximate operators: declared without oracle (rows-only check) ------
 
 def q_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (LSH building block) — xxhash64-based, no
-    ANSI-SQL equivalent; driver records the rows-only check."""
+    """MinHash signatures, driven through the PORTABLE variant
+    (operators/dedup.minhash_signatures_portable): min over seeded
+    md5 of each doc's shingle set, one column per component — every
+    value reproducible in DuckDB, so the min-aggregation machinery
+    the xxhash64 fast path shares is hard-oracle-checked (the fast
+    path itself trades md5 for xxhash64 longs: ~5× cheaper hashing,
+    4× smaller shuffle; its recall is gated in tests/test_dedup.py)."""
+    from .operators.dedup import minhash_signatures_portable
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = minhash_signatures(docs, "text", "doc_id", n=3, num_hashes=16)
-    return sig.select("doc", F.to_json("sig").alias("sig_json")).orderBy("doc")
+    sig = minhash_signatures_portable(
+        docs, "text", "doc_id", n=3, num_hashes=8
+    )
+    return sig.orderBy("doc")
+
+
+SQL_MINHASH_SIGNATURES = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 200
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+         ELSE [array_to_string(w, ' ')] END AS grams
+  FROM t
+),
+e AS (SELECT doc_id AS doc, unnest(grams) AS shingle FROM g)
+SELECT doc,
+       min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+       min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+       min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+       min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+FROM e GROUP BY doc ORDER BY doc
+"""
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -3953,6 +3985,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
     "incremental_dedup": q_incremental_dedup,
+    # newly oracle-backed (portable md5 variant) -> regrade in-window
+    "minhash_signatures": q_minhash_signatures,
     # --- round-3 red (ts regression), fixed: need fresh green rows ---
     "compaction": q_compaction,
     "sessionization": q_sessionization,
@@ -4028,7 +4062,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
-    "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ivf_topk": q_ivf_topk,
@@ -4130,6 +4163,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_rarity": SQL_TOKEN_RARITY,
     "mean_embedding": SQL_MEAN_EMBEDDING,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
@@ -4137,9 +4171,9 @@ ORACLE_SQL: dict[str, str] = {
     "image_features": SQL_IMAGE_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
-    # minhash_signatures / simhash_fingerprints / embedding_dup_pairs:
-    # engine-specific hashes (xxhash64 signatures, LSH buckets on data
-    # with no planted near-dups) -> rows-only check by design. Their
-    # semantics are pinned by oracle-checked consumers (dedup_clusters,
-    # dedup_corpus) and tests/test_dedup.py.
+    # simhash_fingerprints / embedding_dup_pairs: engine-specific
+    # hashes (xxhash64 fingerprints, LSH buckets on data with no
+    # planted near-dups) -> rows-only check by design. Their semantics
+    # are pinned by oracle-checked consumers (dedup_clusters,
+    # dedup_corpus, incremental_dedup) and tests/test_dedup.py.
 }

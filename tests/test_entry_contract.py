@@ -14,12 +14,12 @@ def test_queries_and_oracles_consistent():
     # every oracle key is a declared query
     assert set(oracles) <= set(qs)
     # the only keys without an oracle are engine-specific-hash ops
-    # whose output sets DuckDB cannot derive (xxhash64 signatures, LSH
-    # buckets on data with no planted near-dups). hll_distinct_users /
-    # approx_stats graduated via the exact+verdict pattern; ivf_topk
-    # via full-probe equivalence to the exact top-k.
+    # whose output sets DuckDB cannot derive (xxhash64 fingerprints,
+    # LSH buckets on data with no planted near-dups).
+    # hll_distinct_users / approx_stats graduated via the
+    # exact+verdict pattern; ivf_topk via full-probe equivalence;
+    # minhash_signatures via the portable md5 variant.
     assert set(qs) - set(oracles) == {
-        "minhash_signatures",
         "simhash_fingerprints",
         "embedding_dup_pairs",
     }
