@@ -21,6 +21,8 @@ from .dedup import (
     minhash_signatures_portable,
     ngram_jaccard_pairs,
     simhash,
+    simhash_bands,
+    simhash_portable,
 )
 from .json_flatten import flatten_json_value
 from .latest import latest_per_key
@@ -90,6 +92,8 @@ __all__ = [
     "repetition_scores",
     "search_ivf_index",
     "simhash",
+    "simhash_bands",
+    "simhash_portable",
     "stratified_hash_sample",
     "symmetric_diff_rows",
     "unchanged_rows",

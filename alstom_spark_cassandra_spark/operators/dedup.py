@@ -720,3 +720,41 @@ def minhash_signatures_portable(
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)
+
+
+def simhash_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 32,
+) -> DataFrame:
+    """Cross-engine-verifiable SimHash: identical majority-vote
+    structure to simhash(), but the per-token bit source is md5 hex
+    digits instead of xxhash64, so any md5-capable engine reproduces
+    the fingerprint exactly — the audit/oracle path (32 bits by
+    default: sign-safe BIGINT assembly everywhere). Production stays
+    on the 64-bit xxhash64 simhash(): one cheap long hash per token
+    vs md5 string digests."""
+    if not 1 <= bits <= 32:
+        raise ValueError("bits must be in [1, 32] for portable assembly")
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
+    ).withColumn("hh", F.md5("t"))
+    aggs = []
+    for i in range(bits):
+        p, s = i // 4 + 1, i % 4
+        bit = F.expr(
+            f"((instr('0123456789abcdef', substring(hh, {p}, 1)) - 1)"
+            f" >> {s}) & 1"
+        )
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}")
+        )
+    per = toks.groupBy("doc").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return per.select("doc", fp.alias("simhash"))

@@ -3924,9 +3924,41 @@ FROM e GROUP BY doc ORDER BY doc
 
 
 def q_simhash_fingerprints(spark, sf_dir):
-    """SimHash 64-bit fingerprints — xxhash64-based, rows-only check."""
+    """SimHash fingerprints, driven through the PORTABLE 32-bit
+    variant (operators/dedup.simhash_portable): per-token bits from
+    md5 hex digits, majority vote per bit, sign-safe BIGINT assembly
+    — every fingerprint reproducible in DuckDB, hard-oracle-checking
+    the majority-vote machinery the 64-bit xxhash64 fast path shares
+    (whose recall is gated in tests/test_dedup.py)."""
+    from .operators.dedup import simhash_portable
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash(docs, "text", "doc_id").orderBy("doc")
+    return simhash_portable(docs, "text", "doc_id", bits=32).orderBy("doc")
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    bit_sql = ", ".join(
+        f"sum(CASE WHEN ((instr('0123456789abcdef', substr(hh, {i // 4 + 1},"
+        f" 1)) - 1) >> {i % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp_sql = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id AS doc,
+         unnest(string_split_regex(trim(text), '\s+')) AS t
+  FROM documents WHERE doc_id < 200
+),
+h AS (SELECT doc, md5(t) AS hh FROM tok),
+b AS (SELECT doc, {bit_sql} FROM h GROUP BY doc)
+SELECT doc, {fp_sql} AS simhash FROM b ORDER BY doc
+"""
+
+
+SQL_SIMHASH_FINGERPRINTS = _simhash_oracle_sql(32)
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
@@ -3985,8 +4017,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
     "incremental_dedup": q_incremental_dedup,
-    # newly oracle-backed (portable md5 variant) -> regrade in-window
+    # newly oracle-backed (portable md5 variants) -> regrade in-window
     "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
     # --- round-3 red (ts regression), fixed: need fresh green rows ---
     "compaction": q_compaction,
     "sessionization": q_sessionization,
@@ -4062,7 +4095,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
-    "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ivf_topk": q_ivf_topk,
     "tpch_q2": q_tpch_q2,
@@ -4164,6 +4196,7 @@ ORACLE_SQL: dict[str, str] = {
     "mean_embedding": SQL_MEAN_EMBEDDING,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
@@ -4171,9 +4204,8 @@ ORACLE_SQL: dict[str, str] = {
     "image_features": SQL_IMAGE_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
-    # simhash_fingerprints / embedding_dup_pairs: engine-specific
-    # hashes (xxhash64 fingerprints, LSH buckets on data with no
-    # planted near-dups) -> rows-only check by design. Their semantics
-    # are pinned by oracle-checked consumers (dedup_clusters,
-    # dedup_corpus, incremental_dedup) and tests/test_dedup.py.
+    # embedding_dup_pairs: LSH bucket pairs on data with no planted
+    # near-dups -> rows-only check by design; semantics pinned by
+    # oracle-checked consumers (dedup_clusters, dedup_corpus,
+    # incremental_dedup) and the recall gates in tests/test_dedup.py.
 }

@@ -18,11 +18,9 @@ def test_queries_and_oracles_consistent():
     # LSH buckets on data with no planted near-dups).
     # hll_distinct_users / approx_stats graduated via the
     # exact+verdict pattern; ivf_topk via full-probe equivalence;
-    # minhash_signatures via the portable md5 variant.
-    assert set(qs) - set(oracles) == {
-        "simhash_fingerprints",
-        "embedding_dup_pairs",
-    }
+    # minhash_signatures / simhash_fingerprints via portable md5
+    # variants.
+    assert set(qs) - set(oracles) == {"embedding_dup_pairs"}
 
 
 def test_entry_returns_rows(spark):
