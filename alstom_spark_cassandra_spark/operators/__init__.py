@@ -14,6 +14,7 @@ from .dedup import (
     dedup_corpus,
     dedup_exact,
     embedding_dup_pairs,
+    embedding_dup_pairs_portable,
     incremental_dedup_pairs,
     incremental_simhash_pairs,
     minhash_bands,
@@ -66,6 +67,7 @@ __all__ = [
     "dequantize_embedding",
     "deterministic_shuffle",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_portable",
     "flatten_json_value",
     "frame_sample",
     "hash_sample",

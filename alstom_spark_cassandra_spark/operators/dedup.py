@@ -758,3 +758,127 @@ def simhash_portable(
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return per.select("doc", fp.alias("simhash"))
+
+
+def _portable_hyperplanes(
+    planes: int, dim: int, seed_ns: str = "rhlsh-v1"
+) -> list[list[float]]:
+    """Hyperplane weights every engine can reproduce: md5 of
+    '{ns}:{plane}:{dim}', first 8 hex digits scaled to [-1, 1). The
+    floats round-trip exactly through repr, so the SAME literals can
+    be embedded in Spark expressions and oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"{seed_ns}:{p}:{d}".encode()).hexdigest()[:8],
+                16,
+            )
+            / 16**8
+            * 2
+            - 1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def embedding_dup_pairs_portable(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.2,
+    planes: int = 6,
+    seed_ns: str = "rhlsh-v1",
+) -> DataFrame:
+    """Cross-engine-verifiable random-hyperplane LSH near-dup pairs:
+    same bucket-then-verify shape as embedding_dup_pairs, but the
+    hyperplanes come from _portable_hyperplanes and the per-plane dot
+    products are generated as explicit left-associated literal
+    expressions — identical IEEE evaluation order on any engine, so
+    the bucket assignment (and therefore the pair set) is exactly
+    reproducible in SQL. The verified cosine is rounded half-up to 6
+    decimals BEFORE the threshold compare on both engines, removing
+    ulp-boundary flips. Production uses embedding_dup_pairs
+    (xxhash64-seeded planes, array-fold dots, multi-table recall
+    knob); this is the audit path that pins the machinery."""
+    w = _portable_hyperplanes(planes, dim, seed_ns)
+    dots = [
+        " + ".join(
+            f"({w[p][d]!r}e0 * CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
+            for d in range(dim)
+        )
+        for p in range(planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN ({dots[p]}) > 0e0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.expr(bucket).alias("bucket"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col("l.doc") < F.col("r.doc")),
+    ).select(
+        F.col("l.doc").alias("a"),
+        F.col("r.doc").alias("b"),
+        _cosine(F.col("l.v"), F.col("r.v")).alias("__cos"),
+    )
+    rounded = F.floor(F.col("__cos") * 1_000_000 + F.lit(0.5)) / F.lit(
+        1_000_000.0
+    )
+    return (
+        cand.withColumn("cosine", rounded)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def embedding_dup_pairs_portable_sql(
+    dim: int,
+    threshold: float = 0.2,
+    planes: int = 6,
+    seed_ns: str = "rhlsh-v1",
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """The DuckDB twin of embedding_dup_pairs_portable — generated
+    from the SAME weight literals so both engines compute identical
+    buckets and pairs."""
+    w = _portable_hyperplanes(planes, dim, seed_ns)
+    dots = [
+        " + ".join(
+            f"({w[p][d]!r}e0 * CAST({vec_col}[{d + 1}] AS DOUBLE))"
+            for d in range(dim)
+        )
+        for p in range(planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN ({dots[p]}) > 0e0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH s AS (
+  SELECT {id_col} AS doc, CAST({vec_col} AS DOUBLE[]) AS v,
+         ({bucket}) AS bucket
+  FROM {table}
+),
+p AS (
+  SELECT l.doc AS a, r.doc AS b,
+         floor(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v))
+                  * sqrt(list_dot_product(r.v, r.v)))
+               * 1000000 + 0.5) / 1000000.0 AS cosine
+  FROM s l JOIN s r ON l.bucket = r.bucket AND l.doc < r.doc
+)
+SELECT a, b, cosine FROM p WHERE cosine >= {threshold}
+ORDER BY a, b
+"""

@@ -3962,13 +3962,31 @@ SQL_SIMHASH_FINGERPRINTS = _simhash_oracle_sql(32)
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
-    """Random-hyperplane LSH near-dup candidates over embeddings —
-    approximate by construction, rows-only check."""
+    """Random-hyperplane LSH near-dup pairs, driven through the
+    PORTABLE variant (operators/dedup.embedding_dup_pairs_portable):
+    md5-derived hyperplane literals and left-associated dot products
+    make the bucket assignment — and therefore the exact pair set —
+    reproducible in DuckDB, so the whole LSH pipeline (project →
+    bucket → in-bucket verify → threshold) is hard-oracle-checked.
+    Production uses embedding_dup_pairs (xxhash64 planes, array-fold
+    dots, multi-table recall knob); recall gates live in
+    tests/test_dedup.py. Dim 64 is pinned by the testdata contract."""
+    from .operators.dedup import embedding_dup_pairs_portable
+
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.2, planes=6)
-    return out.select("a", "b", F.round("cosine", 6).alias("cosine")).orderBy(
-        "a", "b"
+    out = embedding_dup_pairs_portable(
+        emb, "embedding", "vec_id", dim=64, threshold=0.2, planes=6
     )
+    return out.orderBy("a", "b")
+
+
+def _embedding_dup_oracle_sql() -> str:
+    from .operators.dedup import embedding_dup_pairs_portable_sql
+
+    return embedding_dup_pairs_portable_sql(dim=64, threshold=0.2, planes=6)
+
+
+SQL_EMBEDDING_DUP_PAIRS = _embedding_dup_oracle_sql()
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -4020,6 +4038,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # newly oracle-backed (portable md5 variants) -> regrade in-window
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     # --- round-3 red (ts regression), fixed: need fresh green rows ---
     "compaction": q_compaction,
     "sessionization": q_sessionization,
@@ -4197,6 +4216,7 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
+    "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "repetition_scores": SQL_REPETITION_SCORES,
     "token_estimate": SQL_TOKEN_ESTIMATE,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
@@ -4204,8 +4224,7 @@ ORACLE_SQL: dict[str, str] = {
     "image_features": SQL_IMAGE_FEATURES,
     "audio_features": SQL_AUDIO_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
-    # embedding_dup_pairs: LSH bucket pairs on data with no planted
-    # near-dups -> rows-only check by design; semantics pinned by
-    # oracle-checked consumers (dedup_clusters, dedup_corpus,
-    # incremental_dedup) and the recall gates in tests/test_dedup.py.
+    # every registry query carries an oracle: the last three
+    # engine-hash holdouts graduated via portable md5 variants
+    # (minhash/simhash) and literal-hyperplane LSH (embedding pairs).
 }

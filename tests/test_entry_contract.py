@@ -13,14 +13,12 @@ def test_queries_and_oracles_consistent():
     assert len(qs) >= 25
     # every oracle key is a declared query
     assert set(oracles) <= set(qs)
-    # the only keys without an oracle are engine-specific-hash ops
-    # whose output sets DuckDB cannot derive (xxhash64 fingerprints,
-    # LSH buckets on data with no planted near-dups).
-    # hll_distinct_users / approx_stats graduated via the
-    # exact+verdict pattern; ivf_topk via full-probe equivalence;
-    # minhash_signatures / simhash_fingerprints via portable md5
-    # variants.
-    assert set(qs) - set(oracles) == {"embedding_dup_pairs"}
+    # EVERY query carries an oracle: approx ops graduated via the
+    # exact+verdict pattern (hll_distinct_users, approx_stats),
+    # full-probe equivalence (ivf_topk), portable md5 variants
+    # (minhash_signatures, simhash_fingerprints), and
+    # literal-hyperplane LSH (embedding_dup_pairs).
+    assert set(qs) == set(oracles)
 
 
 def test_entry_returns_rows(spark):
