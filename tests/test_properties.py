@@ -73,3 +73,61 @@ def test_locf_equals_python_forward_fill(spark, updates):
         for t, v in sorted(seq):
             last = v if v is not None else last
             assert got[(k, t)] == last
+
+
+doc_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),   # doc id base
+        st.integers(min_value=0, max_value=4),    # text variant
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(docs=doc_lists)
+def test_deterministic_shuffle_is_permutation(spark, docs):
+    """Every input appears exactly once with a contiguous per-shard
+    position, for ANY input set — the permutation property."""
+    from collections import defaultdict
+
+    from alstom_spark_cassandra_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(d,) for d, _ in docs], "doc_id long")
+    rows = deterministic_shuffle(df, "doc_id").collect()
+    assert sorted(r.doc_id for r in rows) == sorted(d for d, _ in docs)
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@SLOW
+@given(docs=doc_lists)
+def test_chunk_dedup_exactly_one_canonical_per_text(spark, docs):
+    """For ANY corpus: per distinct chunk text, exactly one
+    non-duplicate row survives, and both physical plans agree."""
+    from collections import Counter
+
+    from alstom_spark_cassandra_spark.operators.chunking import chunk_dedup
+
+    rows = [(d, 0, f"text variant {v}") for d, v in docs]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id long, chunk_text string")
+    flags = {(r.doc_id, r.chunk_id): r.is_dup for r in chunk_dedup(df).collect()}
+    texts = {(d, 0): t for d, _, t in rows}
+    canon_per_text = Counter(
+        texts[k] for k, dup in flags.items() if not dup
+    )
+    n_distinct = len({t for _, _, t in rows})
+    assert len(canon_per_text) == n_distinct
+    assert all(c == 1 for c in canon_per_text.values())
+    safe = {
+        (r.doc_id, r.chunk_id): r.is_dup
+        for r in chunk_dedup(df, skew_safe=True).collect()
+    }
+    assert safe == flags
