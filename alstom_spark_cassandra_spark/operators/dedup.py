@@ -529,18 +529,43 @@ def dedup_corpus(
     id_col: str,
     a: str = "a",
     b: str = "b",
+    prefer_col: str | None = None,
 ) -> DataFrame:
-    """Remove near-duplicates from a corpus: one canonical row (the
-    minimum id of its connected component) survives per cluster of
-    similar pairs; rows in no pair pass through untouched.
+    """Remove near-duplicates from a corpus: one canonical row
+    survives per connected component of similar pairs; rows in no
+    pair pass through untouched.
 
-    Only the ids travel through the component computation — the
-    left_anti join against the (tiny) loser set is what touches the
-    full-width rows, so document text/payload never shuffles."""
+    Default winner: the minimum id of the component (cheap, stable).
+    With `prefer_col`, the winner is the member with the HIGHEST
+    value of that column (ties → min id) — the production rule "keep
+    the best copy, not the first": prefer the highest quality score,
+    longest text, newest crawl. The preference lookup joins only the
+    clustered ids against (id, prefer) — two narrow columns — so
+    full-width rows still never shuffle; the final anti-join against
+    the loser-id set is unchanged.
+    """
     cc = connected_components(pairs, a, b)
-    losers = cc.filter(F.col("cluster") != F.col("v")).select(
-        F.col("v").alias(id_col)
-    )
+    if prefer_col is None:
+        losers = cc.filter(F.col("cluster") != F.col("v")).select(
+            F.col("v").alias(id_col)
+        )
+    else:
+        scored = cc.join(
+            df.select(
+                F.col(id_col).alias("v"), F.col(prefer_col).alias("__pref")
+            ),
+            "v",
+        )
+        winners = scored.groupBy("cluster").agg(
+            F.max(
+                F.struct(F.col("__pref"), (-F.col("v")).alias("__negid"))
+            ).alias("__w")
+        )
+        losers = (
+            scored.join(winners, "cluster")
+            .filter(F.col("v") != -F.col("__w.__negid"))
+            .select(F.col("v").alias(id_col))
+        )
     return df.join(losers, id_col, "left_anti")
 
 

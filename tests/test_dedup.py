@@ -301,3 +301,25 @@ def test_incremental_simhash_index_roundtrip(spark, tmp_path):
     assert (1, 102) in got and got[(1, 102)] <= 7
     assert (101, 102) in got
     assert not any(103 in p_ for p_ in got)
+
+
+def test_dedup_corpus_prefer_col_keeps_best(spark):
+    """With prefer_col, each cluster keeps its highest-preference
+    member (ties -> min id), not the min id."""
+    from alstom_spark_cassandra_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    # cluster {1,2,3} and {4}; 9 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    kept_default = {r.doc_id for r in dedup_corpus(docs, pairs, "doc_id").collect()}
+    assert kept_default == {1, 4, 9}  # min id wins
+    kept_best = {
+        r.doc_id
+        for r in dedup_corpus(
+            docs, pairs, "doc_id", prefer_col="quality"
+        ).collect()
+    }
+    assert kept_best == {2, 4, 9}  # highest quality, tie broken by min id
