@@ -110,6 +110,12 @@ def minhash_bands(
     """(doc, band, key) bucket rows from a signature table: each band
     hashes its signature slice to one bucket key. Shared by the
     one-shot LSH pair search and the persisted incremental index."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            "a 0-row band would put every document in one bucket and "
+            "degrade candidate generation to the full cross product"
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.xxhash64(
@@ -590,10 +596,18 @@ def build_minhash_index(
     """
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     sig.write.mode("overwrite").parquet(f"{path}/signatures")
-    bands_df = minhash_bands(sig, num_hashes, bands)
-    bands_df.write.mode("overwrite").partitionBy("band").parquet(
-        f"{path}/bands"
-    )
+    # derive bands from the WRITTEN signatures, not the in-memory
+    # lineage — otherwise the corpus is shingled and hashed twice
+    spark = df.sparkSession
+    sig_back = spark.read.parquet(f"{path}/signatures")
+    minhash_bands(sig_back, num_hashes, bands).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(f"{path}/bands")
+    # pin the build parameters so a probe with mismatched n/num_hashes/
+    # bands fails loudly instead of silently missing every old dup
+    spark.createDataFrame(
+        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def incremental_dedup_pairs(
@@ -620,6 +634,21 @@ def incremental_dedup_pairs(
     _verify_jaccard / minhash_lsh_pairs; at steady state the
     estimator is the point — it needs no old text.
     """
+    try:
+        p = spark.read.parquet(f"{index_path}/params").first()
+        if (p.n, p.num_hashes, p.bands) != (n, num_hashes, bands):
+            raise ValueError(
+                f"index at {index_path} was built with (n={p.n}, "
+                f"num_hashes={p.num_hashes}, bands={p.bands}) but the "
+                f"probe asked for ({n}, {num_hashes}, {bands}) — band "
+                "keys would never match and every old duplicate would "
+                "be silently missed"
+            )
+    except Exception as exc:
+        if isinstance(exc, ValueError):
+            raise
+        # pre-params index (or unreadable params): proceed as asked
+        pass
     new_sig = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
     new_bands = minhash_bands(new_sig, num_hashes, bands)
     old_bands = spark.read.parquet(f"{index_path}/bands")
@@ -707,15 +736,17 @@ def incremental_simhash_pairs(
         .select(
             F.least("l.doc", "r.doc").alias("a"),
             F.greatest("l.doc", "r.doc").alias("b"),
-            F.col("l.simhash").alias("fa"),
-            F.col("r.simhash").alias("fb"),
+            # xor is symmetric, so hamming is orientation-free: a
+            # new×new pair matched in BOTH orientations (l/r swapped)
+            # collapses in the distinct below — keeping fa/fb instead
+            # would leave the pair duplicated
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return cand.select("a", "b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 def minhash_signatures_portable(
@@ -830,9 +861,13 @@ def embedding_dup_pairs_portable(
     (xxhash64-seeded planes, array-fold dots, multi-table recall
     knob); this is the audit path that pins the machinery."""
     w = _portable_hyperplanes(planes, dim, seed_ns)
+    # weights embed as CAST('repr' AS DOUBLE): repr round-trips the
+    # double exactly and the string form survives scientific notation
+    # (a bare '{w}e0' literal breaks when repr emits e.g. 6.8e-05)
     dots = [
         " + ".join(
-            f"({w[p][d]!r}e0 * CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
+            f"(CAST('{w[p][d]!r}' AS DOUBLE)"
+            f" * CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
             for d in range(dim)
         )
         for p in range(planes)
@@ -881,7 +916,8 @@ def embedding_dup_pairs_portable_sql(
     w = _portable_hyperplanes(planes, dim, seed_ns)
     dots = [
         " + ".join(
-            f"({w[p][d]!r}e0 * CAST({vec_col}[{d + 1}] AS DOUBLE))"
+            f"(CAST('{w[p][d]!r}' AS DOUBLE)"
+            f" * CAST({vec_col}[{d + 1}] AS DOUBLE))"
             for d in range(dim)
         )
         for p in range(planes)

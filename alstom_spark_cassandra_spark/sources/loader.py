@@ -78,14 +78,24 @@ def stream_source(
     Spark's file stream needs a DIRECTORY basePath, so a flat
     `{name}.parquet` FILE is read via pathGlobFilter on its parent,
     while a `{name}.parquet/` directory of part-files is read
-    directly (the glob would match no leaf file there). Event time is
-    canonicalized like the batch loader (`stream_event_time`)."""
-    import os
-
+    directly (the glob would match no leaf file there). The layout
+    check goes through the Hadoop FileSystem API so it answers
+    correctly on any filesystem (local, HDFS, S3A), not just local
+    paths. Event time is canonicalized like the batch loader
+    (`stream_event_time`)."""
     path = f"{base}/{name}.parquet"
     if schema is None:
         schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = fs.getFileStatus(hpath).isDirectory()
+    except Exception:
+        import os
+
+        is_dir = os.path.isdir(path)
+    if is_dir:
         raw = spark.readStream.schema(schema).parquet(path)
     else:
         raw = (
@@ -136,8 +146,13 @@ def load_table_window(
     ms >= lo  ⟺  raw >= lo*unit;  ms <= hi  ⟺  raw < (hi+1)*unit.
     """
     if base.startswith("cassandra://"):
-        # Cassandra path: predicate pushdown happens via the connector
-        # on the canonical column instead.
+        # Cassandra path: the filter lands on the CANONICALIZED ms
+        # column, which is a derived expression the connector cannot
+        # push — correct but unpruned (a full-scan fallback). Pushing
+        # into Cassandra would require filtering the raw column, whose
+        # epoch unit the table schema alone cannot disambiguate
+        # (long-ms in the reference vs long-ns in driver parquet), so
+        # correctness wins here until a deployment pins the unit.
         df = load_table(spark, base, name, replay)
         if lo_ms is not None:
             df = df.filter(F.col(col) >= lo_ms)

@@ -3032,7 +3032,9 @@ def q_incremental_dedup(spark, sf_dir):
     (operators/dedup.build_minhash_index + incremental_dedup_pairs):
     the corpus is indexed ONCE (signatures + band buckets partitioned
     by band); a 'new batch' — here a re-crawl simulated as every doc
-    re-arriving under id+10000 — is deduped touching only the index,
+    re-arriving under id+10^7 (far beyond any plausible doc_id range,
+    keeping the old/new id spaces disjoint) — is deduped touching
+    only the index,
     never the old text. Candidates come from band-bucket joins
     (new×indexed and new×new), scored by signature agreement; at
     threshold 1.0 a surviving pair has identical signatures, and the
@@ -3045,10 +3047,13 @@ def q_incremental_dedup(spark, sf_dir):
     from .operators.dedup import build_minhash_index, incremental_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    index_path = f"{tempfile.gettempdir()}/minhash_index_{abs(hash(sf_dir))}"
+    # stable path (no PYTHONHASHSEED dependence) so reruns overwrite
+    # instead of littering /tmp with orphaned index dirs
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    index_path = f"{tempfile.gettempdir()}/minhash_index{slug}"
     build_minhash_index(docs, index_path, "text", "doc_id")
     new_batch = docs.select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     pairs = incremental_dedup_pairs(
         spark, new_batch, index_path, "text", "doc_id", threshold=1.0
@@ -3069,12 +3074,12 @@ SQL_INCREMENTAL_DEDUP = """
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
 )
 SELECT x.doc_id AS a, y.doc_id AS b
 FROM all_docs x JOIN all_docs y
   ON x.text = y.text AND x.doc_id < y.doc_id
-WHERE y.doc_id >= 10000 OR x.doc_id >= 10000
+WHERE y.doc_id >= 10000000 OR x.doc_id >= 10000000
 ORDER BY a, b
 """
 
@@ -4114,7 +4119,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
     "ivf_topk": q_ivf_topk,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,

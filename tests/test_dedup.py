@@ -291,12 +291,13 @@ def test_incremental_simhash_index_roundtrip(spark, tmp_path):
          (103, "novel content entirely " + "p q r s t u v w " * 6)],
         "doc_id long, text string",
     )
-    got = {
-        (r.a, r.b): r.hamming
-        for r in incremental_simhash_pairs(
-            spark, new, idx, "text", "doc_id", max_hamming=7
-        ).collect()
-    }
+    rows = incremental_simhash_pairs(
+        spark, new, idx, "text", "doc_id", max_hamming=7
+    ).collect()
+    # each pair exactly once: the new-x-new double-orientation match
+    # must collapse (regression: duplicated (a,b) rows)
+    assert len(rows) == len({(r.a, r.b) for r in rows})
+    got = {(r.a, r.b): r.hamming for r in rows}
     assert got[(1, 101)] == 0
     assert (1, 102) in got and got[(1, 102)] <= 7
     assert (101, 102) in got

@@ -85,6 +85,17 @@ def test_critical_column_dtypes(table):
         )
 
 
+def test_embedding_dim_is_64():
+    """mean_embedding's oracle and the portable LSH literals are
+    generated for dim=64 — a regenerated embedding length must fail
+    HERE, not as a silent Spark/oracle divergence."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    lens = {len(v) for v in t.column("embedding").to_pylist()[:50]}
+    assert lens == {64}, f"embedding length drifted: {lens}"
+
+
 def test_events_ts_encoding_is_adaptable():
     """The physical encoding of events.ts must be one the loader
     canonicalizes (long-ns via nanosAsLong, or a parquet timestamp).
