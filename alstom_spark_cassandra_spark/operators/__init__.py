@@ -46,7 +46,12 @@ from .similarity import (
     mean_pool,
     search_ivf_index,
 )
-from .sketches import hll_partial_sketches, hll_rollup
+from .sketches import (
+    histogram_quantiles,
+    hll_partial_sketches,
+    hll_rollup,
+    value_histogram,
+)
 
 __all__ = [
     "asof_id_bounds",
@@ -72,6 +77,7 @@ __all__ = [
     "frame_sample",
     "hash_sample",
     "hash_split",
+    "histogram_quantiles",
     "hll_partial_sketches",
     "hll_rollup",
     "image_features",
@@ -99,4 +105,5 @@ __all__ = [
     "stratified_hash_sample",
     "symmetric_diff_rows",
     "unchanged_rows",
+    "value_histogram",
 ]

@@ -21,7 +21,7 @@ daily/weekly/all-time distinct-user questions from it with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,4 +73,75 @@ def approx_distinct(
         F.hll_sketch_estimate(F.hll_sketch_agg(value_col, F.lit(lgk)))
         .cast("long")
         .alias(estimate_col)
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram — the deterministic mergeable quantile
+    structure: (keys..., bucket, n) where bucket = floor((v-lo)/w)
+    clamped to [0, bins-1]. Counts are integers, so partials merge
+    exactly under any partitioning (unlike GK/KLL sketches, whose
+    register states are engine-specific) and ANY engine reproduces
+    the table bit-for-bit — histogram-derived quantiles get an EXACT
+    oracle, not an error-bound one.
+
+    The 100 TB pattern mirrors hll_partial_sketches: persist per-day
+    histograms (bins × days tiny rows), answer any coarser window's
+    quantiles by summing counts — no raw re-scan, ever."""
+    w = (hi - lo) / bins
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int"),
+        ),
+    )
+    ks = keys or []
+    return (
+        df.select(*ks, bucket.alias("bucket"))
+        .groupBy(*ks, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    bins: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """(keys..., q, est): nearest-rank quantile estimates from a
+    value_histogram — est is the UPPER EDGE of the first bucket whose
+    cumulative count reaches ceil(q·total) (deterministic integer
+    rank selection; resolution = bin width). One shuffle over
+    (keys, bucket) rows — never raw data."""
+    w = (hi - lo) / bins
+    ks = keys or []
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    win = Window.partitionBy(*ks) if ks else Window.partitionBy()
+    totals = hist.withColumn("total", F.sum("n").over(win)).withColumn(
+        "cum",
+        F.sum("n").over(win.orderBy("bucket")),
+    )
+    joined = totals.crossJoin(F.broadcast(qdf)).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
+    )
+    best = joined.groupBy(*ks, "q", "total").agg(
+        F.min("bucket").alias("bucket")
+    )
+    return best.select(
+        *ks,
+        "q",
+        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("est"),
     )

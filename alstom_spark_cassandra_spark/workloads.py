@@ -3027,6 +3027,59 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Mergeable histogram quantiles (operators/sketches.
+    value_histogram + histogram_quantiles): per-event_type p50/p95/p99
+    of value from a 100-bin [0, 200) histogram. Integer bucket counts
+    merge exactly under any partitioning, so — unlike GK/KLL sketch
+    registers — the whole structure AND the derived quantiles have an
+    EXACT DuckDB oracle. The 100 TB pattern: persist per-day
+    histograms, answer any window's quantiles from counts alone."""
+    from .operators.sketches import histogram_quantiles, value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    hist = value_histogram(
+        ev, "value", lo=0.0, hi=200.0, bins=100, keys=["event_type"]
+    )
+    out = histogram_quantiles(
+        hist, [0.5, 0.95, 0.99], lo=0.0, hi=200.0, bins=100,
+        keys=["event_type"],
+    )
+    return out.select(
+        "event_type",
+        half_up(F.col("q"), 2).alias("q"),
+        half_up(F.col("est"), 2).alias("est"),
+    ).orderBy("event_type", "q")
+
+
+SQL_HISTOGRAM_QUANTILES = """
+WITH h AS (
+  SELECT event_type,
+         least(99, greatest(0, CAST(floor((value - 0e0) / 2e0) AS INT)))
+           AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type) AS total,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM h
+),
+q(q) AS (VALUES (0.5e0), (0.95e0), (0.99e0)),
+j AS (
+  SELECT event_type, q, min(bucket) AS bucket
+  FROM c CROSS JOIN q
+  WHERE cum >= ceil(q * total)
+  GROUP BY event_type, q
+)
+SELECT event_type,
+       floor(q * 100 + 0.5) / 100.0 AS q,
+       floor((0e0 + (bucket + 1) * 2e0) * 100 + 0.5) / 100.0 AS est
+FROM j ORDER BY event_type, q
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Steady-state dedup against a persisted MinHash index
     (operators/dedup.build_minhash_index + incremental_dedup_pairs):
@@ -4040,6 +4093,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
     "incremental_dedup": q_incremental_dedup,
+    "histogram_quantiles": q_histogram_quantiles,
     # newly oracle-backed (portable md5 variants) -> regrade in-window
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -4218,6 +4272,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_rarity": SQL_TOKEN_RARITY,
     "mean_embedding": SQL_MEAN_EMBEDDING,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,

@@ -77,3 +77,43 @@ def test_hll_partial_agg_in_plan(spark, events):
         .toString()
     )
     assert "partial_hll_sketch_agg" in plan.lower() or "partial" in plan.lower()
+
+
+def test_value_histogram_merge_and_quantiles(spark):
+    """Partial histograms of two halves sum to the whole corpus's
+    histogram (the mergeability contract), and the derived quantile
+    upper-edges bound the exact nearest-rank values from above by at
+    most one bin width."""
+    from alstom_spark_cassandra_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [float(v % 97) for v in range(1, 1001)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    a, b = df.filter(F.col("value") < 50), df.filter(F.col("value") >= 50)
+    h_all = {
+        r.bucket: r.n
+        for r in value_histogram(df, "value", 0.0, 100.0, 50).collect()
+    }
+    h_a = {r.bucket: r.n for r in value_histogram(a, "value", 0.0, 100.0, 50).collect()}
+    h_b = {r.bucket: r.n for r in value_histogram(b, "value", 0.0, 100.0, 50).collect()}
+    merged = {
+        k: h_a.get(k, 0) + h_b.get(k, 0) for k in set(h_a) | set(h_b)
+    }
+    assert merged == h_all
+
+    qs = [0.5, 0.95]
+    est = {
+        r.q: r.est
+        for r in histogram_quantiles(
+            value_histogram(df, "value", 0.0, 100.0, 50), qs, 0.0, 100.0, 50
+        ).collect()
+    }
+    import math
+
+    srt = sorted(vals)
+    for q in qs:
+        exact = srt[math.ceil(q * len(srt)) - 1]
+        assert exact <= est[q] <= exact + 2.0  # within one bin width
