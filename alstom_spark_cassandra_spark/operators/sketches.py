@@ -92,40 +92,60 @@ def value_histogram(
     the table bit-for-bit — histogram-derived quantiles get an EXACT
     oracle, not an error-bound one.
 
+    NULL and NaN values are excluded (quantile semantics — as with
+    percentile_approx); clamping happens on the LONG bucket index
+    BEFORE any int cast, so out-of-range values saturate into the
+    edge bins instead of overflowing under ANSI mode. The bin
+    geometry (lo/hi/bins) rides along as constant columns, making the
+    persisted histogram self-describing — histogram_quantiles reads
+    it from there, so the two calls cannot silently disagree.
+
     The 100 TB pattern mirrors hll_partial_sketches: persist per-day
     histograms (bins × days tiny rows), answer any coarser window's
     quantiles by summing counts — no raw re-scan, ever."""
     w = (hi - lo) / bins
     bucket = F.least(
-        F.lit(bins - 1),
+        F.lit(bins - 1).cast("long"),
         F.greatest(
-            F.lit(0),
-            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(0).cast("long"),
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(w)),
         ),
-    )
+    ).cast("int")
     ks = keys or []
+    clean = df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+    )
     return (
-        df.select(*ks, bucket.alias("bucket"))
+        clean.select(*ks, bucket.alias("bucket"))
         .groupBy(*ks, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.lit(float(lo)))
+        .withColumn("hi", F.lit(float(hi)))
+        .withColumn("bins", F.lit(int(bins)))
     )
 
 
 def histogram_quantiles(
     hist: DataFrame,
     quantiles: list[float],
-    lo: float,
-    hi: float,
-    bins: int,
     keys: list[str] | None = None,
 ) -> DataFrame:
     """(keys..., q, est): nearest-rank quantile estimates from a
     value_histogram — est is the UPPER EDGE of the first bucket whose
     cumulative count reaches ceil(q·total) (deterministic integer
     rank selection; resolution = bin width). One shuffle over
-    (keys, bucket) rows — never raw data."""
-    w = (hi - lo) / bins
+    (keys, bucket) rows — never raw data.
+
+    Bin geometry comes from the histogram's own lo/hi/bins columns
+    (value_histogram writes them), so a persisted histogram can never
+    be silently reinterpreted with the wrong width."""
     ks = keys or []
+    for c in ("lo", "hi", "bins"):
+        if c not in hist.columns:
+            raise ValueError(
+                f"histogram is missing its {c!r} geometry column — "
+                "build it with value_histogram"
+            )
     qdf = hist.sparkSession.createDataFrame(
         [(float(q),) for q in quantiles], "q double"
     )
@@ -137,11 +157,12 @@ def histogram_quantiles(
     joined = totals.crossJoin(F.broadcast(qdf)).filter(
         F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
     )
-    best = joined.groupBy(*ks, "q", "total").agg(
+    best = joined.groupBy(*ks, "q", "total", "lo", "hi", "bins").agg(
         F.min("bucket").alias("bucket")
     )
+    width = (F.col("hi") - F.col("lo")) / F.col("bins")
     return best.select(
         *ks,
         "q",
-        (F.lit(lo) + (F.col("bucket") + 1) * F.lit(w)).alias("est"),
+        (F.col("lo") + (F.col("bucket") + 1) * width).alias("est"),
     )

@@ -3042,8 +3042,7 @@ def q_histogram_quantiles(spark, sf_dir):
         ev, "value", lo=0.0, hi=200.0, bins=100, keys=["event_type"]
     )
     out = histogram_quantiles(
-        hist, [0.5, 0.95, 0.99], lo=0.0, hi=200.0, bins=100,
-        keys=["event_type"],
+        hist, [0.5, 0.95, 0.99], keys=["event_type"]
     )
     return out.select(
         "event_type",
@@ -3055,10 +3054,12 @@ def q_histogram_quantiles(spark, sf_dir):
 SQL_HISTOGRAM_QUANTILES = """
 WITH h AS (
   SELECT event_type,
-         least(99, greatest(0, CAST(floor((value - 0e0) / 2e0) AS INT)))
-           AS bucket,
+         CAST(least(99e0, greatest(0e0, floor((value - 0e0) / 2e0)))
+              AS INT) AS bucket,
          count(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
 ),
 c AS (
   SELECT event_type, bucket, n,

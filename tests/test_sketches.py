@@ -108,7 +108,7 @@ def test_value_histogram_merge_and_quantiles(spark):
     est = {
         r.q: r.est
         for r in histogram_quantiles(
-            value_histogram(df, "value", 0.0, 100.0, 50), qs, 0.0, 100.0, 50
+            value_histogram(df, "value", 0.0, 100.0, 50), qs
         ).collect()
     }
     import math
