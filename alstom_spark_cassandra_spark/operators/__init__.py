@@ -36,6 +36,7 @@ from .sampling import (
     deterministic_shuffle,
     hash_sample,
     hash_split,
+    mixture_sample,
     stratified_hash_sample,
 )
 from .setops import symmetric_diff_rows, unchanged_rows
@@ -90,6 +91,7 @@ __all__ = [
     "locf_pivot",
     "mean_pool",
     "minhash_bands",
+    "mixture_sample",
     "minhash_signatures",
     "minhash_signatures_portable",
     "ngram_jaccard_pairs",

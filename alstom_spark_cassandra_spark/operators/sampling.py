@@ -156,3 +156,48 @@ def deterministic_shuffle(
     )
     w = Window.partitionBy(shard_col).orderBy("__key", content_col)
     return out.withColumn(pos_col, F.row_number().over(w)).drop("__key")
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    counts: dict[object, int],
+    content_col: str,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """EXACT-COUNT weighted mixture: take exactly counts[s] rows from
+    each stratum (fewer only if the stratum is smaller), chosen as
+    the top-n by content-addressed md5 rank — the deterministic
+    "data mixture recipe" (40k of web, 10k of books, ...) where
+    rate-based sampling (stratified_hash_sample) would only hit the
+    counts in expectation.
+
+    Same determinism contract as the rest of this module: reruns,
+    retries, and other engines agree row-by-row; changing the salt
+    redraws every stratum; growing a stratum leaves the previously
+    chosen rows mostly stable (rank insertion, not re-shuffle).
+    Strata not in `counts` are dropped. The rank filter carries BOTH
+    a literal bound (max of all caps — WindowGroupLimit needs a
+    literal to pre-limit before the exchange) and the per-stratum
+    column cap, so a billion-row stratum ships at most max(counts)
+    rows per map task and the exact per-stratum count applies after.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    caps = spark.createDataFrame(
+        [(k, int(v)) for k, v in counts.items()],
+        f"{strata_col} string, __cap int",
+    )
+    max_cap = max(int(v) for v in counts.values())
+    key = F.md5(F.concat(F.lit(salt), F.col(content_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key, content_col)
+    return (
+        df.join(F.broadcast(caps), strata_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            (F.col("__rk") <= F.lit(max_cap))
+            & (F.col("__rk") <= F.col("__cap"))
+        )
+        .drop("__cap", "__rk")
+    )

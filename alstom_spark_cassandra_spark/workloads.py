@@ -3027,6 +3027,38 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Exact-count weighted data mixture (operators/sampling.
+    mixture_sample): a fixed per-source recipe drawn by
+    content-addressed md5 rank — exact counts (unlike rate-based
+    stratified sampling), deterministic across engines, reruns, and
+    partitionings. Output: the drawn (source, doc_id) pairs."""
+    from .operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, "source", {"src0": 40, "src1": 25, "src2": 15}, "doc_id"
+    )
+    return out.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('mix-v1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+)
+SELECT source, doc_id FROM ranked
+WHERE (source = 'src0' AND rk <= 40)
+   OR (source = 'src1' AND rk <= 25)
+   OR (source = 'src2' AND rk <= 15)
+ORDER BY source, doc_id
+"""
+
+
 def q_histogram_quantiles(spark, sf_dir):
     """Mergeable histogram quantiles (operators/sketches.
     value_histogram + histogram_quantiles): per-event_type p50/p95/p99
@@ -4095,6 +4127,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mean_embedding": q_mean_embedding,
     "incremental_dedup": q_incremental_dedup,
     "histogram_quantiles": q_histogram_quantiles,
+    "mixture_sample": q_mixture_sample,
     # newly oracle-backed (portable md5 variants) -> regrade in-window
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -4274,6 +4307,7 @@ ORACLE_SQL: dict[str, str] = {
     "mean_embedding": SQL_MEAN_EMBEDDING,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "histogram_quantiles": SQL_HISTOGRAM_QUANTILES,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash_fingerprints": SQL_SIMHASH_FINGERPRINTS,
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,

@@ -118,3 +118,29 @@ def test_deterministic_shuffle_is_stable_and_sharded(spark):
         by_shard[r.shard].append(r.pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_mixture_sample_exact_counts_and_determinism(spark):
+    from collections import Counter
+
+    from alstom_spark_cassandra_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", i) for i in range(300)], "source string, doc_id long"
+    )
+    recipe = {"s0": 10, "s1": 5, "s2": 100}
+    out = mixture_sample(df, "source", recipe, "doc_id")
+    rows = out.collect()
+    c = Counter(r.source for r in rows)
+    assert c == {"s0": 10, "s1": 5, "s2": 100}
+    # deterministic across reruns and partitionings
+    again = mixture_sample(df.repartition(7), "source", recipe, "doc_id")
+    assert sorted((r.source, r.doc_id) for r in again.collect()) == sorted(
+        (r.source, r.doc_id) for r in rows
+    )
+    # stratum smaller than its cap -> whole stratum
+    tiny = spark.createDataFrame([("s0", 1), ("s0", 2)], "source string, doc_id long")
+    assert mixture_sample(tiny, "source", {"s0": 99}, "doc_id").count() == 2
+    # pre-shuffle limit active
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
