@@ -4108,14 +4108,17 @@ def q_ivf_topk(spark, sf_dir):
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
 # most ~2 rounds old (all 91 are also locally gated every round by
-# scripts/check_oracle.py regardless of position). Round-4 window (exactly 50):
-# never-graded first — tpch_q22 and the six queries new this round
+# scripts/check_oracle.py regardless of position). Round-4 window:
+# never-graded first — tpch_q22, the eight queries new this round
 # (chunk_dedup, domain_cap, corpus_shuffle, token_rarity,
-# mean_embedding, incremental_dedup); then the nine round-3 red rows
-# (timestamp regression, fixed at the loader) plus the new
+# mean_embedding, incremental_dedup, histogram_quantiles,
+# mixture_sample), and the three regraded-under-new-oracles portable
+# variants (minhash/simhash/embedding); then the nine round-3 red
+# rows (timestamp regression, fixed at the loader) plus the new
 # stream_dedup; then the 33 queries whose only driver row is
 # round-1. The tail is the round-3-green flagship/streaming/ANN/
-# multimodal/TPC-H block.
+# multimodal/TPC-H block. All 94 carry oracles and are locally gated
+# every round by scripts/check_oracle.py regardless of position.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never graded by the driver ---
     "tpch_q22": q_tpch_q22,
