@@ -197,3 +197,21 @@ def test_corpus_shuffle_no_global_sort_before_window(spark):
     # non-empty partition spec (shard#...)
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "shard" in m.group(1), m.group(0)
+
+
+def test_histogram_partial_agg_before_exchange(spark):
+    """Bucket counts must combine map-side: the exchange carries
+    (group, bucket) partials, never raw values."""
+    plan = plan_of(spark, "histogram_quantiles")
+    assert "partial_count" in plan or "HashAggregate" in plan.split("Exchange")[1]
+    assert "CartesianProduct" not in plan
+
+
+def test_token_rarity_no_cartesian_and_prunes(spark):
+    """The vocab join is an equi-join on term; only doc_id/text are
+    read from the documents scan."""
+    plan = full_plan_of(spark, "token_rarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read = plan.split("ReadSchema")[1][:300]
+    assert "doc_id" in read and "text" in read and "lang" not in read
