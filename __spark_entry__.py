@@ -58,10 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query. Keys absent here
+    """DuckDB-runnable ANSI SQL per query. EVERY registry query
+    carries a hard oracle: the former engine-hash holdouts
     (minhash_signatures, simhash_fingerprints, embedding_dup_pairs)
-    are engine-specific-hash operators -> rows-only check as the
-    contract allows; every other query, including the approximate
-    ones, carries a hard oracle (exact companions + in-query accuracy
-    verdicts)."""
+    graduated in round 4 via portable md5 / literal-hyperplane
+    variants, and the approximate operators ship exact companions +
+    in-query accuracy verdicts."""
     return dict(ORACLE_SQL)

@@ -28,7 +28,7 @@ everything stays in whole-stage codegen — no Python in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -562,14 +562,19 @@ def dedup_corpus(
             ),
             "v",
         )
-        winners = scored.groupBy("cluster").agg(
-            F.max(
-                F.struct(F.col("__pref"), (-F.col("v")).alias("__negid"))
-            ).alias("__w")
+        # Type-agnostic winner pick: row_number over (pref DESC, id ASC)
+        # — an arithmetic -id tiebreak would cast string ids to NULL and
+        # silently turn the whole dedup into a no-op. Clusters are
+        # near-dup components (small fan-in), so the per-cluster window
+        # sort is bounded; the id ASC tiebreak keeps it deterministic.
+        rank = F.row_number().over(
+            Window.partitionBy("cluster").orderBy(
+                F.col("__pref").desc(), F.col("v").asc()
+            )
         )
         losers = (
-            scored.join(winners, "cluster")
-            .filter(F.col("v") != -F.col("__w.__negid"))
+            scored.withColumn("__rn", rank)
+            .filter(F.col("__rn") > 1)
             .select(F.col("v").alias(id_col))
         )
     return df.join(losers, id_col, "left_anti")
@@ -634,21 +639,32 @@ def incremental_dedup_pairs(
     _verify_jaccard / minhash_lsh_pairs; at steady state the
     estimator is the point — it needs no old text.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         p = spark.read.parquet(f"{index_path}/params").first()
-        if (p.n, p.num_hashes, p.bands) != (n, num_hashes, bands):
-            raise ValueError(
-                f"index at {index_path} was built with (n={p.n}, "
-                f"num_hashes={p.num_hashes}, bands={p.bands}) but the "
-                f"probe asked for ({n}, {num_hashes}, {bands}) — band "
-                "keys would never match and every old duplicate would "
-                "be silently missed"
-            )
-    except Exception as exc:
-        if isinstance(exc, ValueError):
+    except AnalysisException as exc:
+        # ONLY the missing-path case (a pre-params index) skips
+        # validation; transient IO/permission errors must surface,
+        # not silently disable the mismatch guard.
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
             raise
-        # pre-params index (or unreadable params): proceed as asked
-        pass
+        import warnings
+
+        warnings.warn(
+            f"index at {index_path} has no params table; skipping "
+            "parameter-mismatch validation (pre-params index)",
+            stacklevel=2,
+        )
+        p = None
+    if p is not None and (p.n, p.num_hashes, p.bands) != (n, num_hashes, bands):
+        raise ValueError(
+            f"index at {index_path} was built with (n={p.n}, "
+            f"num_hashes={p.num_hashes}, bands={p.bands}) but the "
+            f"probe asked for ({n}, {num_hashes}, {bands}) — band "
+            "keys would never match and every old duplicate would "
+            "be silently missed"
+        )
     new_sig = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
     new_bands = minhash_bands(new_sig, num_hashes, bands)
     old_bands = spark.read.parquet(f"{index_path}/bands")

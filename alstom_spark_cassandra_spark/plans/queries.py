@@ -492,6 +492,11 @@ def _resolve_args(
 
 
 _MAX_PUSHDOWN_SERIES = 64
+# get_update_history per-series filters: above this many filtered
+# series, the AND-chain encoding (O(rows x filtered series) per-row
+# work, ~5 expression nodes per series) switches to a broadcast join
+# on the filter table + a CASE over distinct filter strings.
+_MAX_FILTER_CHAIN = 8
 
 
 def _series_restrict(
@@ -939,31 +944,72 @@ def get_update_history(
             if r["filter"]
         ]
     if flt_rows:
-        keep = None
-        for r in flt_rows:
-            series_match = (
-                (F.col("uevol_field_id") == r["uevol_field_id"])
-                & (F.col("src_id") == r["src_id"])
-                & (F.col("dst_id") == r["dst_id"])
+        if len(flt_rows) <= _MAX_FILTER_CHAIN:
+            # Few filtered series: a join-free AND chain of
+            # (not-this-series | predicate) terms — zero extra plan
+            # nodes beyond the expression itself.
+            keep = None
+            for r in flt_rows:
+                series_match = (
+                    (F.col("uevol_field_id") == r["uevol_field_id"])
+                    & (F.col("src_id") == r["src_id"])
+                    & (F.col("dst_id") == r["dst_id"])
+                )
+                # NULL predicate = fail, like a SQL WHERE (pre-start rows)
+                ok = ~series_match | F.coalesce(
+                    compile_filter(r["filter"], "value"), F.lit(False)
+                )
+                keep = ok if keep is None else (keep & ok)
+        else:
+            # Many filtered series: the chain evaluates EVERY filtered
+            # series' key-match on EVERY row — O(rows × filtered
+            # series) and an expression tree Catalyst/codegen chokes on
+            # near ~1000 terms — while row-level semantics only need
+            # the row's OWN filter. Broadcast-join each row to its
+            # series' filter string (narrow: key + string, driver-
+            # known) and dispatch on the DISTINCT filter strings —
+            # typically a handful even when thousands of series carry
+            # one. Same semantics: keep(row) = own predicate if
+            # filtered else true; the min-over-time-point below is
+            # unchanged.
+            spark = filled.sparkSession
+            fdf = F.broadcast(
+                spark.createDataFrame(
+                    [
+                        (
+                            r["uevol_field_id"],
+                            r["src_id"],
+                            r["dst_id"],
+                            r["filter"],
+                        )
+                        for r in flt_rows
+                    ],
+                    "uevol_field_id int, src_id int, dst_id int, __flt string",
+                )
             )
-            # NULL predicate = fail, like a SQL WHERE (pre-start rows)
-            ok = ~series_match | F.coalesce(
-                compile_filter(r["filter"], "value"), F.lit(False)
-            )
-            keep = ok if keep is None else (keep & ok)
+            filled = filled.join(fdf, SERIES_KEY, "left")
+            keep = F.when(F.col("__flt").isNull(), F.lit(True))
+            for fx in sorted({r["filter"] for r in flt_rows}):
+                keep = keep.when(
+                    F.col("__flt") == F.lit(fx),
+                    F.coalesce(compile_filter(fx, "value"), F.lit(False)),
+                )
+            keep = keep.otherwise(F.lit(False))
         # A time point survives only if EVERY filtered series passes:
         # min(ok) over a window partitioned by the time point, instead
         # of an aggregate + broadcast-semi-join back — the window is
         # one exchange on the same matrix; the join shape would scan
         # `filled` twice (once to build the broadcast) plus a build
-        # barrier.
+        # barrier. The window partition width is exactly the series
+        # count per time point — uniform by construction (the grid is
+        # dense), so it cannot skew.
         w_id = Window.partitionBy("instance_message_id")
         filled = (
             filled.withColumn(
                 "__all_ok", F.min(keep.cast("int")).over(w_id)
             )
             .filter(F.col("__all_ok") == 1)
-            .drop("__all_ok")
+            .drop("__all_ok", "__flt")
         )
 
     if not pivot:

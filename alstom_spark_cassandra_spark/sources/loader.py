@@ -41,14 +41,47 @@ REPLAY_SWITCHED = {"instance_field", "instance_message"}
 _EVENT_TIME_COL = "ts"
 
 
-def epoch_ms_expr(df: DataFrame, col: str = _EVENT_TIME_COL) -> F.Column:
+# What a LongType event-time column means depends on the WRITER, not
+# the schema: the driver's parquet surfaces TIMESTAMP(NANOS) as long
+# nanoseconds (nanosAsLong), while the reference's Cassandra tables
+# carry plain long epoch-millis (DataLoader.java:151-152,
+# RetrieveField.java's 1581734409340L). The schema alone cannot
+# disambiguate, so the unit is an explicit per-source parameter:
+# the parquet path pins "ns" (testdata contract), the Cassandra path
+# reads it from config and refuses to guess.
+_LONG_UNIT_TO_MS = {
+    "s": "{col} * 1000",
+    "ms": "{col}",
+    "us": "{col} DIV 1000",
+    "ns": "{col} DIV 1000000",
+}
+CASSANDRA_TS_UNIT_CONF = "spark.alstom.cassandra.tsUnit"
+
+
+def epoch_ms_expr(
+    df: DataFrame, col: str = _EVENT_TIME_COL, long_unit: str | None = "ns"
+) -> F.Column:
     """Epoch-milliseconds LONG from whatever physical encoding `col`
     carries. Session timezone is pinned UTC (session.py), so casting
-    TIMESTAMP_NTZ to TIMESTAMP preserves the instant."""
+    TIMESTAMP_NTZ to TIMESTAMP preserves the instant.
+
+    ``long_unit`` states what a LongType column encodes ("s"/"ms"/
+    "us"/"ns"); ``None`` means "unknown — raise rather than guess"."""
     dt = df.schema[col].dataType
     if isinstance(dt, T.LongType):
-        # parquet TIMESTAMP(NANOS) surfaced via nanosAsLong
-        return F.expr(f"{col} DIV 1000000")
+        if long_unit is None:
+            raise ValueError(
+                f"column {col!r} is LongType but its epoch unit is unknown; "
+                f"set {CASSANDRA_TS_UNIT_CONF} to one of "
+                f"{sorted(_LONG_UNIT_TO_MS)} (refusing to guess — a wrong "
+                "unit silently corrupts every timestamp)"
+            )
+        if long_unit not in _LONG_UNIT_TO_MS:
+            raise ValueError(
+                f"unknown epoch unit {long_unit!r}; expected one of "
+                f"{sorted(_LONG_UNIT_TO_MS)}"
+            )
+        return F.expr(_LONG_UNIT_TO_MS[long_unit].format(col=col))
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return F.unix_millis(F.col(col).cast("timestamp"))
     raise TypeError(
@@ -56,11 +89,13 @@ def epoch_ms_expr(df: DataFrame, col: str = _EVENT_TIME_COL) -> F.Column:
     )
 
 
-def normalize_event_time(df: DataFrame, col: str = _EVENT_TIME_COL) -> DataFrame:
+def normalize_event_time(
+    df: DataFrame, col: str = _EVENT_TIME_COL, long_unit: str | None = "ns"
+) -> DataFrame:
     """Rewrite `col` to canonical long epoch-ms (no-op if absent)."""
     if col not in df.columns:
         return df
-    return df.withColumn(col, epoch_ms_expr(df, col))
+    return df.withColumn(col, epoch_ms_expr(df, col, long_unit))
 
 
 def stream_event_time(df: DataFrame, col: str = _EVENT_TIME_COL) -> DataFrame:
@@ -147,12 +182,11 @@ def load_table_window(
     """
     if base.startswith("cassandra://"):
         # Cassandra path: the filter lands on the CANONICALIZED ms
-        # column, which is a derived expression the connector cannot
-        # push — correct but unpruned (a full-scan fallback). Pushing
-        # into Cassandra would require filtering the raw column, whose
-        # epoch unit the table schema alone cannot disambiguate
-        # (long-ms in the reference vs long-ns in driver parquet), so
-        # correctness wins here until a deployment pins the unit.
+        # column (unit pinned by spark.alstom.cassandra.tsUnit — see
+        # load_table), which is a derived expression the connector
+        # cannot push — correct but unpruned (a full-scan fallback).
+        # A deployment that pins tsUnit=ms could push raw-column
+        # comparisons; left conservative until one exists to test.
         df = load_table(spark, base, name, replay)
         if lo_ms is not None:
             df = df.filter(F.col(col) >= lo_ms)
@@ -194,9 +228,17 @@ def load_table(
             .options(table=name, keyspace=keyspace)
             .load()
         )
-    else:
-        df = spark.read.parquet(f"{base}/{name}.parquet")
-    return normalize_event_time(df)
+        # Cassandra surfaces ts however the table was written; the unit
+        # for a LongType column MUST be pinned by deployment config
+        # (reference tables are epoch-ms, but we refuse to assume —
+        # normalize_event_time raises a clear error if the column is
+        # LongType and the conf is unset).
+        unit = spark.conf.get(CASSANDRA_TS_UNIT_CONF, None)
+        return normalize_event_time(df, long_unit=unit)
+    df = spark.read.parquet(f"{base}/{name}.parquet")
+    # parquet path: long ts is TIMESTAMP(NANOS)-as-long by the testdata
+    # contract (tests/test_testdata_contract.py pins it).
+    return normalize_event_time(df, long_unit="ns")
 
 
 class Catalog:

@@ -4101,43 +4101,127 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ivf_persisted(spark, sf_dir):
+    """PERSISTED-index IVF search (operators/similarity.build_ivf_index
+    + search_ivf_index): the corpus is clustered and assigned ONCE, the
+    assignment written partitioned by centroid id (the inverted list —
+    partition pruning IS the probe), and query batches then search the
+    index without re-clustering or re-scanning the corpus. That
+    build-once / probe-forever split is the 100 TB steady state; the
+    inline ivf_topk (q_ivf_topk) re-derives the structure per call.
+    Driven at FULL probe (nprobe = n_centroids) so the persisted path
+    — write, partitioned re-read, bucket scoring, merge, rank — must
+    reproduce the exact brute-force top-10 bit-for-bit; the oracle is
+    the same exact-cosine SQL as ann_cosine_topk. Partial-probe
+    pruning (only nprobe/C of assignment partitions read) is pinned in
+    tests/test_similarity.py."""
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, search_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # stable path so reruns overwrite instead of littering /tmp
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    index_path = f"{tempfile.gettempdir()}/ivf_index{slug}"
+    build_ivf_index(emb, index_path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = search_ivf_index(spark, index_path, queries, k=10, nprobe=16)
+    return out.select(
+        "query_id", "vec_id", half_up(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 91 are also locally gated every round by
-# scripts/check_oracle.py regardless of position). Round-4 window:
-# never-graded first — tpch_q22, the eight queries new this round
-# (chunk_dedup, domain_cap, corpus_shuffle, token_rarity,
-# mean_embedding, incremental_dedup, histogram_quantiles,
-# mixture_sample), and the three regraded-under-new-oracles portable
-# variants (minhash/simhash/embedding); then the nine round-3 red
-# rows (timestamp regression, fixed at the loader) plus the new
-# stream_dedup; then the 33 queries whose only driver row is
-# round-1. The tail is the round-3-green flagship/streaming/ANN/
-# multimodal/TPC-H block. All 94 carry oracles and are locally gated
-# every round by scripts/check_oracle.py regardless of position.
+# most ~2 rounds old (all 95 are also locally gated every round by
+# scripts/check_oracle.py regardless of position). Round-5 window:
+# HEAD = the two queries that have never had a green driver row
+# (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
+# left outside the r4 window) plus ivf_persisted, new this round;
+# then the six TPC-H queries whose last driver row is round-1
+# (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
+# testdata regenerations); then the whole round-3-green tail block
+# (flagship procedures, multiple_fields trio, samplers/pipeline,
+# decontam/PII, ANN, multimodal, remaining TPC-H); then five
+# round-4-green picks whose code or siblings changed this round
+# (compaction, sessionization, stream_dedup, dedup_corpus +
+# incremental_dedup — both touched by the r4-ADVICE fixes). TAIL =
+# the rest of the round-4-green block.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never graded by the driver ---
+    # --- never driver-green: r3 no_oracle, hard-oracled since r4 ---
+    "approx_stats": q_approx_stats,
+    "ivf_topk": q_ivf_topk,
+    # --- new this round ---
+    "ivf_persisted": q_ivf_persisted,
+    # --- last driver row is round-1 ---
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    # --- flagship reference procedures (last row r3) ---
+    "latest_per_key": q_latest_per_key,
+    "asof_join_events": q_asof_join_events,
+    "snapshot_diff": q_snapshot_diff,
+    "update_history_dense": q_update_history_dense,
+    "message_snapshot_delta": q_message_snapshot_delta,
+    "retrieve_message_asof": q_retrieve_message_asof,
+    # --- round-3-green block, due for refresh ---
+    "multiple_fields_asof": q_multiple_fields_asof,
+    "multiple_fields_state": q_multiple_fields_state,
+    "multiple_fields_snapshot": q_multiple_fields_snapshot,
+    "tpch_q12": q_tpch_q12,
+    "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
+    "corpus_pipeline": q_corpus_pipeline,
+    "train_split": q_train_split,
+    "stream_latest_state": q_stream_latest_state,
+    "decontamination": q_decontamination,
+    "pii_scan": q_pii_scan,
+    "doc_chunks": q_doc_chunks,
+    "repetition_scores": q_repetition_scores,
+    "token_estimate": q_token_estimate,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    # --- r4-green picks whose code/siblings changed this round ---
+    "compaction": q_compaction,
+    "sessionization": q_sessionization,
+    "stream_dedup": q_stream_dedup,
+    "dedup_corpus": q_dedup_corpus,
+    "incremental_dedup": q_incremental_dedup,
+    # --- tail: driver-green in round 4 (locally gated every round) ---
     "tpch_q22": q_tpch_q22,
-    # --- never graded: new this round ---
     "chunk_dedup": q_chunk_dedup,
     "domain_cap": q_domain_cap,
     "corpus_shuffle": q_corpus_shuffle,
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
-    "incremental_dedup": q_incremental_dedup,
     "histogram_quantiles": q_histogram_quantiles,
     "mixture_sample": q_mixture_sample,
-    # newly oracle-backed (portable md5 variants) -> regrade in-window
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_dup_pairs": q_embedding_dup_pairs,
-    # --- round-3 red (ts regression), fixed: need fresh green rows ---
-    "compaction": q_compaction,
-    "sessionization": q_sessionization,
     "retrieve_field_window": q_retrieve_field_window,
     "session_error_counts": q_session_error_counts,
     "interval_event_counts": q_interval_event_counts,
@@ -4145,9 +4229,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": q_stream_windowed_counts,
     "stream_sessionization": q_stream_sessionization,
     "stream_attribution": q_stream_attribution,
-    "stream_dedup": q_stream_dedup,
-    # --- last driver row is round-1 (incl. the five silently broken
-    # by the ts regression while sitting in the ungraded tail) ---
     "field_window": q_field_window,
     "asof_bounds": q_asof_bounds,
     "boundary_padding": q_boundary_padding,
@@ -4168,7 +4249,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "word_jaccard_pairs": q_word_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
-    "dedup_corpus": q_dedup_corpus,
     "text_stats": q_text_stats,
     "term_frequency": q_term_frequency,
     "distinctive_terms": q_distinctive_terms,
@@ -4176,52 +4256,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    # --- flagship reference procedures, kept in-window ---
-    "latest_per_key": q_latest_per_key,
-    "asof_join_events": q_asof_join_events,
-    "snapshot_diff": q_snapshot_diff,
-    "update_history_dense": q_update_history_dense,
-    "message_snapshot_delta": q_message_snapshot_delta,
-    "retrieve_message_asof": q_retrieve_message_asof,
-    # --- tail: driver-green in round 3 (locally gated every round) ---
-    "multiple_fields_asof": q_multiple_fields_asof,
-    "multiple_fields_state": q_multiple_fields_state,
-    "multiple_fields_snapshot": q_multiple_fields_snapshot,
-    "tpch_q12": q_tpch_q12,
-    "approx_stats": q_approx_stats,
-    "stratified_sample": q_stratified_sample,
-    "sequence_pack": q_sequence_pack,
-    "corpus_pipeline": q_corpus_pipeline,
-    "train_split": q_train_split,
-    "stream_latest_state": q_stream_latest_state,
-    "decontamination": q_decontamination,
-    "pii_scan": q_pii_scan,
-    "doc_chunks": q_doc_chunks,
-    "repetition_scores": q_repetition_scores,
-    "token_estimate": q_token_estimate,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_quantized_topk": q_ann_quantized_topk,
-    "image_features": q_image_features,
-    "audio_features": q_audio_features,
-    "frame_sample": q_frame_sample,
-    "ivf_topk": q_ivf_topk,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
 }
 
 
@@ -4243,6 +4277,8 @@ ORACLE_SQL: dict[str, str] = {
     "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
     "approx_stats": SQL_APPROX_STATS,
     "ivf_topk": SQL_ANN_COSINE_TOPK,
+    # full-probe persisted-index search must equal exact brute force
+    "ivf_persisted": SQL_ANN_COSINE_TOPK,
     "event_deltas": SQL_EVENT_DELTAS,
     "running_sum": SQL_RUNNING_SUM,
     "daily_rollup": SQL_DAILY_ROLLUP,
@@ -4281,7 +4317,6 @@ ORACLE_SQL: dict[str, str] = {
     "rollup": SQL_ROLLUP,
     "exact_quantiles": SQL_EXACT_QUANTILES,
     "unpivot_lineitem": SQL_UNPIVOT_LINEITEM,
-    # approx_stats: sketch-based -> rows-only check by design.
     "dedup_exact": SQL_DEDUP_EXACT,
     "word_jaccard_pairs": SQL_WORD_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

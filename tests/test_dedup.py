@@ -324,3 +324,25 @@ def test_dedup_corpus_prefer_col_keeps_best(spark):
         ).collect()
     }
     assert kept_best == {2, 4, 9}  # highest quality, tie broken by min id
+
+
+def test_dedup_corpus_prefer_col_string_ids(spark):
+    """Regression (ADVICE r4): with STRING ids + prefer_col, the old
+    arithmetic -id tiebreak cast to NULL and silently made the dedup
+    a no-op. The row_number pick must work for any orderable id type."""
+    from alstom_spark_cassandra_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [("d1", 0.2), ("d2", 0.9), ("d3", 0.9), ("d4", 0.5), ("d9", 0.1)],
+        "doc_id string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3")], "a string, b string"
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_corpus(
+            docs, pairs, "doc_id", prefer_col="quality"
+        ).collect()
+    }
+    assert kept == {"d2", "d4", "d9"}  # highest quality, tie -> min id

@@ -215,3 +215,52 @@ def test_token_rarity_no_cartesian_and_prunes(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     read = plan.split("ReadSchema")[1][:300]
     assert "doc_id" in read and "text" in read and "lang" not in read
+
+
+def test_update_history_1000_series_plan_shape(spark):
+    """At a realistic series count (~1000, all filtered) the dense
+    agg + LOCF must still ride ONE series-key exchange, the series
+    restriction and the filter table must join broadcast (never
+    sort-merge), and the per-series filters must not inflate the plan
+    (the AND-chain encoding emitted ~5 expression nodes per filtered
+    series; the join path is O(distinct filter strings))."""
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.plans.queries import (
+        get_update_history,
+        make_arguments,
+    )
+
+    n_series = 1000
+    log = spark.range(20_000).select(
+        (F.pmod(F.col("id"), n_series) + 1).cast("int").alias("uevol_field_id"),
+        F.lit(1).alias("uevol_message_id"),
+        (F.pmod(F.col("id"), 2000) + 1).cast("long").alias("instance_message_id"),
+        F.lit(0).cast("long").alias("instance_message_id_previous"),
+        F.lit(0).alias("src_id"),
+        F.lit(0).alias("dst_id"),
+        F.lit("000").alias("relative_path"),
+        F.lit(0).alias("iteration"),
+        F.lit(0).cast("long").alias("previous_value"),
+        F.pmod(F.xxhash64("id"), 100).alias("new_value"),
+    )
+    args = make_arguments(
+        spark,
+        list(range(1, n_series + 1)),
+        [0] * n_series,
+        [0] * n_series,
+        ["value >= 0"] * n_series,
+    )
+    df = get_update_history(log, args, 100, 1900, use_cache=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly two hash exchanges on the series key: one small one for
+    # the start-state scalar aggregation (bounded by the pre-start
+    # slice), and ONE that carries the whole dense-grid aggregation
+    # AND the LOCF window — the dense matrix never re-shuffles
+    assert plan.count("Exchange hashpartitioning(uevol_field_id") == 2
+    # the plan text stays bounded: the old chain encoding at 1000
+    # filtered series exceeded 1M chars of predicate alone
+    assert len(plan) < 200_000

@@ -528,3 +528,102 @@ def test_backup_preserves_reconstruction(domain):
     got = _replay_state(compacted, N_MSGS)
     assert got == full
     assert compacted.count() < domain["log"].count()
+
+
+def test_update_history_many_filters_join_path_equivalent(spark):
+    """Above _MAX_FILTER_CHAIN filtered series the veto filter switches
+    from the AND-chain encoding to a broadcast join on the filter
+    table + CASE over distinct filter strings (O(rows) instead of
+    O(rows x filtered series)). Both encodings must produce the same
+    matrix, and the filter must actually prune something."""
+    from alstom_spark_cassandra_spark.plans import queries as Q
+
+    rng = random.Random(3)
+    rows = []
+    for mid in range(1, 61):
+        f = rng.randrange(1, 13)
+        rows.append((f, 1, mid, 0, 0, 0, "000", 0, 0, rng.randrange(0, 100)))
+    log = spark.createDataFrame(
+        rows,
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long, new_value long",
+    )
+    filters = ["value >= 10" if i % 2 else "value < 95" for i in range(12)]
+    assert len(filters) > Q._MAX_FILTER_CHAIN
+    args = make_arguments(
+        spark, list(range(1, 13)), [0] * 12, [0] * 12, filters
+    )
+    key = ["uevol_field_id", "src_id", "dst_id", "instance_message_id"]
+    out_join = sorted(
+        map(
+            tuple,
+            get_update_history(log, args, 5, 55, use_cache=False)
+            .select(*key, "value")
+            .collect(),
+        )
+    )
+    old = Q._MAX_FILTER_CHAIN
+    try:
+        Q._MAX_FILTER_CHAIN = 10_000  # force the chain encoding
+        out_chain = sorted(
+            map(
+                tuple,
+                get_update_history(log, args, 5, 55, use_cache=False)
+                .select(*key, "value")
+                .collect(),
+            )
+        )
+    finally:
+        Q._MAX_FILTER_CHAIN = old
+    assert out_join == out_chain
+    # the veto is live: some time points pruned, some survive
+    n_points = len({r[3] for r in out_join})
+    all_points = (
+        log.filter(
+            (F.col("instance_message_id") > 5)
+            & (F.col("instance_message_id") <= 55)
+        )
+        .select("instance_message_id")
+        .distinct()
+        .count()
+        + 1  # start-state row
+    )
+    assert 0 < n_points < all_points
+
+
+def test_update_history_leading_default_carries_until_first_update(spark):
+    """A series whose FIRST update lands after `start` must show the
+    -1 default at the start row and at every grid point before its
+    first update, then LOCF its real values (reference row-0 seeding:
+    SQL/GetUpdateHistory.sql:80-97 — the matrix row at `start` is the
+    GetMultipleFieldsHistory state, default for untouched series)."""
+    log = spark.createDataFrame(
+        [
+            # series 1 updates early (before start) and mid-window
+            (1, 1, 3, 0, 0, 0, "000", 0, 0, 11),
+            (1, 1, 30, 0, 0, 0, "000", 0, 11, 12),
+            # series 2's FIRST update is at id 40, after start=10
+            (2, 1, 40, 0, 0, 0, "000", 0, 0, 77),
+            # series 3 never updates in range
+            (3, 1, 90, 0, 0, 0, "000", 0, 0, 99),
+        ],
+        "uevol_field_id int, uevol_message_id int, instance_message_id long,"
+        " instance_message_id_previous long, src_id int, dst_id int,"
+        " relative_path string, iteration int, previous_value long, new_value long",
+    )
+    args = make_arguments(spark, [1, 2, 3], [0, 0, 0], [0, 0, 0])
+    out = get_update_history(log, args, 10, 50, use_cache=False)
+    got = {
+        (r.uevol_field_id, r.instance_message_id): r.value
+        for r in out.collect()
+    }
+    # grid points: start=10 plus in-window update ids {30, 40}
+    assert set(got) == {(f, t) for f in (1, 2, 3) for t in (10, 30, 40)}
+    assert got[(1, 10)] == 11.0 and got[(1, 30)] == 12.0 and got[(1, 40)] == 12.0
+    # leading default: -1 carried from the start row to every point
+    # before series 2's first update, then the real value
+    assert got[(2, 10)] == -1.0 and got[(2, 30)] == -1.0
+    assert got[(2, 40)] == 77.0
+    # never-updated-in-window series: -1 across the whole grid
+    assert got[(3, 10)] == -1.0 and got[(3, 30)] == -1.0 and got[(3, 40)] == -1.0

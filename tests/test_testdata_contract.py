@@ -119,3 +119,34 @@ def test_loaded_ts_is_canonical_epoch_ms(spark):
         f"canonical ts out of expected epoch-ms range: [{lo}, {hi}] — "
         "encoding drift reached the loader un-adapted"
     )
+
+
+def test_long_ts_unit_must_be_explicit(spark):
+    """Regression (ADVICE r4): a LongType ts column's epoch unit is a
+    WRITER property the schema cannot disambiguate (reference
+    Cassandra = epoch-ms, driver parquet = nanosAsLong). The Cassandra
+    load path passes long_unit=None unless the deployment pins
+    spark.alstom.cassandra.tsUnit, and None must raise, not guess."""
+    import pytest as _pytest
+
+    from alstom_spark_cassandra_spark.sources.loader import (
+        epoch_ms_expr,
+        normalize_event_time,
+    )
+
+    df = spark.createDataFrame([(1581734409340,)], "ts long")
+    with _pytest.raises(ValueError, match="tsUnit"):
+        epoch_ms_expr(df, "ts", long_unit=None)
+    with _pytest.raises(ValueError, match="unknown epoch unit"):
+        epoch_ms_expr(df, "ts", long_unit="days")
+    # explicit units convert correctly
+    ms = normalize_event_time(df, long_unit="ms").first().ts
+    assert ms == 1581734409340
+    us = normalize_event_time(
+        spark.createDataFrame([(1581734409340000,)], "ts long"), long_unit="us"
+    ).first().ts
+    assert us == 1581734409340
+    ns = normalize_event_time(
+        spark.createDataFrame([(1581734409340000000,)], "ts long"), long_unit="ns"
+    ).first().ts
+    assert ns == 1581734409340
