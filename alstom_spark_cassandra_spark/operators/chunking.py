@@ -164,3 +164,185 @@ def chunk_dedup(
             | (F.col(idx_col) != F.col(f"__first.{idx_col}"))
         ).alias("is_dup"),
     )
+
+
+def _passage_windows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    hashed: bool,
+) -> DataFrame:
+    """(id, pos, __key) for every k-token sliding window (stride 1).
+    Docs shorter than k tokens yield no windows (pre-filtered — Spark's
+    `sequence(0, n-k)` would COUNT DOWN for n < k, not return empty).
+    hashed=True keys windows by xxhash64 (8 bytes on the shuffle wire);
+    False keys by the window string itself (engine-portable, oracle
+    path)."""
+    toks = _toks(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    win_str = lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))  # noqa: E731
+    key = (lambda i: F.xxhash64(win_str(i))) if hashed else win_str
+    return base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - k), lambda i: key(i)
+            )
+        ).alias("pos", "__key"),
+    )
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the sliding-window
+    substring-dedup signal (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") re-expressed set-based: every
+    k-token window of every document, grouped by content; a window
+    appearing in >= min_docs DISTINCT documents is a duplicated
+    passage. Per document: (id, n_tokens, n_windows, n_dup_windows,
+    n_dup_tokens, dup_token_ratio), where n_dup_tokens is the size of
+    the UNION of the duplicated windows' token ranges (overlapping
+    windows merged by a running-max interval sweep, so a long shared
+    passage isn't counted k times).
+
+    Differs from chunk_dedup (fixed non-overlapping chunks, exact
+    text) and repetition_scores (intra-document n-grams): this finds
+    shared SPANS across documents at any alignment — boilerplate,
+    licenses, syndicated text — the signal used to cut or down-weight
+    docs before training.
+
+    Scale: the exploded relation is one row per token position —
+    (id, pos, 8-byte xxhash64 key) with hashed=True, never window
+    text; doc-frequency is a distinct + count per key (map-side
+    partial), and the per-doc interval sweep partitions by document.
+    hashed=False keeps the raw window string as the key — exact and
+    engine-portable for audits (the registry oracle), at string
+    shuffle cost.
+    """
+    from pyspark.sql import Window
+
+    toks = _toks(F.col(text_col))
+    wins = _passage_windows(docs, text_col, id_col, k, hashed)
+    dup_keys = (
+        wins.select("__key", id_col)
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    dup_wins = wins.join(dup_keys, "__key").select(id_col, "pos")
+    # interval union per doc: contribution of window [pos, pos+k) is
+    # the part past the running max end of all earlier windows
+    prev_end = F.max(F.col("pos") + k).over(
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_doc = (
+        dup_wins.withColumn(
+            "__contrib",
+            F.greatest(
+                F.lit(0),
+                (F.col("pos") + k)
+                - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("__contrib").alias("n_dup_tokens"),
+        )
+    )
+    stats = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.greatest(F.size(toks) - k + 1, F.lit(0)).alias("n_windows"),
+    )
+    return stats.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(
+                F.coalesce("n_dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_ratio"),
+    )
+
+
+def strip_duplicate_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Surgical passage removal: drop every token covered by a
+    cross-document duplicated k-window (as found by passage_dup_stats'
+    machinery) and reassemble the remaining tokens in order. Returns
+    (id, text) with the cleaned text; untouched docs pass through
+    verbatim.
+
+    The covered-index set is aggregated PER DOCUMENT (bounded by the
+    doc's own token count — the same order as the text itself), then
+    the token filter runs row-local via a higher-order filter, so the
+    full text never shuffles: only (id, pos) pairs and the per-doc
+    index arrays move."""
+    wins = _passage_windows(docs, text_col, id_col, k, hashed)
+    dup_keys = (
+        wins.select("__key", id_col)
+        .distinct()
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    covered = (
+        wins.join(dup_keys, "__key")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias(
+                "__i"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__i").alias("__cov"))
+    )
+    toks = _toks(F.col(text_col))
+    return docs.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("__cov").isNull(), F.col(text_col))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.filter(
+                    toks, lambda t, i: ~F.array_contains(F.col("__cov"), i)
+                ),
+            )
+        )
+        .alias(text_col),
+    )

@@ -2820,6 +2820,68 @@ FROM k ORDER BY shard, pos
 """
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Cross-document repeated-passage detection (operators/chunking.
+    passage_dup_stats): every 8-token sliding window of every doc,
+    grouped by content; windows in >= 2 distinct docs are duplicated
+    passages, and per-doc coverage merges overlapping windows into a
+    token-range UNION (a shared paragraph counts its length once, not
+    once per alignment). The dedup signal of Lee et al.'s
+    substring-level pipeline, set-based. hashed=False keys windows by
+    the window STRING — exact and engine-portable for this audit
+    query; production uses hashed=True (8-byte xxhash64 keys on the
+    shuffle wire, same machinery — equivalence pinned in
+    tests/test_passages.py)."""
+    from .operators.chunking import passage_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return passage_dup_stats(
+        docs, "text", "doc_id", k=8, min_docs=2, hashed=False
+    ).orderBy("doc_id")
+
+
+SQL_PASSAGE_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(w, i, i + 7), ' ') AS key
+  FROM t, UNNEST(range(1, len(w) - 8 + 2)) AS r(i)
+  WHERE len(w) >= 8
+),
+dk AS (
+  SELECT key FROM (SELECT DISTINCT doc_id, key FROM wins)
+  GROUP BY key HAVING count(*) >= 2
+),
+cov AS (
+  SELECT wins.doc_id, wins.pos,
+         greatest(0, (wins.pos + 8) - greatest(wins.pos,
+           coalesce(max(wins.pos + 8) OVER (
+             PARTITION BY wins.doc_id ORDER BY wins.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wins.pos))) AS contrib
+  FROM wins JOIN dk USING (key)
+),
+pd AS (
+  SELECT doc_id, count(*) AS n_dup_windows, sum(contrib) AS n_dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(w) - 7, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CASE WHEN len(w) > 0 THEN
+         floor(coalesce(n_dup_tokens, 0) / CAST(len(w) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000.0
+       ELSE 0.0 END AS dup_token_ratio
+FROM t LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_repetition_scores(spark, sf_dir):
     """Intra-document repetition (operators/chunking.py): duplicated
     word-trigram fraction per doc — the Gopher-style repetition
@@ -4139,7 +4201,7 @@ def q_ivf_persisted(spark, sf_dir):
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 95 are also locally gated every round by
+# most ~2 rounds old (all 96 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -4159,6 +4221,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     # --- new this round ---
     "ivf_persisted": q_ivf_persisted,
+    "passage_dedup": q_passage_dedup,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -4338,6 +4401,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scan": SQL_PII_SCAN,
     "doc_chunks": SQL_DOC_CHUNKS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
+    "passage_dedup": SQL_PASSAGE_DEDUP,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
