@@ -308,3 +308,132 @@ def mean_pool(
             ).alias(mean_col)
         )
     )
+
+
+def kmeans(
+    df: DataFrame,
+    init: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iters: int = 2,
+    scale: int = 6,
+):
+    """Lloyd's k-means over an embedding column, DataFrame-only:
+    assign = broadcast the centroids and take the min squared-L2 per
+    vector; update = element-wise mean per cluster. Returns
+    (assignments, centroids): (id, cid) after a FINAL assignment
+    against the last centroids, and the quantized centroid table
+    (cid, pos, qc) in long format.
+
+    `init` supplies the initial centroids explicitly — (cid int,
+    cv array<double>) — like scikit-learn's init array: seeding policy
+    (k-means++, hash-sample, fixed ids) is the caller's, which keeps
+    the operator deterministic and testable. `_centroids` (IVF) is
+    one such seeder.
+
+    Exactness / portability contract: vectors are quantized to
+    10^-scale once (floor(x*m + 0.5) as LONG), centroids live on the
+    same integer grid (mean re-quantized each update), and distances
+    are INTEGER sums of squared differences — integer addition is
+    order-free, so partitioning, engine, and fold order cannot flip an
+    argmin; ties break to the lowest cid. That is what lets an
+    ITERATIVE algorithm carry a hard cross-engine oracle (the usual
+    float drift compounds per iteration). Overflow envelope: |q| <=
+    m*max|x|; at scale=6, |x| <= 10, dim <= 9000 the per-pair sum
+    stays under 2^63.
+
+    Scale: per iteration, ONE broadcast-join scan computes
+    assignments (k x dim longs broadcast; the corpus never shuffles)
+    and one map-side-combining groupBy((cid, pos)) aggregates the
+    update — the exchange carries <= k*dim*tasks partial sums,
+    independent of corpus size. Centroids (k x dim longs) come to the
+    driver between iterations — the same tiny-scalar pattern as
+    MLlib's own Lloyd loop. n_iters is a fixed budget; convergence
+    checks are the caller's (compare successive centroid tables).
+    """
+    spark = df.sparkSession
+    m = 10**scale
+    qv = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
+        ).alias("__qv"),
+    )
+    import math
+
+    cents: dict[int, list[int]] = {
+        int(r["cid"]): [
+            int(math.floor(float(x) * m + 0.5)) for x in r["cv"]
+        ]
+        for r in init.collect()
+    }
+
+    def _assign(cent_map):
+        # centroids are driver-known (k x dim longs), so assignment is
+        # a PURE MAP: fold the literal centroid array per row and take
+        # the lexicographic min of (dist, cid) — zero joins, zero
+        # shuffles, the corpus is scanned once per iteration. (At very
+        # large k x dim — ~10^6+ literals — switch to an IVF-style
+        # broadcast join; for clustering-k this literal plan is both
+        # smaller and faster.)
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("int").alias("cid"),
+                    F.array(
+                        *[F.lit(q).cast("long") for q in qc]
+                    ).alias("qc"),
+                )
+                for cid, qc in sorted(cent_map.items())
+            ]
+        )
+        scored = F.transform(
+            carr,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__qv"),
+                        c["qc"],
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return qv.select(
+            "__id", F.array_min(scored)["cid"].alias("cid"), "__qv"
+        )
+
+    for _ in range(n_iters):
+        upd = (
+            _assign(cents)
+            .select("cid", F.posexplode("__qv").alias("pos", "q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {}
+        for r in upd:
+            new.setdefault(r["cid"], {})[r["pos"]] = int(
+                math.floor(float(r["s"]) / r["n"] + 0.5)
+            )
+        # empty clusters keep their previous centroid
+        cents = {
+            cid: (
+                [new[cid][p] for p in range(len(qc))] if cid in new else qc
+            )
+            for cid, qc in cents.items()
+        }
+    assignments = _assign(cents).select(
+        F.col("__id").alias(id_col), "cid"
+    )
+    cent_rows = [
+        (cid, pos, q)
+        for cid, qc in sorted(cents.items())
+        for pos, q in enumerate(qc)
+    ]
+    centroids = spark.createDataFrame(cent_rows, "cid int, pos int, qc bigint")
+    return assignments, centroids

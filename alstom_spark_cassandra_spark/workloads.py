@@ -2882,6 +2882,92 @@ ORDER BY doc_id
 """
 
 
+def q_kmeans(spark, sf_dir):
+    """Iterative k-means clustering over the embedding column
+    (operators/similarity.kmeans): k=8 centroids seeded from the
+    vectors of vec_id 0..7 (explicit init — deterministic and
+    engine-portable), TWO full Lloyd iterations (assign -> update,
+    twice), then a final assignment; output is every vector's cluster
+    id. The integer-quantization contract (vectors and centroids on
+    the 10^-6 grid, distances as order-free integer sums) is what
+    lets an ITERATIVE algorithm carry a hard cross-engine oracle —
+    float Lloyd drift compounds per iteration and would diverge
+    between engines at argmin boundaries. The DuckDB oracle unrolls
+    the same two iterations as CTEs. Assignment is a pure map (the
+    k x dim centroid literals fold per row — no join, no shuffle);
+    the update is one map-side-combining groupBy((cid, pos))."""
+    from .operators.similarity import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    assign, _cents = kmeans(emb, init, n_iters=2)
+    return assign.orderBy("vec_id")
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iters: int = 2, dim: int = 64,
+                       scale: int = 6) -> str:
+    """Unrolled-Lloyd DuckDB oracle: c0 = quantized seed vectors, then
+    per iteration an argmin-assignment CTE and a requantized-mean
+    update CTE (empty clusters keep their centroid), ending with a
+    final assignment. Every comparison is on the integer grid, so the
+    unrolled SQL reproduces the Spark loop exactly."""
+    m = 10**scale
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (e.qv[i] - c.qc[i]) * (e.qv[i] - c.qc[i]))),
+             c.cid) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(uname: str, aname: str, prev: str, cname: str) -> str:
+        return f"""{uname} AS (
+  SELECT {aname}.cid, i AS pos, SUM(e.qv[i]) AS s, COUNT(*) AS n
+  FROM {aname} JOIN e USING (vec_id), UNNEST(range(1, {dim + 1})) r(i)
+  GROUP BY {aname}.cid, i
+),
+{cname} AS (
+  SELECT {prev}.cid,
+         CASE WHEN max(u.cid) IS NULL THEN {prev}.qc
+              ELSE list(CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5)
+                             AS BIGINT) ORDER BY u.pos)
+         END AS qc
+  FROM {prev} LEFT JOIN {uname} u ON u.cid = {prev}.cid
+  GROUP BY {prev}.cid, {prev}.qc
+)"""
+
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS qc FROM e WHERE vec_id < {k}
+)"""
+    ]
+    for it in range(n_iters):
+        parts.append(assign_cte(f"a{it + 1}", f"c{it}"))
+        parts.append(update_cte(f"u{it + 1}", f"a{it + 1}", f"c{it}",
+                                f"c{it + 1}"))
+    parts.append(assign_cte("afinal", f"c{n_iters}"))
+    return (
+        ",\n".join(parts)
+        + "\nSELECT vec_id, cid FROM afinal ORDER BY vec_id"
+    )
+
+
+SQL_KMEANS = _kmeans_oracle_sql()
+
+
 def q_repetition_scores(spark, sf_dir):
     """Intra-document repetition (operators/chunking.py): duplicated
     word-trigram fraction per doc — the Gopher-style repetition
@@ -4201,7 +4287,7 @@ def q_ivf_persisted(spark, sf_dir):
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 96 are also locally gated every round by
+# most ~2 rounds old (all 97 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -4222,6 +4308,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round ---
     "ivf_persisted": q_ivf_persisted,
     "passage_dedup": q_passage_dedup,
+    "kmeans_clusters": q_kmeans,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -4402,6 +4489,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "passage_dedup": SQL_PASSAGE_DEDUP,
+    "kmeans_clusters": SQL_KMEANS,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

@@ -127,3 +127,65 @@ def test_mean_pool_exact_and_partition_free(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_kmeans_clusters_and_centroids(spark):
+    from alstom_spark_cassandra_spark.operators.similarity import kmeans
+
+    pts = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.2, 0.0]),
+            (3, [10.0, 10.0]),
+            (4, [10.0, 9.8]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "cid int, cv array<double>"
+    )
+    assign, cents = kmeans(pts, init, n_iters=2)
+    got = {r.vec_id: r.cid for r in assign.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    c = {(r.cid, r.pos): r.qc for r in cents.collect()}
+    # centroid = quantized mean at scale 1e6
+    assert c[(0, 0)] == 100_000 and c[(0, 1)] == 0
+    assert c[(1, 0)] == 10_000_000 and c[(1, 1)] == 9_900_000
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    from alstom_spark_cassandra_spark.operators.similarity import kmeans
+
+    pts = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.4])], "vec_id long, embedding array<double>"
+    )
+    init = spark.createDataFrame(
+        [(0, [0.1]), (1, [100.0])], "cid int, cv array<double>"
+    )
+    assign, cents = kmeans(pts, init, n_iters=3)
+    assert {r.cid for r in assign.collect()} == {0}
+    c = {r.cid: r.qc for r in cents.collect()}
+    assert c[1] == 100_000_000  # never updated, never dropped
+    assert c[0] == 200_000  # mean(0, 0.4) quantized
+
+
+def test_kmeans_moves_points_across_iterations(spark):
+    """A point initially nearer centroid A must migrate when the
+    update pulls B's centroid toward it (the behavior a single
+    assign-once pass cannot produce)."""
+    from alstom_spark_cassandra_spark.operators.similarity import kmeans
+
+    # line: cluster {0, 1, 2} and {7, 8, 9}; centroid B starts at 12
+    pts = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate([0, 1, 2, 7, 8, 9])],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, [3.0]), (1, [12.0])], "cid int, cv array<double>"
+    )
+    one, _ = kmeans(pts, init, n_iters=0)
+    # with the raw init, 7 sits nearer centroid 0 (dist 4 vs 5)
+    assert {r.vec_id: r.cid for r in one.collect()}[3] == 0
+    assign, _ = kmeans(pts, init, n_iters=2)
+    got = {r.vec_id: r.cid for r in assign.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
