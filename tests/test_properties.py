@@ -131,3 +131,107 @@ def test_chunk_dedup_exactly_one_canonical_per_text(spark, docs):
         for r in chunk_dedup(df, skew_safe=True).collect()
     }
     assert safe == flags
+
+
+token_docs = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta eps zeta".split()),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(docs=token_docs)
+def test_passage_stats_bounds_and_full_dup_corpus(spark, docs):
+    """For ANY corpus: 0 <= n_dup_windows <= n_windows, 0 <=
+    n_dup_tokens <= n_tokens, ratio in [0, 1]; and in corpus + exact
+    copy of itself, every doc with >= k tokens is FULLY covered
+    (every window duplicated -> union of windows = the whole doc)."""
+    from alstom_spark_cassandra_spark.operators.chunking import (
+        passage_dup_stats,
+    )
+
+    k = 4
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    doubled = rows + [(i + 1000, t) for i, t in rows]
+    df = spark.createDataFrame(doubled, "doc_id long, text string")
+    for r in passage_dup_stats(df, k=k, min_docs=2).collect():
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert 0 <= r.n_dup_tokens <= r.n_tokens
+        assert 0.0 <= r.dup_token_ratio <= 1.0
+        # the doubled corpus duplicates every window across the pair
+        # (split('') yields [''], so even "empty" docs have 1 token;
+        # whole-doc coverage applies from k real tokens up)
+        toks = dict(doubled)[r.doc_id].split()
+        if len(toks) >= k:
+            assert r.n_dup_tokens == r.n_tokens
+            assert r.dup_token_ratio == 1.0
+
+
+@SLOW
+@given(docs=token_docs)
+def test_strip_passages_idempotent_on_unique_corpus(spark, docs):
+    """A corpus with all-distinct windows must pass through
+    strip_duplicate_passages verbatim (nothing to strip), for ANY
+    shape of documents; row count always preserved."""
+    from alstom_spark_cassandra_spark.operators.chunking import (
+        strip_duplicate_passages,
+    )
+
+    # make windows globally unique by prefixing every token with its
+    # doc id, so cross-doc duplication is impossible
+    rows = [
+        (i, " ".join(f"d{i}_{t}" for t in toks))
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in strip_duplicate_passages(df, k=3, min_docs=2).collect()
+    }
+    assert got == dict(rows)
+
+
+@SLOW
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.floats(
+                min_value=-8.0, max_value=8.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            st.floats(
+                min_value=-8.0, max_value=8.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_kmeans_partition_invariant_total_assignment(spark, pts):
+    """For ANY point set: every point gets exactly one cluster, and
+    the result is identical under different partitionings (the
+    integer-grid contract — no float fold-order dependence)."""
+    from alstom_spark_cassandra_spark.operators.similarity import kmeans
+
+    df = spark.createDataFrame(
+        [(i, [x, y]) for i, x, y in pts],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, [-1.0, 0.0]), (1, [1.0, 0.5])], "cid int, cv array<double>"
+    )
+    a1, c1 = kmeans(df.repartition(1), init, n_iters=2)
+    a7, c7 = kmeans(df.repartition(7), init, n_iters=2)
+    m1 = {r.vec_id: r.cid for r in a1.collect()}
+    m7 = {r.vec_id: r.cid for r in a7.collect()}
+    assert m1 == m7
+    assert set(m1) == {i for i, _, _ in pts}
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c7.collect()))
