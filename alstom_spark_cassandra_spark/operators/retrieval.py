@@ -1,0 +1,165 @@
+"""Lexical retrieval: inverted-index BM25 top-k.
+
+Not present in the reference (whose text surface is SPLIT_STR
+plumbing, SQL/SPLIT_STR.sql:6-14); this is the standard
+retrieval-based layer of a training-data pipeline — e.g. pulling the
+nearest corpus documents for every benchmark prompt before
+decontamination, or query-driven corpus audits — expressed as the
+inverted-index join pattern that scales:
+
+  1. postings (doc, term, tf) — one explode + one aggregation over
+     the corpus; this IS the inverted index, and at 100 TB it is
+     built once and persisted, not rebuilt per query batch.
+  2. the query side is small by definition (a benchmark suite, an
+     audit query list). Its DISTINCT terms broadcast to the postings
+     scan, so candidate generation is a broadcast-semi filter of the
+     index — only postings of query terms survive, never a corpus
+     scan per query.
+  3. per-term IDF and per-doc length join onto that filtered slice
+     (equi-joins on term/doc), the score aggregates per (query, doc)
+     with map-side partials, and a per-query window takes top-k.
+
+Nothing all-pairs anywhere: cost ~ sum over query terms of posting
+list length — the classical inverted-index bound.
+
+Portability contract (what makes the DuckDB oracle EXACT): scoring
+uses the rational Robertson idf (N - df + .5)/(df + .5) instead of
+its log — every operation is IEEE +,-,*,/ in a fixed parenthesized
+order, so Spark and DuckDB produce bit-identical doubles — and each
+per-term contribution is half-up-quantized to integer MICRO-units
+before summing, so the (query, doc) score is an order-free exact
+integer sum. Callers who want the textbook log-idf pass
+`log_idf=True` (same plan; the oracle then only bounds, not equals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text_funcs import tokens
+
+MICRO = 1_000_000
+
+
+def build_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Inverted index: one row per (doc, term) with term frequency.
+
+    Lowercased whitespace tokens (the engine-wide convention, shared
+    with term_frequency / token_rarity). Empty documents yield no
+    postings. Columns: doc, term, tf (long).
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_idf: bool = False,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k corpus documents per query by BM25.
+
+    Returns (query_id, doc, score_micro, score, rank): score_micro is
+    the exact integer sum of half-up micro-quantized per-term
+    contributions (the ranking key — deterministic across engines and
+    partitionings), score = score_micro / 1e6 for display, rank is
+    1-based per query ordered by (score_micro DESC, doc ASC).
+
+    Pass a persisted `postings` (from build_postings) to skip the
+    corpus tokenization — the 100 TB path where the index is built
+    once and queried many times.
+    """
+    if postings is None:
+        postings = build_postings(docs, text_col, id_col)
+
+    # per-doc length and corpus scalars; dl from the index itself so a
+    # persisted-postings caller needs no second corpus scan
+    doc_len = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    corpus = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )  # 1 row — broadcast scalar, the sanctioned J10 shape
+
+    # distinct query terms: small side, broadcast into the index scan
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.col(query_text_col))))
+        ).alias("term"),
+    )
+
+    # df per term, restricted to query terms FIRST so the idf table
+    # that reaches the score join is tiny (|distinct query terms|)
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    idf_src = matched.groupBy("term").agg(
+        F.countDistinct("doc").alias("doc_freq")
+    )
+
+    n = F.col("n_docs").cast("double")
+    df_ = F.col("doc_freq").cast("double")
+    if log_idf:
+        # textbook BM25+ idf: ln(1 + (N - df + .5)/(df + .5)) — NOT
+        # engine-portable bit-for-bit (libm vs Java ln), so the exact
+        # oracle path uses the rational form below
+        idf = F.log((n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)) + F.lit(1.0))
+    else:
+        idf = (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    # fixed parenthesization — the oracle mirrors it token-for-token:
+    # idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl / avgdl))))
+    contrib = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl)))
+    )
+    contrib_micro = (
+        F.floor(contrib * F.lit(float(MICRO)) + F.lit(0.5)).cast("long")
+    )
+
+    scored = (
+        qterms.join(matched, "term")  # (query_id, term, doc, tf)
+        .join(F.broadcast(idf_src), "term")
+        .join(doc_len, "doc")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "doc",
+            contrib_micro.alias("contrib_micro"),
+        )
+        .groupBy("query_id", "doc")
+        .agg(F.sum("contrib_micro").alias("score_micro"))
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc",
+            "score_micro",
+            (F.col("score_micro") / F.lit(float(MICRO))).alias("score"),
+            "rank",
+        )
+    )

@@ -2968,6 +2968,87 @@ c0 AS (
 SQL_KMEANS = _kmeans_oracle_sql()
 
 
+def q_bm25_retrieval(spark, sf_dir):
+    """Inverted-index BM25 top-10 (operators/retrieval.bm25_topk):
+    the three lowest-id documents act as queries against the whole
+    corpus — the retrieval step of benchmark decontamination or a
+    query-driven corpus audit. Candidate generation is a broadcast of
+    the DISTINCT query terms into the postings index (cost ~ posting
+    lists of query terms, never a corpus scan per query). Scoring is
+    engine-portable by construction: rational Robertson idf
+    (N-df+.5)/(df+.5) — no transcendentals — with per-term
+    contributions half-up-quantized to integer micro-units, so the
+    (query, doc) score is an order-free exact integer sum and the
+    DuckDB oracle matches bit-for-bit; ranks tie-break on doc id."""
+    from .operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    out = bm25_topk(docs, queries, k=10)
+    return out.orderBy("query_id", "rank")
+
+
+SQL_BM25_RETRIEVAL = r"""
+WITH postings AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+  )
+  GROUP BY doc, term
+),
+doc_len AS (SELECT doc, sum(tf) AS dl FROM postings GROUP BY doc),
+corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doc_len
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE doc_id < 3 AND trim(text) <> ''
+  )
+),
+matched AS (
+  SELECT * FROM postings WHERE term IN (SELECT term FROM qterms)
+),
+idf AS (
+  SELECT term, count(DISTINCT doc) AS doc_freq FROM matched GROUP BY term
+),
+contrib AS (
+  SELECT q.query_id, m.doc,
+    CAST(floor(
+      ((CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5)
+         / (CAST(doc_freq AS DOUBLE) + 0.5))
+      * ((CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                  / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      * 1000000.0 + 0.5) AS BIGINT) AS contrib_micro
+  FROM qterms q
+  JOIN matched m USING (term)
+  JOIN idf USING (term)
+  JOIN doc_len USING (doc)
+  CROSS JOIN corpus
+),
+scored AS (
+  SELECT query_id, doc,
+         CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc
+)
+SELECT query_id, doc, score_micro,
+       score_micro / 1000000.0 AS score, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def q_repetition_scores(spark, sf_dir):
     """Intra-document repetition (operators/chunking.py): duplicated
     word-trigram fraction per doc — the Gopher-style repetition
@@ -4287,11 +4368,12 @@ def q_ivf_persisted(spark, sf_dir):
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 97 are also locally gated every round by
+# most ~2 rounds old (all 98 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
-# left outside the r4 window) plus ivf_persisted, new this round;
+# left outside the r4 window) plus the four new-this-round queries
+# (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the whole round-3-green tail block
@@ -4309,6 +4391,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_persisted": q_ivf_persisted,
     "passage_dedup": q_passage_dedup,
     "kmeans_clusters": q_kmeans,
+    "bm25_retrieval": q_bm25_retrieval,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -4490,6 +4573,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "kmeans_clusters": SQL_KMEANS,
+    "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

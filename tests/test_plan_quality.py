@@ -217,6 +217,53 @@ def test_token_rarity_no_cartesian_and_prunes(spark):
     assert "doc_id" in read and "text" in read and "lang" not in read
 
 
+# crossJoin(broadcast(tiny)) plans as BroadcastNestedLoopJoin; every
+# sanctioned use broadcasts a scalar aggregate (1 row), a query-vector
+# set, or the grid arguments — never a partitioned relation. The
+# allowlist is closed: a NEW nested-loop anywhere else is a bug.
+BNLJ_SANCTIONED = {
+    "ivf_topk",            # broadcast query vectors x centroids
+    "ivf_persisted",       # same, persisted-index path
+    "ann_cosine_topk",     # broadcast query vectors
+    "ann_quantized_topk",  # broadcast query vectors
+    "bm25_retrieval",      # broadcast 1-row corpus scalars
+    "snapshot_diff",       # broadcast 1-row epoch scalar
+    "update_history_dense",  # grid = ids x broadcast(arguments)
+    "retrieve_field_window",  # broadcast 1-row bounds scalar
+    "reconstruct_message",    # broadcast 1-row epoch scalar
+    "histogram_quantiles",    # broadcast 1-row (min, max) scalar
+    "tpch_q11",            # scalar subquery (group threshold)
+    "tpch_q22",            # scalar subquery (avg acctbal)
+}
+
+
+def test_registry_sweep_no_scale_killers(spark):
+    """EVERY registry query's physical plan, one sweep: no cartesian
+    product, no row-at-a-time Python UDF (BatchEvalPython), and
+    nested-loop joins only where a broadcast-tiny side sanctions them
+    (closed allowlist above). This is the systematic version of the
+    per-query tests — a refactor that degrades ANY query to an
+    all-pairs plan or drops a UDF into the hot path fails here even
+    if no targeted test covers that query. stream_* queries are
+    excluded (calling them executes the stream; their batch-side
+    plans are covered in test_streaming.py)."""
+    offenders = {}
+    for name, fn in SPARK_QUERIES.items():
+        if name.startswith("stream_"):
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            t
+            for t in ("CartesianProduct", "BatchEvalPython")
+            if t in plan
+        ]
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SANCTIONED:
+            hits.append("BroadcastNestedLoopJoin")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
 def test_update_history_1000_series_plan_shape(spark):
     """At a realistic series count (~1000, all filtered) the dense
     agg + LOCF must still ride ONE series-key exchange, the series

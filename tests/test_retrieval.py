@@ -1,0 +1,93 @@
+"""BM25 inverted-index retrieval (operators/retrieval.py)."""
+
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.retrieval import (
+    bm25_topk,
+    build_postings,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple apple banana"),
+        (2, "zebra quagga okapi"),
+        (3, "banana banana banana banana"),
+        (4, "the the the the the the"),
+        (5, ""),
+        (6, "   "),
+        (7, "cherry zebra"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def test_self_retrieval_ranks_self_first(spark):
+    docs = _corpus(spark)
+    queries = _queries(spark, [(100, "zebra quagga okapi")])
+    out = bm25_topk(docs, queries, k=3).collect()
+    assert out[0]["rank"] == 1 and out[0]["doc"] == 2
+    # doc 7 shares only 'zebra' -> present but ranked below
+    assert {r["doc"] for r in out} == {2, 7}
+
+
+def test_rare_term_outscores_common_term(spark):
+    docs = _corpus(spark)
+    # 'quagga' appears in 1 doc, 'banana' in 3 -> for equal tf/length
+    # the rational idf must score the rare term higher
+    out = {
+        (r["query_id"], r["doc"]): r["score_micro"]
+        for r in bm25_topk(
+            docs, _queries(spark, [(0, "quagga"), (1, "banana")]), k=10
+        ).collect()
+    }
+    assert out[(0, 2)] > max(v for (q, _), v in out.items() if q == 1)
+
+
+def test_empty_and_whitespace_docs_never_match(spark):
+    docs = _corpus(spark)
+    out = bm25_topk(docs, _queries(spark, [(0, "apple banana zebra")]), k=20)
+    assert {r["doc"] for r in out.collect()}.isdisjoint({5, 6})
+
+
+def test_persisted_postings_path_identical(spark):
+    docs = _corpus(spark)
+    queries = _queries(spark, [(0, "apple banana"), (1, "cherry")])
+    inline = bm25_topk(docs, queries, k=10).collect()
+    idx = build_postings(docs, "text", "doc_id")
+    reused = bm25_topk(docs, queries, k=10, postings=idx).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+
+
+def test_query_term_repeats_do_not_double_count(spark):
+    docs = _corpus(spark)
+    once = bm25_topk(docs, _queries(spark, [(0, "banana")]), k=10).collect()
+    thrice = bm25_topk(
+        docs, _queries(spark, [(0, "banana banana banana")]), k=10
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, thrice))
+
+
+def test_score_partition_invariant(spark):
+    docs = _corpus(spark).repartition(7)
+    queries = _queries(spark, [(0, "apple banana cherry zebra")])
+    a = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+    b = sorted(
+        map(tuple, bm25_topk(docs.coalesce(1), queries, k=10).collect())
+    )
+    assert a == b
+
+
+def test_plan_broadcasts_query_side_no_cartesian(spark):
+    docs = _corpus(spark)
+    queries = _queries(spark, [(0, "apple zebra")])
+    df = bm25_topk(docs, queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop is the 1-row corpus-scalar broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
