@@ -1,0 +1,155 @@
+"""Product-quantization (PQ) ANN: codebook build + ADC top-k.
+
+The third leg of the similarity stack (brute-force cosine = oracle
+path, IVF = coarse-partition path, PQ = compressed-domain path): each
+vector is split into `m_sub` subvectors, each subspace gets its own
+k-centroid codebook (Lloyd's on the 10^-scale integer grid —
+operators/similarity.kmeans), and a vector is stored as `m_sub` small
+codes. Queries score candidates with an asymmetric distance table
+(ADC, Jégou et al., TPAMI'11): per (query, subspace, centroid) the
+squared-L2 partial is precomputed once, and a vector's approximate
+distance is the sum of `m_sub` table lookups — no raw vectors are
+touched at query time.
+
+Scale: the corpus is reduced to (id, sub, code) longs — at 100 TB of
+embeddings the code table is ~1000× smaller than the raw vectors and
+is the ONLY thing the query-time join scans; the distance table
+(queries × m_sub × k rows) broadcasts. Codebook training scans raw
+vectors once per Lloyd iteration with map-side-combining updates
+(see kmeans docstring).
+
+Portability contract (inherited from kmeans): vectors, centroids,
+and distance partials all live on the integer grid; every sum is an
+order-free integer sum; ties break to the lowest code / lowest id.
+An ITERATIVE-trained, approximate index therefore still carries a
+hard cross-engine oracle (the DuckDB twin unrolls the same Lloyd
+iterations per subspace and reproduces codes, tables, and ranks
+bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import kmeans
+
+
+def pq_build(
+    df: DataFrame,
+    init: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_sub: int = 4,
+    n_iters: int = 2,
+    scale: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.
+
+    `init` = (cid int, cv array<double>) FULL-dimension seed vectors
+    (sliced per subspace here), exactly like kmeans' init — seeding
+    policy stays the caller's. Returns:
+      codes     (id_col, sub, code)      — m_sub rows per vector
+      codebooks (sub, cid, pos, qc)      — long-format quantized books
+    """
+    first = init.select(F.size("cv").alias("d")).first()
+    dim = int(first["d"])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d0 = dim // m_sub
+
+    codes_parts, book_parts = [], []
+    for s in range(m_sub):
+        df_s = df.select(
+            F.col(id_col),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), s * d0 + 1, d0
+            ).alias("embedding"),
+        )
+        init_s = init.select(
+            "cid", F.slice(F.col("cv"), s * d0 + 1, d0).alias("cv")
+        )
+        assign, cents = kmeans(
+            df_s, init_s, "embedding", id_col, n_iters=n_iters, scale=scale
+        )
+        codes_parts.append(
+            assign.select(
+                F.col(id_col),
+                F.lit(s).alias("sub"),
+                F.col("cid").alias("code"),
+            )
+        )
+        book_parts.append(
+            cents.select(F.lit(s).alias("sub"), "cid", "pos", "qc")
+        )
+    codes = reduce(DataFrame.unionByName, codes_parts)
+    codebooks = reduce(DataFrame.unionByName, book_parts)
+    return codes, codebooks
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """ADC top-k: (query_id, id, adist, rank), rank per query by
+    (adist ASC, id ASC). `adist` is the exact integer sum of
+    per-subspace squared-L2 partials between the quantized query and
+    the assigned centroids — deterministic under any partitioning.
+    """
+    m = 10**scale
+    d0 = int(codebooks.agg(F.max("pos")).first()[0]) + 1  # tiny scalar
+
+    # quantized query components keyed by (sub, pos-within-subspace)
+    qcomp = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.posexplode(
+                F.transform(
+                    F.col(query_vec_col).cast("array<double>"),
+                    lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
+                )
+            ).alias("gpos", "qq"),
+        )
+        .select(
+            "query_id",
+            (F.col("gpos") / d0).cast("int").alias("sub"),
+            F.pmod(F.col("gpos"), F.lit(d0)).cast("int").alias("pos"),
+            "qq",
+        )
+    )
+
+    # ADC table: queries x m_sub x k integer partials — tiny, broadcast
+    dtab = (
+        qcomp.join(codebooks, ["sub", "pos"])
+        .groupBy("query_id", "sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("qq") - F.col("qc")) * (F.col("qq") - F.col("qc"))
+            ).alias("d")
+        )
+    )
+
+    scored = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes["sub"] == dtab["sub"]) & (codes["code"] == dtab["cid"]),
+        )
+        .select(codes[id_col], dtab["query_id"], dtab["d"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adist", "rank")
+    )

@@ -3049,6 +3049,141 @@ ORDER BY query_id, rank
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py): 4 subspaces x 8
+    centroids trained with two Lloyd iterations per subspace (seeded
+    from vec_id 0..7), corpus encoded to (id, sub, code), queries
+    (vec_id < 3) scored by ADC — approximate distance = order-free
+    integer sum of 4 broadcast table lookups. The integer-grid
+    contract makes the whole pipeline — iterative training,
+    encoding, AND approximate search — reproducible bit-for-bit in
+    the DuckDB oracle (unrolled Lloyd per subspace + the same ADC
+    join); ranks tie-break on vec_id."""
+    from .operators.pq import pq_build, pq_topk
+
+    # cache: Lloyd re-scans the corpus (n_iters+1) times per subspace
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    codes, books = pq_build(emb, init, m_sub=4, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_topk(codes, books, queries, k=10).orderBy("query_id", "rank")
+
+
+def _pq_oracle_sql(
+    m_sub: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+    scale: int = 6,
+    nq: int = 3,
+    topk: int = 10,
+) -> str:
+    """PQ oracle: per subspace, the same unrolled-Lloyd CTE chain as
+    the kmeans oracle (on list_slice'd subvectors), then the ADC
+    distance table (queries x centroids integer partials) and the
+    code join, summed across subspaces. Integer grid throughout, so
+    codes, tables, and ranks reproduce the Spark pipeline exactly."""
+    m = 10**scale
+    d0 = dim // m_sub
+
+    def assign_cte(name: str, cents: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {d0 + 1}),
+               i -> (e.qv[i] - c.qc[i]) * (e.qv[i] - c.qc[i]))),
+             c.cid) AS rn
+    FROM {src} e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(uname: str, aname: str, prev: str, cname: str,
+                   src: str) -> str:
+        return f"""{uname} AS (
+  SELECT {aname}.cid, i AS pos, SUM(e.qv[i]) AS s, COUNT(*) AS n
+  FROM {aname} JOIN {src} e USING (vec_id),
+       UNNEST(range(1, {d0 + 1})) r(i)
+  GROUP BY {aname}.cid, i
+),
+{cname} AS (
+  SELECT {prev}.cid,
+         CASE WHEN max(u.cid) IS NULL THEN {prev}.qc
+              ELSE list(CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5)
+                             AS BIGINT) ORDER BY u.pos)
+         END AS qc
+  FROM {prev} LEFT JOIN {uname} u ON u.cid = {prev}.cid
+  GROUP BY {prev}.cid, {prev}.qc
+)"""
+
+    parts = [
+        f"""WITH eq AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * {m} + 0.5) AS BIGINT)) AS qfull
+  FROM embeddings
+)"""
+    ]
+    adists = []
+    for s in range(m_sub):
+        src = f"es{s}"
+        parts.append(f"""{src} AS (
+  SELECT vec_id,
+         list_slice(qfull, {s * d0 + 1}, {(s + 1) * d0}) AS qv
+  FROM eq
+)""")
+        parts.append(f"""c0s{s} AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS qc
+  FROM {src} WHERE vec_id < {k}
+)""")
+        for it in range(n_iters):
+            parts.append(
+                assign_cte(f"a{it + 1}s{s}", f"c{it}s{s}", src)
+            )
+            parts.append(
+                update_cte(f"u{it + 1}s{s}", f"a{it + 1}s{s}",
+                           f"c{it}s{s}", f"c{it + 1}s{s}", src)
+            )
+        parts.append(assign_cte(f"afs{s}", f"c{n_iters}s{s}", src))
+        parts.append(f"""dtab{s} AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         list_sum(list_transform(range(1, {d0 + 1}),
+           i -> (q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i]))) AS d
+  FROM {src} q CROSS JOIN c{n_iters}s{s} c
+  WHERE q.vec_id < {nq}
+)""")
+        adists.append(
+            f"SELECT d.query_id, a.vec_id, d.d "
+            f"FROM afs{s} a JOIN dtab{s} d ON a.cid = d.cid"
+        )
+    union = "\n    UNION ALL\n    ".join(adists)
+    parts.append(f"""scored AS (
+  SELECT query_id, vec_id, CAST(SUM(d) AS BIGINT) AS adist
+  FROM (
+    {union}
+  )
+  GROUP BY query_id, vec_id
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id, adist, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+ORDER BY query_id, rank"""
+    )
+
+
+SQL_PQ_TOPK = _pq_oracle_sql()
+
+
 def q_repetition_scores(spark, sf_dir):
     """Intra-document repetition (operators/chunking.py): duplicated
     word-trigram fraction per doc — the Gopher-style repetition
@@ -4368,12 +4503,13 @@ def q_ivf_persisted(spark, sf_dir):
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 98 are also locally gated every round by
+# most ~2 rounds old (all 99 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
 # left outside the r4 window) plus the four new-this-round queries
-# (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval);
+# (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval,
+# pq_topk);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the whole round-3-green tail block
@@ -4392,6 +4528,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "passage_dedup": q_passage_dedup,
     "kmeans_clusters": q_kmeans,
     "bm25_retrieval": q_bm25_retrieval,
+    "pq_topk": q_pq_topk,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -4574,6 +4711,7 @@ ORACLE_SQL: dict[str, str] = {
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "kmeans_clusters": SQL_KMEANS,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
+    "pq_topk": SQL_PQ_TOPK,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

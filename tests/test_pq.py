@@ -1,0 +1,103 @@
+"""Product-quantization ANN (operators/pq.py)."""
+
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.pq import pq_build, pq_topk
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _init_from(df, n):
+    return df.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+
+
+def test_degenerate_pq_equals_exact_l2(spark):
+    """m_sub=1, every vector its own seed, zero iterations → codes
+    are identity and ADC distance IS the exact quantized squared-L2,
+    so PQ top-k must equal brute force."""
+    import itertools
+
+    rows = [
+        (i, [float(x) / 7.0 for x in v])
+        for i, v in enumerate(
+            itertools.islice(itertools.product(range(4), repeat=4), 8)
+        )
+    ]
+    df = _vecs(spark, rows)
+    codes, books = pq_build(df, _init_from(df, 8), m_sub=1, n_iters=0)
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = [
+        (r["vec_id"], r["adist"])
+        for r in pq_topk(codes, books, queries, k=8)
+        .orderBy("rank")
+        .collect()
+    ]
+    q = rows[0][1]
+
+    def qd(v):
+        qq = [round(x * 1e6) for x in v]
+        qv = [round(x * 1e6) for x in q]
+        return sum((a - b) ** 2 for a, b in zip(qq, qv))
+
+    want = sorted(((i, qd(v)) for i, v in rows), key=lambda t: (t[1], t[0]))
+    assert got == want
+
+
+def test_codes_shape_and_range(spark):
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)]
+    df = _vecs(spark, rows)
+    codes, books = pq_build(df, _init_from(df, 4), m_sub=2, n_iters=1)
+    c = codes.collect()
+    assert len(c) == 20 * 2  # m_sub rows per vector
+    assert {r["sub"] for r in c} == {0, 1}
+    assert all(0 <= r["code"] < 4 for r in c)
+    # codebooks: m_sub x k x (dim/m_sub) long-format rows
+    assert books.count() == 2 * 4 * 4
+
+
+def test_partition_invariant(spark):
+    rows = [
+        (i, [float((i * 13 + j * 3) % 11) / 11.0 for j in range(8)])
+        for i in range(30)
+    ]
+    df = _vecs(spark, rows)
+    queries_rows = [(0, rows[5][1]), (1, rows[17][1])]
+    queries = spark.createDataFrame(
+        queries_rows, "query_id long, query_vec array<double>"
+    )
+
+    def run(d):
+        codes, books = pq_build(d, _init_from(d, 4), m_sub=4, n_iters=2)
+        return sorted(
+            map(tuple, pq_topk(codes, books, queries, k=5).collect())
+        )
+
+    assert run(df.repartition(7)) == run(df.coalesce(1))
+
+
+def test_adc_table_is_broadcast_no_cartesian(spark):
+    rows = [(i, [float((i + j) % 3) for j in range(8)]) for i in range(12)]
+    df = _vecs(spark, rows)
+    codes, books = pq_build(df, _init_from(df, 3), m_sub=2, n_iters=1)
+    queries = df.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = (
+        pq_topk(codes, books, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
