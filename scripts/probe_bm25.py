@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from alstom_spark_cassandra_spark.operators.retrieval import (
     bm25_topk,
-    build_postings,
+    build_bm25_index,
 )
 from alstom_spark_cassandra_spark.session import get_spark
 
@@ -71,13 +71,16 @@ def main():
         )
 
         t0 = time.time()
-        postings = build_postings(docs, "text", "doc_id").cache()
-        n_postings = postings.count()  # materialize = the index build
+        idx = build_bm25_index(docs, "text", "doc_id")
+        idx.postings.cache()
+        idx.doc_len.cache()
+        idx.stats.cache()
+        n_postings = idx.postings.count()  # materialize = index build
+        idx.doc_len.count()
+        idx.stats.count()
         t_build = round(time.time() - t0, 2)
 
-        t_query = timed(
-            bm25_topk(docs, queries, k=10, postings=postings)
-        )
+        t_query = timed(bm25_topk(docs, queries, k=10, index=idx))
         t_inline = timed(bm25_topk(docs, queries, k=10))
 
         print(
@@ -91,7 +94,9 @@ def main():
                 }
             )
         )
-        postings.unpersist()
+        idx.postings.unpersist()
+        idx.doc_len.unpersist()
+        idx.stats.unpersist()
         docs.unpersist()
 
     spark.stop()

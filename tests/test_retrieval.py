@@ -4,7 +4,7 @@ from pyspark.sql import functions as F
 
 from alstom_spark_cassandra_spark.operators.retrieval import (
     bm25_topk,
-    build_postings,
+    build_bm25_index,
 )
 
 
@@ -54,12 +54,13 @@ def test_empty_and_whitespace_docs_never_match(spark):
     assert {r["doc"] for r in out.collect()}.isdisjoint({5, 6})
 
 
-def test_persisted_postings_path_identical(spark):
+def test_persisted_index_path_identical(spark):
     docs = _corpus(spark)
     queries = _queries(spark, [(0, "apple banana"), (1, "cherry")])
     inline = bm25_topk(docs, queries, k=10).collect()
-    idx = build_postings(docs, "text", "doc_id")
-    reused = bm25_topk(docs, queries, k=10, postings=idx).collect()
+    idx = build_bm25_index(docs, "text", "doc_id")
+    idx.postings.cache(), idx.doc_len.cache(), idx.stats.cache()
+    reused = bm25_topk(docs, queries, k=10, index=idx).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
 
 
