@@ -74,14 +74,49 @@ class Bm25Index:
 
 
 def build_bm25_index(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
 ) -> Bm25Index:
+    """With `n_buckets`, postings carry a term-hash bucket column;
+    written through write_bm25_index the postings are PARTITIONED by
+    it, so a query batch reads only the directories whose buckets its
+    terms hash into — at 100 TB the difference between scanning the
+    buckets of a 10-term query and scanning the whole index. An
+    in-memory cache cannot prune this way (measured: query cost grew
+    linearly with cached index size); the disk layout can."""
     postings = build_postings(docs, text_col, id_col)
+    if n_buckets:
+        postings = postings.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
     doc_len = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
     stats = doc_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
-    )
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    ).withColumn("n_buckets", F.lit(int(n_buckets or 0)))
     return Bm25Index(postings, doc_len, stats)
+
+
+def write_bm25_index(index: Bm25Index, path: str) -> None:
+    """Persist the index; bucketed postings write partitioned by the
+    term-hash bucket (directory layout = the pruning structure)."""
+    w = index.postings.write.mode("overwrite")
+    if "bucket" in index.postings.columns:
+        w = w.partitionBy("bucket")
+    w.parquet(f"{path}/postings")
+    index.doc_len.write.mode("overwrite").parquet(f"{path}/doc_len")
+    index.stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def read_bm25_index(spark, path: str) -> Bm25Index:
+    return Bm25Index(
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doc_len"),
+        spark.read.parquet(f"{path}/stats"),
+    )
 
 
 def bm25_topk(
@@ -122,6 +157,25 @@ def bm25_topk(
             F.array_distinct(tokens(F.lower(F.col(query_text_col))))
         ).alias("term"),
     )
+
+    # bucketed index: resolve the query terms' buckets (tiny-scalar
+    # collect — the terms are already driver-adjacent by construction)
+    # into a literal partition filter, so a disk-resident index reads
+    # only the matching bucket directories (PartitionFilters)
+    if "bucket" in postings.columns and "n_buckets" in corpus.columns:
+        nb = int(corpus.select("n_buckets").first()[0] or 0)
+        if nb:
+            buckets = [
+                int(r["b"])
+                for r in qterms.select(
+                    F.pmod(F.xxhash64("term"), F.lit(nb))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            postings = postings.filter(F.col("bucket").isin(buckets))
 
     # df per term, restricted to query terms FIRST so the idf table
     # that reaches the score join is tiny (|distinct query terms|)

@@ -3154,6 +3154,38 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(codes, books, queries, k=10).orderBy("query_id", "rank")
 
 
+def q_bm25_persisted(spark, sf_dir):
+    """PERSISTED bucketed BM25 index (operators/retrieval.
+    build_bm25_index(n_buckets)/write/read): postings written
+    partitioned by term-hash bucket, corpus stats persisted WITH the
+    index, then the same three-query batch as bm25_retrieval searches
+    the disk index — the query terms' buckets compile to partition
+    filters so only matching directories are read (plan-asserted in
+    tests/test_retrieval.py). Build-once / query-forever is the
+    100 TB steady state; output must equal the inline path
+    bit-for-bit, so the oracle is SQL_BM25_RETRIEVAL."""
+    import tempfile
+
+    from .operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/bm25_index{slug}"
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=16), path
+    )
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    out = bm25_topk(docs, queries, k=10, index=read_bm25_index(spark, path))
+    return out.orderBy("query_id", "rank")
+
+
 def _pq_oracle_sql(
     m_sub: int = 4,
     k: int = 8,
@@ -4582,13 +4614,13 @@ def q_ivf_persisted(spark, sf_dir):
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 99 are also locally gated every round by
+# most ~2 rounds old (all 102 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
-# left outside the r4 window) plus the four new-this-round queries
+# left outside the r4 window) plus the new-this-round queries
 # (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval,
-# pq_topk);
+# pq_topk, bm25_persisted, scd2_intervals, cdc_minimize);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the whole round-3-green tail block
@@ -4608,6 +4640,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans,
     "bm25_retrieval": q_bm25_retrieval,
     "pq_topk": q_pq_topk,
+    "bm25_persisted": q_bm25_persisted,
     "scd2_intervals": q_scd2_intervals,
     "cdc_minimize": q_cdc_minimize,
     # --- last driver row is round-1 ---
@@ -4793,6 +4826,8 @@ ORACLE_SQL: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
+    # bucketed disk index must reproduce the inline path bit-for-bit
+    "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "cdc_minimize": SQL_CDC_MINIMIZE,
     "stream_dedup": SQL_STREAM_DEDUP,

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from alstom_spark_cassandra_spark.operators.retrieval import (
     bm25_topk,
     build_bm25_index,
+    read_bm25_index,
+    write_bm25_index,
 )
 from alstom_spark_cassandra_spark.session import get_spark
 
@@ -94,6 +96,32 @@ def main():
                 }
             )
         )
+        # disk-bucketed index: a SMALL query batch (1 query, 12
+        # distinct terms) should read only its terms' bucket
+        # directories — compare against the same small batch on the
+        # cached (unprunable) index
+        small_q = queries.limit(1)
+        t_small_cached = timed(bm25_topk(docs, small_q, k=10, index=idx))
+
+        bidx = build_bm25_index(docs, "text", "doc_id", n_buckets=256)
+        t0 = time.time()
+        path = "/tmp/probe_bm25_index"
+        write_bm25_index(bidx, path)
+        t_write = round(time.time() - t0, 2)
+        disk = read_bm25_index(spark, path)
+        t_small_disk = timed(bm25_topk(docs, small_q, k=10, index=disk))
+
+        print(
+            json.dumps(
+                {
+                    "docs_millions": m,
+                    "index_write_bucketed_s": t_write,
+                    "query_1_cached_s": t_small_cached,
+                    "query_1_disk_pruned_s": t_small_disk,
+                }
+            )
+        )
+
         idx.postings.unpersist()
         idx.doc_len.unpersist()
         idx.stats.unpersist()

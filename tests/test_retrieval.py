@@ -83,6 +83,32 @@ def test_score_partition_invariant(spark):
     assert a == b
 
 
+def test_bucketed_index_roundtrip_and_pruning(spark, tmp_path):
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _corpus(spark)
+    queries = _queries(spark, [(0, "apple zebra"), (1, "banana")])
+    baseline = sorted(map(tuple, bm25_topk(docs, queries, k=10).collect()))
+
+    idx = build_bm25_index(docs, "text", "doc_id", n_buckets=8)
+    path = str(tmp_path / "bm25idx")
+    write_bm25_index(idx, path)
+    disk = read_bm25_index(spark, path)
+
+    out = bm25_topk(docs, queries, k=10, index=disk)
+    got = sorted(map(tuple, out.collect()))
+    assert got == baseline
+
+    # the query terms' buckets must reach the postings scan as
+    # partition filters (directory pruning on a disk-resident index)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_plan_broadcasts_query_side_no_cartesian(spark):
     docs = _corpus(spark)
     queries = _queries(spark, [(0, "apple zebra")])
