@@ -1,4 +1,9 @@
 from .filter_compiler import compile_filter
+from .quality_model import (
+    feature_bucket,
+    hashed_logit_milli,
+    score_with_weights,
+)
 from .text_funcs import (
     doc_fingerprint,
     language_id,
@@ -9,7 +14,10 @@ from .text_funcs import (
 __all__ = [
     "compile_filter",
     "doc_fingerprint",
+    "feature_bucket",
+    "hashed_logit_milli",
     "language_id",
     "quality_score",
+    "score_with_weights",
     "token_count",
 ]

@@ -119,6 +119,63 @@ def read_bm25_index(spark, path: str) -> Bm25Index:
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists — the standard way to
+    combine lexical (BM25) and dense (ANN) retrieval without score
+    calibration: each system contributes 1/(c + rank) per (query,
+    doc); documents surfaced by several systems accumulate.
+
+    Portability contract: contributions are half-up micro-quantized
+    BEFORE summing — floor(1e6/(c+rank) + .5) — so the fused score is
+    an order-free exact integer sum (1e6/(c+rank) is one IEEE
+    division of small exact ints, bit-identical on any engine). A doc
+    missing from a system's list contributes 0, the classical RRF
+    convention. Final rank ties break on doc id.
+
+    Scale: each input is already top-k-per-query (tiny relative to
+    the corpora that produced it), so fusion is a union + one
+    (query, doc) partial-agg groupBy + one per-query window — cost
+    ~ sum of input list sizes, independent of corpus size."""
+    contribs = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc"),
+            F.floor(
+                F.lit(float(MICRO))
+                / (F.lit(float(c)) + F.col(rank_col).cast("double"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("contrib_micro"),
+        )
+        for df in ranked
+    ]
+    unioned = contribs[0]
+    for other in contribs[1:]:
+        unioned = unioned.unionAll(other)
+    fused = unioned.groupBy("query_id", "doc").agg(
+        F.sum("contrib_micro").alias("rrf_micro")
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc", "rrf_micro", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -91,6 +91,50 @@ def cosine_topk(
     )
 
 
+def cosine_topk_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    attr_col: str,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Metadata-filtered exact top-k: each query only competes against
+    corpus vectors sharing its `attr_col` value (the pre-filtered /
+    single-tenant ANN pattern — e.g. same language, same source
+    shard). The attribute is an EQUI-join key, so this plans as a
+    broadcast hash join on attr — Catalyst prunes every non-matching
+    corpus row before any vector math, and a corpus partitioned by
+    attr on disk turns the filter into partition pruning. Contrast
+    with post-filtering a global top-k, which can starve queries
+    whose attribute is rare."""
+    c = corpus.select(
+        F.col(attr_col).alias("__attr"),
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(attr_col).alias("__attr"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    scored = c.join(F.broadcast(q), "__attr").select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _centroids(
     corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int, seed: int
 ) -> DataFrame:

@@ -76,6 +76,112 @@ def approx_distinct(
     )
 
 
+HEX = "0123456789abcdef"
+
+
+def _md5_bucket(col, seed: int, width: int):
+    """Engine-portable hash bucket in [0, width): the first 4 hex
+    digits of md5(f"{seed}:" || value) as a 16-bit int, mod width.
+    Same family as the portable minhash/simhash variants
+    (operators/dedup.py) — any md5-capable engine (DuckDB, Trino,
+    pandas) reproduces every bucket bit-for-bit, which is what turns
+    the sketch itself into a hard-oracle-checkable table instead of an
+    engine-private register state."""
+    h = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 4)
+    v = F.conv(h, 16, 10).cast("long")
+    return F.pmod(v, F.lit(width)).cast("int")
+
+
+def md5_bucket_sql(expr: str, seed: int, width: int) -> str:
+    """The DuckDB twin of _md5_bucket, as a SQL expression string."""
+    digits = " + ".join(
+        f"(instr('{HEX}', substr(md5('{seed}:' || {expr}), {j + 1}, 1)) - 1)"
+        f" * {16 ** (3 - j)}"
+        for j in range(4)
+    )
+    return f"(({digits}) % {width})"
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of `value_col` occurrences as a (row, bucket,
+    n) table — depth x width cells TOTAL, regardless of input size.
+
+    The 100 TB economics mirror hll_partial_sketches: one scan of the
+    raw occurrences (explode x depth, then a groupBy whose partial
+    aggregation collapses map-side to at most depth*width cells per
+    task), and the shuffled/persisted state is a few KB. Point
+    frequency queries then never touch raw data (cms_lookup), and two
+    sketches of disjoint corpora merge by cell-wise addition —
+    counts are plain integers, so merge-of-partials is exact under
+    any partitioning.
+
+    Estimates are classical CMS: est >= true always (no
+    underestimation, deterministically), est <= true + collisions.
+    Hash rows use the portable md5 bucketing, so the whole sketch —
+    and therefore every estimate — is engine-reproducible and gets a
+    HARD oracle, not an error-bound verdict."""
+    c = F.col(value_col)
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _md5_bucket(c, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        cells.select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    estimate_col: str = "est_count",
+) -> DataFrame:
+    """Frequency estimate per probe value: min over the sketch's
+    depth rows of the probed cell. The sketch is depth*width rows —
+    always broadcast — so probing any number of values is a map-side
+    join of the probe set against a few KB of state; absent cells
+    read as 0 (a value never hashed there)."""
+    c = F.col(value_col)
+    probed = probes.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _md5_bucket(c, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probed.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+        .groupBy(value_col)
+        .agg(F.min("n").alias(estimate_col))
+    )
+
+
 def value_histogram(
     df: DataFrame,
     value_col: str,

@@ -146,6 +146,23 @@ def windowed_event_counts(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: the streaming fact joins a
+    BATCH dimension table. Spark plans stream-static joins stateless
+    (each microbatch joins the current dim snapshot — no state store),
+    and a small dim is broadcast so the stream never shuffles for the
+    join. This is the streaming twin of the batch fact⋈dim pattern
+    (SURVEY.md J1; reference joins catalog tables the same way,
+    Java/.../RetrieveField.java's uevol_field lookups) — at 100 TB of
+    stream the dim stays O(catalog) and rides along each executor."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def sessionize_stream(
     stream: DataFrame,
     ts_col: str = "ts",

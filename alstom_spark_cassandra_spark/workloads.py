@@ -4608,19 +4608,406 @@ def q_ivf_persisted(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketches.cms_build /
+    cms_lookup): the corpus term stream is sketched into a 4x256-cell
+    CMS (a few KB, mergeable by cell-wise addition — the
+    scan-once-query-forever economics of hll_partial_sketches), then
+    every distinct term is probed against the broadcast sketch and
+    the top-20 terms by ESTIMATED count are reported next to their
+    exact counts. Hash rows are portable md5 buckets, so the DuckDB
+    oracle rebuilds the identical sketch and the estimates match
+    bit-for-bit — a HARD oracle on the sketch itself, not an
+    error-bound verdict. `no_underestimate` pins the classical CMS
+    guarantee est >= true on every emitted row. Top-20 selection is
+    orderBy+limit (TakeOrderedAndProject — partial top-k per
+    partition, no global sort); the rank window then runs on 20
+    rows."""
+    from .functions.text_funcs import tokens
+    from .operators.sketches import cms_build, cms_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    sketch = cms_build(toks, "term", depth=4, width=256)
+    est = cms_lookup(sketch, toks.distinct(), "term", depth=4, width=256)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = (
+        est.join(exact, "term")
+        .orderBy(F.col("est_count").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("est_count").desc(), F.col("term").asc())
+    return top.select(
+        "term",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("no_underestimate"),
+        F.row_number().over(w).alias("rank"),
+    ).orderBy("rank")
+
+
+def _heavy_hitters_oracle_sql(depth: int = 4, width: int = 256) -> str:
+    from .operators.sketches import md5_bucket_sql
+
+    cell_rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS row, {md5_bucket_sql('term', i, width)} AS bucket"
+        " FROM tok"
+        for i in range(depth)
+    )
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT term, {i} AS row, {md5_bucket_sql('term', i, width)} AS bucket"
+        " FROM probes"
+        for i in range(depth)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+cells AS (
+  SELECT row, bucket, count(*) AS n FROM (
+    {cell_rows}
+  ) GROUP BY row, bucket
+),
+probes AS (SELECT DISTINCT term FROM tok),
+pcells AS (
+    {probe_rows}
+),
+est AS (
+  SELECT term, min(COALESCE(n, 0)) AS est_count
+  FROM pcells LEFT JOIN cells USING (row, bucket) GROUP BY term
+),
+exact AS (SELECT term, count(*) AS exact_count FROM tok GROUP BY term),
+top AS (
+  SELECT term, est_count, exact_count
+  FROM est JOIN exact USING (term)
+  ORDER BY est_count DESC, term ASC LIMIT 20
+)
+SELECT term, est_count, exact_count,
+       est_count >= exact_count AS no_underestimate,
+       row_number() OVER (ORDER BY est_count DESC, term ASC) AS rank
+FROM top ORDER BY rank
+"""
+
+
+SQL_HEAVY_HITTERS = _heavy_hitters_oracle_sql()
+
+
+def q_zorder_locality(spark, sf_dir):
+    """Z-order layout locality (operators/layout.py): events mapped to
+    a 16-bit (user, minute) grid, Morton-interleaved, and summarized
+    per z-range bucket — each bucket's (a, b) extents are the bounded
+    rectangle a z-sorted parquet file would cover, i.e. the measurable
+    claim behind OPTIMIZE-ZORDER-style multi-dimension pruning (either
+    predicate skips most files; a single-column sort can only serve
+    one). Pure codegen'd bit arithmetic + one map-side-partial
+    groupBy; the same shift/mask expressions run in DuckDB, so the
+    z-values and every extent are hard-oracle checked. The write-side
+    twin (zorder_repartition + parquet footer min/max) is pinned in
+    tests/test_layout.py."""
+    from .operators.layout import zorder_locality_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("a"),
+        F.pmod(F.floor(_ts_ms() / F.lit(60000.0)), F.lit(65536)).alias("b"),
+    )
+    return zorder_locality_stats(ev, "a", "b", bits=16, bucket_shift=22).orderBy(
+        "zbucket"
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from .operators.layout import morton_z_sql
+
+    z = morton_z_sql("a", "b", 16)
+    return f"""
+WITH ab AS (
+  SELECT (user_id % 65536) AS a,
+         (CAST(floor(epoch_ms(ts) / 60000) AS BIGINT) % 65536) AS b
+  FROM events
+),
+z AS (SELECT a, b, {z} AS zv FROM ab)
+SELECT (zv >> 22) AS zbucket, count(*) AS n,
+       min(a) AS a_min, max(a) AS a_max,
+       min(b) AS b_min, max(b) AS b_max
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_ZORDER_LOCALITY = _zorder_oracle_sql()
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.rrf_fuse): BM25 top-20
+    (lexical, inverted index) and exact-cosine top-20 (dense, same
+    doc ids as vec ids) fused by reciprocal-rank fusion into a final
+    top-10 — the standard two-tower retrieval stack without score
+    calibration. Contributions floor(1e6/(60+rank)+.5) are exact
+    integers, so the fused score is an order-free integer sum and the
+    DuckDB oracle reproduces it bit-for-bit on top of the same BM25 /
+    cosine CTEs already hard-oracled individually. Fusion cost ~ the
+    two top-k lists (tiny), independent of corpus size."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qtext = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    sparse = bm25_topk(docs, qtext, k=20).select("query_id", "doc", "rank")
+    qvec = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = cosine_topk(emb, qvec, k=20).select(
+        "query_id", F.col("vec_id").alias("doc"), "rank"
+    )
+    return rrf_fuse([sparse, dense], k=10).orderBy("query_id", "rank")
+
+
+SQL_HYBRID_RRF = r"""
+WITH postings AS (
+  SELECT doc_id AS doc, term, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE trim(text) <> ''
+  )
+  GROUP BY doc, term
+),
+doc_len AS (SELECT doc, sum(tf) AS dl FROM postings GROUP BY doc),
+corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doc_len
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE doc_id < 3 AND trim(text) <> ''
+  )
+),
+matched AS (
+  SELECT * FROM postings WHERE term IN (SELECT term FROM qterms)
+),
+idf AS (
+  SELECT term, count(DISTINCT doc) AS doc_freq FROM matched GROUP BY term
+),
+contrib AS (
+  SELECT q.query_id, m.doc,
+    CAST(floor(
+      ((CAST(n_docs AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5)
+         / (CAST(doc_freq AS DOUBLE) + 0.5))
+      * ((CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                  / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+      * 1000000.0 + 0.5) AS BIGINT) AS contrib_micro
+  FROM qterms q
+  JOIN matched m USING (term)
+  JOIN idf USING (term)
+  JOIN doc_len USING (doc)
+  CROSS JOIN corpus
+),
+bm25 AS (
+  SELECT query_id, doc, rank FROM (
+    SELECT query_id, doc, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY CAST(sum(contrib_micro) AS BIGINT) DESC, doc ASC) AS rank
+    FROM contrib GROUP BY query_id, doc
+  ) WHERE rank <= 20
+),
+qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 3
+),
+cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dense AS (
+  SELECT query_id, doc, rank FROM (
+    SELECT q.query_id, c.vec_id AS doc, row_number() OVER (
+      PARTITION BY q.query_id
+      ORDER BY list_dot_product(c.v, q.v) /
+        (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.v, q.v)))
+        DESC, c.vec_id ASC) AS rank
+    FROM cv c CROSS JOIN qv q
+  ) WHERE rank <= 20
+),
+both_lists AS (
+  SELECT query_id, doc,
+         CAST(floor(1000000.0 / (60.0 + rank) + 0.5) AS BIGINT) AS cm
+  FROM bm25
+  UNION ALL
+  SELECT query_id, doc,
+         CAST(floor(1000000.0 / (60.0 + rank) + 0.5) AS BIGINT) AS cm
+  FROM dense
+),
+fused AS (
+  SELECT query_id, doc, CAST(sum(cm) AS BIGINT) AS rrf_micro
+  FROM both_lists GROUP BY query_id, doc
+)
+SELECT query_id, doc, rrf_micro, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_micro DESC, doc ASC) AS rank
+  FROM fused
+) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality model (functions/quality_model.py): the
+    fastText-style curation filter — token -> md5 feature bucket ->
+    weight, logit = sum of weights over occurrences, keep = logit >=
+    0. Closed-form pseudo-weights stand in for trained ones (the
+    plan — explode, inline weight, per-doc map-side partial sum — is
+    the production path; the broadcast weight-TABLE variant is pinned
+    in tests). Exact integer milli-units end-to-end, hard DuckDB
+    oracle; token-less docs keep their bias-only row via the left
+    join."""
+    from .functions.quality_model import hashed_logit_milli
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_logit_milli(docs, n_buckets=4096)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "logit_milli",
+        (F.col("logit_milli") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _quality_classifier_oracle_sql(n_buckets: int = 4096) -> str:
+    from .functions.quality_model import (
+        feature_bucket_sql,
+        pseudo_weight_milli_sql,
+    )
+
+    w = pseudo_weight_milli_sql(feature_bucket_sql("tok", n_buckets))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+s AS (
+  SELECT doc_id, CAST(sum({w}) AS BIGINT) AS sum_w
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.sum_w, 0) AS logit_milli,
+       COALESCE(s.sum_w, 0) >= 0 AS keep
+FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _quality_classifier_oracle_sql()
+
+
+def q_ann_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search (operators/similarity.
+    cosine_topk_filtered): each query's top-10 among corpus vectors
+    sharing its LABEL — pre-filtering as an equi-join on the
+    attribute (BroadcastHashJoin; a label-partitioned corpus turns it
+    into partition pruning), not post-filtering a global top-k, which
+    under-fills rare labels. Oracle: the exact cosine SQL with the
+    label equality in the join."""
+    from .operators.similarity import cosine_topk_filtered
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        "label",
+        F.col("embedding").alias("query_vec"),
+    )
+    out = cosine_topk_filtered(emb, queries, "label", k=10)
+    return out.select(
+        "query_id", "vec_id", half_up(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_FILTERED_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, label, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.cv, q.qv) /
+           (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv)))
+           AS cos
+  FROM c JOIN q ON c.label = q.label
+)
+SELECT query_id, vec_id,
+       floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_stream_enrichment(spark, sf_dir):
+    """Stream-static enrichment (streaming/live_state.enrich_stream):
+    the event stream joins the static customer dimension (broadcast —
+    stateless per microbatch, the streaming twin of SURVEY J1's
+    fact⋈dim), then aggregates counts per (market segment, event
+    type) in complete mode. Events whose user has no customer row
+    keep flowing as UNKNOWN (left join — an enrichment miss must not
+    drop fact rows). Oracle: the same join + GROUP BY as a plain
+    batch query."""
+    import uuid
+
+    from .sources.loader import stream_source
+    from .streaming.live_state import enrich_stream
+
+    src = stream_source(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream(src, cust, "user_id", "left")
+    agg = (
+        enriched.groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_enrichment did not drain in 300s")
+    return spark.table(name).orderBy("segment", "event_type")
+
+
+SQL_STREAM_ENRICHMENT = """
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       e.event_type, count(*) AS n
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 102 are also locally gated every round by
+# most ~2 rounds old (all 108 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
 # left outside the r4 window) plus the new-this-round queries
 # (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval,
-# pq_topk, bm25_persisted, scd2_intervals, cdc_minimize);
+# pq_topk, bm25_persisted, scd2_intervals, cdc_minimize,
+# heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
+# ann_filtered_topk, stream_enrichment);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the whole round-3-green tail block
@@ -4643,6 +5030,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_persisted": q_bm25_persisted,
     "scd2_intervals": q_scd2_intervals,
     "cdc_minimize": q_cdc_minimize,
+    "heavy_hitters": q_heavy_hitters,
+    "zorder_locality": q_zorder_locality,
+    "hybrid_rrf": q_hybrid_rrf,
+    "quality_classifier": q_quality_classifier,
+    "ann_filtered_topk": q_ann_filtered_topk,
+    "stream_enrichment": q_stream_enrichment,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -4830,6 +5223,12 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "cdc_minimize": SQL_CDC_MINIMIZE,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "zorder_locality": SQL_ZORDER_LOCALITY,
+    "hybrid_rrf": SQL_HYBRID_RRF,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "ann_filtered_topk": SQL_ANN_FILTERED_TOPK,
+    "stream_enrichment": SQL_STREAM_ENRICHMENT,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

@@ -227,6 +227,8 @@ BNLJ_SANCTIONED = {
     "ann_cosine_topk",     # broadcast query vectors
     "ann_quantized_topk",  # broadcast query vectors
     "bm25_retrieval",      # broadcast 1-row corpus scalars
+    "bm25_persisted",      # same, persisted-index path
+    "hybrid_rrf",          # fuses the BM25 + dense paths above
     "snapshot_diff",       # broadcast 1-row epoch scalar
     "update_history_dense",  # grid = ids x broadcast(arguments)
     "retrieve_field_window",  # broadcast 1-row bounds scalar

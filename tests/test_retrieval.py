@@ -118,3 +118,39 @@ def test_plan_broadcasts_query_side_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     # the only nested-loop is the 1-row corpus-scalar broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+from alstom_spark_cassandra_spark.operators.retrieval import rrf_fuse  # noqa: E402
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc long, rank int")
+
+
+def test_rrf_doc_in_both_lists_wins(spark):
+    """Equal single-system ranks: the doc surfaced by BOTH systems
+    must outrank a doc surfaced by one."""
+    a = _ranked(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _ranked(spark, [(1, 10, 2), (1, 12, 1)])
+    out = {r.doc: r.rank for r in rrf_fuse([a, b], k=10).collect()}
+    assert out[10] == 1          # in both lists
+    assert set(out) == {10, 11, 12}
+
+
+def test_rrf_exact_micro_contributions(spark):
+    """Scores are the exact integer sum of floor(1e6/(60+rank)+.5)."""
+    a = _ranked(spark, [(1, 10, 1)])
+    b = _ranked(spark, [(1, 10, 3)])
+    got = rrf_fuse([a, b], k=1).collect()[0]
+    expect = int(1e6 / 61 + 0.5) + int(1e6 / 63 + 0.5)
+    assert got.rrf_micro == expect
+
+
+def test_rrf_ties_break_on_doc_id(spark):
+    a = _ranked(spark, [(1, 20, 1), (1, 10, 1)])  # same contribution
+    out = [r.doc for r in rrf_fuse([a], k=2).orderBy("rank").collect()]
+    assert out == [10, 20]

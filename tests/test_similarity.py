@@ -189,3 +189,52 @@ def test_kmeans_moves_points_across_iterations(spark):
     assign, _ = kmeans(pts, init, n_iters=2)
     got = {r.vec_id: r.cid for r in assign.collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered top-k
+# ---------------------------------------------------------------------------
+
+from alstom_spark_cassandra_spark.operators.similarity import (  # noqa: E402
+    cosine_topk_filtered,
+)
+
+
+def test_filtered_topk_respects_attribute(spark):
+    """Results only ever come from the query's own label, and a rare
+    label is NOT starved (post-filtering a global top-k would be)."""
+    import math
+
+    rows = []
+    for i in range(50):
+        ang = i * 0.1
+        rows.append((i, [math.cos(ang), math.sin(ang)], 1 if i < 48 else 2))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(48, [1.0, 0.0], 2)],
+        "query_id long, query_vec array<double>, label int",
+    )
+    got = cosine_topk_filtered(corpus, queries, "label", k=10).collect()
+    assert {r.vec_id for r in got} == {48, 49}  # only label-2 vectors
+    assert all(r.query_id == 48 for r in got)
+
+
+def test_filtered_topk_plans_equi_join(spark):
+    """The attribute filter must be an equi-join (BroadcastHashJoin),
+    never a nested-loop with a post-filter."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [(i, [math.cos(i * 0.3), math.sin(i * 0.3)], i % 3) for i in range(30)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)],
+        "query_id long, query_vec array<double>, label int",
+    )
+    out = cosine_topk_filtered(corpus, queries, "label", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

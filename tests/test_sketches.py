@@ -117,3 +117,66 @@ def test_value_histogram_merge_and_quantiles(spark):
     for q in qs:
         exact = srt[math.ceil(q * len(srt)) - 1]
         assert exact <= est[q] <= exact + 2.0  # within one bin width
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+from alstom_spark_cassandra_spark.operators.sketches import (  # noqa: E402
+    cms_build,
+    cms_lookup,
+)
+
+
+@pytest.fixture(scope="module")
+def term_stream(spark):
+    # zipf-ish: term t_k appears 1000 // (k + 1) times
+    rows = [
+        (f"t{k}",) for k in range(60) for _ in range(1000 // (k + 1))
+    ]
+    return spark.createDataFrame(rows, "term string").cache()
+
+
+def test_cms_never_underestimates(spark, term_stream):
+    sketch = cms_build(term_stream, "term", depth=4, width=64)
+    probes = term_stream.distinct()
+    est = {
+        r.term: r.est_count
+        for r in cms_lookup(sketch, probes, "term", depth=4, width=64).collect()
+    }
+    exact = {
+        r.term: r.n
+        for r in term_stream.groupBy("term").agg(F.count("*").alias("n")).collect()
+    }
+    for t, n in exact.items():
+        assert est[t] >= n, t
+
+
+def test_cms_bounded_cells_and_merge(spark, term_stream):
+    """The sketch never exceeds depth*width cells, and the sketch of
+    a union equals the cell-wise SUM of the parts' sketches — the
+    exact-merge algebra that makes per-partition partials safe."""
+    a = term_stream.filter(F.length("term") <= 2)   # t0..t9
+    b = term_stream.filter(F.length("term") > 2)    # t10..t59
+    s_all = cms_build(term_stream, "term", depth=4, width=64)
+    assert s_all.count() <= 4 * 64
+    s_a = cms_build(a, "term", depth=4, width=64)
+    s_b = cms_build(b, "term", depth=4, width=64)
+    merged = (
+        s_a.unionAll(s_b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    diff = merged.exceptAll(s_all).count() + s_all.exceptAll(merged).count()
+    assert diff == 0
+
+
+def test_cms_absent_value_small_estimate(spark, term_stream):
+    """A value never inserted gets only collision mass — bounded by
+    the heaviest cell, far below the true heavy hitters."""
+    sketch = cms_build(term_stream, "term", depth=4, width=64)
+    probes = spark.createDataFrame([("never-seen-term",)], "term string")
+    est = cms_lookup(sketch, probes, "term", depth=4, width=64).collect()[0]
+    heavy = 1000  # t0's exact count
+    assert 0 <= est.est_count < heavy

@@ -404,3 +404,32 @@ def test_dedup_stream_state_survives_restart(spark, tmp_path):
     got = sorted(r.content_hash for r in spark.read.parquet(out_dir).collect())
     # 'a' emitted once only — the pre-restart state suppressed its dup
     assert got == ["a", "b", "c"]
+
+
+def test_enrich_stream_left_join_keeps_unmatched(spark, tmp_path):
+    """Stream-static enrichment: facts with no dim row survive with
+    null attributes, and the join is stateless + broadcast."""
+    from alstom_spark_cassandra_spark.streaming.live_state import enrich_stream
+
+    src_dir = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "event_id long, user_id long"
+    ).write.mode("overwrite").parquet(src_dir)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long"
+    ).parquet(src_dir)
+    out = enrich_stream(stream, dim, "user_id", "left")
+    name = "enrich_test_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = {r.event_id: r.tier for r in spark.table(name).collect()}
+    assert rows == {1: "gold", 2: "silver", 3: None}
