@@ -5010,13 +5010,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # ann_filtered_topk, stream_enrichment);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
-# testdata regenerations); then the whole round-3-green tail block
+# testdata regenerations); then five round-4-green picks whose code
+# or siblings changed this round (compaction, sessionization,
+# stream_dedup, dedup_corpus + incremental_dedup — the last two
+# touched by the r4-ADVICE fixes); then the round-3-green block
 # (flagship procedures, multiple_fields trio, samplers/pipeline,
-# decontam/PII, ANN, multimodal, remaining TPC-H); then five
-# round-4-green picks whose code or siblings changed this round
-# (compaction, sessionization, stream_dedup, dedup_corpus +
-# incremental_dedup — both touched by the r4-ADVICE fixes). TAIL =
-# the rest of the round-4-green block.
+# decontam/PII, ANN, multimodal, remaining TPC-H), whose tail now
+# falls outside the ~50 window along with the round-4-green TAIL —
+# all locally exact-gated every round regardless.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-green: r3 no_oracle, hard-oracled since r4 ---
     "approx_stats": q_approx_stats,
@@ -5043,6 +5044,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
+    # --- r4-green picks whose code/siblings changed this round ---
+    "compaction": q_compaction,
+    "sessionization": q_sessionization,
+    "stream_dedup": q_stream_dedup,
+    "dedup_corpus": q_dedup_corpus,
+    "incremental_dedup": q_incremental_dedup,
     # --- flagship reference procedures (last row r3) ---
     "latest_per_key": q_latest_per_key,
     "asof_join_events": q_asof_join_events,
@@ -5081,12 +5088,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q17": q_tpch_q17,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
-    # --- r4-green picks whose code/siblings changed this round ---
-    "compaction": q_compaction,
-    "sessionization": q_sessionization,
-    "stream_dedup": q_stream_dedup,
-    "dedup_corpus": q_dedup_corpus,
-    "incremental_dedup": q_incremental_dedup,
     # --- tail: driver-green in round 4 (locally gated every round) ---
     "tpch_q22": q_tpch_q22,
     "chunk_dedup": q_chunk_dedup,
