@@ -313,3 +313,39 @@ def test_update_history_1000_series_plan_shape(spark):
     # the plan text stays bounded: the old chain encoding at 1000
     # filtered series exceeded 1M chars of predicate alone
     assert len(plan) < 200_000
+
+
+def test_heavy_hitters_broadcasts_sketch(spark):
+    """The CMS probe join must broadcast the depth*width-cell sketch
+    (never shuffle the probe stream against it), and the final top-20
+    must be a partial top-k (TakeOrderedAndProject), not a global
+    sort."""
+    plan = plan_of(spark, "heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_classifier_partial_agg_no_join(spark):
+    """Closed-form weights: the logit sum must partial-aggregate
+    map-side and the only join is the bias-preserving left join back
+    to doc ids (broadcast or hash — never sort-merge on the token
+    stream)."""
+    plan = plan_of(spark, "quality_classifier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_zorder_locality_single_agg_no_join(spark):
+    """Pure bit arithmetic + ONE map-side-partial groupBy: no joins,
+    no window, exactly one exchange for the aggregation (plus the
+    presentation sort)."""
+    plan = plan_of(spark, "zorder_locality")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_ann_filtered_plans_equi_join_on_label(spark):
+    plan = plan_of(spark, "ann_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
