@@ -1,4 +1,5 @@
 from .asof import asof_id_bounds, asof_snapshot_pair
+from .bpe import bpe_segment, bpe_train, word_counts
 from .chunking import chunk_dedup, chunk_documents, repetition_scores
 from .decontam import (
     benchmark_contamination,
@@ -76,6 +77,8 @@ __all__ = [
     "audio_features",
     "benchmark_contamination",
     "bm25_topk",
+    "bpe_segment",
+    "bpe_train",
     "build_bm25_index",
     "build_ivf_index",
     "build_minhash_index",
@@ -134,6 +137,7 @@ __all__ = [
     "symmetric_diff_rows",
     "unchanged_rows",
     "value_histogram",
+    "word_counts",
     "write_bm25_index",
     "zorder_locality_stats",
     "zorder_repartition",

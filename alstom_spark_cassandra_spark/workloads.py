@@ -4945,6 +4945,83 @@ SELECT query_id, vec_id,
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (operators/bpe.py): 8 merge rules
+    learned from the corpus word-frequency table — the
+    tokenizer-training step of a data pipeline, Spark-first: ONE
+    corpus scan builds (word, cnt), then every round runs on that
+    vocab-sized table (pair counts = map-side-partial groupBy; the
+    winning pair promotes to a literal via a 1-row collect, the
+    sanctioned J10 tiny-scalar pattern — R driver round-trips over
+    KB results). Portability: symbol sequences are strings with
+    boundary spaces and a merge applies as a DOUBLE leftmost-
+    non-overlapping literal replace — the same deterministic
+    algorithm in Java and DuckDB — so the unrolled-CTE oracle (the
+    k-means precedent) reproduces every round bit-for-bit, ties
+    broken (count DESC, pair ASC) on both engines."""
+    from .operators.bpe import bpe_train, merges_df, word_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    rules, _state = bpe_train(word_counts(docs), n_merges=8)
+    return merges_df(spark, rules).orderBy("round")
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled BPE rounds as CTEs: t{r} = symbolized words after
+    r-1 merges, p{r} = weighted pair counts, m{r} = the round's
+    winning rule; each t{r+1} applies m{r} with the same double
+    literal replace as the Spark loop."""
+    parts = [
+        r"""w AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+  ) WHERE regexp_matches(word, '^[ -~]+$')
+  GROUP BY word
+)""",
+        r"""t1 AS (
+  SELECT word, cnt,
+         ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+  FROM w
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || ' ' || l[i+1])) AS pair
+    FROM (SELECT cnt, string_split(trim(seq), ' ') AS l FROM t{r})
+  ) GROUP BY pair
+)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT {r} AS round, pair, replace(pair, ' ', '') AS merged, c
+  FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1
+)"""
+        )
+        if r < n_merges:
+            parts.append(
+                f"""t{r + 1} AS (
+  SELECT w.word, w.cnt,
+         replace(replace(w.seq, ' ' || m.pair || ' ',
+                         ' ' || m.merged || ' '),
+                 ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS seq
+  FROM t{r} w CROSS JOIN m{r} m
+)"""
+            )
+    final = "\nUNION ALL ".join(
+        f"SELECT round, pair, merged, c AS weighted_count FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final + "\nORDER BY round"
+
+
+SQL_BPE_MERGES = _bpe_oracle_sql()
+
+
 def q_stream_enrichment(spark, sf_dir):
     """Stream-static enrichment (streaming/live_state.enrich_stream):
     the event stream joins the static customer dimension (broadcast —
@@ -4999,7 +5076,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 108 are also locally gated every round by
+# most ~2 rounds old (all 109 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5007,7 +5084,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval,
 # pq_topk, bm25_persisted, scd2_intervals, cdc_minimize,
 # heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
-# ann_filtered_topk, stream_enrichment);
+# ann_filtered_topk, stream_enrichment, bpe_merges);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5037,6 +5114,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "ann_filtered_topk": q_ann_filtered_topk,
     "stream_enrichment": q_stream_enrichment,
+    "bpe_merges": q_bpe_merges,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5230,6 +5308,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "ann_filtered_topk": SQL_ANN_FILTERED_TOPK,
     "stream_enrichment": SQL_STREAM_ENRICHMENT,
+    "bpe_merges": SQL_BPE_MERGES,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
