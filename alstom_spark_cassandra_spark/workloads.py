@@ -4945,6 +4945,74 @@ SELECT query_id, vec_id,
 """
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/eval split: hash_split keyed on the NEAR-DUP
+    CLUSTER id instead of the text hash. A content-hash split
+    (q_train_split) pins exact duplicates to one side but lets
+    near-duplicates — texts that differ by a word — straddle the
+    split, which is precisely eval contamination. Here the split key
+    is the connected component's canonical id, so whole near-dup
+    groups move together BY CONSTRUCTION (the assignment is a pure
+    function of the cluster id — no straddle is possible, on any
+    engine, under any partitioning). Reuses the dedup_clusters
+    pipeline (LSH-style candidate generation + pointer-jumping CC)
+    and the md5 bucket split; cost beyond dedup itself is one join
+    and one groupBy."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    comp = connected_components(pairs, vertices=docs, vertex_col="doc_id")
+    labeled = docs.join(
+        comp.select(F.col("v").alias("doc_id"), "cluster"), "doc_id"
+    ).withColumn("ckey", F.col("cluster").cast("string"))
+    return (
+        hash_split(labeled, "ckey")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = r"""
+WITH RECURSIVE
+s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, unnest(w) AS sh FROM s),
+i AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS cnt
+  FROM e l JOIN e r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
+  WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
+),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM s
+  UNION
+  SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.v
+),
+comp AS (SELECT v, min(lbl) AS cluster FROM reach GROUP BY v)
+SELECT CASE WHEN substr(md5('split-v1' || CAST(c.cluster AS VARCHAR)), 1, 4)
+                 < 'e666'
+            THEN 'train' ELSE 'eval' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT c.cluster) AS n_clusters,
+       min(d.doc_id) AS min_id,
+       max(d.doc_id) AS max_id
+FROM documents d JOIN comp c ON c.v = d.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer training (operators/bpe.py): 8 merge rules
     learned from the corpus word-frequency table — the
@@ -5076,7 +5144,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 109 are also locally gated every round by
+# most ~2 rounds old (all 110 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5084,7 +5152,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval,
 # pq_topk, bm25_persisted, scd2_intervals, cdc_minimize,
 # heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
-# ann_filtered_topk, stream_enrichment, bpe_merges);
+# ann_filtered_topk, stream_enrichment, bpe_merges,
+# leakage_safe_split);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5115,6 +5184,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_filtered_topk": q_ann_filtered_topk,
     "stream_enrichment": q_stream_enrichment,
     "bpe_merges": q_bpe_merges,
+    "leakage_safe_split": q_leakage_safe_split,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5309,6 +5379,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_filtered_topk": SQL_ANN_FILTERED_TOPK,
     "stream_enrichment": SQL_STREAM_ENRICHMENT,
     "bpe_merges": SQL_BPE_MERGES,
+    "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

@@ -144,3 +144,43 @@ def test_mixture_sample_exact_counts_and_determinism(spark):
     # pre-shuffle limit active
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_cluster_keyed_split_moves_near_dups_together(spark):
+    """Near-duplicate docs (differing by one word — distinct text
+    hashes) must land in ONE split when the split key is the dedup
+    cluster id; a text-hash split can straddle them (the leakage the
+    cluster key exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from alstom_spark_cassandra_spark.operators.sampling import hash_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variants = [
+        (i, base + f" v{i}") for i in range(40)  # 40 near-dups of one doc
+    ]
+    docs = spark.createDataFrame(variants, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    comp = connected_components(pairs, vertices=docs, vertex_col="doc_id")
+    labeled = docs.join(
+        comp.select(F.col("v").alias("doc_id"), "cluster"), "doc_id"
+    ).withColumn("ckey", F.col("cluster").cast("string"))
+
+    by_cluster = (
+        hash_split(labeled, "ckey")
+        .groupBy("cluster")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r.n_splits == 1 for r in by_cluster)
+
+    # the text-hash split DOES straddle this cluster (40 distinct
+    # texts ~ certain to hit both sides of a 90/10 cut)
+    text_splits = (
+        hash_split(labeled, "text").select("split").distinct().count()
+    )
+    assert text_splits == 2
