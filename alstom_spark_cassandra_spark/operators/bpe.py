@@ -104,13 +104,18 @@ def bpe_train(
     """Learn `n_merges` merge rules from a (word, cnt) table.
 
     Returns (rules in order, final symbolized words DataFrame with
-    columns word/cnt/seq). Stops early if no pair remains. Each round
-    re-derives pair counts from the current seq — the seq lineage is
-    R nested literal replaces over the vocab-sized table, which stays
-    a single narrow map stage."""
+    columns word/cnt/seq). Stops early if no pair remains. The
+    initial symbolized table is PERSISTED before the loop — without
+    it, every round's collect would re-execute the corpus scan and
+    word aggregation through the growing lineage (R corpus scans
+    instead of one, the exact economics this trainer exists to
+    avoid). The per-round lineage on top of the cached table is R
+    nested literal replaces — a single narrow map stage. The cache is
+    vocab-sized; callers can `.unpersist()` the returned state when
+    done."""
     state = words.select(
         "word", "cnt", _initial_seq(F.col("word")).alias("seq")
-    )
+    ).persist()
     rules: list[MergeRule] = []
     for r in range(n_merges):
         best = (
