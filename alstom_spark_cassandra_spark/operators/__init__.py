@@ -35,6 +35,7 @@ from .layout import (
 )
 from .locf import locf, locf_pivot
 from .multimodal import audio_features, frame_sample, image_features
+from .pca import gram_matrix, power_iteration
 from .pq import pq_build, pq_topk
 from .quantize import dequantize_embedding, quantize_embedding
 from .range_join import interval_join
@@ -100,6 +101,7 @@ __all__ = [
     "embedding_dup_pairs_portable",
     "flatten_json_value",
     "frame_sample",
+    "gram_matrix",
     "hash_sample",
     "hash_split",
     "histogram_quantiles",
@@ -123,6 +125,7 @@ __all__ = [
     "pii_counts",
     "pii_redact",
     "pii_scan",
+    "power_iteration",
     "pq_build",
     "pq_topk",
     "quantize_embedding",

@@ -4945,6 +4945,67 @@ SELECT query_id, vec_id,
 """
 
 
+def q_pca_direction(spark, sf_dir):
+    """Dominant principal direction of the embedding corpus
+    (operators/pca.py): quantized Gram matrix in ONE scan (d^2 cells
+    of state regardless of corpus size — the bounded-sketch pattern),
+    then 3 lazy power-iteration rounds (broadcast 64-row vector ⋈
+    Gram cells, 1-row max rescale). Integer-exact throughout — Gram
+    cells and matrix-vector products are order-free integer sums on
+    the 10^-3 grid, the rescale is a single portable division — so
+    the DuckDB oracle unrolls the same 3 rounds and matches
+    bit-for-bit (k-means precedent for iterative + hard oracle).
+    Sign pinned by the all-ones start."""
+    from .operators.pca import gram_matrix, power_iteration
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb, "embedding")
+    return power_iteration(g, dim=64, n_iters=3).orderBy("pos")
+
+
+def _pca_oracle_sql(dim: int = 64, n_iters: int = 3, scale: int = 1000) -> str:
+    parts = [
+        f"""q AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"""cov AS (
+  SELECT i, j, CAST(sum(v[i] * v[j]) AS BIGINT) AS c
+  FROM q CROSS JOIN range(1, {dim + 1}) t1(i)
+         CROSS JOIN range(1, {dim + 1}) t2(j)
+  GROUP BY i, j
+)""",
+        f"""v0 AS (
+  SELECT CAST(i AS INTEGER) AS j, CAST({scale} AS BIGINT) AS val
+  FROM range(1, {dim + 1}) t(i)
+)""",
+    ]
+    for k in range(n_iters):
+        parts.append(
+            f"""raw{k} AS (
+  SELECT i, CAST(sum(c * val) AS BIGINT) AS raw
+  FROM cov JOIN v{k} ON v{k}.j = cov.j GROUP BY i
+)"""
+        )
+        parts.append(f"m{k} AS (SELECT max(abs(raw)) AS m FROM raw{k})")
+        parts.append(
+            f"""v{k + 1} AS (
+  SELECT CAST(i AS INTEGER) AS j,
+         CAST(floor(raw * {scale}.0 / m + 0.5) AS BIGINT) AS val
+  FROM raw{k} CROSS JOIN m{k}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT j AS pos, val AS v_milli FROM v{n_iters} ORDER BY pos"
+    )
+
+
+SQL_PCA_DIRECTION = _pca_oracle_sql()
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Leakage-safe train/eval split: hash_split keyed on the NEAR-DUP
     CLUSTER id instead of the text hash. A content-hash split
@@ -5144,7 +5205,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 110 are also locally gated every round by
+# most ~2 rounds old (all 111 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5153,7 +5214,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # pq_topk, bm25_persisted, scd2_intervals, cdc_minimize,
 # heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
 # ann_filtered_topk, stream_enrichment, bpe_merges,
-# leakage_safe_split);
+# leakage_safe_split, pca_direction);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5185,6 +5246,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrichment": q_stream_enrichment,
     "bpe_merges": q_bpe_merges,
     "leakage_safe_split": q_leakage_safe_split,
+    "pca_direction": q_pca_direction,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5380,6 +5442,7 @@ ORACLE_SQL: dict[str, str] = {
     "stream_enrichment": SQL_STREAM_ENRICHMENT,
     "bpe_merges": SQL_BPE_MERGES,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
+    "pca_direction": SQL_PCA_DIRECTION,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

@@ -234,6 +234,7 @@ BNLJ_SANCTIONED = {
     "retrieve_field_window",  # broadcast 1-row bounds scalar
     "reconstruct_message",    # broadcast 1-row epoch scalar
     "histogram_quantiles",    # broadcast 1-row (min, max) scalar
+    "pca_direction",          # broadcast 1-row rescale max per round
     "tpch_q11",            # scalar subquery (group threshold)
     "tpch_q22",            # scalar subquery (avg acctbal)
 }
