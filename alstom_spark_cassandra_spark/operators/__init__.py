@@ -8,6 +8,11 @@ from .decontam import (
     pii_redact,
     pii_scan,
 )
+from .expectations import (
+    check_rules,
+    referential_violations,
+    uniqueness_violations,
+)
 from .dedup import (
     build_minhash_index,
     build_simhash_index,
@@ -85,6 +90,7 @@ __all__ = [
     "build_minhash_index",
     "build_simhash_index",
     "cap_per_group",
+    "check_rules",
     "chunk_dedup",
     "chunk_documents",
     "cms_build",
@@ -130,6 +136,7 @@ __all__ = [
     "pq_topk",
     "quantize_embedding",
     "read_bm25_index",
+    "referential_violations",
     "repetition_scores",
     "rrf_fuse",
     "search_ivf_index",
@@ -139,6 +146,7 @@ __all__ = [
     "stratified_hash_sample",
     "symmetric_diff_rows",
     "unchanged_rows",
+    "uniqueness_violations",
     "value_histogram",
     "word_counts",
     "write_bm25_index",

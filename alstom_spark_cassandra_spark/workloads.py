@@ -4945,6 +4945,91 @@ SELECT query_id, vec_id,
 """
 
 
+def q_data_quality(spark, sf_dir):
+    """Data-quality gate (operators/expectations.py): row-predicate
+    rules over lineitem (ALL rules in ONE scan — each is a
+    conditional sum inside a single aggregate), plus key uniqueness
+    on orders and two referential checks (one left join each against
+    the parent's distinct keys). Violations are counted, never
+    thrown — the 100 TB validation reports, it does not abort on row
+    one. NULL predicate results count as violations on both engines
+    (CASE routes unknown to ELSE). The discount-cap rule is
+    deliberately violated by the data (~45% of rows) so the counting
+    path is exercised, not just the all-zeros path."""
+    from .operators.expectations import (
+        check_rules,
+        referential_violations,
+        uniqueness_violations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rules = {
+        "li_discount_cap": F.col("l_discount") <= 0.05,
+        "li_price_positive": F.col("l_extendedprice") > 0,
+        "li_qty_range": F.col("l_quantity").between(1, 50),
+        "li_tax_range": F.col("l_tax").between(0, 0.08),
+    }
+    report = (
+        check_rules(li, rules)
+        .unionAll(uniqueness_violations(orders, ["o_orderkey"], "orders_pk_unique"))
+        .unionAll(
+            referential_violations(
+                li, "l_orderkey", orders, "o_orderkey", "li_orderkey_ref"
+            )
+        )
+        .unionAll(
+            referential_violations(
+                orders, "o_custkey", cust, "c_custkey", "orders_custkey_ref"
+            )
+        )
+    )
+    return report.orderBy("rule")
+
+
+SQL_DATA_QUALITY = """
+SELECT rule, violations, checked FROM (
+  SELECT 'li_discount_cap' AS rule,
+         CAST(sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT)
+           AS violations,
+         count(*) AS checked FROM lineitem
+  UNION ALL
+  SELECT 'li_price_positive',
+         CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+         count(*) FROM lineitem
+  UNION ALL
+  SELECT 'li_qty_range',
+         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+              AS BIGINT),
+         count(*) FROM lineitem
+  UNION ALL
+  SELECT 'li_tax_range',
+         CAST(sum(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END)
+              AS BIGINT),
+         count(*) FROM lineitem
+  UNION ALL
+  SELECT 'orders_pk_unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         count(*) FROM orders
+  UNION ALL
+  SELECT 'li_orderkey_ref',
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders_custkey_ref',
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(*)
+  FROM orders r
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON r.o_custkey = c.c_custkey
+) ORDER BY rule
+"""
+
+
 def q_pca_direction(spark, sf_dir):
     """Dominant principal direction of the embedding corpus
     (operators/pca.py): quantized Gram matrix in ONE scan (d^2 cells
@@ -5205,7 +5290,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 111 are also locally gated every round by
+# most ~2 rounds old (all 112 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5214,7 +5299,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # pq_topk, bm25_persisted, scd2_intervals, cdc_minimize,
 # heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
 # ann_filtered_topk, stream_enrichment, bpe_merges,
-# leakage_safe_split, pca_direction);
+# leakage_safe_split, pca_direction, data_quality);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5247,6 +5332,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "leakage_safe_split": q_leakage_safe_split,
     "pca_direction": q_pca_direction,
+    "data_quality": q_data_quality,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5443,6 +5529,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_merges": SQL_BPE_MERGES,
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "pca_direction": SQL_PCA_DIRECTION,
+    "data_quality": SQL_DATA_QUALITY,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
