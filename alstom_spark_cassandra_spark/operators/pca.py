@@ -81,6 +81,13 @@ def power_iteration(
     each round. Lazy end-to-end; the vector is `dim` rows and rides
     broadcast, the 1-row max rescale is the sanctioned scalar
     crossJoin."""
+    # persist the d^2-cell Gram table: each round references the
+    # iterate twice (the max rescale and the update), so the lineage
+    # fans out ~2^n_iters — uncached, the corpus-width Gram scan
+    # would re-execute at every leaf (measured: power phase cost ≈
+    # the gram phase again at 5M rows). The cache is d^2 rows;
+    # persist() is lazy, so the collect-free contract holds.
+    gram = gram.persist()
     spark = gram.sparkSession
     v = spark.range(1, dim + 1).select(
         F.col("id").cast("int").alias("j"),

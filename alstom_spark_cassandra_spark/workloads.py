@@ -5180,11 +5180,12 @@ def q_bpe_merges(spark, sf_dir):
     return merges_df(spark, rules).orderBy("round")
 
 
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
+def _bpe_cte_chain(n_merges: int = 8) -> list[str]:
     """Unrolled BPE rounds as CTEs: t{r} = symbolized words after
     r-1 merges, p{r} = weighted pair counts, m{r} = the round's
     winning rule; each t{r+1} applies m{r} with the same double
-    literal replace as the Spark loop."""
+    literal replace as the Spark loop. Shared by the bpe_merges and
+    bpe_token_counts oracles."""
     parts = [
         r"""w AS (
   SELECT word, count(*) AS cnt FROM (
@@ -5216,16 +5217,22 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
   FROM p{r} ORDER BY c DESC, pair ASC LIMIT 1
 )"""
         )
-        if r < n_merges:
-            parts.append(
-                f"""t{r + 1} AS (
+        # the final t{n_merges+1} (all merges applied) is kept too —
+        # the token-counts oracle reads it; unused CTEs cost nothing
+        parts.append(
+            f"""t{r + 1} AS (
   SELECT w.word, w.cnt,
          replace(replace(w.seq, ' ' || m.pair || ' ',
                          ' ' || m.merged || ' '),
                  ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS seq
   FROM t{r} w CROSS JOIN m{r} m
 )"""
-            )
+        )
+    return parts
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    parts = _bpe_cte_chain(n_merges)
     final = "\nUNION ALL ".join(
         f"SELECT round, pair, merged, c AS weighted_count FROM m{r}"
         for r in range(1, n_merges + 1)
@@ -5234,6 +5241,86 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
 
 
 SQL_BPE_MERGES = _bpe_oracle_sql()
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Tokenize-with-trained-vocab (the production segmentation
+    shape): after training, per-word subword counts live in the final
+    symbolized VOCAB table, so segmenting the corpus is a token ⋈
+    vocab equi-join — never a per-token merge replay. Non-ASCII
+    words (outside the training alphabet) count as one unsplit
+    symbol; token-less docs keep a zero row. Output: per-doc word and
+    subword counts — the compression the learned vocab achieves,
+    integer-exact. Oracle: the shared unrolled BPE chain's final
+    t-table joined the same way."""
+    from .operators.bpe import bpe_train, word_counts
+    from .functions.text_funcs import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    _rules, state = bpe_train(word_counts(docs), n_merges=8)
+    vocab = state.select(
+        "word",
+        F.size(F.split(F.trim(F.col("seq")), " ")).alias("n_sub"),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("word")
+    )
+    per_doc = (
+        tok.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sub"), F.lit(1)))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_subwords"), F.lit(0)).alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_token_counts_oracle_sql(n_merges: int = 8) -> str:
+    parts = _bpe_cte_chain(n_merges)
+    parts.append(
+        f"""vocab AS (
+  SELECT word, len(string_split(trim(seq), ' ')) AS n_sub
+  FROM t{n_merges + 1}
+)"""
+    )
+    parts.append(
+        r"""tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+  FROM documents WHERE trim(text) <> ''
+)"""
+    )
+    parts.append(
+        """per_doc AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(COALESCE(v.n_sub, 1)) AS BIGINT) AS n_subwords
+  FROM tok LEFT JOIN vocab v USING (word)
+  GROUP BY doc_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_subwords, 0) AS n_subwords
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id"""
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = _bpe_token_counts_oracle_sql()
 
 
 def q_stream_enrichment(spark, sf_dir):
@@ -5290,7 +5377,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 112 are also locally gated every round by
+# most ~2 rounds old (all 113 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5299,7 +5386,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # pq_topk, bm25_persisted, scd2_intervals, cdc_minimize,
 # heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
 # ann_filtered_topk, stream_enrichment, bpe_merges,
-# leakage_safe_split, pca_direction, data_quality);
+# leakage_safe_split, pca_direction, data_quality,
+# bpe_token_counts);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5333,6 +5421,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_safe_split": q_leakage_safe_split,
     "pca_direction": q_pca_direction,
     "data_quality": q_data_quality,
+    "bpe_token_counts": q_bpe_token_counts,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5530,6 +5619,7 @@ ORACLE_SQL: dict[str, str] = {
     "leakage_safe_split": SQL_LEAKAGE_SAFE_SPLIT,
     "pca_direction": SQL_PCA_DIRECTION,
     "data_quality": SQL_DATA_QUALITY,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
