@@ -4945,6 +4945,118 @@ SELECT query_id, vec_id,
 """
 
 
+def q_funnel_counts(spark, sf_dir):
+    """Time-bounded funnel analysis (signup → click within 1 day →
+    purchase within 1 hour): the classic event-sequence conversion
+    query, computed in ONE pass — the three stage timestamps are
+    CHAINED conditional window-mins over the SAME per-user partition
+    (Catalyst runs all three in one sort of one exchange; no
+    self-joins, no per-stage re-scan), then one aggregate counts
+    users reaching each stage. Strict `>` ordering and epoch-ms
+    integer bounds make every comparison exact; counts are integers.
+    At 100 TB: one shuffle on user_id, window state = one row's
+    running mins. (The reference has no funnel; this is the W-family
+    extended to multi-stage sequence semantics.)"""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_ms().alias("ts_ms")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts_ms"))
+    ).over(w)
+    s1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts_ms") > F.col("t1"))
+            & (F.col("ts_ms") <= F.col("t1") + MS_PER_DAY),
+            F.col("ts_ms"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_ms") > F.col("t2"))
+            & (F.col("ts_ms") <= F.col("t2") + 3_600_000),
+            F.col("ts_ms"),
+        )
+    ).over(w)
+    s3 = s2.withColumn("t3", t3)
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.count("t1").alias("stage_signup"),
+        F.count("t2").alias("stage_click_1d"),
+        F.count("t3").alias("stage_buy_1h"),
+    )
+
+
+SQL_FUNNEL_COUNTS = """
+WITH w AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+), s1 AS (
+  SELECT user_id, event_type, ts_ms,
+    min(CASE WHEN event_type = 'signup' THEN ts_ms END)
+      OVER (PARTITION BY user_id) AS t1
+  FROM w
+), s2 AS (
+  SELECT user_id, event_type, ts_ms, t1,
+    min(CASE WHEN event_type = 'click' AND ts_ms > t1
+                  AND ts_ms <= t1 + 86400000 THEN ts_ms END)
+      OVER (PARTITION BY user_id) AS t2
+  FROM s1
+), s3 AS (
+  SELECT user_id, t1, t2,
+    min(CASE WHEN event_type = 'purchase' AND ts_ms > t2
+                  AND ts_ms <= t2 + 3600000 THEN ts_ms END)
+      OVER (PARTITION BY user_id) AS t3
+  FROM s2
+), u AS (
+  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM s3 GROUP BY user_id
+)
+SELECT count(*) AS users, count(t1) AS stage_signup,
+       count(t2) AS stage_click_1d, count(t3) AS stage_buy_1h
+FROM u
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct active users per (cohort, day offset). Two aggregations
+    on the same user key (first-day, then membership join + distinct
+    count) — both shuffles on user_id/cohort, no window, integer
+    day arithmetic so the oracle compares exactly. The J1 fact⋈dim
+    pattern where the dim (per-user cohort) is derived from the fact
+    itself."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (_ts_ms() / F.lit(86_400_000)).cast("long").alias("d"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort", (F.col("d") - F.col("cohort")).alias("offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "offset")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH w AS (
+  SELECT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d FROM events
+),
+c AS (SELECT user_id, min(d) AS cohort FROM w GROUP BY user_id)
+SELECT c.cohort, w.d - c.cohort AS offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_data_quality(spark, sf_dir):
     """Data-quality gate (operators/expectations.py): row-predicate
     rules over lineitem (ALL rules in ONE scan — each is a
@@ -5377,7 +5489,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 113 are also locally gated every round by
+# most ~2 rounds old (all 115 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5387,7 +5499,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
 # ann_filtered_topk, stream_enrichment, bpe_merges,
 # leakage_safe_split, pca_direction, data_quality,
-# bpe_token_counts);
+# bpe_token_counts, funnel_counts, cohort_retention);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5422,6 +5534,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_direction": q_pca_direction,
     "data_quality": q_data_quality,
     "bpe_token_counts": q_bpe_token_counts,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5620,6 +5734,8 @@ ORACLE_SQL: dict[str, str] = {
     "pca_direction": SQL_PCA_DIRECTION,
     "data_quality": SQL_DATA_QUALITY,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "funnel_counts": SQL_FUNNEL_COUNTS,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

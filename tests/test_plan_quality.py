@@ -350,3 +350,12 @@ def test_ann_filtered_plans_equi_join_on_label(spark):
     plan = plan_of(spark, "ann_filtered_topk")
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """The three chained stage windows share the per-user partition:
+    ONE hashpartitioning exchange on user_id carries all of them (plus
+    the final 1-row aggregate's SinglePartition) — no self-joins."""
+    plan = plan_of(spark, "funnel_counts")
+    assert "Join" not in plan
+    assert plan.lower().count("hashpartitioning(user_id") <= 1
