@@ -235,3 +235,131 @@ def test_kmeans_partition_invariant_total_assignment(spark, pts):
     assert m1 == m7
     assert set(m1) == {i for i, _, _ in pts}
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c7.collect()))
+
+
+# ---------------------------------------------------------------------------
+# round-5 operators
+# ---------------------------------------------------------------------------
+
+term_streams = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    min_size=1,
+    max_size=120,
+)
+
+
+@SLOW
+@given(terms=term_streams)
+def test_cms_estimate_at_least_exact(spark, terms):
+    """CMS never underestimates, for ANY stream: est(t) >= tf(t)."""
+    from collections import Counter
+
+    from alstom_spark_cassandra_spark.operators.sketches import (
+        cms_build,
+        cms_lookup,
+    )
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sketch = cms_build(df, "term", depth=3, width=16)  # tiny: force collisions
+    est = {
+        r.term: r.est_count
+        for r in cms_lookup(
+            sketch, df.distinct(), "term", depth=3, width=16
+        ).collect()
+    }
+    for t, n in Counter(terms).items():
+        assert est[t] >= n, (t, est[t], n)
+
+
+@SLOW
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=80,
+        unique=True,
+    )
+)
+def test_morton_bijective_and_matches_python(spark, pairs):
+    """z is injective on the (a, b) grid and equals the reference
+    bit-interleave for every generated pair."""
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.layout import morton_z
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = df.select(
+        "a", "b", morton_z(F.col("a"), F.col("b"), 8).alias("z")
+    ).collect()
+    zs = set()
+    for r in got:
+        expect = 0
+        for i in range(8):
+            expect |= ((r.a >> i) & 1) << (2 * i + 1)
+            expect |= ((r.b >> i) & 1) << (2 * i)
+        assert r.z == expect
+        assert r.z not in zs
+        zs.add(r.z)
+
+
+@SLOW
+@given(
+    ranked=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),   # system
+            st.integers(min_value=0, max_value=20),  # doc
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_rrf_equals_python_reference(spark, ranked):
+    """Fused micro scores equal the Python recomputation for any pair
+    of ranked lists (ranks assigned by doc order within system)."""
+    from collections import defaultdict
+
+    from alstom_spark_cassandra_spark.operators.retrieval import rrf_fuse
+
+    by_system = defaultdict(list)
+    for sys_id, doc in ranked:
+        by_system[sys_id].append(doc)
+    dfs, expect = [], defaultdict(int)
+    for sys_id, docs in sorted(by_system.items()):
+        rows = [(1, d, i + 1) for i, d in enumerate(sorted(docs))]
+        dfs.append(
+            spark.createDataFrame(rows, "query_id long, doc long, rank int")
+        )
+        for _, d, rk in rows:
+            expect[d] += int(1_000_000 / (60 + rk) + 0.5)
+    got = {
+        r.doc: r.rrf_micro for r in rrf_fuse(dfs, k=100).collect()
+    }
+    assert got == dict(expect)
+
+
+@SLOW
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_bpe_segment_concat_reconstructs_word(spark, words):
+    """For every trained word, concatenating its final symbols
+    reproduces the word exactly — merges never lose or duplicate
+    characters, whatever the corpus."""
+    from alstom_spark_cassandra_spark.operators.bpe import bpe_train
+
+    wc = spark.createDataFrame(words, "word string, cnt long")
+    _rules, state = bpe_train(wc, n_merges=4)
+    for r in state.collect():
+        assert "".join(r.seq.split()) == r.word
