@@ -231,6 +231,79 @@ def value_histogram(
     )
 
 
+def histogram_cdf(
+    df: DataFrame,
+    hist: DataFrame,
+    value_col: str,
+    cdf_col: str = "cdf_micro",
+) -> DataFrame:
+    """Per-row quantile normalization from a value_histogram — the
+    INVERSE of histogram_quantiles (value -> corpus percentile
+    instead of percentile -> value). Each row gets
+    floor(count_below_bucket * 1e6 / total + 0.5) — the CDF at its
+    bucket's lower edge in integer micro-units (resolution = bin
+    width; exact integers + one portable division, so any engine
+    reproduces it bit-for-bit).
+
+    Scale shape: the exact per-row percentile needs a global sort
+    (rank over the whole corpus — one task at 100 TB); this is the
+    sketch-resolution version: the histogram's cumulative counts are
+    a bins-row table BROADCAST onto the scan, so normalization is a
+    map-side join — no sort, no corpus-wide window, and the same
+    persisted histogram serves training/serving skew checks. Rows
+    with NULL/NaN values are dropped (consistent with
+    value_histogram's exclusion)."""
+    for c in ("lo", "hi", "bins"):
+        if c not in hist.columns:
+            raise ValueError(
+                f"histogram is missing its {c!r} geometry column — "
+                "build it with value_histogram"
+            )
+    win = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "bucket",
+        "lo",
+        "hi",
+        "bins",
+        F.coalesce(F.sum("n").over(win), F.lit(0)).alias("below"),
+        F.sum("n").over(
+            Window.orderBy("bucket").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v))
+    width = (F.col("hi") - F.col("lo")) / F.col("bins")
+    bucket = F.least(
+        F.col("bins").cast("long") - 1,
+        F.greatest(
+            F.lit(0).cast("long"), F.floor((v - F.col("lo")) / width)
+        ),
+    ).cast("int")
+    # the bins-row cum table broadcasts; bucket computed against its
+    # self-described geometry so df and histogram cannot disagree
+    geom = cum.select("lo", "hi", "bins").limit(1)
+    with_bucket = clean.crossJoin(F.broadcast(geom)).withColumn(
+        "bucket", bucket
+    )
+    return (
+        with_bucket.join(
+            F.broadcast(cum.select("bucket", "below", "total")), "bucket"
+        )
+        .withColumn(
+            cdf_col,
+            F.floor(
+                F.col("below") * F.lit(1_000_000.0) / F.col("total")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .drop("lo", "hi", "bins", "below", "total")
+    )
+
+
 def histogram_quantiles(
     hist: DataFrame,
     quantiles: list[float],

@@ -4945,6 +4945,55 @@ SELECT query_id, vec_id,
 """
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Per-row quantile normalization (operators/sketches.
+    histogram_cdf): every event's value mapped to its corpus CDF in
+    integer micro-units via the mergeable fixed-bin histogram — the
+    scale path for rank/percentile feature engineering (an exact
+    per-row rank is a global sort = one task at 100 TB; the
+    bins-row cumulative table broadcasts onto the scan instead,
+    resolution = bin width). Inverse of histogram_quantiles, same
+    persisted structure. Integers + one portable division =
+    bit-exact oracle."""
+    from .operators.sketches import histogram_cdf, value_histogram
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    hist = value_histogram(ev, "value", 0.0, 500.0, 100)
+    return (
+        histogram_cdf(ev, hist, "value")
+        .select("event_id", "bucket", "cdf_micro")
+        .orderBy("event_id")
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH h AS (
+  SELECT bucket, count(*) AS n FROM (
+    SELECT least(99, greatest(0,
+             CAST(floor((value - 0.0) / 5.0) AS BIGINT))) AS bucket
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  ) GROUP BY bucket
+),
+cum AS (
+  SELECT bucket,
+         COALESCE(sum(n) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         sum(n) OVER () AS total
+  FROM h
+)
+SELECT e.event_id,
+       CAST(least(99, greatest(0,
+              CAST(floor((e.value - 0.0) / 5.0) AS BIGINT))) AS INTEGER)
+         AS bucket,
+       CAST(floor(below * 1000000.0 / total + 0.5) AS BIGINT) AS cdf_micro
+FROM events e
+JOIN cum ON cum.bucket = least(99, greatest(0,
+              CAST(floor((e.value - 0.0) / 5.0) AS BIGINT)))
+WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+ORDER BY e.event_id
+"""
+
+
 def q_funnel_counts(spark, sf_dir):
     """Time-bounded funnel analysis (signup → click within 1 day →
     purchase within 1 hour): the classic event-sequence conversion
@@ -5489,7 +5538,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 115 are also locally gated every round by
+# most ~2 rounds old (all 116 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5499,7 +5548,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
 # ann_filtered_topk, stream_enrichment, bpe_merges,
 # leakage_safe_split, pca_direction, data_quality,
-# bpe_token_counts, funnel_counts, cohort_retention);
+# bpe_token_counts, funnel_counts, cohort_retention,
+# quantile_normalize);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5536,6 +5586,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_counts": q_bpe_token_counts,
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
+    "quantile_normalize": q_quantile_normalize,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5736,6 +5787,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

@@ -235,6 +235,7 @@ BNLJ_SANCTIONED = {
     "reconstruct_message",    # broadcast 1-row epoch scalar
     "histogram_quantiles",    # broadcast 1-row (min, max) scalar
     "pca_direction",          # broadcast 1-row rescale max per round
+    "quantile_normalize",     # broadcast 1-row histogram geometry
     "tpch_q11",            # scalar subquery (group threshold)
     "tpch_q22",            # scalar subquery (avg acctbal)
 }

@@ -180,3 +180,35 @@ def test_cms_absent_value_small_estimate(spark, term_stream):
     est = cms_lookup(sketch, probes, "term", depth=4, width=64).collect()[0]
     heavy = 1000  # t0's exact count
     assert 0 <= est.est_count < heavy
+
+
+def test_histogram_cdf_monotone_and_exact(spark):
+    """Larger values never get a smaller CDF; values sharing a bucket
+    share a CDF; the micro value equals below/total exactly."""
+    vals = [float(v) for v in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    from alstom_spark_cassandra_spark.operators.sketches import (
+        histogram_cdf,
+        value_histogram,
+    )
+
+    hist = value_histogram(df, "value", 0.0, 100.0, 10)
+    rows = histogram_cdf(df, hist, "value").collect()
+    got = sorted((r.value, r.bucket, r.cdf_micro) for r in rows)
+    assert len(got) == 100
+    last = -1
+    for v, b, c in got:
+        assert c >= last
+        last = c
+        assert c == int(b * 10 * 1_000_000 / 100 + 0.5)  # uniform data
+
+
+def test_histogram_cdf_requires_geometry(spark):
+    import pytest as _pytest
+
+    from alstom_spark_cassandra_spark.operators.sketches import histogram_cdf
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    bad = df.groupBy().count()
+    with _pytest.raises(ValueError, match="geometry"):
+        histogram_cdf(df, bad, "value")
