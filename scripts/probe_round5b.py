@@ -84,6 +84,62 @@ def probe_expectations(spark, n_rows: int):
     )
 
 
+def probe_funnel(spark, n_rows: int, n_users: int):
+    """Chained conditional window-mins (the funnel plan) at scale:
+    one user-key exchange carries all three stages."""
+    from pyspark.sql import Window
+
+    ev = spark.range(n_rows).select(
+        F.pmod(F.xxhash64("id"), n_users).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("signup"), F.lit("click"), F.lit("purchase"),
+                    F.lit("view")),
+            (F.pmod(F.xxhash64("id", F.lit(1)), 4) + 1).cast("int"),
+        ).alias("event_type"),
+        F.pmod(F.xxhash64("id", F.lit(2)), 10_000_000_000).alias("ts_ms"),
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts_ms"))).over(w)
+    s1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts_ms") > F.col("t1"))
+            & (F.col("ts_ms") <= F.col("t1") + 86_400_000),
+            F.col("ts_ms"),
+        )
+    ).over(w)
+    s2 = s1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_ms") > F.col("t2"))
+            & (F.col("ts_ms") <= F.col("t2") + 3_600_000),
+            F.col("ts_ms"),
+        )
+    ).over(w)
+    per_user = (
+        s2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+             F.max("t3").alias("t3"))
+    )
+    t0 = time.time()
+    row = per_user.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.count("t1").alias("s1"),
+        F.count("t2").alias("s2"),
+        F.count("t3").alias("s3"),
+    ).collect()[0]
+    emit(
+        probe="funnel_3stage_one_exchange",
+        rows=n_rows,
+        users=row.users,
+        stages=[row.s1, row.s2, row.s3],
+        sec=round(time.time() - t0, 2),
+    )
+
+
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [10, 50]
     spark = get_spark(app_name="probe_round5b", cpus=32)
@@ -91,6 +147,7 @@ def main():
         n = m * 1_000_000
         probe_pca(spark, max(n // 10, 1), 16)
         probe_expectations(spark, n)
+        probe_funnel(spark, n, 1_000_000)
     # one wide-dim PCA point: 64 dims (the registry shape)
     probe_pca(spark, 200_000, 64)
     spark.stop()
