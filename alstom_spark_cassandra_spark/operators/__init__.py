@@ -71,11 +71,13 @@ from .similarity import (
 from .sketches import (
     cms_build,
     cms_lookup,
+    histogram_cdf,
     histogram_quantiles,
     hll_partial_sketches,
     hll_rollup,
     value_histogram,
 )
+from .timeseries import resample_linear, rolling_zscore
 
 __all__ = [
     "asof_id_bounds",
@@ -110,6 +112,7 @@ __all__ = [
     "gram_matrix",
     "hash_sample",
     "hash_split",
+    "histogram_cdf",
     "histogram_quantiles",
     "hll_partial_sketches",
     "hll_rollup",
@@ -138,6 +141,8 @@ __all__ = [
     "read_bm25_index",
     "referential_violations",
     "repetition_scores",
+    "resample_linear",
+    "rolling_zscore",
     "rrf_fuse",
     "search_ivf_index",
     "simhash",

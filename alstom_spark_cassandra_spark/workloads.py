@@ -4945,6 +4945,128 @@ SELECT query_id, vec_id,
 """
 
 
+def q_rolling_zscore(spark, sf_dir):
+    """Per-series anomaly screen (operators/timeseries.
+    rolling_zscore): each event's value z-scored against its user's
+    PREVIOUS 10 values — the data-cleaning pass run before training
+    on sensor-like series (the reference's domain; extends the W5
+    LOCF family with rolling statistics). One user-key exchange;
+    frame partials are exact integer milli sums (immune to sliding-
+    frame float re-association), the only float ops are the canonical
+    (k·v−s1)/√(k·s2−s1²) — bit-identical on both engines. Cold
+    starts and zero-variance windows get NULL z, not a verdict."""
+    from .operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = rolling_zscore(ev, ["user_id"], "event_id", "value", k=10)
+    return out.select(
+        "event_id", half_up(F.col("z"), 6).alias("z"), "is_anomaly"
+    ).orderBy("event_id")
+
+
+SQL_ROLLING_ZSCORE = """
+WITH b AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT event_id, v,
+         count(v) OVER win AS n,
+         CAST(sum(v) OVER win AS BIGINT) AS s1,
+         CAST(sum(v * v) OVER win AS BIGINT) AS s2
+  FROM b
+  WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id,
+  CASE WHEN n = 10 AND s2 * 10 - s1 * s1 > 0
+       THEN floor(((v * 10 - s1) / sqrt(CAST(s2 * 10 - s1 * s1 AS DOUBLE)))
+                  * 1000000 + 0.5) / 1000000.0
+       END AS z,
+  COALESCE(
+    CASE WHEN n = 10 AND s2 * 10 - s1 * s1 > 0
+         THEN abs((v * 10 - s1)
+                  / sqrt(CAST(s2 * 10 - s1 * s1 AS DOUBLE))) > 3.0
+    END, FALSE) AS is_anomaly
+FROM w ORDER BY event_id
+"""
+
+
+def q_resample_linear(spark, sf_dir):
+    """Fixed-grid resampling with linear interpolation (operators/
+    timeseries.resample_linear): every user's value series aligned to
+    a daily grid over [Jan 5, Jan 25], interpolating between the
+    neighboring updates and extrapolating flat at the edges — the
+    feature-store alignment step, and the linear-interp sibling of
+    the reference's LOCF dense grid (SQL/GetUpdateHistory.sql). One
+    series-key exchange carries grid ∪ updates and BOTH direction
+    scans; same-ts updates collapse to max first so the sort is a
+    total order on every engine. Values ride as integer milli units;
+    the interp expression is the only float math, half-up micro-
+    quantized — bit-exact oracle."""
+    from .operators.timeseries import resample_linear
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_ms().alias("ts_ms"), "value"
+    )
+    out = resample_linear(
+        ev,
+        ["user_id"],
+        "ts_ms",
+        "value",
+        grid_start_ms=T_JAN05,
+        grid_end_ms=T_JAN25,
+        step_ms=MS_PER_DAY,
+    )
+    return out.orderBy("user_id", "grid_ts")
+
+
+SQL_RESAMPLE_LINEAR = f"""
+WITH ups AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         max(CAST(floor(value * 1000.0 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY user_id, epoch_ms(ts)
+),
+grid AS (
+  SELECT user_id, {T_JAN05} + i * {MS_PER_DAY} AS ts_ms
+  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN range(0, 21) t(i)
+),
+bo AS (
+  SELECT user_id, ts_ms, CAST(NULL AS BIGINT) AS v, TRUE AS is_grid
+  FROM grid
+  UNION ALL
+  SELECT user_id, ts_ms, v, FALSE FROM ups
+),
+w AS (
+  SELECT user_id, ts_ms, is_grid,
+    last_value(v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+      OVER wb AS pt,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN ts_ms END IGNORE NULLS)
+      OVER wf AS nt
+  FROM bo
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_ms, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY ts_ms, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, ts_ms AS grid_ts,
+  CAST(floor((CASE
+      WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+      WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+      WHEN nt = pt THEN CAST(pv AS DOUBLE)
+      ELSE CAST(pv AS DOUBLE)
+           + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+             * (CAST(ts_ms AS DOUBLE) - CAST(pt AS DOUBLE))
+             / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE))
+    END) * 1000.0 + 0.5) AS BIGINT) AS value_micro
+FROM w
+WHERE is_grid AND (pv IS NOT NULL OR nv IS NOT NULL)
+ORDER BY user_id, grid_ts
+"""
+
+
 def q_quantile_normalize(spark, sf_dir):
     """Per-row quantile normalization (operators/sketches.
     histogram_cdf): every event's value mapped to its corpus CDF in
@@ -5538,7 +5660,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 116 are also locally gated every round by
+# most ~2 rounds old (all 118 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5549,7 +5671,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # ann_filtered_topk, stream_enrichment, bpe_merges,
 # leakage_safe_split, pca_direction, data_quality,
 # bpe_token_counts, funnel_counts, cohort_retention,
-# quantile_normalize);
+# quantile_normalize, rolling_zscore, resample_linear);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5587,6 +5709,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_counts": q_funnel_counts,
     "cohort_retention": q_cohort_retention,
     "quantile_normalize": q_quantile_normalize,
+    "rolling_zscore": q_rolling_zscore,
+    "resample_linear": q_resample_linear,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5788,6 +5912,8 @@ ORACLE_SQL: dict[str, str] = {
     "funnel_counts": SQL_FUNNEL_COUNTS,
     "cohort_retention": SQL_COHORT_RETENTION,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "rolling_zscore": SQL_ROLLING_ZSCORE,
+    "resample_linear": SQL_RESAMPLE_LINEAR,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

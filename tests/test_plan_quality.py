@@ -231,6 +231,7 @@ BNLJ_SANCTIONED = {
     "hybrid_rrf",          # fuses the BM25 + dense paths above
     "snapshot_diff",       # broadcast 1-row epoch scalar
     "update_history_dense",  # grid = ids x broadcast(arguments)
+    "resample_linear",       # grid = series x broadcast(21 steps)
     "retrieve_field_window",  # broadcast 1-row bounds scalar
     "reconstruct_message",    # broadcast 1-row epoch scalar
     "histogram_quantiles",    # broadcast 1-row (min, max) scalar
