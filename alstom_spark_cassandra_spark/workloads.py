@@ -4945,6 +4945,40 @@ SELECT query_id, vec_id,
 """
 
 
+def q_window_suite(spark, sf_dir):
+    """Ranking-window breadth (W family): quartile (ntile),
+    percent_rank, cume_dist, and lag/lead neighbors per user ordered
+    by the unique event id — one exchange, one sort, every function
+    sharing the same window spec. The unique ordering key keeps tie
+    semantics out of play; percent_rank/cume_dist are single exact
+    divisions, half-up quantized; lag/lead defaults use the
+    reference's -1 sentinel convention (SQL/GetMessage.sql null
+    defaults)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+        half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        half_up(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.lead("value", 1, -1.0).over(w).alias("next_value"),
+    ).orderBy("event_id")
+
+
+SQL_WINDOW_SUITE = """
+SELECT event_id,
+       ntile(4) OVER w AS quartile,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0 AS cume,
+       COALESCE(lag(value, 1) OVER w, -1.0) AS prev_value,
+       COALESCE(lead(value, 1) OVER w, -1.0) AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY event_id
+"""
+
+
 def q_rolling_zscore(spark, sf_dir):
     """Per-series anomaly screen (operators/timeseries.
     rolling_zscore): each event's value z-scored against its user's
@@ -5660,7 +5694,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 118 are also locally gated every round by
+# most ~2 rounds old (all 119 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5671,7 +5705,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # ann_filtered_topk, stream_enrichment, bpe_merges,
 # leakage_safe_split, pca_direction, data_quality,
 # bpe_token_counts, funnel_counts, cohort_retention,
-# quantile_normalize, rolling_zscore, resample_linear);
+# quantile_normalize, rolling_zscore, resample_linear,
+# window_suite);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5711,6 +5746,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_normalize": q_quantile_normalize,
     "rolling_zscore": q_rolling_zscore,
     "resample_linear": q_resample_linear,
+    "window_suite": q_window_suite,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5914,6 +5950,7 @@ ORACLE_SQL: dict[str, str] = {
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "resample_linear": SQL_RESAMPLE_LINEAR,
+    "window_suite": SQL_WINDOW_SUITE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
