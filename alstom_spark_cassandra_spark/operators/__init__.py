@@ -31,6 +31,7 @@ from .dedup import (
     simhash_bands,
     simhash_portable,
 )
+from .graph import pagerank
 from .json_flatten import flatten_json_value
 from .latest import latest_per_key
 from .layout import (
@@ -131,6 +132,7 @@ __all__ = [
     "minhash_signatures_portable",
     "morton_z",
     "ngram_jaccard_pairs",
+    "pagerank",
     "pii_counts",
     "pii_redact",
     "pii_scan",

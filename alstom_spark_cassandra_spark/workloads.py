@@ -4945,6 +4945,147 @@ SELECT query_id, vec_id,
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration integer PageRank (operators/graph.py) over the
+    near-dup similarity graph (the dedup_clusters edge set, both
+    directions): ranks the central members of duplicate clusters —
+    the principled canonical-pick signal next to dedup_corpus's
+    min-id/quality rules. Three rounds of the Pregel pattern as plain
+    DataFrame ops (edge ⋈ rank equi-join + map-side-partial groupBy
+    per round); all arithmetic exact integers (floor of an exact
+    double division, operands ≤ 2^53), so the unrolled-CTE DuckDB
+    oracle matches every round bit-for-bit. Dangling docs (no
+    near-dup) keep jump mass: 150000."""
+    from .operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    out = pagerank(sym, docs, "doc_id", n_iters=3)
+    return out.select(F.col("v").alias("doc_id"), "rank_micro").orderBy(
+        "doc_id"
+    )
+
+
+def _pagerank_oracle_sql(n_iters: int = 3) -> str:
+    """Unrolled PageRank rounds on top of the shared near-dup edge
+    CTEs (the dedup_clusters oracle's candidate pipeline)."""
+    parts = [
+        r"""s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 100
+)""",
+        """e AS (SELECT doc_id, unnest(w) AS sh FROM s)""",
+        """i AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS cnt
+  FROM e l JOIN e r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)""",
+        """edges AS (
+  SELECT i.a, i.b
+  FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
+  WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
+)""",
+        """sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)""",
+        """deg AS (SELECT a AS src, count(*) AS deg FROM sym GROUP BY a)""",
+        """r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS rank FROM s)""",
+    ]
+    for k in range(n_iters):
+        parts.append(
+            f"""c{k} AS (
+  SELECT sym.b AS dst,
+         CAST(sum(CAST(floor(CAST(r{k}.rank * 85 AS DOUBLE)
+                             / CAST(100 * deg.deg AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS in_mass
+  FROM sym JOIN deg ON deg.src = sym.a JOIN r{k} ON r{k}.v = sym.a
+  GROUP BY sym.b
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS (
+  SELECT s.doc_id AS v,
+         CAST(150000 + COALESCE(c{k}.in_mass, 0) AS BIGINT) AS rank
+  FROM s LEFT JOIN c{k} ON c{k}.dst = s.doc_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT v AS doc_id, rank AS rank_micro FROM r{n_iters}"
+        " ORDER BY doc_id"
+    )
+
+
+SQL_PAGERANK = _pagerank_oracle_sql()
+
+
+def q_series_trend(spark, sf_dir):
+    """Per-series OLS trend (drift detection): the least-squares
+    slope of value over time for every user, from one
+    map-side-partial aggregate of exact integer moments — x as
+    minutes since the window start, y as value milli-units, slope =
+    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) in micro-units/minute. Every
+    moment is an exact int64 (bounds documented in the expr), the
+    ratio is one portable division — bit-exact oracle. Series with a
+    single distinct timestamp get NULL slope (no trend without
+    spread)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        # floor on BOTH engines: DuckDB CAST(double AS BIGINT) rounds
+        # to nearest while Spark's cast truncates — floor first is the
+        # only portable integerization
+        F.floor((_ts_ms() - F.lit(T_JAN05)) / F.lit(60_000.0))
+        .cast("long")
+        .alias("x"),  # minutes; |x| ≤ ~3e4 over the data window
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        F.floor(
+            num.cast("double") / den.cast("double") * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return agg.select(
+        "user_id", "n", slope.alias("slope_micro")
+    ).orderBy("user_id")
+
+
+SQL_SERIES_TREND = f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(floor((epoch_ms(ts) - {T_JAN05}) / 60000.0) AS BIGINT) AS x,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+  FROM events
+),
+a AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM b GROUP BY user_id
+)
+SELECT user_id, n,
+  CASE WHEN n * sxx - sx * sx > 0
+       THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT)
+  END AS slope_micro
+FROM a ORDER BY user_id
+"""
+
+
 def q_window_suite(spark, sf_dir):
     """Ranking-window breadth (W family): quartile (ntile),
     percent_rank, cume_dist, and lag/lead neighbors per user ordered
@@ -5694,7 +5835,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 119 are also locally gated every round by
+# most ~2 rounds old (all 121 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5706,7 +5847,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # leakage_safe_split, pca_direction, data_quality,
 # bpe_token_counts, funnel_counts, cohort_retention,
 # quantile_normalize, rolling_zscore, resample_linear,
-# window_suite);
+# window_suite, pagerank, series_trend);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5747,6 +5888,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore": q_rolling_zscore,
     "resample_linear": q_resample_linear,
     "window_suite": q_window_suite,
+    "pagerank": q_pagerank,
+    "series_trend": q_series_trend,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -5951,6 +6094,8 @@ ORACLE_SQL: dict[str, str] = {
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "resample_linear": SQL_RESAMPLE_LINEAR,
     "window_suite": SQL_WINDOW_SUITE,
+    "pagerank": SQL_PAGERANK,
+    "series_trend": SQL_SERIES_TREND,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
