@@ -4945,6 +4945,102 @@ SELECT query_id, vec_id,
 """
 
 
+def q_distribution_drift(spark, sf_dir):
+    """Train/serve drift check: total-variation distance between the
+    value distributions of two time windows (Jan 5-15 vs Jan 15-25),
+    computed on the mergeable fixed-bin histograms — the persisted-
+    sketch comparison a pipeline runs between corpus snapshots. TVD
+    is chosen over PSI/KL deliberately: it needs no logarithm, so
+    the statistic is exact integer arithmetic —
+    Σ|n1·N2 − n2·N1| / (2·N1·N2) in half-up micro-units — and the
+    oracle matches bit-for-bit. (Cross-multiplication keeps exact
+    ints; at counts beyond ~3e9 per cell a deployment divides first
+    and accepts float TVD.) Both scans push their time window to
+    parquet row groups."""
+    from .operators.sketches import value_histogram
+
+    def hist(lo, hi):
+        ev = _tw(spark, sf_dir, lo, hi).select("value")
+        return value_histogram(ev, "value", 0.0, 500.0, 100).select(
+            "bucket", "n"
+        )
+
+    h1 = hist(T_JAN05, T_JAN15)
+    h2 = hist(T_JAN15, T_JAN25)
+    j = (
+        h1.withColumnRenamed("n", "n1")
+        .join(h2.withColumnRenamed("n", "n2"), "bucket", "full")
+        .select(
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+        )
+    )
+    # totals as all-rows window columns first (≤ 100 bucket rows —
+    # the single-partition window is over the tiny joined histogram,
+    # never raw data), then one aggregate computes the exact TVD
+    w_all = Window.partitionBy()
+    jj = j.withColumn("t1", F.sum("n1").over(w_all)).withColumn(
+        "t2", F.sum("n2").over(w_all)
+    )
+    return jj.agg(
+        F.max("t1").alias("n1_total"),
+        F.max("t2").alias("n2_total"),
+        F.floor(
+            F.sum(
+                F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+            ).cast("double")
+            * F.lit(1_000_000.0)
+            / (
+                F.lit(2.0)
+                * F.max("t1").cast("double")
+                * F.max("t2").cast("double")
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tvd_micro"),
+    )
+
+
+SQL_DISTRIBUTION_DRIFT = f"""
+WITH w1 AS (
+  SELECT value FROM events
+  WHERE epoch_ms(ts) >= {T_JAN05} AND epoch_ms(ts) <= {T_JAN15}
+),
+w2 AS (
+  SELECT value FROM events
+  WHERE epoch_ms(ts) >= {T_JAN15} AND epoch_ms(ts) <= {T_JAN25}
+),
+h1 AS (
+  SELECT least(99, greatest(0,
+           CAST(floor((value - 0.0) / 5.0) AS BIGINT))) AS bucket,
+         count(*) AS n1
+  FROM w1 WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1
+),
+h2 AS (
+  SELECT least(99, greatest(0,
+           CAST(floor((value - 0.0) / 5.0) AS BIGINT))) AS bucket,
+         count(*) AS n2
+  FROM w2 WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+  FROM h1 FULL OUTER JOIN h2 USING (bucket)
+),
+t AS (
+  SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+  FROM j
+)
+SELECT t1 AS n1_total, t2 AS n2_total,
+  CAST(floor(
+    CAST((SELECT CAST(sum(abs(n1 * t2 - n2 * t1)) AS BIGINT)
+          FROM j CROSS JOIN t) AS DOUBLE)
+    * 1000000.0 / (2.0 * CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)) + 0.5
+  ) AS BIGINT) AS tvd_micro
+FROM t
+"""
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-iteration integer PageRank (operators/graph.py) over the
     near-dup similarity graph (the dedup_clusters edge set, both
@@ -5835,7 +5931,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 121 are also locally gated every round by
+# most ~2 rounds old (all 122 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5847,7 +5943,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # leakage_safe_split, pca_direction, data_quality,
 # bpe_token_counts, funnel_counts, cohort_retention,
 # quantile_normalize, rolling_zscore, resample_linear,
-# window_suite, pagerank, series_trend);
+# window_suite, pagerank, series_trend, distribution_drift);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5890,6 +5986,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_suite": q_window_suite,
     "pagerank": q_pagerank,
     "series_trend": q_series_trend,
+    "distribution_drift": q_distribution_drift,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6096,6 +6193,7 @@ ORACLE_SQL: dict[str, str] = {
     "window_suite": SQL_WINDOW_SUITE,
     "pagerank": SQL_PAGERANK,
     "series_trend": SQL_SERIES_TREND,
+    "distribution_drift": SQL_DISTRIBUTION_DRIFT,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
