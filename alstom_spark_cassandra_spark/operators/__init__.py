@@ -11,6 +11,7 @@ from .decontam import (
 from .expectations import (
     check_rules,
     referential_violations,
+    table_profile,
     uniqueness_violations,
 )
 from .dedup import (
@@ -152,6 +153,7 @@ __all__ = [
     "simhash_portable",
     "stratified_hash_sample",
     "symmetric_diff_rows",
+    "table_profile",
     "unchanged_rows",
     "uniqueness_violations",
     "value_histogram",

@@ -51,6 +51,36 @@ def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     )
 
 
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct): the ANALYZE-style
+    per-column profile that feeds expectations (which null checks to
+    add), join planning (ndv drives broadcast decisions), and drift
+    baselines. ONE aggregate over the scan — Spark plans the multi-
+    column count_distinct set with a single Expand (rows × profiled
+    columns before partial aggregation, still one pass over the
+    data). Integer-only output, so the oracle compares exactly;
+    n_distinct excludes NULL (the SQL count-distinct convention)."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__ndv_{c}"))
+    wide = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', `__nulls_{c}`, `__ndv_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {pairs}) as (column, n_nulls, n_distinct)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
 def uniqueness_violations(
     df: DataFrame, keys: list[str], rule: str = "unique"
 ) -> DataFrame:

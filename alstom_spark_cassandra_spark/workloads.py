@@ -4945,6 +4945,68 @@ SELECT query_id, vec_id,
 """
 
 
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style column profile of lineitem (operators/
+    expectations.table_profile): row count, null count, and exact
+    distinct count per column in one pass (a single Expand feeds the
+    multi-column count-distinct set). The profile drives expectations
+    authoring and broadcast decisions; integer-only output, exact
+    oracle. (Production would swap count_distinct for HLL partials —
+    approx_distinct in sketches.py — once ndv stops needing to be
+    oracle-exact.)"""
+    from .operators.expectations import table_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        table_profile(li)
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    )
+
+
+SQL_TABLE_PROFILE = """
+WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+  SELECT 'l_orderkey' AS col_name,
+         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+  FROM lineitem
+  UNION ALL SELECT 'l_partkey',
+    CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_suppkey',
+    CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_linenumber',
+    CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_linenumber) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_quantity',
+    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_quantity) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice',
+    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_extendedprice) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_discount',
+    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_discount) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_tax',
+    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_tax) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_returnflag',
+    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_returnflag) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_linestatus',
+    CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_linestatus) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'l_shipdate',
+    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(count(DISTINCT l_shipdate) AS BIGINT) FROM lineitem
+) CROSS JOIN n
+ORDER BY col_name
+"""
+
+
 def q_distribution_drift(spark, sf_dir):
     """Train/serve drift check: total-variation distance between the
     value distributions of two time windows (Jan 5-15 vs Jan 15-25),
@@ -5931,7 +5993,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 122 are also locally gated every round by
+# most ~2 rounds old (all 123 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -5943,7 +6005,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # leakage_safe_split, pca_direction, data_quality,
 # bpe_token_counts, funnel_counts, cohort_retention,
 # quantile_normalize, rolling_zscore, resample_linear,
-# window_suite, pagerank, series_trend, distribution_drift);
+# window_suite, pagerank, series_trend, distribution_drift,
+# table_profile);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -5987,6 +6050,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "series_trend": q_series_trend,
     "distribution_drift": q_distribution_drift,
+    "table_profile": q_table_profile,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6194,6 +6258,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank": SQL_PAGERANK,
     "series_trend": SQL_SERIES_TREND,
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
+    "table_profile": SQL_TABLE_PROFILE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

@@ -62,3 +62,31 @@ def test_parent_duplicates_do_not_inflate_checked(spark):
     parent = spark.createDataFrame([(1,), (1,), (1,), (2,)], "pk long")
     r = referential_violations(child, "fk", parent, "pk").collect()[0]
     assert (r.violations, r.checked) == (0, 2)
+
+
+def test_table_profile_counts(spark):
+    from alstom_spark_cassandra_spark.operators.expectations import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    got = {
+        r.column: (r.n_rows, r.n_nulls, r.n_distinct)
+        for r in table_profile(df).collect()
+    }
+    assert got["k"] == (4, 1, 2)
+    assert got["s"] == (4, 1, 2)
+
+
+def test_table_profile_single_pass_plan(spark):
+    from alstom_spark_cassandra_spark.operators.expectations import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Expand" in plan  # one pass: multi-distinct via Expand
