@@ -49,6 +49,7 @@ from .range_join import interval_join
 from .retrieval import (
     bm25_topk,
     build_bm25_index,
+    mmr_rerank,
     read_bm25_index,
     rrf_fuse,
     write_bm25_index,
@@ -129,6 +130,7 @@ __all__ = [
     "mean_pool",
     "minhash_bands",
     "mixture_sample",
+    "mmr_rerank",
     "minhash_signatures",
     "minhash_signatures_portable",
     "morton_z",

@@ -176,6 +176,89 @@ def rrf_fuse(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking at λ = 1/2: greedily pick
+    `k` of each query's candidates, each step maximizing
+    relevance − max-similarity-to-already-selected — the diversity
+    rerank that stops a result list from being k near-copies of the
+    top hit.
+
+    Inputs: candidates (query_id, doc, rel_micro) — a top-N list with
+    integer micro relevance; sims (query_id, a, b, sim_micro) —
+    pairwise candidate similarities, SYMMETRIC (both directions
+    present). λ = 1/2 is deliberate: the step score is then the
+    integer rel_micro − maxsim_micro (argmax is scale-free, so the
+    factor 1/2 cancels) — no float anywhere, ties break on doc asc,
+    and the unrolled-CTE oracle reproduces every greedy step exactly.
+
+    Scale shape: greedy selection is inherently sequential in k, but
+    each step is DataFrame ops over the top-N lists only (N ~ tens
+    per query — cost is queries × N × k, independent of corpus size;
+    the corpus-scale work already happened in candidate generation).
+    The whole chain stays lazy; inputs are persisted because each
+    step references them against a growing selected set."""
+    from pyspark.sql import Window
+
+    cands = candidates.select("query_id", "doc", "rel_micro").persist()
+    s = sims.select("query_id", "a", "b", "sim_micro").persist()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc").asc()
+    )
+    selected = None
+    remaining = cands
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = remaining.withColumn("score", F.col("rel_micro"))
+        else:
+            # max similarity of every candidate to the selected set:
+            # sims ⋈ selected (renamed columns keep the self-join
+            # lineage unambiguous), then one left join onto remaining
+            # — candidates with no sim row to any selected doc score
+            # maxsim 0
+            sel_keys = selected.select(
+                F.col("query_id").alias("__sq"), F.col("doc").alias("__sd")
+            )
+            ms = (
+                s.join(
+                    sel_keys,
+                    (s["query_id"] == F.col("__sq"))
+                    & (s["b"] == F.col("__sd")),
+                )
+                .groupBy(
+                    s["query_id"].alias("__mq"), s["a"].alias("__ma")
+                )
+                .agg(F.max("sim_micro").alias("__maxsim"))
+            )
+            scored = remaining.join(
+                ms,
+                (remaining["query_id"] == F.col("__mq"))
+                & (remaining["doc"] == F.col("__ma")),
+                "left",
+            ).select(
+                "query_id",
+                "doc",
+                "rel_micro",
+                (
+                    F.col("rel_micro")
+                    - F.coalesce(F.col("__maxsim"), F.lit(0))
+                ).alias("score"),
+            )
+        pick = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("query_id", "doc", "rel_micro", F.lit(step).alias("step"))
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "doc"), ["query_id", "doc"], "left_anti"
+        )
+    return selected
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -4945,6 +4945,146 @@ SELECT query_id, vec_id,
 """
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """Diversity reranking (operators/retrieval.mmr_rerank): each
+    query's cosine top-20 greedily reduced to 5 by maximal marginal
+    relevance at λ = 1/2 — the step score is the INTEGER
+    rel_micro − maxsim_micro (λ = 1/2 cancels under argmax), so the
+    whole greedy chain is exact and the oracle unrolls the 5 steps as
+    CTEs (k-means/PageRank precedent for sequential + hard oracle).
+    Candidate generation is the corpus-scale part (cosine_topk);
+    rerank cost is queries × 20 × 5, corpus-independent. Pairwise
+    candidate sims are an equi-join on query_id — 20×20 per query,
+    never corpus all-pairs."""
+    from .operators.retrieval import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = cosine_topk(emb, queries, k=20)
+    cands = top.select(
+        "query_id",
+        F.col("vec_id").alias("doc"),
+        F.floor(F.col("cosine") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("rel_micro"),
+    )
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cv = cands.join(vecs, cands["doc"] == vecs["vec_id"]).select(
+        "query_id", "doc", "v"
+    )
+    from .operators.similarity import cosine as _cos
+
+    x = cv.select(
+        F.col("query_id"), F.col("doc").alias("a"), F.col("v").alias("va")
+    )
+    y = cv.select(
+        F.col("query_id").alias("__q2"),
+        F.col("doc").alias("b"),
+        F.col("v").alias("vb"),
+    )
+    sims = (
+        x.join(y, (x["query_id"] == F.col("__q2")) & (x["a"] != F.col("b")))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.floor(_cos(F.col("va"), F.col("vb")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    return mmr_rerank(cands, sims, k=5).orderBy("query_id", "step")
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    parts = [
+        """q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3
+)""",
+        """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)""",
+        """cand AS (
+  SELECT query_id, vec_id AS doc,
+         CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS rel_micro,
+         cv
+  FROM (
+    SELECT q.query_id, c.vec_id, c.cv,
+           list_dot_product(c.cv, q.qv) /
+             (sqrt(list_dot_product(c.cv, c.cv))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(c.cv, q.qv) /
+             (sqrt(list_dot_product(c.cv, c.cv))
+              * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                              c.vec_id ASC) AS rnk
+    FROM c CROSS JOIN q
+  ) WHERE rnk <= 20
+)""",
+        """sims AS (
+  SELECT x.query_id, x.doc AS a, y.doc AS b,
+         CAST(floor(list_dot_product(x.cv, y.cv) /
+             (sqrt(list_dot_product(x.cv, x.cv))
+              * sqrt(list_dot_product(y.cv, y.cv))) * 1000000 + 0.5)
+           AS BIGINT) AS sim_micro
+  FROM cand x JOIN cand y
+    ON x.query_id = y.query_id AND x.doc <> y.doc
+)""",
+        """sel1 AS (
+  SELECT query_id, doc, rel_micro, 1 AS step FROM (
+    SELECT query_id, doc, rel_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_micro DESC, doc ASC) AS r
+    FROM cand
+  ) WHERE r = 1
+)""",
+    ]
+    for j in range(2, k + 1):
+        prev_union = "\n    UNION ALL ".join(
+            f"SELECT query_id, doc FROM sel{i}" for i in range(1, j)
+        )
+        parts.append(f"""prev{j} AS (
+    {prev_union}
+)""")
+        parts.append(
+            f"""ms{j} AS (
+  SELECT s.query_id, s.a AS doc, max(s.sim_micro) AS maxsim
+  FROM sims s JOIN prev{j} p
+    ON p.query_id = s.query_id AND p.doc = s.b
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""sel{j} AS (
+  SELECT query_id, doc, rel_micro, {j} AS step FROM (
+    SELECT c.query_id, c.doc, c.rel_micro,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY c.rel_micro - COALESCE(m.maxsim, 0) DESC,
+                      c.doc ASC) AS r
+    FROM cand c
+    LEFT JOIN ms{j} m ON m.query_id = c.query_id AND m.doc = c.doc
+    WHERE NOT EXISTS (SELECT 1 FROM prev{j} p
+                      WHERE p.query_id = c.query_id AND p.doc = c.doc)
+  ) WHERE r = 1
+)"""
+        )
+    final = "\nUNION ALL ".join(
+        f"SELECT query_id, doc, rel_micro, step FROM sel{j}"
+        for j in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + final
+        + "\nORDER BY query_id, step"
+    )
+
+
+SQL_MMR_RERANK = _mmr_oracle_sql()
+
+
 def q_table_profile(spark, sf_dir):
     """ANALYZE-style column profile of lineitem (operators/
     expectations.table_profile): row count, null count, and exact
@@ -5993,7 +6133,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 123 are also locally gated every round by
+# most ~2 rounds old (all 124 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -6006,7 +6146,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # bpe_token_counts, funnel_counts, cohort_retention,
 # quantile_normalize, rolling_zscore, resample_linear,
 # window_suite, pagerank, series_trend, distribution_drift,
-# table_profile);
+# table_profile, mmr_rerank);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -6051,6 +6191,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "series_trend": q_series_trend,
     "distribution_drift": q_distribution_drift,
     "table_profile": q_table_profile,
+    "mmr_rerank": q_mmr_rerank,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6259,6 +6400,7 @@ ORACLE_SQL: dict[str, str] = {
     "series_trend": SQL_SERIES_TREND,
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
     "table_profile": SQL_TABLE_PROFILE,
+    "mmr_rerank": SQL_MMR_RERANK,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

@@ -225,6 +225,7 @@ BNLJ_SANCTIONED = {
     "ivf_topk",            # broadcast query vectors x centroids
     "ivf_persisted",       # same, persisted-index path
     "ann_cosine_topk",     # broadcast query vectors
+    "mmr_rerank",          # candidate generation = cosine_topk above
     "ann_quantized_topk",  # broadcast query vectors
     "bm25_retrieval",      # broadcast 1-row corpus scalars
     "bm25_persisted",      # same, persisted-index path

@@ -154,3 +154,58 @@ def test_rrf_ties_break_on_doc_id(spark):
     a = _ranked(spark, [(1, 20, 1), (1, 10, 1)])  # same contribution
     out = [r.doc for r in rrf_fuse([a], k=2).orderBy("rank").collect()]
     assert out == [10, 20]
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity rerank
+# ---------------------------------------------------------------------------
+
+from alstom_spark_cassandra_spark.operators.retrieval import mmr_rerank  # noqa: E402
+
+
+def test_mmr_penalizes_near_duplicates(spark):
+    """Second-ranked near-copy of the top hit must drop below a less
+    relevant but diverse candidate."""
+    cands = spark.createDataFrame(
+        [(1, 10, 900000), (1, 11, 890000), (1, 12, 500000)],
+        "query_id long, doc long, rel_micro long",
+    )
+    sims = spark.createDataFrame(
+        [(1, 10, 11, 990000), (1, 11, 10, 990000),
+         (1, 10, 12, 100000), (1, 12, 10, 100000),
+         (1, 11, 12, 120000), (1, 12, 11, 120000)],
+        "query_id long, a long, b long, sim_micro long",
+    )
+    got = [
+        r.doc for r in mmr_rerank(cands, sims, k=3).orderBy("step").collect()
+    ]
+    assert got == [10, 12, 11]
+
+
+def test_mmr_no_sims_falls_back_to_relevance_order(spark):
+    cands = spark.createDataFrame(
+        [(1, d, 1000 - d) for d in range(4)],
+        "query_id long, doc long, rel_micro long",
+    )
+    sims = spark.createDataFrame(
+        [], "query_id long, a long, b long, sim_micro long"
+    )
+    got = [
+        r.doc for r in mmr_rerank(cands, sims, k=4).orderBy("step").collect()
+    ]
+    assert got == [0, 1, 2, 3]
+
+
+def test_mmr_selects_per_query_independently(spark):
+    cands = spark.createDataFrame(
+        [(1, 10, 500), (1, 11, 400), (2, 20, 300), (2, 21, 200)],
+        "query_id long, doc long, rel_micro long",
+    )
+    sims = spark.createDataFrame(
+        [], "query_id long, a long, b long, sim_micro long"
+    )
+    got = {
+        (r.query_id, r.step): r.doc
+        for r in mmr_rerank(cands, sims, k=2).collect()
+    }
+    assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 20, (2, 2): 21}
