@@ -140,6 +140,25 @@ def probe_funnel(spark, n_rows: int, n_users: int):
     )
 
 
+def probe_pagerank(spark, n_edges: int, n_verts: int):
+    from alstom_spark_cassandra_spark.operators.graph import pagerank
+
+    edges = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), n_verts).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), n_verts).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    verts = spark.range(n_verts).select(F.col("id").alias("v"))
+    t0 = time.time()
+    n = pagerank(edges, verts, "v", n_iters=3).count()
+    emit(
+        probe="pagerank_3_rounds",
+        edges=n_edges,
+        vertices=n_verts,
+        out_rows=n,
+        sec=round(time.time() - t0, 2),
+    )
+
+
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [10, 50]
     spark = get_spark(app_name="probe_round5b", cpus=32)
@@ -150,6 +169,7 @@ def main():
         probe_funnel(spark, n, 1_000_000)
     # one wide-dim PCA point: 64 dims (the registry shape)
     probe_pca(spark, 200_000, 64)
+    probe_pagerank(spark, 20_000_000, 2_000_000)
     spark.stop()
 
 
