@@ -16,6 +16,7 @@ from .expectations import (
 )
 from .dedup import (
     build_minhash_index,
+    jaccard_join_prefix,
     build_simhash_index,
     connected_components,
     dedup_corpus,
@@ -124,6 +125,7 @@ __all__ = [
     "incremental_simhash_pairs",
     "interval_join",
     "ivf_topk",
+    "jaccard_join_prefix",
     "latest_per_key",
     "locf",
     "locf_pivot",

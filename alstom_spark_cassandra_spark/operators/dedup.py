@@ -248,6 +248,102 @@ def ngram_jaccard_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_join_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT word-set Jaccard join with PREFIX-FILTERED candidate
+    generation (the PPJoin family's core pruning): tokens are
+    globally ordered rarest-first, and two sets can reach Jaccard ≥
+    t only if they share a token within each set's first
+    |x| − ⌈t·|x|⌉ + 1 tokens of that order — so candidate pairs come
+    from self-joining the PREFIX postings only, a strict subset of
+    the full inverted index (the rarest-token prefixes have the
+    shortest posting lists, exactly where the quadratic cost lives).
+    Versus ngram_jaccard_pairs' frequency-cap heuristic this is a
+    LOSSLESS reduction: the prefix bound is a theorem, so the output
+    is exactly the brute-force pair set — which is what the oracle
+    checks.
+
+    The threshold is a RATIONAL num/den on purpose: ⌈t·|x|⌉ computed
+    in floating point under-lengthens the prefix when t·|x| lands on
+    a representation error (0.8·5 = 4.0000000000000002 → ceil 5) and
+    silently DROPS pairs; integer ⌈n·sz/d⌉ = (n·sz + d − 1) div d is
+    exact, and the final acceptance test is the integer
+    cross-multiplication den·inter ≥ num·union.
+
+    Output: (a, b, inter, union_size, jac_micro), a < b."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        toks.join(tok_df, "tok")
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(
+                    F.col("__df").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+        .join(sizes, "doc")
+    )
+    # prefix length: sz - ceil(num*sz/den) + 1, exact integer ceil
+    ceil_t_sz = (
+        F.col("sz") * F.lit(threshold_num) + F.lit(threshold_den - 1)
+    ).cast("long") / F.lit(threshold_den)
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("sz") - F.floor(ceil_t_sz) + 1
+    ).select("doc", "tok")
+    cand = (
+        prefix.select(F.col("doc").alias("a"), "tok")
+        .join(prefix.select(F.col("doc").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(toks.select(F.col("doc").alias("a"), "tok"), "a")
+        .join(toks.select(F.col("doc").alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sza"))
+    sz_b = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("szb"))
+    out = (
+        inter.join(sz_a, "a")
+        .join(sz_b, "b")
+        .withColumn(
+            "union_size", F.col("sza") + F.col("szb") - F.col("inter")
+        )
+        .filter(
+            F.col("inter") * F.lit(threshold_den)
+            >= F.col("union_size") * F.lit(threshold_num)
+        )
+        .select(
+            "a",
+            "b",
+            "inter",
+            "union_size",
+            F.floor(
+                F.col("inter") * F.lit(1_000_000.0) / F.col("union_size")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jac_micro"),
+        )
+    )
+    return out
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -4945,6 +4945,47 @@ SELECT query_id, vec_id,
 """
 
 
+def q_jaccard_prefix_join(spark, sf_dir):
+    """Prefix-filtered set-similarity join (operators/dedup.
+    jaccard_join_prefix — the PPJoin family's lossless pruning):
+    word-set Jaccard ≥ 4/5 pairs where candidates come from
+    self-joining only each document's RAREST-token prefix postings
+    (|x| − ⌈t·|x|⌉ + 1 tokens in global rarest-first order), a
+    theorem-backed strict subset of the full inverted index. The
+    oracle is the BRUTE-FORCE all-pairs Jaccard with the same integer
+    acceptance test — so the driver directly verifies the filter's
+    completeness claim, not just plausibility. Integer rational
+    threshold throughout (float ⌈0.8·|x|⌉ under-lengthens prefixes on
+    representation error and silently drops pairs)."""
+    from .operators.dedup import jaccard_join_prefix
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return jaccard_join_prefix(docs, "text", "doc_id", 4, 5).orderBy("a", "b")
+
+
+SQL_JACCARD_PREFIX_JOIN = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+  FROM documents WHERE doc_id < 150
+),
+e AS (SELECT doc_id, unnest(w) AS tok FROM s),
+i AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+  FROM e l JOIN e r ON l.tok = r.tok AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(inter AS BIGINT) AS inter,
+       CAST(len(sa.w) + len(sb.w) - inter AS BIGINT) AS union_size,
+       CAST(floor(inter * 1000000.0 / (len(sa.w) + len(sb.w) - inter)
+                  + 0.5) AS BIGINT) AS jac_micro
+FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
+WHERE inter * 5 >= (len(sa.w) + len(sb.w) - inter) * 4
+ORDER BY a, b
+"""
+
+
 def q_mmr_rerank(spark, sf_dir):
     """Diversity reranking (operators/retrieval.mmr_rerank): each
     query's cosine top-20 greedily reduced to 5 by maximal marginal
@@ -6133,7 +6174,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 124 are also locally gated every round by
+# most ~2 rounds old (all 125 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -6146,7 +6187,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # bpe_token_counts, funnel_counts, cohort_retention,
 # quantile_normalize, rolling_zscore, resample_linear,
 # window_suite, pagerank, series_trend, distribution_drift,
-# table_profile, mmr_rerank);
+# table_profile, mmr_rerank, jaccard_prefix_join);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -6192,6 +6233,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distribution_drift": q_distribution_drift,
     "table_profile": q_table_profile,
     "mmr_rerank": q_mmr_rerank,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6401,6 +6443,7 @@ ORACLE_SQL: dict[str, str] = {
     "distribution_drift": SQL_DISTRIBUTION_DRIFT,
     "table_profile": SQL_TABLE_PROFILE,
     "mmr_rerank": SQL_MMR_RERANK,
+    "jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

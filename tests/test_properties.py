@@ -363,3 +363,39 @@ def test_bpe_segment_concat_reconstructs_word(spark, words):
     _rules, state = bpe_train(wc, n_merges=4)
     for r in state.collect():
         assert "".join(r.seq.split()) == r.word
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=8
+        ).map(lambda toks: " ".join(toks)),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_prefix_jaccard_join_complete_vs_bruteforce(spark, docs):
+    """The prefix filter is LOSSLESS: for any corpus, the prefix-
+    filtered join returns exactly the brute-force Jaccard >= 4/5 pair
+    set (same pairs, same intersection/union counts)."""
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        jaccard_join_prefix,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): (r.inter, r.union_size)
+        for r in jaccard_join_prefix(df, "text", "doc_id", 4, 5).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    expect = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if inter * 5 >= union * 4:
+                    expect[(i, j)] = (inter, union)
+    assert got == expect
