@@ -119,6 +119,45 @@ def read_bm25_index(spark, path: str) -> Bm25Index:
     )
 
 
+def build_positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional inverted index: (doc, pos, term), pos 1-based over
+    lowercased whitespace tokens. The phrase-capable sibling of
+    build_postings — at 100 TB it persists PARTITIONED BY a term-hash
+    bucket exactly like the BM25 index, so a phrase query reads only
+    its terms' posting lists."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos0", "term"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "term")
+
+
+def phrase_search(
+    postings: DataFrame, phrase: str
+) -> DataFrame:
+    """(doc, n_matches): documents containing the exact adjacent
+    token sequence, with occurrence counts — the positional-index
+    join: anchor on the first term's postings, then one equi-join per
+    remaining term on (doc, pos + offset). Cost ~ the phrase terms'
+    posting-list sizes (classical positional retrieval), never a
+    document rescan; every join is a hash join on (doc, derived
+    pos). Deterministic integers throughout."""
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("empty phrase")
+    base = postings.filter(F.col("term") == terms[0]).select("doc", "pos")
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col("doc").alias("__d"), (F.col("pos") - j).alias("__p")
+        )
+        base = base.join(
+            nxt,
+            (F.col("doc") == F.col("__d")) & (F.col("pos") == F.col("__p")),
+        ).select("doc", "pos")
+    return base.groupBy("doc").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     k: int = 10,

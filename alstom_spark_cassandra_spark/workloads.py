@@ -4945,6 +4945,49 @@ SELECT query_id, vec_id,
 """
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase retrieval over a positional inverted index
+    (operators/retrieval.build_positional_postings + phrase_search):
+    per-doc occurrence counts of the adjacent token sequence
+    "table hash" — anchor the first term's postings, one (doc,
+    pos+offset) equi-join per following term, cost ~ the phrase
+    terms' posting lists (classical positional IR), never a document
+    rescan. The persisted layout partitions by term-hash bucket like
+    the BM25 index. Integer counts, exact oracle via the same
+    positional join in SQL."""
+    from .operators.retrieval import build_positional_postings, phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    p = build_positional_postings(docs)
+    return (
+        phrase_search(p, "table hash")
+        .select(F.col("doc").alias("doc_id"), "n_matches")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH p AS (
+  SELECT doc_id AS doc, u.pos, u.term FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             string_split_regex(trim(lower(text)), '\s+'),
+             (x, i) -> {'pos': i, 'term': x})) AS u
+    FROM documents WHERE trim(text) <> ''
+  )
+),
+m AS (
+  SELECT p0.doc, p0.pos
+  FROM p p0
+  JOIN p p1 ON p1.doc = p0.doc AND p1.pos = p0.pos + 1
+           AND p1.term = 'hash'
+  WHERE p0.term = 'table'
+)
+SELECT doc AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM m GROUP BY doc ORDER BY doc
+"""
+
+
 def q_jaccard_prefix_join(spark, sf_dir):
     """Prefix-filtered set-similarity join (operators/dedup.
     jaccard_join_prefix — the PPJoin family's lossless pruning):
@@ -6174,7 +6217,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 125 are also locally gated every round by
+# most ~2 rounds old (all 126 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -6187,7 +6230,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # bpe_token_counts, funnel_counts, cohort_retention,
 # quantile_normalize, rolling_zscore, resample_linear,
 # window_suite, pagerank, series_trend, distribution_drift,
-# table_profile, mmr_rerank, jaccard_prefix_join);
+# table_profile, mmr_rerank, jaccard_prefix_join, phrase_search);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then five round-4-green picks whose code
@@ -6234,6 +6277,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "mmr_rerank": q_mmr_rerank,
     "jaccard_prefix_join": q_jaccard_prefix_join,
+    "phrase_search": q_phrase_search,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6444,6 +6488,7 @@ ORACLE_SQL: dict[str, str] = {
     "table_profile": SQL_TABLE_PROFILE,
     "mmr_rerank": SQL_MMR_RERANK,
     "jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

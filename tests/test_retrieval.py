@@ -209,3 +209,44 @@ def test_mmr_selects_per_query_independently(spark):
         for r in mmr_rerank(cands, sims, k=2).collect()
     }
     assert got == {(1, 1): 10, (1, 2): 11, (2, 1): 20, (2, 2): 21}
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+from alstom_spark_cassandra_spark.operators.retrieval import (  # noqa: E402
+    build_positional_postings,
+    phrase_search,
+)
+
+
+def test_phrase_counts_and_adjacency(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big"),     # "big data" twice
+            (2, "data big"),                  # reversed: no match
+            (3, "big x data"),                # gap: no match
+            (4, "BIG DATA"),                  # case-folded: one match
+        ],
+        "doc_id long, text string",
+    )
+    p = build_positional_postings(docs)
+    got = {r.doc: r.n_matches for r in phrase_search(p, "big data").collect()}
+    assert got == {1: 2, 4: 1}
+
+
+def test_phrase_three_terms_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a")], "doc_id long, text string"
+    )
+    p = build_positional_postings(docs)
+    got = {r.doc: r.n_matches for r in phrase_search(p, "a a a").collect()}
+    assert got == {1: 2}  # positions 1-3 and 2-4 (overlapping counted)
+
+
+def test_phrase_single_term_is_term_frequency(spark):
+    docs = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    p = build_positional_postings(docs)
+    got = {r.doc: r.n_matches for r in phrase_search(p, "x").collect()}
+    assert got == {1: 2}
