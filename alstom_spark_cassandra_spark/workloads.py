@@ -6233,10 +6233,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # table_profile, mmr_rerank, jaccard_prefix_join, phrase_search);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
-# testdata regenerations); then five round-4-green picks whose code
-# or siblings changed this round (compaction, sessionization,
-# stream_dedup, dedup_corpus + incremental_dedup — the last two
-# touched by the r4-ADVICE fixes); then the round-3-green block
+# testdata regenerations); then the six flagship reference-procedure
+# twins (last row r3 — the core parity queries must stay inside the
+# window even as new queries stack the head); then five round-4-green
+# picks whose code or siblings changed this round (dedup_corpus +
+# incremental_dedup first — the r4-ADVICE fixes); then the round-3-green block
 # (flagship procedures, multiple_fields trio, samplers/pipeline,
 # decontam/PII, ANN, multimodal, remaining TPC-H), whose tail now
 # falls outside the ~50 window along with the round-4-green TAIL —
@@ -6285,12 +6286,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
-    # --- r4-green picks whose code/siblings changed this round ---
-    "compaction": q_compaction,
-    "sessionization": q_sessionization,
-    "stream_dedup": q_stream_dedup,
-    "dedup_corpus": q_dedup_corpus,
-    "incremental_dedup": q_incremental_dedup,
     # --- flagship reference procedures (last row r3) ---
     "latest_per_key": q_latest_per_key,
     "asof_join_events": q_asof_join_events,
@@ -6298,6 +6293,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "update_history_dense": q_update_history_dense,
     "message_snapshot_delta": q_message_snapshot_delta,
     "retrieve_message_asof": q_retrieve_message_asof,
+    # --- r4-green picks whose code/siblings changed this round
+    # (the two ADVICE-fix queries first) ---
+    "dedup_corpus": q_dedup_corpus,
+    "incremental_dedup": q_incremental_dedup,
+    "compaction": q_compaction,
+    "sessionization": q_sessionization,
+    "stream_dedup": q_stream_dedup,
     # --- round-3-green block, due for refresh ---
     "multiple_fields_asof": q_multiple_fields_asof,
     "multiple_fields_state": q_multiple_fields_state,
