@@ -4945,6 +4945,143 @@ SELECT query_id, vec_id,
 """
 
 
+def q_lsh_eval(spark, sf_dir):
+    """Approximation QA harness: MEASURE the MinHash-LSH candidate
+    generator against exact ground truth, as a driver-checkable
+    query — 8 portable-md5 signature components in 4 bands × 2 rows
+    (S-curve threshold (1/b)^(1/r) = 0.5), candidates = band-bucket
+    cohabitants, truth = exact word-set Jaccard ≥ 1/2 (integer
+    cross-multiplication). Output: candidate/truth/hit counts plus
+    recall and precision in micro-units — the numbers a pipeline
+    owner tunes bands/rows against, here hard-oracled because every
+    ingredient (md5 signatures, bucket keys, exact Jaccard) is
+    engine-portable. The all-pairs truth join is the slice-bounded
+    oracle path, as in dedup_clusters."""
+    from .operators.dedup import minhash_signatures_portable, shingle_df
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sigs = minhash_signatures_portable(docs, "text", "doc_id", n=1, num_hashes=8)
+    bands = None
+    for b in range(4):
+        part = sigs.select(
+            "doc",
+            F.lit(b).alias("band"),
+            F.concat(
+                F.col(f"h{2 * b}"), F.lit("|"), F.col(f"h{2 * b + 1}")
+            ).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.select(F.col("doc").alias("a"), "band", "key")
+        .join(bands.select(F.col("doc").alias("b"), "band", "key"), ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = shingle_df(docs, "text", "doc_id", 1)
+    sz = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.select(F.col("doc").alias("a"), "shingle")
+        .join(sh.select(F.col("doc").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(sz.select(F.col("doc").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sz.select(F.col("doc").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(
+            F.col("inter") * 2 >= F.col("sza") + F.col("szb") - F.col("inter")
+        )
+        .select("a", "b")
+    )
+    hit = cand.join(truth, ["a", "b"], "left_semi")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_cand")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_true")
+    )
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n").alias("n_hit")
+    )
+    out = n_cand.crossJoin(F.broadcast(n_true)).crossJoin(F.broadcast(n_hit))
+    return out.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.floor(
+                F.col("n_hit") * F.lit(1_000_000.0) / F.col("n_true")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("recall_micro"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.floor(
+                F.col("n_hit") * F.lit(1_000_000.0) / F.col("n_cand")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("precision_micro"),
+    )
+
+
+SQL_LSH_EVAL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 150
+),
+g AS (SELECT doc_id, list_distinct(w) AS grams FROM t),
+e AS (SELECT doc_id AS doc, unnest(grams) AS shingle FROM g),
+sig AS (
+  SELECT doc,
+         min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+         min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+         min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+         min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+  FROM e GROUP BY doc
+),
+bands AS (
+  SELECT doc, 0 AS band, h0 || '|' || h1 AS key FROM sig
+  UNION ALL SELECT doc, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc, 3, h6 || '|' || h7 FROM sig
+),
+cand AS (
+  SELECT l.doc AS a, r.doc AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc, count(*) AS sz FROM e GROUP BY doc),
+i AS (
+  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+  FROM e l JOIN e r ON l.shingle = r.shingle AND l.doc < r.doc
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.a, i.b
+  FROM i JOIN sz za ON za.doc = i.a JOIN sz zb ON zb.doc = i.b
+  WHERE inter * 2 >= za.sz + zb.sz - inter
+),
+hit AS (SELECT a, b FROM cand INTERSECT SELECT a, b FROM truth),
+c AS (
+  SELECT (SELECT count(*) FROM truth) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM hit) AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+  CASE WHEN n_true > 0 THEN
+    CAST(floor(n_hit * 1000000.0 / n_true + 0.5) AS BIGINT) END
+    AS recall_micro,
+  CASE WHEN n_cand > 0 THEN
+    CAST(floor(n_hit * 1000000.0 / n_cand + 0.5) AS BIGINT) END
+    AS precision_micro
+FROM c
+"""
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase retrieval over a positional inverted index
     (operators/retrieval.build_positional_postings + phrase_search):
@@ -6217,7 +6354,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 126 are also locally gated every round by
+# most ~2 rounds old (all 127 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -6230,7 +6367,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # bpe_token_counts, funnel_counts, cohort_retention,
 # quantile_normalize, rolling_zscore, resample_linear,
 # window_suite, pagerank, series_trend, distribution_drift,
-# table_profile, mmr_rerank, jaccard_prefix_join, phrase_search);
+# table_profile, mmr_rerank, jaccard_prefix_join, phrase_search,
+# lsh_eval);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the six flagship reference-procedure
@@ -6279,6 +6417,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "phrase_search": q_phrase_search,
+    "lsh_eval": q_lsh_eval,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6491,6 +6630,7 @@ ORACLE_SQL: dict[str, str] = {
     "mmr_rerank": SQL_MMR_RERANK,
     "jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "lsh_eval": SQL_LSH_EVAL,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

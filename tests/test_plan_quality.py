@@ -238,6 +238,7 @@ BNLJ_SANCTIONED = {
     "histogram_quantiles",    # broadcast 1-row (min, max) scalar
     "pca_direction",          # broadcast 1-row rescale max per round
     "quantile_normalize",     # broadcast 1-row histogram geometry
+    "lsh_eval",               # broadcast 1-row count scalars
     "tpch_q11",            # scalar subquery (group threshold)
     "tpch_q22",            # scalar subquery (avg acctbal)
 }
