@@ -201,3 +201,67 @@ def mixture_sample(
         )
         .drop("__cap", "__rk")
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Temperature-weighted mixture quotas at α = 1/2: per-group
+    sampling targets ∝ √(group size), summing EXACTLY to `budget` —
+    the standard domain/language rebalancing step of a pretraining
+    mix (raw proportions over-serve huge domains; α < 1 flattens the
+    distribution; α = 1/2 is the common default and keeps the score
+    a single portable sqrt).
+
+    Exact integer allocation by largest remainder: scores
+    s_i = ⌊√n_i·1e6 + .5⌋ (integer micro), base_i = ⌊budget·s_i/S⌋
+    (the double division of exact int64s cannot cross an integer
+    boundary: a remainder ≥ 1 sits ~1e9 ulps from it), remainders
+    r_i = budget·s_i − base_i·S compared as exact int64s, and the
+    leftover seats go to the largest remainders (ties: group asc). By
+    construction Σ quota = budget on every engine — the invariant the
+    oracle equality certifies. Output: (group, n, score_micro,
+    quota).
+
+    One map-side-partial count per group + arithmetic over the
+    GROUPS-sized table (broadcast 1-row total); feed the quotas to
+    mixture_sample for the exact-count draw."""
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    scored = counts.withColumn(
+        "score_micro",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("long"),
+    )
+    tot = scored.agg(F.sum("score_micro").alias("__s"))
+    with_tot = scored.crossJoin(F.broadcast(tot))
+    base = F.floor(
+        (F.col("score_micro") * F.lit(budget)).cast("double") / F.col("__s")
+    ).cast("long")
+    staged = with_tot.withColumn("__base", base).withColumn(
+        "__rem",
+        F.col("score_micro") * F.lit(budget) - F.col("__base") * F.col("__s"),
+    )
+    from pyspark.sql import Window
+
+    leftover = F.lit(budget) - F.sum("__base").over(Window.partitionBy())
+    ranked = staged.withColumn(
+        "__rank",
+        F.row_number().over(
+            Window.orderBy(F.col("__rem").desc(), F.col("group").asc())
+        ),
+    ).withColumn("__left", leftover)
+    return ranked.select(
+        "group",
+        "n",
+        "score_micro",
+        (
+            F.col("__base")
+            + F.when(F.col("__rank") <= F.col("__left"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )

@@ -4945,6 +4945,54 @@ SELECT query_id, vec_id,
 """
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted domain quotas (operators/sampling.
+    temperature_quotas): per-source sampling targets ∝ √(source
+    size), allocated to sum EXACTLY to a 200-doc budget by largest
+    remainder — the α = 1/2 rebalancing step of a pretraining mix
+    (α < 1 flattens raw proportions so huge domains stop dominating).
+    Integer micro scores, exact int64 remainders, deterministic
+    ties — bit-exact oracle; Σ quota = budget is certified by the
+    oracle equality. Compose with mixture_sample for the actual
+    exact-count draw."""
+    from .operators.sampling import temperature_quotas
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_quotas(docs, "source", budget=200).orderBy("group")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH counts AS (
+  SELECT source AS "group", count(*) AS n FROM documents GROUP BY source
+),
+scored AS (
+  SELECT "group", n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS score_micro
+  FROM counts
+),
+tot AS (SELECT CAST(sum(score_micro) AS BIGINT) AS s FROM scored),
+staged AS (
+  SELECT "group", n, score_micro,
+         CAST(floor(CAST(score_micro * 200 AS DOUBLE) / s) AS BIGINT)
+           AS base,
+         score_micro * 200
+           - CAST(floor(CAST(score_micro * 200 AS DOUBLE) / s) AS BIGINT) * s
+           AS rem
+  FROM scored CROSS JOIN tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, "group" ASC) AS rnk,
+         200 - sum(base) OVER () AS leftover
+  FROM staged
+)
+SELECT "group", n, score_micro,
+       CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked ORDER BY "group"
+"""
+
+
 def q_lsh_eval(spark, sf_dir):
     """Approximation QA harness: MEASURE the MinHash-LSH candidate
     generator against exact ground truth, as a driver-checkable
@@ -6354,7 +6402,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 127 are also locally gated every round by
+# most ~2 rounds old (all 128 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -6368,7 +6416,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # quantile_normalize, rolling_zscore, resample_linear,
 # window_suite, pagerank, series_trend, distribution_drift,
 # table_profile, mmr_rerank, jaccard_prefix_join, phrase_search,
-# lsh_eval);
+# lsh_eval, temperature_mixture);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the six flagship reference-procedure
@@ -6418,6 +6466,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "phrase_search": q_phrase_search,
     "lsh_eval": q_lsh_eval,
+    "temperature_mixture": q_temperature_mixture,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6631,6 +6680,7 @@ ORACLE_SQL: dict[str, str] = {
     "jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,
     "phrase_search": SQL_PHRASE_SEARCH,
     "lsh_eval": SQL_LSH_EVAL,
+    "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

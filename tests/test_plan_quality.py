@@ -239,6 +239,7 @@ BNLJ_SANCTIONED = {
     "pca_direction",          # broadcast 1-row rescale max per round
     "quantile_normalize",     # broadcast 1-row histogram geometry
     "lsh_eval",               # broadcast 1-row count scalars
+    "temperature_mixture",    # broadcast 1-row score total
     "tpch_q11",            # scalar subquery (group threshold)
     "tpch_q22",            # scalar subquery (avg acctbal)
 }

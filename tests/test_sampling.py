@@ -184,3 +184,56 @@ def test_cluster_keyed_split_moves_near_dups_together(spark):
         hash_split(labeled, "text").select("split").distinct().count()
     )
     assert text_splits == 2
+
+
+def test_temperature_quotas_sum_to_budget_and_flatten(spark):
+    """Quotas sum exactly to the budget for any group sizes, and
+    alpha = 1/2 flattens: a 100x bigger group gets only ~10x the
+    quota, never 100x."""
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.sampling import (
+        temperature_quotas,
+    )
+
+    rows = (
+        [("big", i) for i in range(10_000)]
+        + [("mid", i) for i in range(400)]
+        + [("tiny", i) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "src string, x long")
+    got = {
+        r.group: (r.n, r.quota)
+        for r in temperature_quotas(df, "src", budget=111).collect()
+    }
+    assert sum(q for _, q in got.values()) == 111
+    big_q, tiny_q = got["big"][1], got["tiny"][1]
+    # raw proportions would give big 100x tiny; sqrt gives ~10x
+    assert 5 <= big_q / max(tiny_q, 1) <= 15
+
+
+def test_temperature_quotas_match_python_largest_remainder(spark):
+    import math
+
+    from alstom_spark_cassandra_spark.operators.sampling import (
+        temperature_quotas,
+    )
+
+    sizes = {"a": 7, "b": 13, "c": 29, "d": 1}
+    rows = [(g, i) for g, n in sizes.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "src string, x long")
+    budget = 17
+    s = {g: int(math.sqrt(n) * 1e6 + 0.5) for g, n in sizes.items()}
+    S = sum(s.values())
+    base = {g: (v * budget) // S for g, v in s.items()}
+    rem = {g: v * budget - base[g] * S for g, v in s.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(s, key=lambda g: (-rem[g], g))
+    expect = {
+        g: base[g] + (1 if order.index(g) < leftover else 0) for g in s
+    }
+    got = {
+        r.group: r.quota
+        for r in temperature_quotas(df, "src", budget=budget).collect()
+    }
+    assert got == expect
