@@ -6243,14 +6243,20 @@ def _bpe_cte_chain(n_merges: int = 8) -> list[str]:
 )"""
         )
         # the final t{n_merges+1} (all merges applied) is kept too —
-        # the token-counts oracle reads it; unused CTEs cost nothing
+        # the token-counts oracle reads it; unused CTEs cost nothing.
+        # LEFT JOIN ON TRUE, not CROSS JOIN: if a round finds no pair
+        # (merges exhausted before n_merges), m{r} is EMPTY and a
+        # cross join would vaporize the t-chain — the Spark loop
+        # early-stops and KEEPS its state, so the oracle must too
         parts.append(
             f"""t{r + 1} AS (
   SELECT w.word, w.cnt,
-         replace(replace(w.seq, ' ' || m.pair || ' ',
-                         ' ' || m.merged || ' '),
-                 ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS seq
-  FROM t{r} w CROSS JOIN m{r} m
+         CASE WHEN m.pair IS NULL THEN w.seq
+              ELSE replace(replace(w.seq, ' ' || m.pair || ' ',
+                                   ' ' || m.merged || ' '),
+                           ' ' || m.pair || ' ',
+                           ' ' || m.merged || ' ') END AS seq
+  FROM t{r} w LEFT JOIN m{r} m ON TRUE
 )"""
         )
     return parts

@@ -90,3 +90,52 @@ def test_merges_df_schema(spark):
     ]
     r = df.collect()[0]
     assert (r.round, r.pair, r.merged, r.weighted_count) == (1, "a b", "ab", 7)
+
+
+def test_oracle_survives_merge_exhaustion(spark):
+    """Corpus with fewer than n_merges learnable pairs: the Spark
+    loop early-stops and keeps its state; the unrolled oracle's
+    LEFT JOIN ON TRUE must likewise keep the t-chain alive (a cross
+    join with the empty merge row would vaporize it). Both engines
+    must emit the same (short) merge list and the same final
+    segmentation-derived counts."""
+    import duckdb
+
+    import pandas as pd
+
+    from alstom_spark_cassandra_spark.workloads import (
+        _bpe_oracle_sql,
+        _bpe_token_counts_oracle_sql,
+        q_bpe_merges,
+        q_bpe_token_counts,
+    )
+
+    rows = [(1, "ab ab"), (2, "ab")]  # only 1 learnable pair: ('a','b')
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import alstom_spark_cassandra_spark.workloads as w
+
+    orig = w._t
+    w._t = lambda _s, _d, _n: docs
+    try:
+        spark_merges = [
+            (r.round, r.pair, r.merged, r.weighted_count)
+            for r in q_bpe_merges(spark, "ignored").collect()
+        ]
+        spark_counts = {
+            r.doc_id: (r.n_words, r.n_subwords)
+            for r in q_bpe_token_counts(spark, "ignored").collect()
+        }
+    finally:
+        w._t = orig
+
+    duck_merges = [tuple(t) for t in con.sql(_bpe_oracle_sql()).fetchall()]
+    duck_counts = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(_bpe_token_counts_oracle_sql()).fetchall()
+    }
+    assert spark_merges == duck_merges == [(1, "a b", "ab", 3)]
+    assert spark_counts == duck_counts == {1: (2, 2), 2: (1, 1)}
