@@ -4945,6 +4945,156 @@ SELECT query_id, vec_id,
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """User-flow transition matrix: counts of (previous event type →
+    current event type) per user timeline — the Markov-chain view of
+    the event log that funnels/attribution summarize. One lag window
+    over the (ts, event_id) total order (unique tiebreak, so both
+    engines see the same predecessor), one map-side-partial groupBy.
+    First events have no predecessor and are excluded (no START
+    sentinel — the reference's -1 convention is for VALUES, not
+    types). Exact integer counts."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_ms().alias("ts_ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    return (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT from_type, event_type AS to_type, count(*) AS n FROM (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ms(ts), event_id) AS from_type
+  FROM events
+) WHERE from_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """Collocation extraction: the corpus's most-associated adjacent
+    word pairs by LIFT — observed bigram probability over the
+    product of unigram probabilities, the log-free PMI variant:
+    lift = n_ab · N_uni² / (N_big · n_a · n_b). All five counts are
+    exact integers ≤ 2^53, so the single double division is
+    bit-identical cross-engine and lift_micro is exact. Bigrams under
+    5 occurrences are noise-filtered BEFORE ranking; top-20 by
+    (lift DESC, bigram ASC) via orderBy+limit
+    (TakeOrderedAndProject — partial top-k, no global sort). One
+    token explode feeds both the unigram and the adjacent-bigram
+    aggregations."""
+    from .functions.text_funcs import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toked.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    bi = (
+        toked.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.struct(
+                            F.element_at("t", i).alias("a"),
+                            F.element_at("t", i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    n_uni = uni.agg(F.sum("n_w").alias("n_uni"))
+    n_big_all = (
+        toked.select(
+            F.greatest(F.size("t") - 1, F.lit(0)).alias("c")
+        ).agg(F.sum("c").alias("n_big"))
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("a"), F.col("n_w").alias("n_a")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("n_w").alias("n_b")), "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big_all))
+    )
+    lift_micro = F.floor(
+        (
+            (F.col("n_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+            / (F.col("n_big") * F.col("n_a") * F.col("n_b")).cast("double")
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    top = (
+        joined.select(
+            "a", "b", "n_ab", lift_micro.alias("lift_micro")
+        )
+        .orderBy(F.col("lift_micro").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+    w = Window.orderBy(
+        F.col("lift_micro").desc(), F.col("a").asc(), F.col("b").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+SQL_COLLOCATIONS = r"""
+WITH toked AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+uni AS (
+  SELECT w, count(*) AS n_w FROM (SELECT unnest(t) AS w FROM toked)
+  GROUP BY w
+),
+bi AS (
+  SELECT a, b, count(*) AS n_ab FROM (
+    SELECT u.a, u.b FROM (
+      SELECT unnest(list_transform(range(1, len(t)),
+               i -> {'a': t[i], 'b': t[i+1]})) AS u
+      FROM toked
+    )
+  ) GROUP BY a, b HAVING count(*) >= 5
+),
+tot AS (
+  SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM uni) AS n_uni,
+         (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) FROM toked)
+           AS n_big
+),
+scored AS (
+  SELECT bi.a, bi.b, CAST(bi.n_ab AS BIGINT) AS n_ab,
+    CAST(floor(
+      (CAST(bi.n_ab * n_uni * n_uni AS DOUBLE)
+       / CAST(n_big * ua.n_w * ub.n_w AS DOUBLE)) * 1000000.0 + 0.5
+    ) AS BIGINT) AS lift_micro
+  FROM bi
+  JOIN uni ua ON ua.w = bi.a
+  JOIN uni ub ON ub.w = bi.b
+  CROSS JOIN tot
+),
+top AS (
+  SELECT * FROM scored ORDER BY lift_micro DESC, a ASC, b ASC LIMIT 20
+)
+SELECT a, b, n_ab, lift_micro,
+       row_number() OVER (ORDER BY lift_micro DESC, a ASC, b ASC) AS rank
+FROM top ORDER BY rank
+"""
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-weighted domain quotas (operators/sampling.
     temperature_quotas): per-source sampling targets ∝ √(source
@@ -6408,7 +6558,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 128 are also locally gated every round by
+# most ~2 rounds old (all 130 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -6422,7 +6572,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # quantile_normalize, rolling_zscore, resample_linear,
 # window_suite, pagerank, series_trend, distribution_drift,
 # table_profile, mmr_rerank, jaccard_prefix_join, phrase_search,
-# lsh_eval, temperature_mixture);
+# lsh_eval, temperature_mixture, event_transitions, collocations);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the six flagship reference-procedure
@@ -6473,6 +6623,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "lsh_eval": q_lsh_eval,
     "temperature_mixture": q_temperature_mixture,
+    "event_transitions": q_event_transitions,
+    "collocations": q_collocations,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6687,6 +6839,8 @@ ORACLE_SQL: dict[str, str] = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "lsh_eval": SQL_LSH_EVAL,
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "collocations": SQL_COLLOCATIONS,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,

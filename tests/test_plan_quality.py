@@ -240,6 +240,7 @@ BNLJ_SANCTIONED = {
     "quantile_normalize",     # broadcast 1-row histogram geometry
     "lsh_eval",               # broadcast 1-row count scalars
     "temperature_mixture",    # broadcast 1-row score total
+    "collocations",           # broadcast 1-row corpus totals
     "tpch_q11",            # scalar subquery (group threshold)
     "tpch_q22",            # scalar subquery (avg acctbal)
 }
