@@ -4945,6 +4945,47 @@ SELECT query_id, vec_id,
 """
 
 
+def q_embargo_split(spark, sf_dir):
+    """Temporal train/eval split with an EMBARGO: train strictly
+    before cut − gap, eval at/after the cut, the gap in between
+    PURGED — the time-series leakage control (temporally adjacent
+    rows are correlated; an eval row one tick after a train row is
+    contaminated; hash splits cannot express this). The purged band
+    is reported, not silently dropped — an audit row a pipeline
+    gate can assert on. Pure pushed-down range predicates (each
+    split's scan prunes parquet row groups); exact integer counts
+    and epoch-ms bounds."""
+    cut, gap = T_JAN15, MS_PER_DAY
+    ev = _t(spark, sf_dir, "events").select(_ts_ms().alias("ts_ms"))
+    labeled = ev.withColumn(
+        "split",
+        F.when(F.col("ts_ms") < cut - gap, F.lit("train"))
+        .when(F.col("ts_ms") >= cut, F.lit("eval"))
+        .otherwise(F.lit("purged")),
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_ms").alias("min_ts"),
+            F.max("ts_ms").alias("max_ts"),
+        )
+        .orderBy("split")
+    )
+
+
+SQL_EMBARGO_SPLIT = f"""
+SELECT split, count(*) AS n, min(ts_ms) AS min_ts, max(ts_ms) AS max_ts
+FROM (
+  SELECT CASE WHEN epoch_ms(ts) < {T_JAN15} - {MS_PER_DAY} THEN 'train'
+              WHEN epoch_ms(ts) >= {T_JAN15} THEN 'eval'
+              ELSE 'purged' END AS split,
+         epoch_ms(ts) AS ts_ms
+  FROM events
+) GROUP BY split ORDER BY split
+"""
+
+
 def q_event_transitions(spark, sf_dir):
     """User-flow transition matrix: counts of (previous event type →
     current event type) per user timeline — the Markov-chain view of
@@ -6558,7 +6599,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 130 are also locally gated every round by
+# most ~2 rounds old (all 131 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-5 window:
 # HEAD = the two queries that have never had a green driver row
 # (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
@@ -6572,7 +6613,8 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # quantile_normalize, rolling_zscore, resample_linear,
 # window_suite, pagerank, series_trend, distribution_drift,
 # table_profile, mmr_rerank, jaccard_prefix_join, phrase_search,
-# lsh_eval, temperature_mixture, event_transitions, collocations);
+# lsh_eval, temperature_mixture, event_transitions, collocations,
+# embargo_split);
 # then the six TPC-H queries whose last driver row is round-1
 # (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
 # testdata regenerations); then the six flagship reference-procedure
@@ -6625,6 +6667,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "event_transitions": q_event_transitions,
     "collocations": q_collocations,
+    "embargo_split": q_embargo_split,
     # --- last driver row is round-1 ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -6841,6 +6884,7 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "collocations": SQL_COLLOCATIONS,
+    "embargo_split": SQL_EMBARGO_SPLIT,
     "stream_dedup": SQL_STREAM_DEDUP,
     "domain_cap": SQL_DOMAIN_CAP,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
