@@ -54,8 +54,10 @@ from .retrieval import (
     mmr_rerank,
     phrase_search,
     read_bm25_index,
+    read_positional_index,
     rrf_fuse,
     write_bm25_index,
+    write_positional_index,
 )
 from .sampling import (
     cap_per_group,
@@ -85,6 +87,29 @@ from .sketches import (
     value_histogram,
 )
 from .timeseries import resample_linear, rolling_zscore
+
+
+def free_local_checkpoints(spark) -> int:
+    """Unpersist every RDD still registered with the context — in this
+    package, after the round-6 cache-hygiene pass, that can only be
+    local-checkpoint results (mmr_rerank / pagerank / power_iteration
+    return eagerly checkpointed frames; their input-scale helper
+    caches are already released in-operator) plus any caller-persisted
+    state whose documented contract is caller-unpersist (bpe_train's
+    returned word table). Call ONLY when all such results have been
+    consumed: a local checkpoint is the sole copy of its data, so the
+    frame is unusable afterwards. The oracle gate and bench loops call
+    this between queries so a long session never accumulates cached
+    state (r5 ADVICE). Returns the number of RDDs released."""
+    jsc = spark.sparkContext._jsc.sc()
+    rdds = jsc.getPersistentRDDs()
+    it = rdds.values().iterator()
+    n = 0
+    while it.hasNext():
+        it.next().unpersist(False)
+        n += 1
+    return n
+
 
 __all__ = [
     "asof_id_bounds",
@@ -117,6 +142,7 @@ __all__ = [
     "embedding_dup_pairs_portable",
     "flatten_json_value",
     "frame_sample",
+    "free_local_checkpoints",
     "gram_matrix",
     "hash_sample",
     "hash_split",
@@ -151,6 +177,7 @@ __all__ = [
     "pq_topk",
     "quantize_embedding",
     "read_bm25_index",
+    "read_positional_index",
     "referential_violations",
     "repetition_scores",
     "resample_linear",
@@ -169,6 +196,7 @@ __all__ = [
     "value_histogram",
     "word_counts",
     "write_bm25_index",
+    "write_positional_index",
     "zorder_locality_stats",
     "zorder_repartition",
 ]

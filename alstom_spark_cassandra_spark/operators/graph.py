@@ -20,9 +20,12 @@ redistributing) dangling policy, stated so the oracle matches it.
 
 Scale shape: per round, one equi-join of edges against the vertex-rank
 table + one map-side-partial groupBy on dst — the Pregel pattern as
-plain DataFrame ops. Edges and degrees are computed once and
-persisted; rank tables are vertex-sized. Rounds chain lazily (a
-cluster deployment would checkpoint every ~5 rounds to cut lineage).
+plain DataFrame ops. Edges and degrees are computed once, persisted
+for the duration of the iteration, and RELEASED before return: the
+final vertex-sized rank table is eagerly localCheckpoint-ed (which
+also truncates the n_iters-deep lineage — the every-~5-rounds
+checkpoint a cluster run needs), so the operator leaves nothing in
+the cache (r5 ADVICE: caches accumulated across a 131-query session).
 """
 
 from __future__ import annotations
@@ -47,6 +50,18 @@ def pagerank(
     jump = (100 - damping_pct) * MICRO // 100
     e = edges.select("src", "dst").persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    try:
+        r = _pagerank_rounds(e, deg, vertices, vertex_col, n_iters,
+                             damping_pct, jump)
+        # materialize the vertex-sized result BEFORE releasing the
+        # caches it was built from; also truncates n_iters of lineage
+        return r.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        deg.unpersist()
+
+
+def _pagerank_rounds(e, deg, vertices, vertex_col, n_iters, damping_pct, jump):
     r = vertices.select(
         F.col(vertex_col).alias("v"), F.lit(MICRO).cast("long").alias("rank")
     )

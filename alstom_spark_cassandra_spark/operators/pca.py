@@ -78,34 +78,42 @@ def power_iteration(
 ) -> DataFrame:
     """(pos, v_milli): the iterate after exactly `n_iters` rounds of
     v ∝ G·v from the all-ones start, renormalized to |v|∞ = scale
-    each round. Lazy end-to-end; the vector is `dim` rows and rides
-    broadcast, the 1-row max rescale is the sanctioned scalar
-    crossJoin."""
+    each round. The vector is `dim` rows and rides broadcast, the
+    1-row max rescale is the sanctioned scalar crossJoin. The final
+    dim-row iterate is eagerly localCheckpoint-ed so the Gram cache
+    can be released before return — the operator leaves nothing
+    cached (r5 ADVICE)."""
     # persist the d^2-cell Gram table: each round references the
     # iterate twice (the max rescale and the update), so the lineage
     # fans out ~2^n_iters — uncached, the corpus-width Gram scan
     # would re-execute at every leaf (measured: power phase cost ≈
     # the gram phase again at 5M rows). The cache is d^2 rows;
-    # persist() is lazy, so the collect-free contract holds.
+    # persist() is lazy, so the collect-free contract holds (the one
+    # job is the final checkpoint that releases it).
     gram = gram.persist()
-    spark = gram.sparkSession
-    v = spark.range(1, dim + 1).select(
-        F.col("id").cast("int").alias("j"),
-        F.lit(scale).cast("long").alias("val"),
-    )
-    for _ in range(n_iters):
-        raw = (
-            gram.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("val")).alias("raw"))
+    try:
+        spark = gram.sparkSession
+        v = spark.range(1, dim + 1).select(
+            F.col("id").cast("int").alias("j"),
+            F.lit(scale).cast("long").alias("val"),
         )
-        m = raw.agg(F.max(F.abs(F.col("raw"))).alias("m"))
-        v = raw.crossJoin(F.broadcast(m)).select(
-            F.col("i").alias("j"),
-            F.floor(
-                F.col("raw") * F.lit(float(scale)) / F.col("m") + F.lit(0.5)
+        for _ in range(n_iters):
+            raw = (
+                gram.join(F.broadcast(v), "j")
+                .groupBy("i")
+                .agg(F.sum(F.col("c") * F.col("val")).alias("raw"))
             )
-            .cast("long")
-            .alias("val"),
-        )
-    return v.select(F.col("j").alias("pos"), F.col("val").alias("v_milli"))
+            m = raw.agg(F.max(F.abs(F.col("raw"))).alias("m"))
+            v = raw.crossJoin(F.broadcast(m)).select(
+                F.col("i").alias("j"),
+                F.floor(
+                    F.col("raw") * F.lit(float(scale)) / F.col("m")
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("val"),
+            )
+        out = v.select(F.col("j").alias("pos"), F.col("val").alias("v_milli"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        gram.unpersist()

@@ -814,9 +814,20 @@ def get_update_history(
     pivot: bool = False,
     default_value: float = -1.0,
     use_cache: bool = True,
+    max_dense_cells: int | None = 100_000_000,
 ) -> DataFrame:
     """Q3: dense value-over-time matrix for a set of series over an id
     window (reference: SQL/GetUpdateHistory.sql).
+
+    `max_dense_cells` guards the dense grid's inherent blow-up (grid
+    time points × series — the reference matrix's own semantics): when
+    the driver-known upper bound (id-window width × series) exceeds
+    it, ONE count job on the cached base measures the exact grid, and
+    a grid × series product above the cap raises ValueError with
+    chunking guidance instead of silently building a memory-breaking
+    matrix (SCALE.md round-5 probe: grid × series dominates cost).
+    The common small-window call never pays a job. Pass None to
+    disable for callers that sized their cluster for the matrix.
 
     Long format is the primary output (series key as rows) — the
     reference's one-column-per-series pivot is its own scalability
@@ -892,6 +903,30 @@ def get_update_history(
             ).limit(1)
         )
     )
+    if max_dense_cells is not None:
+        n_series = (
+            len(arg_rows) if arg_rows is not None else arguments.count()
+        )
+        # driver-known upper bound first: distinct update ids in the
+        # window cannot exceed its integer width, so a small window
+        # never pays a measurement job
+        id_span = max(
+            end_instance_message_id - start_instance_message_id + 1, 1
+        )
+        if n_series * id_span > max_dense_cells:
+            n_ids = ids.count()
+            if n_series * n_ids > max_dense_cells:
+                raise ValueError(
+                    f"get_update_history dense grid would be "
+                    f"{n_ids} time points x {n_series} series = "
+                    f"{n_series * n_ids} cells, above the "
+                    f"max_dense_cells cap ({max_dense_cells}). Chunk "
+                    f"the [start, end] id window into sub-windows "
+                    f"(each seeded by its own start state — results "
+                    f"concatenate exactly), request fewer series per "
+                    f"call, or pass max_dense_cells=None if the "
+                    f"cluster is sized for the full matrix."
+                )
     placeholders = ids.crossJoin(
         F.broadcast(arguments.select(*SERIES_KEY))
     ).select(

@@ -5023,9 +5023,11 @@ def q_collocations(spark, sf_dir):
     """Collocation extraction: the corpus's most-associated adjacent
     word pairs by LIFT — observed bigram probability over the
     product of unigram probabilities, the log-free PMI variant:
-    lift = n_ab · N_uni² / (N_big · n_a · n_b). All five counts are
-    exact integers ≤ 2^53, so the single double division is
-    bit-identical cross-engine and lift_micro is exact. Bigrams under
+    lift = n_ab · N_uni² / (N_big · n_a · n_b). Each count is an
+    exact integer ≤ 2^53, and both products are evaluated in DOUBLE
+    from the first multiply (left-assoc IEEE, identical on both
+    engines) so n_ab·N_uni² cannot overflow int64 at large corpora
+    (r5 ADVICE: the int64 form broke once N_uni ≳ 3e6). Bigrams under
     5 occurrences are noise-filtered BEFORE ranking; top-20 by
     (lift DESC, bigram ASC) via orderBy+limit
     (TakeOrderedAndProject — partial top-k, no global sort). One
@@ -5074,8 +5076,8 @@ def q_collocations(spark, sf_dir):
     )
     lift_micro = F.floor(
         (
-            (F.col("n_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
-            / (F.col("n_big") * F.col("n_a") * F.col("n_b")).cast("double")
+            (F.col("n_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+            / (F.col("n_big").cast("double") * F.col("n_a") * F.col("n_b"))
         )
         * F.lit(1_000_000.0)
         + F.lit(0.5)
@@ -5119,8 +5121,8 @@ tot AS (
 scored AS (
   SELECT bi.a, bi.b, CAST(bi.n_ab AS BIGINT) AS n_ab,
     CAST(floor(
-      (CAST(bi.n_ab * n_uni * n_uni AS DOUBLE)
-       / CAST(n_big * ua.n_w * ub.n_w AS DOUBLE)) * 1000000.0 + 0.5
+      ((CAST(bi.n_ab AS DOUBLE) * n_uni * n_uni)
+       / (CAST(n_big AS DOUBLE) * ua.n_w * ub.n_w)) * 1000000.0 + 0.5
     ) AS BIGINT) AS lift_micro
   FROM bi
   JOIN uni ua ON ua.w = bi.a
@@ -5337,6 +5339,47 @@ def q_phrase_search(spark, sf_dir):
     p = build_positional_postings(docs)
     return (
         phrase_search(p, "table hash")
+        .select(F.col("doc").alias("doc_id"), "n_matches")
+        .orderBy("doc_id")
+    )
+
+
+def q_phrase_persisted(spark, sf_dir):
+    """PERSISTED bucketed positional index (operators/retrieval.
+    build_positional_postings(n_buckets)/write_positional_index/
+    read_positional_index): the positional postings written
+    partitioned by term-hash bucket — the bm25_persisted layout,
+    extended to the phrase index (r5 VERDICT item 2) — then the same
+    "table hash" phrase searched against the DISK index. Each term's
+    scan filters bucket == hash(term) first, which compiles to a
+    PartitionFilter on the partitioned layout (plan-asserted in
+    tests/test_retrieval.py), so a phrase query reads ONLY its
+    terms' bucket directories. Build-once / query-forever; output
+    must equal the inline path bit-for-bit, so the oracle is
+    SQL_PHRASE_SEARCH."""
+    import tempfile
+
+    from .operators.retrieval import (
+        PositionalIndex,
+        build_positional_postings,
+        phrase_search,
+        read_positional_index,
+        write_positional_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/pos_index{slug}"
+    write_positional_index(
+        PositionalIndex(
+            build_positional_postings(docs, "text", "doc_id", n_buckets=16),
+            n_buckets=16,
+        ),
+        path,
+    )
+    idx = read_positional_index(spark, path)
+    return (
+        phrase_search(idx, "table hash")
         .select(F.col("doc").alias("doc_id"), "n_matches")
         .orderBy("doc_id")
     )
@@ -5852,7 +5895,9 @@ def q_window_suite(spark, sf_dir):
     semantics out of play; percent_rank/cume_dist are single exact
     divisions, half-up quantized; lag/lead defaults use the
     reference's -1 sentinel convention (SQL/GetMessage.sql null
-    defaults)."""
+    defaults). The sentinel is applied via coalesce (not the lag
+    default arg) so a genuine NULL value ALSO maps to -1 — the exact
+    contract the COALESCE oracle implements (r5 ADVICE)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
     w = Window.partitionBy("user_id").orderBy("event_id")
     return ev.select(
@@ -5860,8 +5905,8 @@ def q_window_suite(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
         half_up(F.cume_dist().over(w), 6).alias("cume"),
-        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
-        F.lead("value", 1, -1.0).over(w).alias("next_value"),
+        F.coalesce(F.lag("value", 1).over(w), F.lit(-1.0)).alias("prev_value"),
+        F.coalesce(F.lead("value", 1).over(w), F.lit(-1.0)).alias("next_value"),
     ).orderBy("event_id")
 
 
@@ -6392,7 +6437,11 @@ def q_bpe_merges(spark, sf_dir):
     from .operators.bpe import bpe_train, merges_df, word_counts
 
     docs = _t(spark, sf_dir, "documents")
-    rules, _state = bpe_train(word_counts(docs), n_merges=8)
+    rules, state = bpe_train(word_counts(docs), n_merges=8)
+    # the rules are already driver-side literals; the returned frame
+    # never touches the persisted word table — release it here (the
+    # caller-unpersist contract bpe_train documents; r5 ADVICE)
+    state.unpersist()
     return merges_df(spark, rules).orderBy("round")
 
 

@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from alstom_spark_cassandra_spark.operators import free_local_checkpoints
 from alstom_spark_cassandra_spark.session import get_spark
 from alstom_spark_cassandra_spark.workloads import SPARK_QUERIES
 
@@ -84,6 +85,10 @@ def main():
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # outside the timed section: drop any caches/checkpoints a
+        # query left behind so later timings aren't cross-polluted
+        spark.catalog.clearCache()
+        free_local_checkpoints(spark)
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -98,6 +98,8 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
+    from alstom_spark_cassandra_spark.operators import free_local_checkpoints
+
     qs = e.queries()
     oracles = e.oracle_sql()
     failures = []
@@ -111,6 +113,11 @@ def main():
             spark_rows = [
                 tuple(row[c] for c in spark_cols) for row in df.collect()
             ]
+            # rows are on the driver now — release any local-checkpoint
+            # results / caller-contract caches so a 131-query session
+            # doesn't accumulate cached state (r5 ADVICE)
+            spark.catalog.clearCache()
+            free_local_checkpoints(spark)
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"[FAIL] {name}: spark error: {str(ex)[:200]}")

@@ -55,12 +55,23 @@ def test_power_iteration_deterministic_across_partitionings(spark):
     )
 
 
-def test_power_iteration_is_lazy_no_collect(spark):
-    """The whole pipeline must stay one lazy plan — building it
-    triggers no jobs (collect-free contract)."""
+def test_power_iteration_no_collect_and_no_cache_leftovers(spark):
+    """Collect-free contract, round-6 form: the operator never pulls
+    corpus-scale data to the driver (no .collect inside) and releases
+    its input-scale Gram cache before return — the ONLY persisted
+    artifact left is the returned dim-row local checkpoint (a local
+    checkpoint IS a persisted RDD; it cannot be unpersisted without
+    destroying the result). Callers that are done with the result
+    drop it via free_local_checkpoints (exercised here)."""
+    from alstom_spark_cassandra_spark.operators import free_local_checkpoints
+
+    free_local_checkpoints(spark)
     emb = _vecs(spark, [(i, [1.0, 2.0]) for i in range(10)])
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup() or [])
-    _plan = power_iteration(gram_matrix(emb), dim=2)
-    after = len(tracker.getJobIdsForGroup() or [])
-    assert before == after
+    out = power_iteration(gram_matrix(emb), dim=2)
+    jsc = spark.sparkContext._jsc.sc()
+    # the d^2 Gram cache is gone; only the dim-row checkpoint remains
+    assert jsc.getPersistentRDDs().size() <= 1
+    # result is usable after the release (checkpoint, not lineage)
+    assert len(out.collect()) == 2
+    free_local_checkpoints(spark)
+    assert jsc.getPersistentRDDs().size() == 0

@@ -447,6 +447,37 @@ def test_get_update_history_locf_dense(spark, domain):
             assert r.value == float(expect)
 
 
+def test_get_update_history_dense_cell_guard(spark, domain):
+    """The max_dense_cells guard (SCALE.md: grid x series dominates
+    cost): a window whose exact grid x series product exceeds the cap
+    raises with chunking guidance; the driver-known upper bound means
+    a small request never even measures; None disables."""
+    import pytest
+
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
+    # exact grid for [50, 120] over 2 series is small but nonzero:
+    # force the measurement path (upper bound 2*71 > 4) AND the
+    # failure (2 * n_ids > 4)
+    with pytest.raises(ValueError, match="max_dense_cells"):
+        get_update_history(domain["log"], args, 50, 120, max_dense_cells=4)
+    # cap disabled -> identical result to the default path
+    a = get_update_history(
+        domain["log"], args, 50, 120, max_dense_cells=None
+    ).collect()
+    b = get_update_history(domain["log"], args, 50, 120).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # a cap the driver-known bound already satisfies pays no job and
+    # passes: width 71 * 2 series = 142 cells <= 1000
+    assert (
+        len(
+            get_update_history(
+                domain["log"], args, 50, 120, max_dense_cells=1000
+            ).collect()
+        )
+        > 0
+    )
+
+
 def test_get_update_history_pivot_and_filter(spark, domain):
     args = make_arguments(spark, [1, 2], [0, 0], [0, 0], ["value >= 0", None])
     wide = get_update_history(domain["log"], args, 50, 120, pivot=True)

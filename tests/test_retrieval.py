@@ -250,3 +250,49 @@ def test_phrase_single_term_is_term_frequency(spark):
     p = build_positional_postings(docs)
     got = {r.doc: r.n_matches for r in phrase_search(p, "x").collect()}
     assert got == {1: 2}
+
+
+def test_positional_index_roundtrip_and_pruning(spark, tmp_path):
+    """Persisted bucketed positional index: disk results are
+    bit-identical to the inline path, and every phrase term's bucket
+    reaches the postings scan as a PartitionFilter (only the phrase
+    terms' bucket directories are read — the bm25_persisted layout
+    proven for the phrase index, r5 VERDICT item 2)."""
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        PositionalIndex,
+        read_positional_index,
+        write_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big"),
+            (2, "data big"),
+            (3, "big x data"),
+            (4, "BIG DATA"),
+        ],
+        "doc_id long, text string",
+    )
+    inline = {
+        r.doc: r.n_matches
+        for r in phrase_search(
+            build_positional_postings(docs), "big data"
+        ).collect()
+    }
+
+    path = str(tmp_path / "posidx")
+    write_positional_index(
+        PositionalIndex(
+            build_positional_postings(docs, n_buckets=8), n_buckets=8
+        ),
+        path,
+    )
+    idx = read_positional_index(spark, path)
+    assert idx.n_buckets == 8
+    out = phrase_search(idx, "big data")
+    got = {r.doc: r.n_matches for r in out.collect()}
+    assert got == inline == {1: 2, 4: 1}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
