@@ -5323,6 +5323,244 @@ FROM c
 """
 
 
+def q_ivf_eval(spark, sf_dir):
+    """IVF recall harness (the lsh_eval pattern for ANN): MEASURE
+    partial-probe IVF accuracy against exact ground truth, as a
+    driver-checkable query — r5 VERDICT item 3 (the registry's
+    ivf_topk rows prove full-probe ≡ exact; this grades the
+    configuration a cluster actually runs, nprobe < n_centroids).
+
+    Pipeline: k=8 integer-grid k-means centroids (ONE Lloyd round,
+    seeds vec_id 0..7 — the kmeans_clusters portability contract, so
+    centroids AND assignments are bit-reproducible in SQL), each of
+    the 5 query vectors probes its nprobe=2 nearest centroids by
+    integer L2 on the quantized grid, candidates = assigned members
+    of probed cells, IVF top-10 by exact cosine within candidates vs
+    truth top-10 over the whole corpus. Output per query: cells
+    scanned, candidate count, corpus size, hits, recall@10 in
+    micro-units, and partial_probe certifying the measurement
+    scanned a strict corpus subset. Every ingredient is
+    engine-portable, so this is a HARD oracle on the measured recall
+    itself — not an error-bound verdict."""
+    from .operators.similarity import cosine, kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    assign, cents = kmeans(emb, init, n_iters=1)
+
+    m = 1_000_000
+    qq = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
+        ).alias("__qq"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    )
+    # probe selection: integer L2 between the quantized query and the
+    # integer-grid centroids (k x dim rows, broadcast) — order-free
+    # integer sums, ties to the lowest cid, like the assignment side
+    diff = F.element_at("__qq", F.col("pos") + 1) - F.col("qc")
+    probes = (
+        qq.join(F.broadcast(cents))
+        .groupBy("query_id", "cid")
+        .agg(F.sum(diff * diff).alias("__d"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__d").asc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= 2)
+        .select("query_id", "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .select("query_id", "vec_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(
+            F.broadcast(qq.select("query_id", "__qv")), "query_id"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(
+                F.col("embedding").cast("array<double>"), F.col("__qv")
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("vec_id").asc()
+    )
+    ivf10 = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    truth10 = cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=10,
+    ).select("query_id", "vec_id")
+
+    n_scanned = cand.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_scanned")
+    )
+    n_hit = (
+        ivf10.join(truth10, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        n_scanned.join(n_hit, "query_id", "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "query_id",
+            "n_scanned",
+            "n_corpus",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_hit"),
+            F.floor(
+                F.coalesce(F.col("n"), F.lit(0)) * F.lit(1_000_000.0)
+                / F.lit(10.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("recall_micro"),
+            (F.col("n_scanned") < F.col("n_corpus")).alias("partial_probe"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ivf_eval_oracle_sql(
+    k: int = 8, dim: int = 64, scale: int = 6, nprobe: int = 2,
+    nq: int = 5, topk: int = 10,
+) -> str:
+    """ivf_eval oracle: the kmeans unrolled-Lloyd chain (ONE round,
+    c0 -> a1/u1 -> c1 -> afinal) in long centroid format, then probe
+    selection by integer L2, in-cell exact-cosine top-k, whole-corpus
+    truth top-k, and per-query hit counting — the same arithmetic as
+    the Spark pipeline on both the integer grid and the ordered-array
+    double cosine."""
+    m = 10**scale
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(floor(x * {m} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS qc FROM e WHERE vec_id < {k}
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (e.qv[i] - c.qc[i]) * (e.qv[i] - c.qc[i]))),
+             c.cid) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a1.cid, i AS pos, SUM(e.qv[i]) AS s, COUNT(*) AS n
+  FROM a1 JOIN e USING (vec_id), UNNEST(range(1, {dim + 1})) r(i)
+  GROUP BY a1.cid, i
+),
+c1 AS (
+  SELECT c0.cid,
+         CASE WHEN max(u.cid) IS NULL THEN c0.qc
+              ELSE list(CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5)
+                             AS BIGINT) ORDER BY u.pos)
+         END AS qc
+  FROM c0 LEFT JOIN u1 u ON u.cid = c0.cid
+  GROUP BY c0.cid, c0.qc
+),
+afinal AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (e.qv[i] - c.qc[i]) * (e.qv[i] - c.qc[i]))),
+             c.cid) AS rn
+    FROM e CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv_raw, qv AS qq FROM e
+      WHERE vec_id < {nq}),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(range(1, {dim + 1}),
+               i -> (q.qq[i] - c.qc[i]) * (q.qq[i] - c.qc[i]))),
+             c.cid) AS rn
+    FROM q CROSS JOIN c1 c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(e.v, q.qv_raw) /
+           (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.qv_raw, q.qv_raw))) AS cos
+  FROM probes p
+  JOIN afinal a ON a.cid = p.cid
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+),
+ivf10 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, vec_id ASC) AS rn
+    FROM cand
+  ) WHERE rn <= {topk}
+),
+truth10 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(e.v, q.qv_raw) /
+               (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv_raw, q.qv_raw))) DESC,
+             e.vec_id ASC) AS rn
+    FROM e CROSS JOIN q
+  ) WHERE rn <= {topk}
+),
+scanned AS (
+  SELECT query_id, count(*) AS n_scanned FROM cand GROUP BY query_id
+),
+hits AS (
+  SELECT i.query_id, count(*) AS n_hit
+  FROM ivf10 i JOIN truth10 t
+    ON t.query_id = i.query_id AND t.vec_id = i.vec_id
+  GROUP BY i.query_id
+),
+tot AS (SELECT count(*) AS n_corpus FROM e)
+SELECT s.query_id, CAST(s.n_scanned AS BIGINT) AS n_scanned,
+       CAST(n_corpus AS BIGINT) AS n_corpus,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(COALESCE(h.n_hit, 0) * 1000000.0 / {topk}.0 + 0.5)
+            AS BIGINT) AS recall_micro,
+       s.n_scanned < n_corpus AS partial_probe
+FROM scanned s LEFT JOIN hits h ON h.query_id = s.query_id
+CROSS JOIN tot
+ORDER BY s.query_id
+"""
+
+
+SQL_IVF_EVAL = _ivf_eval_oracle_sql()
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact phrase retrieval over a positional inverted index
     (operators/retrieval.build_positional_postings + phrase_search):
@@ -6676,7 +6914,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # falls outside the ~50 window along with the round-4-green TAIL —
 # all locally exact-gated every round regardless.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never driver-green: r3 no_oracle, hard-oracled since r4 ---
+    # --- new this round (round 6) ---
+    "phrase_persisted": q_phrase_persisted,
+    "ivf_eval": q_ivf_eval,
+    # --- previous head (all r5-green) ---
     "approx_stats": q_approx_stats,
     "ivf_topk": q_ivf_topk,
     # --- new this round ---
@@ -6929,7 +7170,10 @@ ORACLE_SQL: dict[str, str] = {
     "mmr_rerank": SQL_MMR_RERANK,
     "jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,
     "phrase_search": SQL_PHRASE_SEARCH,
+    # bucketed disk positional index must reproduce the inline path
+    "phrase_persisted": SQL_PHRASE_SEARCH,
     "lsh_eval": SQL_LSH_EVAL,
+    "ivf_eval": SQL_IVF_EVAL,
     "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "collocations": SQL_COLLOCATIONS,
