@@ -78,6 +78,8 @@ from .similarity import (
     search_ivf_index,
 )
 from .sketches import (
+    bloom_build,
+    bloom_prefilter,
     cms_build,
     cms_lookup,
     histogram_cdf,
@@ -86,6 +88,7 @@ from .sketches import (
     hll_rollup,
     value_histogram,
 )
+from .skew import salted_join
 from .timeseries import resample_linear, rolling_zscore
 
 
@@ -116,6 +119,8 @@ __all__ = [
     "asof_snapshot_pair",
     "audio_features",
     "benchmark_contamination",
+    "bloom_build",
+    "bloom_prefilter",
     "bm25_topk",
     "bpe_segment",
     "bpe_train",
@@ -183,6 +188,7 @@ __all__ = [
     "resample_linear",
     "rolling_zscore",
     "rrf_fuse",
+    "salted_join",
     "search_ivf_index",
     "simhash",
     "simhash_bands",

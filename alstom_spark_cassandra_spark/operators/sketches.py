@@ -182,6 +182,81 @@ def cms_lookup(
     )
 
 
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Bloom filter of a key set as a (row, bucket) DISTINCT-cell
+    table — the set-membership sibling of cms_build (which counts).
+    depth × width bits total regardless of key count; two filters of
+    disjoint key sets merge by plain UNION DISTINCT. Portable md5
+    bucketing, so the filter — and every membership test — is
+    engine-reproducible and hard-oracle-checkable."""
+    c = F.col(key_col)
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _md5_bucket(c, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return cells.select(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).distinct()
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Rows of `df` whose key hits a set bit in ALL `depth` bloom rows
+    — a SUPERSET of the rows whose key is in the built set (a Bloom
+    filter never false-negatives; false positives are the classical
+    (1-e^{-kn/m})^k fraction). The big-data join economics: run this
+    BEFORE an expensive shuffle join so only candidate rows pay the
+    exchange — the manual form of Spark's own runtime bloom pruning,
+    here explicit, deterministic, and persistable.
+
+    Scale shape: the bloom table is depth × width CELLS at most (a few
+    KB); it is collected once and compiled into literal bitmask words,
+    so the membership test is a PURE MAP predicate (getbit over array
+    literals) that rides into the scan — zero joins, zero shuffles,
+    whole-stage codegen. The tiny-scalar collect is the sanctioned
+    bucket-literal pattern (bm25's partition-filter resolution)."""
+    words_per_row = (width + 63) // 64
+    masks = [[0] * words_per_row for _ in range(depth)]
+    for r in bloom.collect():
+        masks[int(r["row"])][int(r["bucket"]) // 64] |= 1 << (
+            int(r["bucket"]) % 64
+        )
+
+    def _signed(w: int) -> int:
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    c = F.col(key_col)
+    pred = None
+    for i in range(depth):
+        mask = F.array(
+            *[F.lit(_signed(w)).cast("long") for w in masks[i]]
+        )
+        b = _md5_bucket(c, i, width)
+        word = F.element_at(mask, F.shiftright(b, 6) + F.lit(1))
+        hit = F.getbit(word, F.pmod(b, F.lit(64)).cast("int")) == F.lit(1)
+        pred = hit if pred is None else (pred & hit)
+    return df.filter(pred)
+
+
 def value_histogram(
     df: DataFrame,
     value_col: str,

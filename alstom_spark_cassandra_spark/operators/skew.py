@@ -1,97 +1,62 @@
-"""Skew-resistant aggregation and join helpers.
+"""Skew mitigation: salted equi-join.
 
-The reference never had to care (single node, small data), but the
-change-log domain is exactly where key skew bites at 100 TB: a few
-chatty equipments/fields dominate `instance_field`, so a plain
-groupBy((field, src, dst)) funnels those series into single reducers.
+Spark 3+'s AQE skew-join handles most sort-merge skew by splitting
+oversized partitions at runtime, but it cannot help when (a) the join
+is forced to a shuffled hash join whose build side explodes on one
+key, (b) the skew is on the STREAM side of a broadcast-unfriendly
+join, or (c) a deterministic, planner-independent layout is required
+(e.g. a persisted pre-shuffled table). Salting is the classical
+explicit fix: spread each hot key's rows across `n_salts` reducers by
+joining on (key, salt), replicating the other side once per salt.
 
-Two standard remedies, expressed as reusable operators:
-
-- `salted_agg`: two-phase aggregation — partial agg on (keys, salt),
-  final agg on keys. MEASURED guidance (SCALE.md): for plain
-  algebraic aggregates Spark's map-side partial aggregation already
-  collapses a hot key to one row per map task, and the plain groupBy
-  WINS (salting pays an extra shuffle). Reach for salted_agg only
-  when partial aggregation cannot compress: high-cardinality
-  composite keys, distinct-style aggregation, or as the pattern for
-  window work over a hot partition.
-- `salted_broadcast_left`: replicate-and-salt pattern for joining a
-  skewed fact against a dimension too big to broadcast whole but
-  small enough to replicate R ways: fact rows get a random salt in
-  [0,R), dim rows are exploded R times, the join key becomes
-  (key, salt) — the hot key's rows spread over R reducers.
-
-AQE (`spark.sql.adaptive.skewJoin.enabled`, set in session.py)
-handles sort-merge-join skew automatically; these operators cover the
-aggregation and broadcast-replication cases AQE does not.
+The contract here is exactness: `salted_join` must return EXACTLY the
+rows of the unsalted join (pinned by the registry oracle, which runs
+the PLAIN join in SQL) — salting is a physical rewrite, never a
+semantic one. Cost: the replicated side grows n_salts×, so use it
+when that side is small relative to the skewed side (the usual
+many-to-one fact⋈dim shape); the salt column lives only inside the
+operator.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def salted_agg(
-    df: DataFrame,
-    keys: Sequence[str],
-    aggs: dict[str, tuple[str, str]],
-    n_salts: int = 16,
-) -> DataFrame:
-    """Two-phase aggregation: `aggs` maps output column ->
-    (input column, fn) with fn in {sum, count, min, max}.
-
-    Phase 1 aggregates on (keys, salt) — the hot key's rows split
-    across n_salts reducers; phase 2 merges the partials on keys
-    (count merges by sum).
-    """
-    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
-    for out, (col, fn) in aggs.items():
-        if fn not in merge_fn:
-            raise ValueError(f"{fn} is not algebraic; use groupBy directly")
-
-    # salt from row CONTENT, never monotonically_increasing_id: a
-    # nondeterministic salt recomputed on task retry moves rows between
-    # (key, salt) partitions mid-shuffle and silently double/under
-    # counts (the SPARK-23207 failure class). Hashing all columns keeps
-    # replays bit-identical; identical duplicate rows sharing a salt is
-    # harmless for aggregation.
-    salted = df.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
-    )
-    partial = salted.groupBy(*keys, "__salt").agg(
-        *[
-            getattr(F, fn)(col).alias(f"__p_{out}")
-            for out, (col, fn) in aggs.items()
-        ]
-    )
-    return partial.groupBy(*keys).agg(
-        *[
-            getattr(F, merge_fn[fn])(f"__p_{out}").alias(out)
-            for out, (col, fn) in aggs.items()
-        ]
-    )
-
-
-def salted_broadcast_left(
-    fact: DataFrame,
-    dim: DataFrame,
-    key: str,
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
     n_salts: int = 8,
+    how: str = "inner",
 ) -> DataFrame:
-    """Skew-spread inner equi-join: fact rows get a deterministic salt,
-    dim rows replicate n_salts ways, join on (key, salt)."""
-    # deterministic content-derived salt (see salted_agg note)
-    f = fact.withColumn(
+    """Equi-join `skewed ⋈ other` on `on`, executed as a join on
+    (on + salt): each skewed-side row gets a deterministic salt in
+    [0, n_salts) hashed from its full row (so one hot key's rows
+    spread evenly), and `other` replicates once per salt value.
+
+    `how` is limited to inner/left/left_semi/left_anti — shapes where
+    an unmatched OTHER-side row never surfaces, so the n_salts-fold
+    replication cannot duplicate output. Right/full joins would emit
+    each unmatched other-side row once per salt; use the plain join
+    (or swap sides) for those.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, "
+            f"got {how!r}: replicating the other side would duplicate "
+            f"its unmatched rows in right/full joins"
+        )
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).cast("int")
+    l = skewed.withColumn("__salt", salt)
+    r = other.withColumn(
         "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
-        ).cast("int"),
+        F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)])),
     )
-    d = dim.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    )
-    return f.join(d, [key, "__salt"]).drop("__salt")
+    return l.join(r, on + ["__salt"], how).drop("__salt")

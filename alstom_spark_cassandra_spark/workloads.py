@@ -535,6 +535,40 @@ SELECT event_id, user_id, event_type, value FROM (
 """
 
 
+def q_compaction_persisted(spark, sf_dir):
+    """S7 WRITE PATH closed end-to-end (r5 VERDICT item 6; the
+    reference's intended-but-never-landed Backup write-back,
+    Backup.java:43-61): the same compaction as q_compaction, but the
+    compacted log is WRITTEN through sources/sinks.write_compacted_log
+    — parquet partitioned by a 64-way series hash bucket, so later
+    per-series reads stay narrow — then RE-READ from disk for
+    grading. The disk round-trip (column types through parquet,
+    partition-column recovery, bucket layout) must reproduce the
+    computed DataFrame bit-for-bit, so the oracle is SQL_COMPACTION —
+    the bm25_persisted/phrase_persisted pattern applied to the
+    reference's own sink."""
+    import tempfile
+
+    from .plans.queries import backup
+    from .sources.sinks import write_compacted_log
+
+    ev = _t(spark, sf_dir, "events")
+    log = _domain_log(ev)
+    msg = ev.select(
+        F.col("event_id").alias("id"), _ts_ms().alias("log_time")
+    )
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/compacted_log{slug}"
+    write_compacted_log(backup(log, msg, T_JAN25), path)
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("instance_message_id").alias("event_id"),
+        F.col("src_id").alias("user_id"),
+        F.col("uevol_field_id").alias("event_type"),
+        F.col("new_value").alias("value"),
+    ).orderBy("event_id")
+
+
 def q_sessionization(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user via lag + cumsum
     (standard OLAP pattern; reference has no analog — extension)."""
@@ -4608,6 +4642,145 @@ def q_ivf_persisted(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-mitigated equi-join (operators/skew.salted_join): the
+    events fact joins the customer dim on (key, salt) with the dim
+    replicated 8×, spreading any hot key across 8 reducers — the
+    explicit fix for skew AQE cannot reach (forced shuffled-hash
+    builds, persisted pre-shuffled layouts). The oracle runs the
+    PLAIN join: salting is a physical rewrite and must change
+    nothing — the exactness contract is the graded claim. Values
+    ride as integer millis so the post-join aggregate is an
+    order-free exact sum."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "v_milli"
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, ["k"], n_salts=8)
+    return (
+        j.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_milli").alias("sum_v_milli"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT c_mktsegment, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_v_milli
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join pruning (operators/sketches.bloom_build /
+    bloom_prefilter): the BUILDING-segment customer keys compile to a
+    4×2048-bit md5-portable bloom, and the orders scan is prefiltered
+    to candidate rows BEFORE any join — the manual, persistable form
+    of runtime bloom pruning (only candidates pay the shuffle of the
+    real join that follows). The filter is a pure map predicate
+    (getbit over literal words — no join, no exchange; plan-asserted
+    in tests/test_skew_bloom.py). Output is the measurement: fact /
+    candidate / exact-member / missed counts plus the
+    no-false-negative verdict; every bucket is md5-reproducible, so
+    the ORACLE rebuilds the identical filter and grades the same
+    candidate set bit-for-bit — including the false-positive count,
+    not just the guarantee."""
+    from .operators.sketches import bloom_build, bloom_prefilter
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").cast("string").alias("key")
+    )
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("key"))
+    )
+    bloom = bloom_build(keys, "key", depth=4, width=2048)
+    cand = bloom_prefilter(orders, bloom, "key", depth=4, width=2048)
+    exact = orders.join(keys, "key", "left_semi")
+    missed = exact.join(
+        cand.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    n_fact = orders.agg(F.count(F.lit(1)).alias("n_fact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_missed = missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    return (
+        n_fact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_missed))
+        .select(
+            "n_fact",
+            "n_cand",
+            "n_exact",
+            "n_missed",
+            (F.col("n_missed") == 0).alias("no_false_negative"),
+        )
+    )
+
+
+def _bloom_prefilter_oracle_sql(depth: int = 4, width: int = 2048) -> str:
+    from .operators.sketches import md5_bucket_sql
+
+    cell_rows = "\n    UNION ALL ".join(
+        f"SELECT {i} AS row, {md5_bucket_sql('key', i, width)} AS bucket"
+        " FROM keys"
+        for i in range(depth)
+    )
+    hit_clauses = " AND ".join(
+        f"EXISTS(SELECT 1 FROM cells c WHERE c.row = {i}"
+        f" AND c.bucket = {md5_bucket_sql('f.key', i, width)})"
+        for i in range(depth)
+    )
+    return f"""
+WITH keys AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+),
+cells AS (
+  SELECT DISTINCT row, bucket FROM (
+    {cell_rows}
+  )
+),
+fact AS (
+  SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS key FROM orders
+),
+cand AS (
+  SELECT f.o_orderkey FROM fact f WHERE {hit_clauses}
+),
+exact AS (
+  SELECT f.o_orderkey FROM fact f
+  WHERE f.key IN (SELECT key FROM keys)
+),
+missed AS (
+  SELECT o_orderkey FROM exact
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cand)
+)
+SELECT (SELECT count(*) FROM fact) AS n_fact,
+       (SELECT count(*) FROM cand) AS n_cand,
+       (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM missed) AS n_missed,
+       (SELECT count(*) FROM missed) = 0 AS no_false_negative
+"""
+
+
+SQL_BLOOM_PREFILTER = _bloom_prefilter_oracle_sql()
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters (operators/sketches.cms_build /
     cms_lookup): the corpus term stream is sketched into a 4x256-cell
@@ -6886,104 +7059,39 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 131 are also locally gated every round by
-# scripts/check_oracle.py regardless of position). Round-5 window:
-# HEAD = the two queries that have never had a green driver row
-# (approx_stats, ivf_topk — r3 `no_oracle`, hard-oracled in r4 but
-# left outside the r4 window) plus the new-this-round queries
-# (ivf_persisted, passage_dedup, kmeans_clusters, bm25_retrieval,
-# pq_topk, bm25_persisted, scd2_intervals, cdc_minimize,
-# heavy_hitters, zorder_locality, hybrid_rrf, quality_classifier,
-# ann_filtered_topk, stream_enrichment, bpe_merges,
-# leakage_safe_split, pca_direction, data_quality,
-# bpe_token_counts, funnel_counts, cohort_retention,
-# quantile_normalize, rolling_zscore, resample_linear,
-# window_suite, pagerank, series_trend, distribution_drift,
-# table_profile, mmr_rerank, jaccard_prefix_join, phrase_search,
-# lsh_eval, temperature_mixture, event_transitions, collocations,
-# embargo_split);
-# then the six TPC-H queries whose last driver row is round-1
-# (q5/q6/q10/q14/q18/q19 — predates the ts canonicalization and two
-# testdata regenerations); then the six flagship reference-procedure
-# twins (last row r3 — the core parity queries must stay inside the
-# window even as new queries stack the head); then five round-4-green
-# picks whose code or siblings changed this round (dedup_corpus +
-# incremental_dedup first — the r4-ADVICE fixes); then the round-3-green block
-# (flagship procedures, multiple_fields trio, samplers/pipeline,
-# decontam/PII, ANN, multimodal, remaining TPC-H), whose tail now
-# falls outside the ~50 window along with the round-4-green TAIL —
-# all locally exact-gated every round regardless.
+# most ~2 rounds old (all 136 are also locally gated every round by
+# scripts/check_oracle.py regardless of position). Round-6 window
+# (per the r5 verdict: rotate the 31 r3-stale rows to the head, cap
+# new additions):
+# HEAD = the five new-this-round queries (phrase_persisted, ivf_eval,
+# compaction_persisted, salted_join, bloom_prefilter — never graded);
+# then ALL 31 queries whose last green driver row is round 3, led by
+# retrieve_message_asof (the RetrieveMessage.java:54-118 flagship
+# that fell one slot outside r5's window), the multiple_fields trio,
+# the sampler/pipeline/decontam/ANN/multimodal block, and the 11
+# r3-stale TPC-H queries;
+# then the eight r5-green queries whose code changed THIS round
+# (window_suite lag-coalesce + collocations overflow — the r5 ADVICE
+# oracle-divergence fixes; pagerank/mmr_rerank/bpe_merges/
+# pca_direction cache hygiene; update_history_dense dense-cell guard;
+# phrase_search bucket-pruning signature);
+# then six round-4-green rows (now the stalest greens) to fill the
+# window: tpch_q22, chunk_dedup, domain_cap, corpus_shuffle,
+# token_rarity, mean_embedding.
+# TAIL (outside the window, all locally exact-gated every round):
+# the r5-green block, then the remaining r4-green rows.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new this round (round 6) ---
+    # --- new this round (round 6), never graded ---
     "phrase_persisted": q_phrase_persisted,
     "ivf_eval": q_ivf_eval,
-    # --- previous head (all r5-green) ---
-    "approx_stats": q_approx_stats,
-    "ivf_topk": q_ivf_topk,
-    # --- new this round ---
-    "ivf_persisted": q_ivf_persisted,
-    "passage_dedup": q_passage_dedup,
-    "kmeans_clusters": q_kmeans,
-    "bm25_retrieval": q_bm25_retrieval,
-    "pq_topk": q_pq_topk,
-    "bm25_persisted": q_bm25_persisted,
-    "scd2_intervals": q_scd2_intervals,
-    "cdc_minimize": q_cdc_minimize,
-    "heavy_hitters": q_heavy_hitters,
-    "zorder_locality": q_zorder_locality,
-    "hybrid_rrf": q_hybrid_rrf,
-    "quality_classifier": q_quality_classifier,
-    "ann_filtered_topk": q_ann_filtered_topk,
-    "stream_enrichment": q_stream_enrichment,
-    "bpe_merges": q_bpe_merges,
-    "leakage_safe_split": q_leakage_safe_split,
-    "pca_direction": q_pca_direction,
-    "data_quality": q_data_quality,
-    "bpe_token_counts": q_bpe_token_counts,
-    "funnel_counts": q_funnel_counts,
-    "cohort_retention": q_cohort_retention,
-    "quantile_normalize": q_quantile_normalize,
-    "rolling_zscore": q_rolling_zscore,
-    "resample_linear": q_resample_linear,
-    "window_suite": q_window_suite,
-    "pagerank": q_pagerank,
-    "series_trend": q_series_trend,
-    "distribution_drift": q_distribution_drift,
-    "table_profile": q_table_profile,
-    "mmr_rerank": q_mmr_rerank,
-    "jaccard_prefix_join": q_jaccard_prefix_join,
-    "phrase_search": q_phrase_search,
-    "lsh_eval": q_lsh_eval,
-    "temperature_mixture": q_temperature_mixture,
-    "event_transitions": q_event_transitions,
-    "collocations": q_collocations,
-    "embargo_split": q_embargo_split,
-    # --- last driver row is round-1 ---
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    # --- flagship reference procedures (last row r3) ---
-    "latest_per_key": q_latest_per_key,
-    "asof_join_events": q_asof_join_events,
-    "snapshot_diff": q_snapshot_diff,
-    "update_history_dense": q_update_history_dense,
-    "message_snapshot_delta": q_message_snapshot_delta,
+    "compaction_persisted": q_compaction_persisted,
+    "salted_join": q_salted_join,
+    "bloom_prefilter": q_bloom_prefilter,
+    # --- the 31 r3-stale rows: flagship first ---
     "retrieve_message_asof": q_retrieve_message_asof,
-    # --- r4-green picks whose code/siblings changed this round
-    # (the two ADVICE-fix queries first) ---
-    "dedup_corpus": q_dedup_corpus,
-    "incremental_dedup": q_incremental_dedup,
-    "compaction": q_compaction,
-    "sessionization": q_sessionization,
-    "stream_dedup": q_stream_dedup,
-    # --- round-3-green block, due for refresh ---
     "multiple_fields_asof": q_multiple_fields_asof,
     "multiple_fields_state": q_multiple_fields_state,
     "multiple_fields_snapshot": q_multiple_fields_snapshot,
-    "tpch_q12": q_tpch_q12,
     "stratified_sample": q_stratified_sample,
     "sequence_pack": q_sequence_pack,
     "corpus_pipeline": q_corpus_pipeline,
@@ -7004,19 +7112,79 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
-    # --- tail: driver-green in round 4 (locally gated every round) ---
+    # --- r5-green, code changed this round ---
+    "window_suite": q_window_suite,
+    "collocations": q_collocations,
+    "pagerank": q_pagerank,
+    "mmr_rerank": q_mmr_rerank,
+    "bpe_merges": q_bpe_merges,
+    "pca_direction": q_pca_direction,
+    "update_history_dense": q_update_history_dense,
+    "phrase_search": q_phrase_search,
+    # --- stalest r4-green rows, filling the window to 50 ---
     "tpch_q22": q_tpch_q22,
     "chunk_dedup": q_chunk_dedup,
     "domain_cap": q_domain_cap,
     "corpus_shuffle": q_corpus_shuffle,
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
+    # ======== window boundary (~50) ========
+    # --- r5-green block (freshest driver rows) ---
+    "approx_stats": q_approx_stats,
+    "ivf_topk": q_ivf_topk,
+    "ivf_persisted": q_ivf_persisted,
+    "passage_dedup": q_passage_dedup,
+    "kmeans_clusters": q_kmeans,
+    "bm25_retrieval": q_bm25_retrieval,
+    "pq_topk": q_pq_topk,
+    "bm25_persisted": q_bm25_persisted,
+    "scd2_intervals": q_scd2_intervals,
+    "cdc_minimize": q_cdc_minimize,
+    "heavy_hitters": q_heavy_hitters,
+    "zorder_locality": q_zorder_locality,
+    "hybrid_rrf": q_hybrid_rrf,
+    "quality_classifier": q_quality_classifier,
+    "ann_filtered_topk": q_ann_filtered_topk,
+    "stream_enrichment": q_stream_enrichment,
+    "leakage_safe_split": q_leakage_safe_split,
+    "data_quality": q_data_quality,
+    "bpe_token_counts": q_bpe_token_counts,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "quantile_normalize": q_quantile_normalize,
+    "rolling_zscore": q_rolling_zscore,
+    "resample_linear": q_resample_linear,
+    "series_trend": q_series_trend,
+    "distribution_drift": q_distribution_drift,
+    "table_profile": q_table_profile,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
+    "lsh_eval": q_lsh_eval,
+    "temperature_mixture": q_temperature_mixture,
+    "event_transitions": q_event_transitions,
+    "embargo_split": q_embargo_split,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "latest_per_key": q_latest_per_key,
+    "asof_join_events": q_asof_join_events,
+    "snapshot_diff": q_snapshot_diff,
+    "message_snapshot_delta": q_message_snapshot_delta,
+    "dedup_corpus": q_dedup_corpus,
+    "incremental_dedup": q_incremental_dedup,
+    "compaction": q_compaction,
+    "sessionization": q_sessionization,
+    "stream_dedup": q_stream_dedup,
+    # --- remaining r4-green rows ---
     "histogram_quantiles": q_histogram_quantiles,
     "mixture_sample": q_mixture_sample,
     "minhash_signatures": q_minhash_signatures,
@@ -7073,6 +7241,8 @@ ORACLE_SQL: dict[str, str] = {
     "pivot_matrix": SQL_PIVOT_MATRIX,
     "boundary_padding": SQL_BOUNDARY_PADDING,
     "compaction": SQL_COMPACTION,
+    # the disk round-trip must reproduce the computed compaction
+    "compaction_persisted": SQL_COMPACTION,
     "sessionization": SQL_SESSIONIZATION,
     "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
     "approx_stats": SQL_APPROX_STATS,
@@ -7147,6 +7317,9 @@ ORACLE_SQL: dict[str, str] = {
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "cdc_minimize": SQL_CDC_MINIMIZE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    # salting is a physical rewrite: the oracle runs the PLAIN join
+    "salted_join": SQL_SALTED_JOIN,
+    "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "zorder_locality": SQL_ZORDER_LOCALITY,
     "hybrid_rrf": SQL_HYBRID_RRF,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,

@@ -243,6 +243,8 @@ BNLJ_SANCTIONED = {
     "collocations",           # broadcast 1-row corpus totals
     "tpch_q11",            # scalar subquery (group threshold)
     "tpch_q22",            # scalar subquery (avg acctbal)
+    "ivf_eval",            # broadcast query vectors + 1-row corpus count
+    "bloom_prefilter",     # broadcast 1-row count scalars
 }
 
 

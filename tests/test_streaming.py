@@ -314,6 +314,114 @@ def test_sessionize_stream_boundary(spark, tmp_path):
     assert got[2] == (2, 2)
 
 
+def test_stateful_latest_multi_batch_matches_single(spark, tmp_path):
+    """availableNow can drain a source in ONE micro-batch, which never
+    exercises cross-batch state (r5 VERDICT item 5). Force a
+    one-file-per-trigger execution over a 3-part source and require
+    the final per-key state to be what any batching yields: value from
+    the max (id, tiebreak) across ALL batches, cumulative count 3 —
+    file processing order must not matter because the state compare is
+    on the total order, not arrival order."""
+    rows1 = [(1, 10, 100), (2, 7, 70)]
+    rows2 = [(1, 20, 200)]
+    rows3 = [(1, 5, 55)]  # stale id arriving in a later batch
+    schema = "uevol_field_id int, instance_message_id long, new_value long"
+    path = str(tmp_path / "mb_src")
+    for rows in (rows1, rows2, rows3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stateful_latest_value(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mb_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # the run genuinely spanned multiple micro-batches
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3
+    # update-mode memory sink accumulates per-batch emissions; final
+    # state per key = the row with the largest cumulative count
+    final = {
+        r.uevol_field_id: (r.current_value, r.last_update_id)
+        for r in spark.sql(
+            "select * from ("
+            "  select *, row_number() over ("
+            "    partition by uevol_field_id order by n_updates_total desc"
+            "  ) rn from mb_stateful) where rn = 1"
+        ).collect()
+    }
+    counts = {
+        r.uevol_field_id: r.n_updates_total
+        for r in spark.sql(
+            "select uevol_field_id, max(n_updates_total) as n_updates_total "
+            "from mb_stateful group by uevol_field_id"
+        ).collect()
+    }
+    assert final[1] == (200, 20)  # stale id 5 never overwrote
+    assert counts[1] == 3         # but it WAS counted
+    assert final[2] == (70, 7) and counts[2] == 1
+
+
+def test_sessionize_multi_batch_merges_across_batches(spark, tmp_path):
+    """Sessions must MERGE across micro-batches: two events of the
+    same session arriving in different files (forced one-file
+    triggers) end as ONE session row, and an out-of-gap event stays
+    its own session — identical to the single-batch result."""
+    from alstom_spark_cassandra_spark.streaming import sessionize_stream
+
+    base = 1_700_000_000_000
+    files = [
+        [(1, base)],
+        [(1, base + 600_000)],        # +10 min: same session (gap 30m)
+        [(1, base + 5_400_000)],      # +90 min: new session
+    ]
+    schema = "user_id int, ts_ms long"
+    path = str(tmp_path / "mb_sess_src")
+    for rows in files:
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+    full_schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(full_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sess = sessionize_stream(
+        src, key_cols=["user_id"], gap="30 minutes", watermark=None
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("mb_sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 3
+    # complete mode: the memory table is the FINAL full result
+    out = sorted(
+        (r.n_events for r in spark.sql("select * from mb_sess").collect())
+    )
+    assert out == [1, 2]  # merged 2-event session + the isolated one
+
+
 def test_interval_join_stream_horizon(spark, tmp_path):
     """Stream-stream attribution: inclusive horizon boundary, key
     isolation, and no matches before the left event."""
