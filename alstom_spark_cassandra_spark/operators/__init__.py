@@ -88,7 +88,7 @@ from .sketches import (
     hll_rollup,
     value_histogram,
 )
-from .skew import salted_join
+from .skew import salted_agg, salted_broadcast_left, salted_join
 from .timeseries import resample_linear, rolling_zscore
 
 
@@ -188,6 +188,8 @@ __all__ = [
     "resample_linear",
     "rolling_zscore",
     "rrf_fuse",
+    "salted_agg",
+    "salted_broadcast_left",
     "salted_join",
     "search_ivf_index",
     "simhash",

@@ -1,27 +1,87 @@
-"""Skew mitigation: salted equi-join.
+"""Skew-resistant aggregation and join helpers.
 
-Spark 3+'s AQE skew-join handles most sort-merge skew by splitting
-oversized partitions at runtime, but it cannot help when (a) the join
-is forced to a shuffled hash join whose build side explodes on one
-key, (b) the skew is on the STREAM side of a broadcast-unfriendly
-join, or (c) a deterministic, planner-independent layout is required
-(e.g. a persisted pre-shuffled table). Salting is the classical
-explicit fix: spread each hot key's rows across `n_salts` reducers by
-joining on (key, salt), replicating the other side once per salt.
+The reference never had to care (single node, small data), but the
+change-log domain is exactly where key skew bites at 100 TB: a few
+chatty equipments/fields dominate `instance_field`, so a plain
+groupBy((field, src, dst)) funnels those series into single reducers.
 
-The contract here is exactness: `salted_join` must return EXACTLY the
-rows of the unsalted join (pinned by the registry oracle, which runs
-the PLAIN join in SQL) — salting is a physical rewrite, never a
-semantic one. Cost: the replicated side grows n_salts×, so use it
-when that side is small relative to the skewed side (the usual
-many-to-one fact⋈dim shape); the salt column lives only inside the
-operator.
+Standard remedies, expressed as reusable operators:
+
+- `salted_agg`: two-phase aggregation — partial agg on (keys, salt),
+  final agg on keys. MEASURED guidance (SCALE.md): for plain
+  algebraic aggregates Spark's map-side partial aggregation already
+  collapses a hot key to one row per map task, and the plain groupBy
+  WINS (salting pays an extra shuffle). Reach for salted_agg only
+  when partial aggregation cannot compress: high-cardinality
+  composite keys, distinct-style aggregation, or as the pattern for
+  window work over a hot partition.
+- `salted_join`: replicate-and-salt equi-join — skewed-side rows get
+  a deterministic salt in [0, n_salts), the other side is exploded
+  once per salt, the join runs on (keys, salt). AQE
+  (`spark.sql.adaptive.skewJoin.enabled`, set in session.py) handles
+  sort-merge-join skew automatically at runtime; salting covers the
+  shapes AQE cannot reach — forced shuffled-hash builds whose one
+  key explodes, skew on the stream side of a broadcast-unfriendly
+  join, and persisted pre-shuffled layouts that need a
+  planner-independent deterministic spread. MEASURED (SCALE.md
+  round-6 probe): 2.9× over the forced-shuffle plain join at a
+  50%-hot key with 8 salts; but n_salts × |other| must stay well
+  under |skewed| — 32 salts over a 1M-row dim LOST to the plain
+  join. The contract is exactness: the registry oracle runs the
+  PLAIN join and the salted result must match bit-for-bit — salting
+  is a physical rewrite, never a semantic one.
+- `salted_broadcast_left` (round-3 name, kept for compatibility):
+  the single-key inner-join form, now delegating to salted_join.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: `aggs` maps output column ->
+    (input column, fn) with fn in {sum, count, min, max}.
+
+    Phase 1 aggregates on (keys, salt) — the hot key's rows split
+    across n_salts reducers; phase 2 merges the partials on keys
+    (count merges by sum).
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for out, (col, fn) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"{fn} is not algebraic; use groupBy directly")
+
+    # salt from row CONTENT, never monotonically_increasing_id: a
+    # nondeterministic salt recomputed on task retry moves rows between
+    # (key, salt) partitions mid-shuffle and silently double/under
+    # counts (the SPARK-23207 failure class). Hashing all columns keeps
+    # replays bit-identical; identical duplicate rows sharing a salt is
+    # harmless for aggregation.
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            getattr(F, fn)(col).alias(f"__p_{out}")
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            getattr(F, merge_fn[fn])(f"__p_{out}").alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
 
 
 def salted_join(
@@ -32,9 +92,10 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join `skewed ⋈ other` on `on`, executed as a join on
-    (on + salt): each skewed-side row gets a deterministic salt in
-    [0, n_salts) hashed from its full row (so one hot key's rows
-    spread evenly), and `other` replicates once per salt value.
+    (on + salt): each skewed-side row gets a deterministic
+    content-derived salt in [0, n_salts) (see the salted_agg retry
+    note — never a nondeterministic salt), and `other` replicates
+    once per salt value.
 
     `how` is limited to inner/left/left_semi/left_anti — shapes where
     an unmatched OTHER-side row never surfaces, so the n_salts-fold
@@ -60,3 +121,14 @@ def salted_join(
         F.explode(F.array(*[F.lit(i).cast("int") for i in range(n_salts)])),
     )
     return l.join(r, on + ["__salt"], how).drop("__salt")
+
+
+def salted_broadcast_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-spread inner equi-join on a single key (round-3 API,
+    kept for compatibility): delegates to salted_join."""
+    return salted_join(fact, dim, [key], n_salts=n_salts, how="inner")

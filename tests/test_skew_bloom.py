@@ -114,6 +114,21 @@ def test_bloom_filter_is_pure_map(spark):
     assert "Exchange" not in plan
 
 
+def test_bloom_high_bit_words_no_false_negative(spark):
+    """width=64 packs every bucket into ONE word, so bits 0..63 —
+    including the sign bit 63, which forces the signed-literal
+    encoding — are all exercised; every member must still pass."""
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200)], "key string"
+    )
+    bloom = bloom_build(keys, "key", depth=4, width=64)
+    # most of the 4x64 cells are set with 200 keys (243 measured),
+    # so high word bits — including sign bit 63 — are exercised
+    assert bloom.count() > 200
+    cand = bloom_prefilter(keys, bloom, "key", depth=4, width=64)
+    assert cand.count() == 200  # no member dropped
+
+
 def test_bloom_merge_is_union_distinct(spark):
     a = spark.createDataFrame([("x",), ("y",)], "key string")
     b = spark.createDataFrame([("y",), ("z",)], "key string")
