@@ -182,18 +182,32 @@ def cms_lookup(
     )
 
 
+def _xxh_bucket(col, seed: int, width: int):
+    """Production sibling of _md5_bucket: JVM xxhash64, ~10× cheaper,
+    NOT engine-portable (the oracle path keeps md5 — the
+    minhash/minhash_portable precedent)."""
+    return F.pmod(
+        F.xxhash64(F.concat(F.lit(f"{seed}:"), col)), F.lit(width)
+    ).cast("int")
+
+
 def bloom_build(
     keys: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 2048,
+    portable: bool = True,
 ) -> DataFrame:
     """Bloom filter of a key set as a (row, bucket) DISTINCT-cell
     table — the set-membership sibling of cms_build (which counts).
     depth × width bits total regardless of key count; two filters of
-    disjoint key sets merge by plain UNION DISTINCT. Portable md5
-    bucketing, so the filter — and every membership test — is
-    engine-reproducible and hard-oracle-checkable."""
+    disjoint key sets merge by plain UNION DISTINCT. portable=True
+    (default) uses md5 bucketing, engine-reproducible so the filter —
+    and every membership test — is hard-oracle-checkable;
+    portable=False swaps in xxhash64 (~10× cheaper per row, SCALE.md
+    round-6 probe) for production runs that don't need cross-engine
+    grading. Build and prefilter must use the SAME setting."""
+    bucket = _md5_bucket if portable else _xxh_bucket
     c = F.col(key_col)
     cells = keys.select(
         F.explode(
@@ -201,7 +215,7 @@ def bloom_build(
                 *[
                     F.struct(
                         F.lit(i).alias("row"),
-                        _md5_bucket(c, i, width).alias("bucket"),
+                        bucket(c, i, width).alias("bucket"),
                     )
                     for i in range(depth)
                 ]
@@ -219,6 +233,7 @@ def bloom_prefilter(
     key_col: str,
     depth: int = 4,
     width: int = 2048,
+    portable: bool = True,
 ) -> DataFrame:
     """Rows of `df` whose key hits a set bit in ALL `depth` bloom rows
     — a SUPERSET of the rows whose key is in the built set (a Bloom
@@ -244,13 +259,14 @@ def bloom_prefilter(
     def _signed(w: int) -> int:
         return w - (1 << 64) if w >= (1 << 63) else w
 
+    bucket = _md5_bucket if portable else _xxh_bucket
     c = F.col(key_col)
     pred = None
     for i in range(depth):
         mask = F.array(
             *[F.lit(_signed(w)).cast("long") for w in masks[i]]
         )
-        b = _md5_bucket(c, i, width)
+        b = bucket(c, i, width)
         word = F.element_at(mask, F.shiftright(b, 6) + F.lit(1))
         hit = F.getbit(word, F.pmod(b, F.lit(64)).cast("int")) == F.lit(1)
         pred = hit if pred is None else (pred & hit)

@@ -129,6 +129,27 @@ def test_bloom_high_bit_words_no_false_negative(spark):
     assert cand.count() == 200  # no member dropped
 
 
+def test_bloom_fast_path_no_false_negatives(spark):
+    """portable=False (xxhash64, the production hash) keeps the
+    no-false-negative guarantee and the pure-map plan; only the
+    cross-engine oracle needs md5."""
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 100, 7)], "key string"
+    )
+    fact = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], "key string, v int"
+    )
+    bloom = bloom_build(keys, "key", depth=4, width=2048, portable=False)
+    cand = bloom_prefilter(
+        fact, bloom, "key", depth=4, width=2048, portable=False
+    )
+    cand_keys = {r.key for r in cand.collect()}
+    assert {r.key for r in keys.collect()} <= cand_keys
+    assert len(cand_keys) < 50
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+
+
 def test_bloom_merge_is_union_distinct(spark):
     a = spark.createDataFrame([("x",), ("y",)], "key string")
     b = spark.createDataFrame([("y",), ("z",)], "key string")
