@@ -252,6 +252,158 @@ def main():
         )
     )
     docs.unpersist()
+
+    # round-6 ops --------------------------------------------------
+
+    # salted JOIN under forced-shuffle skew (the shape AQE's skew
+    # split cannot reach): one key owns half the fact; broadcast and
+    # AQE skew-join disabled for both runs so they compare the same
+    # physical family. n_salts=8 keeps the replicated dim well under
+    # the fact (the 32-salt oversalting loss is documented in
+    # SCALE.md).
+    from alstom_spark_cassandra_spark.operators.skew import salted_join
+
+    fact = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.pmod(F.xxhash64("id"), 1_000_000))
+            .cast("long")
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        .cache()
+    )
+    fact.count()
+    dim = (
+        spark.range(1_000_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("attr"))
+        .cache()
+    )
+    dim.count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    salted_t = timed(
+        salted_join(fact, dim, ["k"], n_salts=8).select("payload", "attr")
+    )
+    plain_t = timed(fact.join(dim, ["k"]).select("payload", "attr"))
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    print(
+        json.dumps(
+            {
+                "salted_join_rows_millions": sizes_m[-1],
+                "plain_join_no_aqe_skew": plain_t,
+                "salted_join_8_salts": salted_t,
+            }
+        )
+    )
+    fact.unpersist()
+    dim.unpersist()
+
+    # bloom prefilter: member keys -> md5/xxhash filter -> pure-map
+    # candidate pass over the fact, vs the plain semi-join floor
+    from alstom_spark_cassandra_spark.operators.sketches import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    bf = (
+        spark.range(n)
+        .select(
+            F.pmod(F.xxhash64("id"), 1_000_000).cast("string").alias("key"),
+            F.col("id").alias("v"),
+        )
+        .cache()
+    )
+    bf.count()
+    bkeys = (
+        spark.range(10_000)
+        .select((F.col("id") * 97 % 1_000_000).cast("string").alias("key"))
+        .distinct()
+        .cache()
+    )
+    bkeys.count()
+    res = {"bloom_rows_millions": sizes_m[-1]}
+    for portable, tag in ((True, "md5_portable"), (False, "xxhash64")):
+        t0 = time.time()
+        bl = bloom_build(bkeys, "key", depth=4, width=65536,
+                         portable=portable)
+        n_cand = bloom_prefilter(
+            bf, bl, "key", depth=4, width=65536, portable=portable
+        ).count()
+        res[tag] = round(time.time() - t0, 2)
+        res[f"{tag}_candidates"] = n_cand
+    t0 = time.time()
+    res["exact_semijoin_members"] = bf.join(bkeys, "key", "left_semi").count()
+    res["exact_semijoin"] = round(time.time() - t0, 2)
+    print(json.dumps(res))
+    bf.unpersist()
+    bkeys.unpersist()
+
+    # persisted positional index: phrase query from the bucketed disk
+    # layout (reads only its terms' bucket dirs) vs inline rebuild
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        PositionalIndex,
+        build_positional_postings,
+        phrase_search,
+        read_positional_index,
+        write_positional_index,
+    )
+
+    pdocs = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(F.xxhash64(F.col("id") * 31 + i), F.lit(5000)),
+                    )
+                    for i in range(10)
+                ],
+                F.when(F.col("id") % 200 == 0, F.lit("w3 w17")).otherwise(
+                    F.lit("w8 w9")
+                ),
+            ).alias("text"),
+        )
+        .cache()
+    )
+    pdocs.count()
+    t0 = time.time()
+    n_inline = phrase_search(
+        build_positional_postings(pdocs), "w3 w17"
+    ).count()
+    t_inline = round(time.time() - t0, 2)
+    ppath = "/tmp/scale_probe_pos_idx"
+    t0 = time.time()
+    write_positional_index(
+        PositionalIndex(
+            build_positional_postings(pdocs, n_buckets=64), 64
+        ),
+        ppath,
+    )
+    t_build = round(time.time() - t0, 2)
+    idx = read_positional_index(spark, ppath)
+    t0 = time.time()
+    n_disk = phrase_search(idx, "w3 w17").count()
+    t_disk = round(time.time() - t0, 2)
+    print(
+        json.dumps(
+            {
+                "phrase_docs_millions": sizes_m[-1],
+                "inline_build_and_search": t_inline,
+                "index_build_write_once": t_build,
+                "disk_bucket_pruned_search": t_disk,
+                "matches_equal": n_inline == n_disk,
+            }
+        )
+    )
+    pdocs.unpersist()
     spark.stop()
 
 
