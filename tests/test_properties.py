@@ -399,3 +399,78 @@ def test_prefix_jaccard_join_complete_vs_bruteforce(spark, docs):
                 if inter * 5 >= union * 4:
                     expect[(i, j)] = (inter, union)
     assert got == expect
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),      # join key (dense)
+            st.integers(min_value=0, max_value=1000),   # payload
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(min_value=1, max_value=9),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_salted_join_equals_plain_join(spark, rows, n_salts, how):
+    """Salting is a PHYSICAL rewrite: for any fact/dim, salt count,
+    and supported join type, the salted result is the exact row
+    multiset of the plain join — including duplicate fact rows (which
+    share a salt) and unmatched keys."""
+    from alstom_spark_cassandra_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(rows, "k int, payload int")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 5)], "k int, attr string"
+    )
+    plain = sorted(
+        map(tuple, fact.join(dim, ["k"], how).collect()), key=str
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(fact, dim, ["k"], n_salts=n_salts, how=how).collect(),
+        ),
+        key=str,
+    )
+    assert salted == plain
+
+
+@SLOW
+@given(
+    member_ids=st.sets(
+        st.integers(min_value=0, max_value=50), min_size=0, max_size=20
+    ),
+    probe_ids=st.sets(
+        st.integers(min_value=0, max_value=80), min_size=1, max_size=40
+    ),
+    portable=st.booleans(),
+)
+def test_bloom_never_false_negative(spark, member_ids, probe_ids, portable):
+    """For ANY member/probe sets and either hash path: every probe key
+    that IS a member passes the filter (the Bloom guarantee), and an
+    empty member set rejects everything."""
+    from alstom_spark_cassandra_spark.operators.sketches import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in sorted(member_ids)], "key string"
+    )
+    fact = spark.createDataFrame(
+        [(f"k{i}",) for i in sorted(probe_ids)], "key string"
+    )
+    bloom = bloom_build(keys, "key", depth=3, width=512, portable=portable)
+    cand = {
+        r.key
+        for r in bloom_prefilter(
+            fact, bloom, "key", depth=3, width=512, portable=portable
+        ).collect()
+    }
+    members_probed = {f"k{i}" for i in member_ids & probe_ids}
+    assert members_probed <= cand
+    if not member_ids:
+        assert cand == set()
