@@ -113,15 +113,17 @@ def main():
             spark_rows = [
                 tuple(row[c] for c in spark_cols) for row in df.collect()
             ]
-            # rows are on the driver now — release any local-checkpoint
-            # results / caller-contract caches so a 131-query session
-            # doesn't accumulate cached state (r5 ADVICE)
-            spark.catalog.clearCache()
-            free_local_checkpoints(spark)
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"[FAIL] {name}: spark error: {str(ex)[:200]}")
             continue
+        finally:
+            # rows (if any) are on the driver — release local-checkpoint
+            # results / caller-contract caches so a 136-query session
+            # doesn't accumulate cached state (r5 ADVICE), including
+            # when the query FAILED mid-build
+            spark.catalog.clearCache()
+            free_local_checkpoints(spark)
         el = time.time() - t0
         if name not in oracles:
             print(f"[rows-only] {name}: {len(spark_rows)} rows ({el:.1f}s)")
