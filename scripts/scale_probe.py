@@ -404,6 +404,60 @@ def main():
         )
     )
     pdocs.unpersist()
+
+    # IVF recall vs nprobe on a CLUSTERED corpus (the workload IVF
+    # exists for — the registry's ivf_eval measures the same numbers
+    # on the driver's unstructured random vectors)
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    k_cent, n_q, dim = 16, 20, 32
+    centers = spark.range(k_cent).select(
+        F.col("id").alias("c"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.cos(F.col("id") * i.cast("double") * 2.39996),
+        ).alias("cv"),
+    )
+    vecs = (
+        spark.range(n)
+        .withColumn("c", F.pmod(F.col("id"), F.lit(k_cent)))
+        .join(F.broadcast(centers), "c")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                "cv", lambda x: x + (F.rand(seed=7) - F.lit(0.5)) * F.lit(0.2)
+            ).alias("embedding"),
+        )
+        .cache()
+    )
+    vecs.count()
+    qs = vecs.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).cache()
+    qs.count()
+    truth = cosine_topk(vecs, qs, k=10).select("query_id", "vec_id").cache()
+    n_truth = truth.count()
+    recalls = {}
+    for nprobe in (1, 2, 4, 16):
+        hits = (
+            ivf_topk(vecs, qs, k=10, n_centroids=k_cent, nprobe=nprobe)
+            .select("query_id", "vec_id")
+            .join(truth, ["query_id", "vec_id"], "left_semi")
+            .count()
+        )
+        recalls[f"recall_at_10_nprobe_{nprobe}"] = round(hits / n_truth, 3)
+    print(
+        json.dumps(
+            {"ivf_clustered_vecs_millions": sizes_m[-1], **recalls}
+        )
+    )
+    vecs.unpersist()
+    qs.unpersist()
+    truth.unpersist()
     spark.stop()
 
 
