@@ -50,6 +50,7 @@ from .range_join import interval_join
 from .retrieval import (
     bm25_topk,
     build_bm25_index,
+    build_positional_index,
     build_positional_postings,
     mmr_rerank,
     phrase_search,
@@ -127,6 +128,7 @@ __all__ = [
     "build_bm25_index",
     "build_ivf_index",
     "build_minhash_index",
+    "build_positional_index",
     "build_positional_postings",
     "build_simhash_index",
     "cap_per_group",

@@ -22,10 +22,15 @@ Scale shape: per round, one equi-join of edges against the vertex-rank
 table + one map-side-partial groupBy on dst — the Pregel pattern as
 plain DataFrame ops. Edges and degrees are computed once, persisted
 for the duration of the iteration, and RELEASED before return: the
-final vertex-sized rank table is eagerly localCheckpoint-ed (which
-also truncates the n_iters-deep lineage — the every-~5-rounds
-checkpoint a cluster run needs), so the operator leaves nothing in
-the cache (r5 ADVICE: caches accumulated across a 131-query session).
+final vertex-sized rank table is eagerly localCheckpoint-ed,
+truncating the n_iters-deep lineage, so the operator leaves nothing
+input-scale in the cache (r5 ADVICE: caches accumulated across a
+131-query session). NOTE: localCheckpoint trades fault tolerance for
+speed — blocks live only on their executors, with no lineage to
+recompute after executor loss. A CLUSTER deployment that must
+survive failures should set a checkpoint dir and use reliable
+`checkpoint()` instead (and checkpoint every ~5 rounds inside longer
+iterations); the local variant is exact in any single-JVM run.
 """
 
 from __future__ import annotations

@@ -17,10 +17,14 @@ CMS/histogram sketches:
    broadcast; the dominant direction of the raw second moment is the
    standard anisotropy diagnostic. d is the embedding width — for
    d ≤ a few hundred d^2 state is KBs; wider models should sample.)
-2. `power_iteration`: v_{k+1} ∝ G · v_k, a fixed number of rounds,
-   entirely LAZY — each round is a broadcast join of the 64-row
-   vector against the Gram cells, one groupBy, and a 1-row max for
-   rescaling. No driver collect anywhere.
+2. `power_iteration`: v_{k+1} ∝ G · v_k, a fixed number of rounds —
+   each round is a broadcast join of the 64-row vector against the
+   Gram cells, one groupBy, and a 1-row max for rescaling. No driver
+   collect of corpus-scale data anywhere; since round 6 the call DOES
+   run one job at build time (the final dim-row result is eagerly
+   localCheckpoint-ed so the Gram cache can be released — cache
+   hygiene traded for build-time laziness; see the function
+   docstring).
 
 Portability contract (hard DuckDB oracle, the k-means precedent):
 vectors quantize to the 10^-3 integer grid, so Gram cells and every

@@ -146,11 +146,41 @@ def build_positional_postings(
 class PositionalIndex:
     """Persisted positional index = bucketed postings + the bucket
     count (needed at query time to re-hash phrase terms into the
-    partition filter). Mirrors Bm25Index's build/write/read shape."""
+    partition filter). Mirrors Bm25Index's build/write/read shape.
+
+    Construct through build_positional_index — it derives BOTH the
+    bucket column and n_buckets from one argument, so they cannot
+    disagree (a mismatch would silently prune the WRONG directories
+    and return empty phrase results). The constructor enforces the
+    invariant it can check: a bucket column present iff n_buckets."""
 
     def __init__(self, postings: DataFrame, n_buckets: int):
+        nb = int(n_buckets or 0)
+        has_bucket = "bucket" in postings.columns
+        if bool(nb) != has_bucket:
+            raise ValueError(
+                f"PositionalIndex: n_buckets={nb} but postings "
+                f"{'has' if has_bucket else 'lacks'} a bucket column — "
+                f"build through build_positional_index so the layout "
+                f"and the query-time hash agree"
+            )
         self.postings = postings  # (doc, pos, term[, bucket])
-        self.n_buckets = int(n_buckets or 0)
+        self.n_buckets = nb
+
+
+def build_positional_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> PositionalIndex:
+    """One-argument factory: postings bucketed by hash(term) %
+    n_buckets AND the matching query-time bucket count, guaranteed
+    consistent."""
+    return PositionalIndex(
+        build_positional_postings(docs, text_col, id_col, n_buckets),
+        n_buckets,
+    )
 
 
 def write_positional_index(
@@ -309,8 +339,11 @@ def mmr_rerank(
     anti-join against it, so lineage stays O(1) from the persisted
     inputs instead of O(k) unions/anti-joins. The return value is a
     final eager checkpoint (queries × k rows — tiny), so it survives
-    the unpersist with zero recompute and the operator leaves NOTHING
-    in the cache (r5 VERDICT item 4)."""
+    the unpersist with zero recompute; mid-loop checkpoints are
+    unpersisted once the final one materializes (each checkpoint is a
+    full independent copy of the cumulative selected set, so earlier
+    blocks are dead the moment a later one exists), leaving ONLY the
+    returned frame registered (r5 VERDICT item 4)."""
     from pyspark.sql import Window
 
     _CHECKPOINT_EVERY = 5
@@ -323,7 +356,27 @@ def mmr_rerank(
         s.unpersist()
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.keys().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(int(it.next()))
+    return ids
+
+
+def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.toList().iterator()
+    while it.hasNext():
+        pair = it.next()
+        if int(pair._1()) in ids:
+            pair._2().unpersist(False)
+
+
 def _mmr_greedy(cands, s, k, Window, checkpoint_every):
+    spark = cands.sparkSession
+    mid_ids: set[int] = set()
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc").asc()
     )
@@ -374,8 +427,12 @@ def _mmr_greedy(cands, s, k, Window, checkpoint_every):
         selected = pick if selected is None else selected.unionByName(pick)
         if step % checkpoint_every == 0 and step < k:
             # truncate the growing union/anti-join lineage: selected
-            # is queries × step rows, safe to materialize locally
+            # is queries × step rows, safe to materialize locally;
+            # track the checkpoint's RDD id so it can be released
+            # once a later checkpoint supersedes it
+            before = _persistent_rdd_ids(spark)
             selected = selected.localCheckpoint(eager=True)
+            mid_ids |= _persistent_rdd_ids(spark) - before
             remaining = cands.join(
                 selected.select("query_id", "doc"),
                 ["query_id", "doc"],
@@ -385,7 +442,12 @@ def _mmr_greedy(cands, s, k, Window, checkpoint_every):
             remaining = remaining.join(
                 pick.select("query_id", "doc"), ["query_id", "doc"], "left_anti"
             )
-    return selected.localCheckpoint(eager=True)
+    out = selected.localCheckpoint(eager=True)
+    # the final checkpoint holds the full selected set: every mid-loop
+    # checkpoint's blocks are now dead — release them so only the
+    # returned frame stays registered
+    _unpersist_rdd_ids(spark, mid_ids)
+    return out
 
 
 def bm25_topk(

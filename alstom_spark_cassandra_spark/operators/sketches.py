@@ -206,8 +206,14 @@ def bloom_build(
     and every membership test — is hard-oracle-checkable;
     portable=False swaps in xxhash64 (~10× cheaper per row, SCALE.md
     round-6 probe) for production runs that don't need cross-engine
-    grading. Build and prefilter must use the SAME setting."""
+    grading. Build and prefilter must use the SAME setting.
+
+    NULL keys are dropped on build AND treated as non-members on
+    probe: a NULL can never match an equi-join anyway, and without
+    the filter the portable path's concat-with-NULL produced
+    NULL-bucket cells that crashed the mask compiler."""
     bucket = _md5_bucket if portable else _xxh_bucket
+    keys = keys.filter(F.col(key_col).isNotNull())
     c = F.col(key_col)
     cells = keys.select(
         F.explode(
@@ -270,7 +276,8 @@ def bloom_prefilter(
         word = F.element_at(mask, F.shiftright(b, 6) + F.lit(1))
         hit = F.getbit(word, F.pmod(b, F.lit(64)).cast("int")) == F.lit(1)
         pred = hit if pred is None else (pred & hit)
-    return df.filter(pred)
+    # NULL keys are non-members on both hash paths (build drops them)
+    return df.filter(c.isNotNull() & pred)
 
 
 def value_histogram(

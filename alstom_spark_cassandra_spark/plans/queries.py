@@ -904,18 +904,33 @@ def get_update_history(
         )
     )
     if max_dense_cells is not None:
-        n_series = (
-            len(arg_rows) if arg_rows is not None else arguments.count()
-        )
         # driver-known upper bound first: distinct update ids in the
         # window cannot exceed its integer width, so a small window
-        # never pays a measurement job
+        # with driver-known args never pays a measurement job
         id_span = max(
             end_instance_message_id - start_instance_message_id + 1, 1
         )
+        truncated = False
+        if arg_rows is not None:
+            n_series = len(arg_rows)
+        else:
+            # DataFrame/wildcard args: count only enough rows to
+            # decide whether the span bound can exceed the cap — the
+            # limit early-stops even when `arguments` is a wildcard
+            # expansion over the log, so this probe is bounded by the
+            # decision, not the argument cardinality
+            k_limit = max_dense_cells // id_span + 1
+            n_series = arguments.limit(k_limit + 1).count()
+            truncated = n_series > k_limit
         if n_series * id_span > max_dense_cells:
             n_ids = ids.count()
+            if truncated:
+                # the probe undercounted on purpose; the exact test
+                # needs the true series count
+                n_series = arguments.count()
             if n_series * n_ids > max_dense_cells:
+                if use_cache:
+                    base.unpersist()
                 raise ValueError(
                     f"get_update_history dense grid would be "
                     f"{n_ids} time points x {n_series} series = "

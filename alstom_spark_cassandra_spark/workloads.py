@@ -500,12 +500,11 @@ SELECT * FROM hi
 """
 
 
-def q_compaction(spark, sf_dir):
-    """S7/P6/U4 (Backup.java:30-61): recent raw events ∪ latest older
-    event per series — reconstruction-preserving log compaction, run
-    through plans.backup on the events-as-change-log mapping (valid
-    because ts is monotone in event_id, so the id cut == the ts cut
-    the oracle applies)."""
+def _compacted_log(spark, sf_dir):
+    """Shared by q_compaction and q_compaction_persisted: plans.backup
+    over the events-as-change-log mapping (one definition, so the
+    computed and persisted variants cannot diverge from each other or
+    from their shared SQL_COMPACTION oracle)."""
     from .plans.queries import backup
 
     ev = _t(spark, sf_dir, "events")
@@ -513,13 +512,25 @@ def q_compaction(spark, sf_dir):
     msg = ev.select(
         F.col("event_id").alias("id"), _ts_ms().alias("log_time")
     )
-    out = backup(log, msg, T_JAN25)
-    return out.select(
+    return backup(log, msg, T_JAN25)
+
+
+def _compacted_as_events(df):
+    return df.select(
         F.col("instance_message_id").alias("event_id"),
         F.col("src_id").alias("user_id"),
         F.col("uevol_field_id").alias("event_type"),
         F.col("new_value").alias("value"),
     ).orderBy("event_id")
+
+
+def q_compaction(spark, sf_dir):
+    """S7/P6/U4 (Backup.java:30-61): recent raw events ∪ latest older
+    event per series — reconstruction-preserving log compaction, run
+    through plans.backup on the events-as-change-log mapping (valid
+    because ts is monotone in event_id, so the id cut == the ts cut
+    the oracle applies)."""
+    return _compacted_as_events(_compacted_log(spark, sf_dir))
 
 
 SQL_COMPACTION = f"""
@@ -549,24 +560,12 @@ def q_compaction_persisted(spark, sf_dir):
     reference's own sink."""
     import tempfile
 
-    from .plans.queries import backup
     from .sources.sinks import write_compacted_log
 
-    ev = _t(spark, sf_dir, "events")
-    log = _domain_log(ev)
-    msg = ev.select(
-        F.col("event_id").alias("id"), _ts_ms().alias("log_time")
-    )
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
     path = f"{tempfile.gettempdir()}/compacted_log{slug}"
-    write_compacted_log(backup(log, msg, T_JAN25), path)
-    back = spark.read.parquet(path)
-    return back.select(
-        F.col("instance_message_id").alias("event_id"),
-        F.col("src_id").alias("user_id"),
-        F.col("uevol_field_id").alias("event_type"),
-        F.col("new_value").alias("value"),
-    ).orderBy("event_id")
+    write_compacted_log(_compacted_log(spark, sf_dir), path)
+    return _compacted_as_events(spark.read.parquet(path))
 
 
 def q_sessionization(spark, sf_dir):
@@ -5771,8 +5770,7 @@ def q_phrase_persisted(spark, sf_dir):
     import tempfile
 
     from .operators.retrieval import (
-        PositionalIndex,
-        build_positional_postings,
+        build_positional_index,
         phrase_search,
         read_positional_index,
         write_positional_index,
@@ -5782,11 +5780,7 @@ def q_phrase_persisted(spark, sf_dir):
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
     path = f"{tempfile.gettempdir()}/pos_index{slug}"
     write_positional_index(
-        PositionalIndex(
-            build_positional_postings(docs, "text", "doc_id", n_buckets=16),
-            n_buckets=16,
-        ),
-        path,
+        build_positional_index(docs, "text", "doc_id", n_buckets=16), path
     )
     idx = read_positional_index(spark, path)
     return (

@@ -442,7 +442,7 @@ def main():
     truth = cosine_topk(vecs, qs, k=10).select("query_id", "vec_id").cache()
     n_truth = truth.count()
     recalls = {}
-    for nprobe in (1, 2, 4, 16):
+    for nprobe in (1, 2, 4, 8, 16):
         hits = (
             ivf_topk(vecs, qs, k=10, n_centroids=k_cent, nprobe=nprobe)
             .select("query_id", "vec_id")

@@ -476,6 +476,16 @@ def test_get_update_history_dense_cell_guard(spark, domain):
         )
         > 0
     )
+    # DataFrame-args path (arg_rows unknown to the driver): the guard
+    # probes series count with a bounded limit, raises above the cap,
+    # and matches the Arguments-path result below it
+    args_df = args.df(spark)
+    with pytest.raises(ValueError, match="max_dense_cells"):
+        get_update_history(domain["log"], args_df, 50, 120, max_dense_cells=4)
+    c = get_update_history(
+        domain["log"], args_df, 50, 120, max_dense_cells=1000
+    ).collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, b))
 
 
 def test_get_update_history_pivot_and_filter(spark, domain):

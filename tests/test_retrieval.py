@@ -217,10 +217,9 @@ def test_mmr_no_cache_leftovers_and_large_k_lineage(spark):
     )
     out = mmr_rerank(cands, sims, k=n)
     jsc = spark.sparkContext._jsc.sc()
-    # inputs released; the only persisted artifacts are the local
-    # checkpoints of the (queries x k)-row selected set
-    n_persisted = jsc.getPersistentRDDs().size()
-    assert n_persisted <= 3  # final + at most 2 mid-loop checkpoints
+    # inputs released AND mid-loop checkpoints released once the
+    # final one materialized: ONLY the returned frame stays
+    assert jsc.getPersistentRDDs().size() == 1
     got = [r.doc for r in out.orderBy("step").collect()]
     assert got == list(range(n))  # usable after release, full k steps
     free_local_checkpoints(spark)
@@ -289,8 +288,11 @@ def test_positional_index_roundtrip_and_pruning(spark, tmp_path):
     reaches the postings scan as a PartitionFilter (only the phrase
     terms' bucket directories are read — the bm25_persisted layout
     proven for the phrase index, r5 VERDICT item 2)."""
+    import pytest
+
     from alstom_spark_cassandra_spark.operators.retrieval import (
         PositionalIndex,
+        build_positional_index,
         read_positional_index,
         write_positional_index,
     )
@@ -311,13 +313,17 @@ def test_positional_index_roundtrip_and_pruning(spark, tmp_path):
         ).collect()
     }
 
-    path = str(tmp_path / "posidx")
-    write_positional_index(
+    # the constructor rejects the inconsistency it can detect:
+    # unbucketed postings with a claimed bucket count (and vice versa)
+    with pytest.raises(ValueError, match="build_positional_index"):
+        PositionalIndex(build_positional_postings(docs), n_buckets=8)
+    with pytest.raises(ValueError, match="build_positional_index"):
         PositionalIndex(
-            build_positional_postings(docs, n_buckets=8), n_buckets=8
-        ),
-        path,
-    )
+            build_positional_postings(docs, n_buckets=8), n_buckets=0
+        )
+
+    path = str(tmp_path / "posidx")
+    write_positional_index(build_positional_index(docs, n_buckets=8), path)
     idx = read_positional_index(spark, path)
     assert idx.n_buckets == 8
     out = phrase_search(idx, "big data")

@@ -150,6 +150,25 @@ def test_bloom_fast_path_no_false_negatives(spark):
     assert "Join" not in plan and "Exchange" not in plan
 
 
+def test_bloom_null_keys_dropped_both_paths(spark):
+    """NULL keys must neither crash the mask compiler (the portable
+    path's concat-with-NULL used to emit NULL-bucket cells) nor pass
+    the filter — a NULL can never match an equi-join."""
+    keys = spark.createDataFrame([("a",), (None,)], "key string")
+    fact = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], "key string, v int"
+    )
+    for portable in (True, False):
+        bloom = bloom_build(keys, "key", 4, 256, portable=portable)
+        got = {
+            r.v
+            for r in bloom_prefilter(
+                fact, bloom, "key", 4, 256, portable=portable
+            ).collect()
+        }
+        assert 1 in got and 2 not in got
+
+
 def test_bloom_merge_is_union_distinct(spark):
     a = spark.createDataFrame([("x",), ("y",)], "key string")
     b = spark.createDataFrame([("y",), ("z",)], "key string")
