@@ -1,7 +1,10 @@
 from .live_state import (
     dedup_stream,
+    enrich_stream,
+    foreach_batch_upsert_sink,
     interval_join_stream,
     latest_value_stream,
+    read_upsert_sink,
     sessionize_stream,
     stateful_latest_value,
     windowed_event_counts,
@@ -9,6 +12,9 @@ from .live_state import (
 
 __all__ = [
     "dedup_stream",
+    "enrich_stream",
+    "foreach_batch_upsert_sink",
+    "read_upsert_sink",
     "interval_join_stream",
     "latest_value_stream",
     "sessionize_stream",

@@ -231,6 +231,42 @@ def interval_join_stream(
     return lw.join(rw, cond, "inner")
 
 
+def foreach_batch_upsert_sink(path: str):
+    """foreachBatch writer with exactly-once-on-retry semantics: each
+    micro-batch writes its rows to its own `batch_id=N` directory in
+    OVERWRITE mode, so a batch replayed after a failure (Structured
+    Streaming is at-least-once into foreachBatch) rewrites the same
+    directory instead of appending duplicates — the standard
+    idempotent-by-batch-id pattern, here as the durable parquet twin
+    of the memory-sink queries. Pair with read_upsert_sink to recover
+    final state; keep ONE writer per path (concurrent writers would
+    collide on batch ids)."""
+
+    def _write(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    return _write
+
+
+def read_upsert_sink(spark, path: str, key_cols: list[str]) -> DataFrame:
+    """Final state from a foreach_batch_upsert_sink directory: for
+    update-mode aggregations each batch emits only CHANGED keys, so
+    the current row per key is the one from its largest batch_id
+    (discovered as a partition column — directory pruning applies to
+    point lookups). One window over key, no shuffle beyond it."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("batch_id").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

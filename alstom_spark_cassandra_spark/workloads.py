@@ -4199,6 +4199,68 @@ def q_stream_latest_state(spark, sf_dir):
     )
 
 
+def q_stream_sink_exactly_once(spark, sf_dir):
+    """Durable streaming write path with exactly-once semantics
+    (streaming/live_state.foreach_batch_upsert_sink): the
+    latest-value stream lands in per-batch-id parquet directories
+    (overwrite — a replayed batch rewrites itself, never appends),
+    then the SAME writeStream is STARTED A SECOND TIME on the same
+    checkpoint — the no-op restart that an at-least-once pipeline
+    performs after a failure — and final state is recovered from disk
+    by per-key argmax over batch_id. The oracle is the batch argmax:
+    replay + restart + disk round-trip must land exactly on the batch
+    answer, which is the S6/S7 memory-sink contract
+    (stream_latest_state) extended to a durable sink."""
+    import shutil
+    import tempfile
+
+    from .sources.loader import stream_source
+    from .streaming.live_state import (
+        foreach_batch_upsert_sink,
+        read_upsert_sink,
+    )
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    sink = f"{tempfile.gettempdir()}/stream_upsert_sink{slug}"
+    ckpt = f"{tempfile.gettempdir()}/stream_upsert_ckpt{slug}"
+    # self-contained run: the idempotence proof is the in-query double
+    # start, not reuse of a previous session's checkpoint
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def _run_once():
+        src = stream_source(spark, sf_dir, "events")
+        agg = latest_value_stream(
+            src,
+            ["user_id", "event_type"],
+            order_col="event_id",
+            value_col="value",
+        )
+        q = (
+            agg.writeStream.foreachBatch(foreach_batch_upsert_sink(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_sink_exactly_once did not drain")
+
+    _run_once()
+    _run_once()  # restart on the same checkpoint: must write NOTHING new
+    return (
+        read_upsert_sink(spark, sink, ["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            "last_update_id",
+            F.col("current_value").alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 SQL_STREAM_LATEST_STATE = """
 SELECT user_id, event_type, max(event_id) AS last_update_id,
        max_by(value, event_id) AS value
@@ -7053,12 +7115,13 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 136 are also locally gated every round by
+# most ~2 rounds old (all 137 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-6 window
 # (per the r5 verdict: rotate the 31 r3-stale rows to the head, cap
 # new additions):
-# HEAD = the five new-this-round queries (phrase_persisted, ivf_eval,
-# compaction_persisted, salted_join, bloom_prefilter — never graded);
+# HEAD = the six new-this-round queries (phrase_persisted, ivf_eval,
+# compaction_persisted, salted_join, bloom_prefilter,
+# stream_sink_exactly_once — never graded);
 # then ALL 31 queries whose last green driver row is round 3, led by
 # retrieve_message_asof (the RetrieveMessage.java:54-118 flagship
 # that fell one slot outside r5's window), the multiple_fields trio,
@@ -7069,9 +7132,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # oracle-divergence fixes; pagerank/mmr_rerank/bpe_merges/
 # pca_direction cache hygiene; update_history_dense dense-cell guard;
 # phrase_search bucket-pruning signature);
-# then six round-4-green rows (now the stalest greens) to fill the
-# window: tpch_q22, chunk_dedup, domain_cap, corpus_shuffle,
-# token_rarity, mean_embedding.
+# then five round-4-green rows (now the stalest greens) to fill the
+# window to exactly 50: tpch_q22, chunk_dedup, domain_cap,
+# corpus_shuffle, token_rarity.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r5-green block, then the remaining r4-green rows.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7081,6 +7144,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_persisted": q_compaction_persisted,
     "salted_join": q_salted_join,
     "bloom_prefilter": q_bloom_prefilter,
+    "stream_sink_exactly_once": q_stream_sink_exactly_once,
     # --- the 31 r3-stale rows: flagship first ---
     "retrieve_message_asof": q_retrieve_message_asof,
     "multiple_fields_asof": q_multiple_fields_asof,
@@ -7128,8 +7192,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_cap": q_domain_cap,
     "corpus_shuffle": q_corpus_shuffle,
     "token_rarity": q_token_rarity,
+    # ======== window boundary (50) ========
     "mean_embedding": q_mean_embedding,
-    # ======== window boundary (~50) ========
     # --- r5-green block (freshest driver rows) ---
     "approx_stats": q_approx_stats,
     "ivf_topk": q_ivf_topk,
@@ -7293,6 +7357,8 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_pipeline": SQL_CORPUS_PIPELINE,
     "train_split": SQL_TRAIN_SPLIT,
     "stream_latest_state": SQL_STREAM_LATEST_STATE,
+    # replay + no-op restart + disk round-trip ≡ the batch argmax
+    "stream_sink_exactly_once": SQL_STREAM_LATEST_STATE,
     "stream_windowed_counts": SQL_STREAM_WINDOWED_COUNTS,
     "stream_sessionization": SQL_SESSIONIZATION,
     "stream_attribution": SQL_STREAM_ATTRIBUTION,

@@ -422,6 +422,74 @@ def test_sessionize_multi_batch_merges_across_batches(spark, tmp_path):
     assert out == [1, 2]  # merged 2-event session + the isolated one
 
 
+def test_upsert_sink_exactly_once_across_batches_and_retries(spark, tmp_path):
+    """foreach_batch_upsert_sink: multi-batch run (one file per
+    trigger) + a manually REPLAYED batch (the at-least-once failure
+    mode) must land exactly the batch argmax — the replay overwrites
+    its own directory instead of appending."""
+    from alstom_spark_cassandra_spark.streaming import (
+        foreach_batch_upsert_sink,
+        latest_value_stream,
+        read_upsert_sink,
+    )
+
+    schema = "uevol_field_id int, instance_message_id long, new_value long"
+    src_path = str(tmp_path / "ups_src")
+    for rows in ([(1, 10, 100), (2, 7, 70)], [(1, 20, 200)], [(1, 5, 55)]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_path)
+
+    sink = str(tmp_path / "ups_sink")
+    writer = foreach_batch_upsert_sink(sink)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    agg = latest_value_stream(src, ["uevol_field_id"])
+    q = (
+        agg.writeStream.foreachBatch(writer)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ups_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+
+    final = read_upsert_sink(spark, sink, ["uevol_field_id"])
+    before = sorted(map(tuple, final.collect()))
+    got = {r.uevol_field_id: (r.last_update_id, r.current_value)
+           for r in final.collect()}
+    assert got[1] == (20, 200) and got[2] == (7, 70)
+
+    # simulate an at-least-once REPLAY of the last batch: rewriting
+    # the same batch_id must change nothing
+    last_batch = spark.createDataFrame(
+        [(1, 20, 200)], schema
+    ).groupBy("uevol_field_id").agg(
+        F.max("instance_message_id").alias("last_update_id"),
+        F.max_by("new_value", F.col("instance_message_id")).alias(
+            "current_value"
+        ),
+    )
+    import glob
+
+    max_bid = max(
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(f"{sink}/batch_id=*")
+    )
+    writer(last_batch, max_bid)
+    after = sorted(
+        map(
+            tuple,
+            read_upsert_sink(spark, sink, ["uevol_field_id"]).collect(),
+        )
+    )
+    assert after == before
+
+
 def test_interval_join_stream_horizon(spark, tmp_path):
     """Stream-stream attribution: inclusive horizon boundary, key
     isolation, and no matches before the left event."""
