@@ -42,7 +42,14 @@ from .layout import (
     zorder_repartition,
 )
 from .locf import locf, locf_pivot
-from .multimodal import audio_features, frame_sample, image_features
+from .multimodal import (
+    audio_features,
+    encode_bmp,
+    frame_sample,
+    image_features,
+    image_resize,
+    resize_bmp_nearest,
+)
 from .pca import gram_matrix, power_iteration
 from .pq import pq_build, pq_topk
 from .quantize import dequantize_embedding, quantize_embedding
@@ -144,6 +151,7 @@ __all__ = [
     "dedup_corpus",
     "dedup_exact",
     "dequantize_embedding",
+    "encode_bmp",
     "deterministic_shuffle",
     "embedding_dup_pairs",
     "embedding_dup_pairs_portable",
@@ -158,6 +166,7 @@ __all__ = [
     "hll_partial_sketches",
     "hll_rollup",
     "image_features",
+    "image_resize",
     "incremental_dedup_pairs",
     "incremental_simhash_pairs",
     "interval_join",
@@ -188,6 +197,7 @@ __all__ = [
     "referential_violations",
     "repetition_scores",
     "resample_linear",
+    "resize_bmp_nearest",
     "rolling_zscore",
     "rrf_fuse",
     "salted_agg",

@@ -150,6 +150,93 @@ def decode_wav(payload: bytes) -> tuple[int, int, float] | None:
     return sr, n, rms
 
 
+def encode_bmp(rows: list[bytes], width: int) -> bytes:
+    """REAL 24-bit BMP encoder — pure `struct`, the write-side twin of
+    decode_bmp. `rows` are raw BGR byte rows in STORAGE order (3·width
+    bytes each); rows pad to 4-byte stride per the format."""
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    px = b"".join(r + pad for r in rows)
+    height = len(rows)
+    header = struct.pack("<2sI2HI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return header + info + px
+
+
+def resize_bmp_nearest(
+    payload: bytes, out_w: int, out_h: int
+) -> bytes | None:
+    """REAL nearest-neighbor resize of an uncompressed 24-bit BMP:
+    output pixel (r', c') copies source pixel (floor(r'·H/out_h),
+    floor(c'·W/out_w)) in STORAGE order, re-encoded via encode_bmp.
+    Returns None when the payload is not a BMP this parser handles
+    (same strict validation as decode_bmp)."""
+    if decode_bmp(payload) is None:
+        return None
+    px_off = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h = struct.unpack_from("<Iii", payload, 14)
+    height = abs(h)
+    row_stride = (w * 3 + 3) & ~3
+    out_rows = []
+    for r_out in range(out_h):
+        src_r = r_out * height // out_h
+        src_row = payload[px_off + src_r * row_stride :][: w * 3]
+        row = bytearray()
+        for c_out in range(out_w):
+            src_c = c_out * w // out_w
+            row += src_row[3 * src_c : 3 * src_c + 3]
+        out_rows.append(bytes(row))
+    return encode_bmp(out_rows, out_w)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    kernel: Callable[[bytes, int, int], bytes | None] | None = None,
+) -> DataFrame:
+    """Resize image payloads to (out_w × out_h) via Arrow-batched
+    mapInPandas — the transform step of the decode / feature-extract /
+    resize / frame-sample family, with a REAL stdlib kernel for BMP
+    (resize_bmp_nearest) and the same injection seam as the decoders
+    for formats needing a real codec library. Output rows keep the
+    binary payload column (re-encoded BMP) plus the out dims;
+    non-resizable payloads surface as NULL payload with -1 dims —
+    filter `width >= 0` downstream, the decode_wav sentinel
+    convention."""
+    narrow = df.select(id_col, payload_col)
+    resize = kernel or resize_bmp_nearest
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                out = resize(bytes(p) if p is not None else b"", out_w, out_h)
+                if out is None:
+                    rows.append((int(i), None, -1, -1))
+                else:
+                    rows.append((int(i), out, out_w, out_h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "width", "height"]
+            )
+
+    return narrow.mapInPandas(op, RESIZE_SCHEMA)
+
+
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
     """Layered image kernel: real BMP parse → PIL (when installed) →
     deterministic fake for codecs this container lacks.

@@ -4159,6 +4159,72 @@ FROM documents
 """
 
 
+def q_image_resize(spark, sf_dir):
+    """Multimodal TRANSFORM step (operators/multimodal.image_resize —
+    the resize stage of decode/feature-extract/resize/frame-sample):
+    per doc a REAL 24-bit BMP is built (encode_bmp, stored row y
+    filled with v = (doc_id·31 + y·7) mod 256 in all channels, dims
+    (4 + id mod 5) × (3 + id mod 4)), nearest-neighbor resized to 2×2
+    (resize_bmp_nearest — genuine pixel sampling + re-encode), then
+    decoded AGAIN by the real BMP kernel. Because every pixel is
+    arithmetic in doc_id, the oracle reproduces the sampled luma of
+    the resized image exactly — grading the full decode → resize →
+    re-encode → decode chain, not a stub. All media stages are
+    Arrow-batched mapInPandas with a narrow (id, payload)
+    projection."""
+    import pandas as pd
+
+    from .operators.multimodal import encode_bmp, image_resize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                w, h = 4 + d % 5, 3 + d % 4
+                payload = encode_bmp(
+                    [
+                        bytes([(d * 31 + y * 7) % 256] * (3 * w))
+                        for y in range(h)
+                    ],
+                    w,
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, "doc_id long, payload binary")
+    resized = image_resize(payloads, out_w=2, out_h=2)
+    out = image_features(resized)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("doc_id")
+
+
+# the oracle mirrors the decoder's float expression token-for-token
+# (left-assoc 0.114·v + 0.587·v + 0.299·v, exact doublings, /4 /255):
+# nearest-neighbor at out_h=2 samples stored rows 0 and h//2
+SQL_IMAGE_RESIZE = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id * 31) % 256 AS v0,
+         (doc_id * 31 + ((3 + doc_id % 4) // 2) * 7) % 256 AS v1
+  FROM documents
+)
+SELECT doc_id, CAST(70 AS BIGINT) AS n_bytes,
+       CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       round(((2 * (0.114 * v0 + 0.587 * v0 + 0.299 * v0))
+              + 2 * (0.114 * v1 + 0.587 * v1 + 0.299 * v1))
+             / 4 / 255.0, 6) AS mean_luma
+FROM p ORDER BY doc_id
+"""
+
+
 def q_stream_latest_state(spark, sf_dir):
     """Online mode (SURVEY §2.10): the latest-value-per-series state
     maintained as a STREAMING aggregation (streaming/live_state.py) —
@@ -7115,13 +7181,13 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 137 are also locally gated every round by
+# most ~2 rounds old (all 138 are also locally gated every round by
 # scripts/check_oracle.py regardless of position). Round-6 window
 # (per the r5 verdict: rotate the 31 r3-stale rows to the head, cap
 # new additions):
-# HEAD = the six new-this-round queries (phrase_persisted, ivf_eval,
-# compaction_persisted, salted_join, bloom_prefilter,
-# stream_sink_exactly_once — never graded);
+# HEAD = the seven new-this-round queries (phrase_persisted,
+# ivf_eval, compaction_persisted, salted_join, bloom_prefilter,
+# stream_sink_exactly_once, image_resize — never graded);
 # then ALL 31 queries whose last green driver row is round 3, led by
 # retrieve_message_asof (the RetrieveMessage.java:54-118 flagship
 # that fell one slot outside r5's window), the multiple_fields trio,
@@ -7132,9 +7198,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # oracle-divergence fixes; pagerank/mmr_rerank/bpe_merges/
 # pca_direction cache hygiene; update_history_dense dense-cell guard;
 # phrase_search bucket-pruning signature);
-# then five round-4-green rows (now the stalest greens) to fill the
+# then four round-4-green rows (now the stalest greens) to fill the
 # window to exactly 50: tpch_q22, chunk_dedup, domain_cap,
-# corpus_shuffle, token_rarity.
+# corpus_shuffle.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r5-green block, then the remaining r4-green rows.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -7145,6 +7211,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join": q_salted_join,
     "bloom_prefilter": q_bloom_prefilter,
     "stream_sink_exactly_once": q_stream_sink_exactly_once,
+    "image_resize": q_image_resize,
     # --- the 31 r3-stale rows: flagship first ---
     "retrieve_message_asof": q_retrieve_message_asof,
     "multiple_fields_asof": q_multiple_fields_asof,
@@ -7191,8 +7258,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "domain_cap": q_domain_cap,
     "corpus_shuffle": q_corpus_shuffle,
-    "token_rarity": q_token_rarity,
     # ======== window boundary (50) ========
+    "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
     # --- r5-green block (freshest driver rows) ---
     "approx_stats": q_approx_stats,
@@ -7427,6 +7494,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_quantized_topk": SQL_ANN_QUANTIZED_TOPK,
     "image_features": SQL_IMAGE_FEATURES,
+    "image_resize": SQL_IMAGE_RESIZE,
     "audio_features": SQL_AUDIO_FEATURES,
     "frame_sample": SQL_FRAME_SAMPLE,
     # every registry query carries an oracle: the last three

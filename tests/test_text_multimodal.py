@@ -184,3 +184,46 @@ def test_truncated_wav_does_not_crash():
     sr, n, rms = out
     assert sr == 8000
     assert 0.0 <= rms <= 1.0
+
+
+def test_image_resize_real_roundtrip(spark):
+    """decode -> resize -> re-encode -> decode, all REAL stdlib BMP:
+    a 4x4 image whose top two stored rows are white and bottom two
+    black, resized 2x2 nearest-neighbor, must decode to a 2x2 image
+    with mean luma 0.5 (one sampled row from each half); non-BMP
+    payloads surface the NULL/-1 sentinel row."""
+    from alstom_spark_cassandra_spark.operators.multimodal import (
+        image_resize,
+    )
+
+    rows = [[255, 255, 255] * 4] * 2 + [[0, 0, 0] * 4] * 2
+    bmp = _make_bmp(4, 4, rows)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"not a bmp at all....."))],
+        "doc_id long, payload binary",
+    )
+    resized = image_resize(df, out_w=2, out_h=2)
+    feats = {
+        r.doc_id: r
+        for r in image_features(resized.filter("width >= 0")).collect()
+    }
+    assert (feats[1].width, feats[1].height) == (2, 2)
+    assert feats[1].mean_luma == pytest.approx(0.5)
+    sentinel = {r.doc_id: r for r in resized.collect()}[2]
+    assert sentinel.payload is None and sentinel.width == -1
+
+
+def test_encode_decode_bmp_inverse():
+    """encode_bmp output is a well-formed BMP decode_bmp accepts, and
+    the luma round-trips exactly for grey pixels."""
+    from alstom_spark_cassandra_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rows = [bytes([v, v, v] * 3) for v in (10, 200)]  # 3 wide, 2 tall
+    payload = encode_bmp(rows, 3)
+    w, h, luma = decode_bmp(payload)
+    assert (w, h) == (3, 2)
+    expect = (0.114 * 105 + 0.587 * 105 + 0.299 * 105) / 255.0
+    assert luma == pytest.approx(expect)
