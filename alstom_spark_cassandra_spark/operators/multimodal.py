@@ -262,6 +262,89 @@ def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
+def encode_wav(
+    samples: list[int], sample_rate: int, sampwidth: int = 2
+) -> bytes:
+    """REAL PCM WAV encoder — stdlib `wave`, the write-side twin of
+    decode_wav. Mono, 16-bit by default."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        fmt = {1: "B", 2: "h", 4: "i"}[sampwidth]
+        w.writeframes(struct.pack(f"<{len(samples)}{fmt}", *samples))
+    return buf.getvalue()
+
+
+def resample_wav_nearest(
+    payload: bytes, out_rate: int
+) -> bytes | None:
+    """REAL nearest-neighbor resample of a 16-bit mono PCM WAV to
+    `out_rate`: output sample k copies source sample
+    floor(k·in_rate/out_rate) — the audio twin of resize_bmp_nearest
+    (decimation/zero-order hold; production kernels would band-limit
+    first, injected via the kernel seam). Returns None when the
+    payload is not a 16-bit mono PCM WAV."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as wav:
+            if wav.getsampwidth() != 2 or wav.getnchannels() != 1:
+                return None
+            in_rate = wav.getframerate()
+            n = wav.getnframes()
+            frames = wav.readframes(n)
+    except (wave.Error, EOFError):
+        return None
+    frames = frames[: len(frames) - len(frames) % 2]
+    src = struct.unpack(f"<{len(frames) // 2}h", frames)
+    if not src:
+        return encode_wav([], out_rate)
+    out_n = max(len(src) * out_rate // in_rate, 1)
+    out = [src[k * in_rate // out_rate] for k in range(out_n)]
+    return encode_wav(out, out_rate)
+
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def audio_resample(
+    df: DataFrame,
+    out_rate: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    kernel: Callable[[bytes, int], bytes | None] | None = None,
+) -> DataFrame:
+    """Resample audio payloads to `out_rate` Hz via Arrow-batched
+    mapInPandas — the audio transform of the decode/feature-extract/
+    resize/frame-sample family, with the same injection seam and the
+    NULL/-1 sentinel convention as image_resize."""
+    narrow = df.select(id_col, payload_col)
+    resample = kernel or resample_wav_nearest
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                out = resample(bytes(p) if p is not None else b"", out_rate)
+                if out is None:
+                    rows.append((int(i), None, -1))
+                else:
+                    rows.append((int(i), out, out_rate))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "sample_rate"]
+            )
+
+    return narrow.mapInPandas(op, RESAMPLE_SCHEMA)
+
+
 def _decode_audio_bytes(payload: bytes) -> tuple[int, int, float]:
     """Layered audio kernel: real PCM-WAV parse (stdlib `wave`) →
     deterministic fake for compressed codecs absent here."""
