@@ -44,10 +44,13 @@ from .layout import (
 from .locf import locf, locf_pivot
 from .multimodal import (
     audio_features,
+    audio_resample,
     encode_bmp,
+    encode_wav,
     frame_sample,
     image_features,
     image_resize,
+    resample_wav_nearest,
     resize_bmp_nearest,
 )
 from .pca import gram_matrix, power_iteration
@@ -126,6 +129,7 @@ __all__ = [
     "asof_id_bounds",
     "asof_snapshot_pair",
     "audio_features",
+    "audio_resample",
     "benchmark_contamination",
     "bloom_build",
     "bloom_prefilter",
@@ -152,6 +156,7 @@ __all__ = [
     "dedup_exact",
     "dequantize_embedding",
     "encode_bmp",
+    "encode_wav",
     "deterministic_shuffle",
     "embedding_dup_pairs",
     "embedding_dup_pairs_portable",
@@ -197,6 +202,7 @@ __all__ = [
     "referential_violations",
     "repetition_scores",
     "resample_linear",
+    "resample_wav_nearest",
     "resize_bmp_nearest",
     "rolling_zscore",
     "rrf_fuse",

@@ -47,25 +47,33 @@ except ImportError:  # pragma: no cover - container has no PIL
 ImageKernel = Callable[[bytes], tuple[int, int, float]]
 AudioKernel = Callable[[bytes], tuple[int, int, float]]
 
-IMAGE_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-        T.StructField("mean_luma", T.DoubleType()),
-    ]
-)
+def _image_features_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ]
+    )
 
-AUDIO_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("sample_rate", T.IntegerType()),
-        T.StructField("n_samples", T.LongType()),
-        T.StructField("rms", T.DoubleType()),
-    ]
-)
+
+def _audio_features_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+
+# default-id instances kept for callers that imported the constants
+IMAGE_FEATURES_SCHEMA = _image_features_schema("doc_id")
+AUDIO_FEATURES_SCHEMA = _audio_features_schema("doc_id")
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
@@ -188,17 +196,28 @@ def resize_bmp_nearest(
             src_c = c_out * w // out_w
             row += src_row[3 * src_c : 3 * src_c + 3]
         out_rows.append(bytes(row))
+    if h < 0:
+        # top-down BMP: storage order is visual order, but encode_bmp
+        # writes positive-height (bottom-up) files — reverse so the
+        # re-encoded image keeps the source orientation instead of
+        # silently mirroring vertically
+        out_rows.reverse()
     return encode_bmp(out_rows, out_w)
 
 
-RESIZE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("payload", T.BinaryType()),
-        T.StructField("width", T.IntegerType()),
-        T.StructField("height", T.IntegerType()),
-    ]
-)
+def _resize_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+
+# default-id instance kept for callers that imported the constant
+RESIZE_SCHEMA = _resize_schema("doc_id")
 
 
 def image_resize(
@@ -217,7 +236,8 @@ def image_resize(
     binary payload column (re-encoded BMP) plus the out dims;
     non-resizable payloads surface as NULL payload with -1 dims —
     filter `width >= 0` downstream, the decode_wav sentinel
-    convention."""
+    convention. The id column keeps the caller's `id_col` name in the
+    output (schema built per call)."""
     narrow = df.select(id_col, payload_col)
     resize = kernel or resize_bmp_nearest
 
@@ -231,10 +251,10 @@ def image_resize(
                 else:
                     rows.append((int(i), out, out_w, out_h))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "payload", "width", "height"]
+                rows, columns=[id_col, "payload", "width", "height"]
             )
 
-    return narrow.mapInPandas(op, RESIZE_SCHEMA)
+    return narrow.mapInPandas(op, _resize_schema(id_col))
 
 
 def _decode_image_bytes(payload: bytes) -> tuple[int, int, float]:
@@ -306,13 +326,17 @@ def resample_wav_nearest(
     return encode_wav(out, out_rate)
 
 
-RESAMPLE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("payload", T.BinaryType()),
-        T.StructField("sample_rate", T.IntegerType()),
-    ]
-)
+def _resample_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
+    )
+
+
+RESAMPLE_SCHEMA = _resample_schema("doc_id")
 
 
 def audio_resample(
@@ -325,7 +349,8 @@ def audio_resample(
     """Resample audio payloads to `out_rate` Hz via Arrow-batched
     mapInPandas — the audio transform of the decode/feature-extract/
     resize/frame-sample family, with the same injection seam and the
-    NULL/-1 sentinel convention as image_resize."""
+    NULL/-1 sentinel convention as image_resize. The id column keeps
+    the caller's `id_col` name in the output."""
     narrow = df.select(id_col, payload_col)
     resample = kernel or resample_wav_nearest
 
@@ -339,10 +364,10 @@ def audio_resample(
                 else:
                     rows.append((int(i), out, out_rate))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "payload", "sample_rate"]
+                rows, columns=[id_col, "payload", "sample_rate"]
             )
 
-    return narrow.mapInPandas(op, RESAMPLE_SCHEMA)
+    return narrow.mapInPandas(op, _resample_schema(id_col))
 
 
 def _decode_audio_bytes(payload: bytes) -> tuple[int, int, float]:
@@ -369,7 +394,8 @@ def image_features(
 
     `kernel` injects a custom decoder `bytes -> (width, height,
     mean_luma)` (e.g. a GPU codec); default is the layered
-    BMP/PIL/fake dispatch."""
+    BMP/PIL/fake dispatch. The id column keeps the caller's `id_col`
+    name in the output."""
     narrow = df.select(id_col, payload_col)  # prune before Python
     decode = kernel or _decode_image_bytes
 
@@ -384,10 +410,10 @@ def image_features(
                 for i, p in zip(pdf[id_col], pdf[payload_col])
             ]
             yield pd.DataFrame(
-                feats, columns=["doc_id", "n_bytes", "width", "height", "mean_luma"]
+                feats, columns=[id_col, "n_bytes", "width", "height", "mean_luma"]
             )
 
-    return narrow.mapInPandas(op, IMAGE_FEATURES_SCHEMA)
+    return narrow.mapInPandas(op, _image_features_schema(id_col))
 
 
 def audio_features(
@@ -398,7 +424,8 @@ def audio_features(
 ) -> DataFrame:
     """Decode audio payloads to (doc_id, n_bytes, sample_rate,
     n_samples, rms). `kernel` injects a custom decoder `bytes ->
-    (sample_rate, n_samples, rms)`; default is WAV-real/fake."""
+    (sample_rate, n_samples, rms)`; default is WAV-real/fake. The id
+    column keeps the caller's `id_col` name in the output."""
     narrow = df.select(id_col, payload_col)
     decode = kernel or _decode_audio_bytes
 
@@ -414,10 +441,10 @@ def audio_features(
             ]
             yield pd.DataFrame(
                 feats,
-                columns=["doc_id", "n_bytes", "sample_rate", "n_samples", "rms"],
+                columns=[id_col, "n_bytes", "sample_rate", "n_samples", "rms"],
             )
 
-    return narrow.mapInPandas(op, AUDIO_FEATURES_SCHEMA)
+    return narrow.mapInPandas(op, _audio_features_schema(id_col))
 
 
 def frame_sample(
@@ -433,7 +460,7 @@ def frame_sample(
     narrow = df.select(id_col, payload_col)
     schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("frame_bytes", T.BinaryType()),
         ]
@@ -446,6 +473,6 @@ def frame_sample(
                 payload = bytes(p) if p is not None else b""
                 for k in range(0, max(len(payload), 1), every_n_bytes):
                     rows.append((int(i), k // every_n_bytes, payload[k : k + 64]))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_bytes"])
 
     return narrow.mapInPandas(op, schema)

@@ -47,6 +47,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation: `aggs` maps output column ->
     (input column, fn) with fn in {sum, count, min, max}.
@@ -54,6 +55,17 @@ def salted_agg(
     Phase 1 aggregates on (keys, salt) — the hot key's rows split
     across n_salts reducers; phase 2 merges the partials on keys
     (count merges by sum).
+
+    ROW-ENTROPY REQUIREMENT: the salt is a deterministic hash of
+    `salt_cols` (default: all columns), so the spread is only as good
+    as those columns' entropy WITHIN a hot key — byte-identical
+    duplicate rows all land on one salt and stay unspread (results
+    remain exact; only the mitigation degrades). Point `salt_cols` at
+    a high-entropy column (a row id, a fine timestamp) when the
+    payload can repeat. A per-partition component would fix duplicates
+    but is NOT used: partition ids are recomputed on task retry, and a
+    salt that moves between attempts double/under-counts mid-shuffle
+    (the SPARK-23207 failure class this module designs against).
     """
     merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     for out, (col, fn) in aggs.items():
@@ -63,12 +75,15 @@ def salted_agg(
     # salt from row CONTENT, never monotonically_increasing_id: a
     # nondeterministic salt recomputed on task retry moves rows between
     # (key, salt) partitions mid-shuffle and silently double/under
-    # counts (the SPARK-23207 failure class). Hashing all columns keeps
+    # counts (the SPARK-23207 failure class). Hashing content keeps
     # replays bit-identical; identical duplicate rows sharing a salt is
-    # harmless for aggregation.
+    # harmless for aggregation (see the row-entropy note above).
     salted = df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in (salt_cols or df.columns)]),
+            F.lit(n_salts),
+        ),
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[
@@ -90,12 +105,21 @@ def salted_join(
     on: list[str],
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join `skewed ⋈ other` on `on`, executed as a join on
     (on + salt): each skewed-side row gets a deterministic
     content-derived salt in [0, n_salts) (see the salted_agg retry
     note — never a nondeterministic salt), and `other` replicates
     once per salt value.
+
+    ROW-ENTROPY REQUIREMENT: the salt hashes `salt_cols` (default:
+    all skewed-side columns), so byte-identical duplicate rows of a
+    hot key share one salt and do not spread — exactness is kept, the
+    mitigation is lost. Pass a high-entropy `salt_cols` (row id, fine
+    timestamp) when skewed-side rows can repeat; a per-partition salt
+    component is deliberately NOT offered (recomputed partition ids
+    break retry determinism — SPARK-23207 class).
 
     `how` is limited to inner/left/left_semi/left_anti — shapes where
     an unmatched OTHER-side row never surfaces, so the n_salts-fold
@@ -113,7 +137,8 @@ def salted_join(
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in (salt_cols or skewed.columns)]),
+        F.lit(n_salts),
     ).cast("int")
     l = skewed.withColumn("__salt", salt)
     r = other.withColumn(

@@ -829,6 +829,14 @@ def get_update_history(
     The common small-window call never pays a job. Pass None to
     disable for callers that sized their cluster for the matrix.
 
+    BEHAVIOR CHANGE (round 6): the guard is ON by default
+    (max_dense_cells=100_000_000). A call that previously built a
+    larger grid now raises ValueError (and a wide-window call may pay
+    one bounded count job to decide). This is deliberate — an
+    unbounded dense grid is the one memory-breaking shape in this
+    module — but callers sized for bigger matrices must now opt out
+    explicitly with max_dense_cells=None.
+
     Long format is the primary output (series key as rows) — the
     reference's one-column-per-series pivot is its own scalability
     ceiling (SURVEY.md §7.4); `pivot=True` gives that presentation for

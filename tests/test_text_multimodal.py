@@ -227,3 +227,24 @@ def test_encode_decode_bmp_inverse():
     assert (w, h) == (3, 2)
     expect = (0.114 * 105 + 0.587 * 105 + 0.299 * 105) / 255.0
     assert luma == pytest.approx(expect)
+
+
+def test_resize_top_down_bmp_keeps_orientation():
+    """A negative-height (top-down) BMP resized through
+    resize_bmp_nearest must keep its visual orientation: the result
+    is re-encoded bottom-up, so the sampled rows have to be reversed
+    for h<0 inputs — without that the image silently mirrors
+    vertically (round-6 ADVICE). Byte-equal to resizing the
+    bottom-up encoding of the same visual image."""
+    from alstom_spark_cassandra_spark.operators.multimodal import (
+        resize_bmp_nearest,
+    )
+
+    white, black = [255, 255, 255] * 2, [0, 0, 0] * 2
+    # top-down: storage order IS visual order (white on top)
+    top_down = _make_bmp(2, -2, [white, black])
+    # bottom-up twin of the same visual image (black stored first)
+    bottom_up = _make_bmp(2, 2, [black, white])
+    assert resize_bmp_nearest(top_down, 2, 2) == resize_bmp_nearest(
+        bottom_up, 2, 2
+    )
