@@ -4225,6 +4225,104 @@ FROM p ORDER BY doc_id
 """
 
 
+def q_audio_resample(spark, sf_dir):
+    """Multimodal AUDIO transform step (operators/multimodal.
+    audio_resample — the audio twin of q_image_resize, closing the
+    round-6 'audio twins unwired' gap): per doc a REAL 16-bit mono
+    PCM WAV is built (encode_wav, sample y = (doc_id·13 + y·29) mod
+    200 − 100 at 8 kHz, 4 + doc_id mod 3 samples), nearest-neighbor
+    resampled to 4 kHz (resample_wav_nearest — output sample k copies
+    source sample 2k, then re-encode via stdlib `wave`), and decoded
+    AGAIN by the real WAV kernel (audio_features). Every sample is
+    arithmetic in doc_id, so the oracle reproduces the resampled RMS,
+    byte length (44-byte canonical header + 2 bytes/sample) and frame
+    count exactly — grading the full decode → resample → re-encode →
+    decode chain. Docs with doc_id % 7 == 0 carry a non-RIFF payload
+    and must surface the NULL/-1 SENTINEL row (the decode_wav
+    convention), so the undecodable path is graded too. All stages
+    are Arrow-batched mapInPandas with narrow (id, payload)
+    projections."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        audio_features,
+        audio_resample,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                if d % 7 == 0:
+                    rows.append((d, b"not-riff-audio-payload"))
+                else:
+                    n_in = 4 + d % 3
+                    samples = [
+                        (d * 13 + y * 29) % 200 - 100 for y in range(n_in)
+                    ]
+                    rows.append((d, encode_wav(samples, 8000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(build, "doc_id long, payload binary")
+    resampled = audio_resample(payloads, out_rate=4000)
+    valid = audio_features(resampled.filter(F.col("sample_rate") >= 0))
+    sentinels = resampled.filter(F.col("sample_rate") < 0).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_bytes"),
+        F.lit(-1).cast("int").alias("sample_rate"),
+        F.lit(-1).cast("long").alias("n_samples"),
+        F.lit(-1.0).alias("rms"),
+    )
+    out = valid.select(
+        "doc_id",
+        "n_bytes",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+    ).unionByName(sentinels)
+    return out.orderBy("doc_id")
+
+
+# the oracle mirrors the decoder's float expression token-for-token:
+# rms = sqrt(sum(s²)/n)/32768 over the RESAMPLED samples s_k =
+# source[2k]; out_n = (4 + d%3) // 2; re-encoded WAV = 44-byte
+# canonical stdlib header + 2 bytes per sample
+SQL_AUDIO_RESAMPLE = """
+WITH p AS (
+  SELECT doc_id, (4 + doc_id % 3) // 2 AS out_n
+  FROM documents WHERE doc_id % 7 <> 0
+),
+k AS (
+  SELECT doc_id, out_n, unnest(range(out_n)) AS kk FROM p
+),
+s AS (
+  SELECT doc_id,
+         ((doc_id * 13 + (2 * kk) * 29) % 200 - 100) AS samp
+  FROM k
+),
+r AS (
+  SELECT doc_id,
+         CAST(44 + 2 * count(*) AS BIGINT) AS n_bytes,
+         CAST(4000 AS INTEGER) AS sample_rate,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         round(sqrt(CAST(sum(samp * samp) AS DOUBLE) / count(*))
+               / 32768.0, 6) AS rms
+  FROM s GROUP BY doc_id
+)
+SELECT * FROM r
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_bytes,
+       CAST(-1 AS INTEGER) AS sample_rate,
+       CAST(-1 AS BIGINT) AS n_samples, -1.0 AS rms
+FROM documents WHERE doc_id % 7 = 0
+ORDER BY doc_id
+"""
+
+
 def q_stream_latest_state(spark, sf_dir):
     """Online mode (SURVEY §2.10): the latest-value-per-series state
     maintained as a STREAMING aggregation (streaming/live_state.py) —
@@ -4809,6 +4907,60 @@ SELECT c_mktsegment, event_type, count(*) AS n,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c_mktsegment, event_type
 ORDER BY c_mktsegment, event_type
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-mitigated two-phase aggregation (operators/skew.
+    salted_agg): events aggregate on the HIGH-CARDINALITY composite
+    key (user_id, event_type, day) — the shape salted_agg's own
+    guidance reserves it for, because map-side partial aggregation
+    cannot compress when nearly every task-local row is its own group,
+    so a hot key's rows genuinely funnel into one reducer without the
+    salt. Phase 1 aggregates on (keys, salt from event_id — the
+    high-entropy salt_cols seam, so even duplicate payload rows
+    spread), phase 2 merges partials on the keys. The oracle runs the
+    PLAIN GROUP BY: like salted_join, salting is a physical rewrite
+    and the graded claim is exactness — counts, order-free integer
+    milli sums, and min/max must match bit-for-bit. The two-exchange
+    physical shape is pinned by
+    tests/test_skew.py::test_salted_agg_two_phase_plan."""
+    from .operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 86400000").alias("day"),
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "v_milli"
+        ),
+    )
+    out = salted_agg(
+        ev,
+        ["user_id", "event_type", "day"],
+        {
+            "n": ("event_id", "count"),
+            "sum_v_milli": ("v_milli", "sum"),
+            "min_event_id": ("event_id", "min"),
+            "max_event_id": ("event_id", "max"),
+        },
+        n_salts=8,
+        salt_cols=["event_id"],
+    )
+    return out.orderBy("user_id", "event_type", "day")
+
+
+SQL_SALTED_AGG = """
+SELECT user_id, event_type, epoch_ms(ts) // 86400000 AS day,
+       count(event_id) AS n,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_v_milli,
+       min(event_id) AS min_event_id,
+       max(event_id) AS max_event_id
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
 """
 
 
@@ -7204,7 +7356,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # TAIL (outside the window, all locally exact-gated every round):
 # the r5-green block, then the remaining r4-green rows.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new this round (round 6), never graded ---
+    # --- new this round (round 7), never graded ---
+    "salted_agg": q_salted_agg,
+    "audio_resample": q_audio_resample,
+    # --- new in round 6 ---
     "phrase_persisted": q_phrase_persisted,
     "ivf_eval": q_ivf_eval,
     "compaction_persisted": q_compaction_persisted,
@@ -7446,6 +7601,8 @@ ORACLE_SQL: dict[str, str] = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     # salting is a physical rewrite: the oracle runs the PLAIN join
     "salted_join": SQL_SALTED_JOIN,
+    "salted_agg": SQL_SALTED_AGG,
+    "audio_resample": SQL_AUDIO_RESAMPLE,
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "zorder_locality": SQL_ZORDER_LOCALITY,
     "hybrid_rrf": SQL_HYBRID_RRF,

@@ -248,3 +248,71 @@ def test_resize_top_down_bmp_keeps_orientation():
     assert resize_bmp_nearest(top_down, 2, 2) == resize_bmp_nearest(
         bottom_up, 2, 2
     )
+
+
+def test_encode_decode_wav_inverse():
+    """encode_wav output is a canonical 44-byte-header PCM WAV that
+    decode_wav accepts, with the exact sample count and RMS of the
+    encoded samples."""
+    from alstom_spark_cassandra_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [16384, -16384, 16384, -16384]
+    payload = encode_wav(samples, 8000)
+    assert len(payload) == 44 + 2 * len(samples)
+    sr, n, rms = decode_wav(payload)
+    assert (sr, n) == (8000, 4)
+    assert rms == pytest.approx(0.5)
+
+
+def test_resample_wav_nearest_picks_every_stride():
+    """8 kHz -> 4 kHz nearest-neighbor: output sample k copies source
+    sample 2k, re-encoded as a real WAV; non-WAV and stereo/8-bit
+    payloads return None (the sentinel trigger)."""
+    import io
+    import struct
+    import wave
+
+    from alstom_spark_cassandra_spark.operators.multimodal import (
+        resample_wav_nearest,
+    )
+
+    src = [10, 20, 30, 40, 50, 60]
+    out = resample_wav_nearest(_make_wav(8000, src), 4000)
+    with wave.open(io.BytesIO(out)) as w:
+        assert w.getframerate() == 4000
+        got = struct.unpack(
+            f"<{w.getnframes()}h", w.readframes(w.getnframes())
+        )
+    assert list(got) == [10, 30, 50]
+    assert resample_wav_nearest(b"junk-not-riff", 4000) is None
+    # 8-bit WAV is rejected by the 16-bit-only kernel
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 200, 50]))
+    assert resample_wav_nearest(buf.getvalue(), 4000) is None
+
+
+def test_audio_resample_operator_sentinels(spark):
+    """audio_resample: valid WAVs re-encode at the new rate; junk
+    payloads surface the NULL/-1 sentinel row — same convention as
+    image_resize."""
+    from alstom_spark_cassandra_spark.operators.multimodal import (
+        audio_resample,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_make_wav(8000, [100, -100, 100, -100]))),
+            (2, bytearray(b"definitely not audio")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in audio_resample(df, out_rate=4000).collect()}
+    assert out[1].sample_rate == 4000 and out[1].payload is not None
+    assert out[2].sample_rate == -1 and out[2].payload is None
