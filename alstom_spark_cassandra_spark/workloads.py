@@ -4964,6 +4964,69 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_bucketed_join_persisted(spark, sf_dir):
+    """Shuffle-free join on a PERSISTED bucketed layout (sources/
+    sinks.write_bucketed — proving the claim its docstring makes):
+    orders and customer are both written as parquet tables bucketed 8
+    ways on the join key, then joined back from disk. Each side's
+    bucketed scan reports HashPartitioning(custkey), so the
+    sort-merge join needs NO exchange on either side, and the
+    follow-up per-customer aggregate reuses the same partitioning —
+    the whole plan's only exchange is the output sort
+    (plan-asserted in tests/test_sinks.py::
+    test_bucketed_join_persisted_query_plan). The `merge` hint keeps
+    the graded run on the sort-merge path a fact⋈fact join would take
+    at 100 TB (a broadcast would hide the layout). The oracle runs
+    the PLAIN join + GROUP BY: bucketing is pure physical layout and
+    must change nothing — the salted_join/bloom_prefilter exactness
+    contract. Prices ride as integer cents so sums are order-free."""
+    import tempfile
+
+    from .sources.sinks import write_bucketed
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = f"{tempfile.gettempdir()}/bucketed_join{slug}"
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    t_orders, t_cust = f"bkt_orders{slug}", f"bkt_cust{slug}"
+    write_bucketed(
+        orders, t_orders, ["custkey"], 8, sort_cols=["custkey"],
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        cust, t_cust, ["custkey"], 8, sort_cols=["custkey"],
+        path=f"{base}/customer",
+    )
+    j = spark.table(t_orders).join(
+        spark.table(t_cust).hint("merge"), "custkey"
+    )
+    return (
+        j.groupBy("custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+        .orderBy("custkey", "c_mktsegment")
+    )
+
+
+SQL_BUCKETED_JOIN_PERSISTED = """
+SELECT o_custkey AS custkey, c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_bloom_prefilter(spark, sf_dir):
     """Bloom-filter join pruning (operators/sketches.bloom_build /
     bloom_prefilter): the BUILDING-segment customer keys compile to a
@@ -7359,6 +7422,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 7), never graded ---
     "salted_agg": q_salted_agg,
     "audio_resample": q_audio_resample,
+    "bucketed_join_persisted": q_bucketed_join_persisted,
     # --- new in round 6 ---
     "phrase_persisted": q_phrase_persisted,
     "ivf_eval": q_ivf_eval,
@@ -7603,6 +7667,7 @@ ORACLE_SQL: dict[str, str] = {
     "salted_join": SQL_SALTED_JOIN,
     "salted_agg": SQL_SALTED_AGG,
     "audio_resample": SQL_AUDIO_RESAMPLE,
+    "bucketed_join_persisted": SQL_BUCKETED_JOIN_PERSISTED,
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "zorder_locality": SQL_ZORDER_LOCALITY,
     "hybrid_rrf": SQL_HYBRID_RRF,

