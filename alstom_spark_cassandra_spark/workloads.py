@@ -5027,6 +5027,158 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_late_data(spark, sf_dir):
+    """Watermark-driven LATE-ROW DROPPING — the one streaming behavior
+    a 100 TB online mode must get right to bound state, graded against
+    a batch oracle computing the same cutoffs. The events log is
+    split into four deterministic 8-day files; rows with
+    event_id % 13 == 0 are STRAGGLERS displaced two files later, so
+    the replay (one file per trigger, forced multi-batch) sees
+    genuinely late arrivals. A 1-hour tumbling aggregation under a
+    30-minute watermark then exhibits all three fates, each exactly
+    reproducible in SQL from Spark's measured watermark semantics
+    (pinned by tests/test_streaming.py::
+    test_late_filter_semantics_lag_and_boundary):
+
+    - DROPPED: the late filter in micro-batch k uses the watermark in
+      effect during batch k-1 (it LAGS one batch — rows whose window
+      end <= max event time over files 0..k-2 minus the 30-min delay
+      are discarded; the boundary is inclusive);
+    - KEPT despite displacement: a straggler whose window is still
+      above that lagged watermark enters state normally;
+    - UNFINALIZED: append mode only emits windows whose end <= the
+      FINAL watermark (max event time over all files minus delay), so
+      the last windows stay in state and never reach the sink.
+
+    The oracle applies those three rules as plain batch SQL over the
+    same file assignment. State stays bounded by the watermark
+    horizon, not stream length — exactly the eviction contract this
+    query proves."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = f"{tempfile.gettempdir()}/stream_late{slug}"
+    # self-contained run: fresh source + checkpoint every call
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "v_milli"
+        ),
+    )
+    # file assignment: 8-day chunks from the 2024-01-01 epoch day
+    # (19723), stragglers bumped two files (capped at the last file) —
+    # all integer arithmetic on the canonical ms clock, kept
+    # non-negative so Spark DIV and DuckDB // agree
+    ev = ev.withColumn(
+        "b",
+        F.least(
+            F.expr("greatest(ts DIV 86400000 - 19723, 0) DIV 8")
+            + F.when(F.col("event_id") % 13 == 0, F.lit(2)).otherwise(
+                F.lit(0)
+            ),
+            F.lit(3),
+        ).cast("int"),
+    )
+    src_dir = f"{base}/src"
+    os.makedirs(src_dir)
+    for k in range(4):
+        stage = f"{base}/stage{k}"
+        (
+            ev.filter(F.col("b") == k)
+            .drop("b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        # FileStreamSource orders by modification time: pin it so the
+        # replay processes the files in assignment order
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    schema = ev.drop("b").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("tts", F.timestamp_millis("ts"))
+    )
+    agg = (
+        src.withWatermark("tts", "30 minutes")
+        .groupBy(F.window("tts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_milli").alias("sum_v_milli"),
+        )
+    )
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_late_data did not drain in 300s")
+    return (
+        spark.table(name)
+        .select(
+            F.unix_millis("window.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_v_milli",
+        )
+        .orderBy("window_start_ms", "event_type")
+    )
+
+
+# the oracle replays Spark's measured watermark rules as batch SQL:
+# lagged inclusive late filter (batch k drops window_end <=
+# max(files 0..k-2) - 30min), final-watermark emission cutoff
+SQL_STREAM_LATE_DATA = """
+WITH e AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+),
+a AS (
+  SELECT *,
+         least(greatest(ts_ms // 86400000 - 19723, 0) // 8
+               + CASE WHEN event_id % 13 = 0 THEN 2 ELSE 0 END,
+               3) AS b
+  FROM e
+),
+m AS (SELECT b, max(ts_ms) AS mx FROM a GROUP BY b),
+wm AS (
+  SELECT d.b AS k,
+         (SELECT max(mx) - 1800000 FROM m WHERE m.b <= d.b - 2)
+           AS late_wm
+  FROM (SELECT DISTINCT b FROM a) d
+),
+kept AS (
+  SELECT a.* FROM a JOIN wm ON wm.k = a.b
+  WHERE wm.late_wm IS NULL
+     OR (a.ts_ms // 3600000 + 1) * 3600000 > wm.late_wm
+),
+fw AS (SELECT max(ts_ms) - 1800000 AS w FROM e)
+SELECT (ts_ms // 3600000) * 3600000 AS window_start_ms, event_type,
+       count(*) AS n, CAST(sum(v_milli) AS BIGINT) AS sum_v_milli
+FROM kept, fw
+WHERE (ts_ms // 3600000 + 1) * 3600000 <= fw.w
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_bloom_prefilter(spark, sf_dir):
     """Bloom-filter join pruning (operators/sketches.bloom_build /
     bloom_prefilter): the BUILDING-segment customer keys compile to a
@@ -7423,6 +7575,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "audio_resample": q_audio_resample,
     "bucketed_join_persisted": q_bucketed_join_persisted,
+    "stream_late_data": q_stream_late_data,
     # --- new in round 6 ---
     "phrase_persisted": q_phrase_persisted,
     "ivf_eval": q_ivf_eval,
@@ -7668,6 +7821,7 @@ ORACLE_SQL: dict[str, str] = {
     "salted_agg": SQL_SALTED_AGG,
     "audio_resample": SQL_AUDIO_RESAMPLE,
     "bucketed_join_persisted": SQL_BUCKETED_JOIN_PERSISTED,
+    "stream_late_data": SQL_STREAM_LATE_DATA,
     "bloom_prefilter": SQL_BLOOM_PREFILTER,
     "zorder_locality": SQL_ZORDER_LOCALITY,
     "hybrid_rrf": SQL_HYBRID_RRF,

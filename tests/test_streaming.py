@@ -609,3 +609,99 @@ def test_enrich_stream_left_join_keeps_unmatched(spark, tmp_path):
     assert q.awaitTermination(120)
     rows = {r.event_id: r.tier for r in spark.table(name).collect()}
     assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_late_filter_semantics_lag_and_boundary(spark, tmp_path):
+    """Pins the THREE watermark rules q_stream_late_data's oracle
+    replays as batch SQL (measured on this Spark, probe-derived):
+
+    1. the late filter LAGS one batch — batch k drops rows against
+       the watermark in effect during batch k-1 (max event time over
+       files 0..k-2 minus delay), so a row arriving in the same batch
+       that first advances the watermark past its window is KEPT;
+    2. the drop boundary is INCLUSIVE (window end == lagged watermark
+       drops);
+    3. append mode emits exactly the windows whose end <= the final
+       watermark — later windows stay in state, unfinalized.
+
+    Four hand-built files, one per trigger, delay 0: if Spark's
+    semantics drift on an upgrade, this fails before the driver's
+    graded row does."""
+    import os
+
+    H = 3_600_000
+    files = [
+        [(1, 2 * H)],                    # M0=2H
+        [(2, int(1.5 * H))],             # w1 row; lagged wm=0 -> KEPT (rule 1)
+        [(4, int(1.7 * H)), (5, 4 * H)], # w1 end 2H <= lagged wm 2H -> DROP (rule 2)
+        [(6, 8 * H)],                    # finalize; own window > final wm (rule 3)
+    ]
+    src_dir = str(tmp_path / "late_src")
+    os.makedirs(src_dir)
+    for k, rows in enumerate(files):
+        stage = str(tmp_path / f"stage{k}")
+        spark.createDataFrame(rows, "rid long, ts_ms long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        import glob
+        import shutil
+
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema("rid long, ts_ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+    )
+    agg = (
+        src.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 4  # genuinely multi-batch
+    dropped = sum(
+        (p.get("stateOperators") or [{}])[0].get(
+            "numRowsDroppedByWatermark", 0
+        )
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # exactly the boundary row (rule 2)
+    got = {
+        int(r.ws) // H: r.n
+        for r in spark.sql(
+            "select unix_millis(window.start) as ws, n from late_sem"
+        ).collect()
+    }
+    # w1 emitted with ONLY the batch-1 row (rules 1+2); w2 and w4
+    # emitted; w8 (end 9H > final wm 8H) unfinalized (rule 3)
+    assert got == {1: 1, 2: 1, 4: 1}
+
+
+def test_stream_late_data_drops_and_converges(spark):
+    """The graded q_stream_late_data flow at sf0.001: the replay must
+    span multiple micro-batches, REALLY drop late rows (the stragglers
+    displaced beyond the lagged watermark), and still match its batch
+    oracle — which scripts/check_oracle.py gates every round; here we
+    assert the drop actually happened so the demo can never silently
+    degrade into an all-on-time replay."""
+    from alstom_spark_cassandra_spark.workloads import q_stream_late_data
+
+    out = q_stream_late_data(spark, "/root/testdata/sf0.001")
+    total_emitted = out.agg(F.sum("n")).collect()[0][0]
+    # 1000 events; 42 predicted dropped + the unfinalized tail —
+    # emitted strictly fewer than fed, but most rows survive
+    assert total_emitted < 1000 - 42 + 1
+    assert total_emitted > 800
