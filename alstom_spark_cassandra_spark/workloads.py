@@ -7548,92 +7548,83 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 138 are also locally gated every round by
-# scripts/check_oracle.py regardless of position). Round-6 window
-# (per the r5 verdict: rotate the 31 r3-stale rows to the head, cap
-# new additions):
-# HEAD = the seven new-this-round queries (phrase_persisted,
-# ivf_eval, compaction_persisted, salted_join, bloom_prefilter,
-# stream_sink_exactly_once, image_resize — never graded);
-# then ALL 31 queries whose last green driver row is round 3, led by
-# retrieve_message_asof (the RetrieveMessage.java:54-118 flagship
-# that fell one slot outside r5's window), the multiple_fields trio,
-# the sampler/pipeline/decontam/ANN/multimodal block, and the 11
-# r3-stale TPC-H queries;
-# then the eight r5-green queries whose code changed THIS round
-# (window_suite lag-coalesce + collocations overflow — the r5 ADVICE
-# oracle-divergence fixes; pagerank/mmr_rerank/bpe_merges/
-# pca_direction cache hygiene; update_history_dense dense-cell guard;
-# phrase_search bucket-pruning signature);
-# then four round-4-green rows (now the stalest greens) to fill the
-# window to exactly 50: tpch_q22, chunk_dedup, domain_cap,
-# corpus_shuffle.
+# most ~2 rounds old (all 142 are also locally gated every round by
+# scripts/check_oracle.py regardless of position). Round-7 window
+# (per the r6 verdict: rotate ALL 46 r4-stale rows in, cap new
+# queries at 4 so the whole stale block fits):
+# HEAD = the four new-this-round queries (salted_agg,
+# audio_resample, bucketed_join_persisted, stream_late_data — never
+# graded);
+# then ALL 46 queries whose last green driver row is round 4, in the
+# verdict's order: the procedure-twin cluster first
+# (reconstruct_message — the RetrieveMessage.java:54-118 twin — then
+# json_flatten/locf/pivot_matrix/compaction/retrieve_field_window/
+# field_window/asof_bounds/boundary_padding), the dedup family, the
+# four stream_* rows, tpch_q1/q3/q4, and the remaining r4 block.
+# After r7 no registry query's last green driver row is older than
+# round 5.
 # TAIL (outside the window, all locally exact-gated every round):
-# the r5-green block, then the remaining r4-green rows.
+# the r5-green block (next round's rotation candidates), then the
+# r6-green block (freshest).
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 7), never graded ---
     "salted_agg": q_salted_agg,
     "audio_resample": q_audio_resample,
     "bucketed_join_persisted": q_bucketed_join_persisted,
     "stream_late_data": q_stream_late_data,
-    # --- new in round 6 ---
-    "phrase_persisted": q_phrase_persisted,
-    "ivf_eval": q_ivf_eval,
-    "compaction_persisted": q_compaction_persisted,
-    "salted_join": q_salted_join,
-    "bloom_prefilter": q_bloom_prefilter,
-    "stream_sink_exactly_once": q_stream_sink_exactly_once,
-    "image_resize": q_image_resize,
-    # --- the 31 r3-stale rows: flagship first ---
-    "retrieve_message_asof": q_retrieve_message_asof,
-    "multiple_fields_asof": q_multiple_fields_asof,
-    "multiple_fields_state": q_multiple_fields_state,
-    "multiple_fields_snapshot": q_multiple_fields_snapshot,
-    "stratified_sample": q_stratified_sample,
-    "sequence_pack": q_sequence_pack,
-    "corpus_pipeline": q_corpus_pipeline,
-    "train_split": q_train_split,
-    "stream_latest_state": q_stream_latest_state,
-    "decontamination": q_decontamination,
-    "pii_scan": q_pii_scan,
-    "doc_chunks": q_doc_chunks,
-    "repetition_scores": q_repetition_scores,
-    "token_estimate": q_token_estimate,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_quantized_topk": q_ann_quantized_topk,
-    "image_features": q_image_features,
-    "audio_features": q_audio_features,
-    "frame_sample": q_frame_sample,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    # --- r5-green, code changed this round ---
-    "window_suite": q_window_suite,
-    "collocations": q_collocations,
-    "pagerank": q_pagerank,
-    "mmr_rerank": q_mmr_rerank,
-    "bpe_merges": q_bpe_merges,
-    "pca_direction": q_pca_direction,
-    "update_history_dense": q_update_history_dense,
-    "phrase_search": q_phrase_search,
-    # --- stalest r4-green rows, filling the window to 50 ---
-    "tpch_q22": q_tpch_q22,
-    "chunk_dedup": q_chunk_dedup,
-    "domain_cap": q_domain_cap,
-    "corpus_shuffle": q_corpus_shuffle,
-    # ======== window boundary (50) ========
+    # --- the 46 r4-stale rows: procedure twins first ---
+    "reconstruct_message": q_reconstruct_message,
+    "json_flatten": q_json_flatten,
+    "locf": q_locf,
+    "pivot_matrix": q_pivot_matrix,
+    "compaction": q_compaction,
+    "retrieve_field_window": q_retrieve_field_window,
+    "field_window": q_field_window,
+    "asof_bounds": q_asof_bounds,
+    "boundary_padding": q_boundary_padding,
+    # --- dedup family ---
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "incremental_dedup": q_incremental_dedup,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    # --- streaming rows ---
+    "stream_dedup": q_stream_dedup,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessionization": q_stream_sessionization,
+    "stream_attribution": q_stream_attribution,
+    # --- TPC-H r4 rows ---
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    # --- remaining r4 block ---
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
-    # --- r5-green block (freshest driver rows) ---
+    "sessionization": q_sessionization,
+    "histogram_quantiles": q_histogram_quantiles,
+    "mixture_sample": q_mixture_sample,
+    "session_error_counts": q_session_error_counts,
+    "interval_event_counts": q_interval_event_counts,
+    "hll_distinct_users": q_hll_distinct_users,
+    "daily_rollup": q_daily_rollup,
+    "cube_events": q_cube_events,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "event_deltas": q_event_deltas,
+    "running_sum": q_running_sum,
+    "topk_per_group": q_topk_per_group,
+    "distinct_agg": q_distinct_agg,
+    "rollup": q_rollup,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "text_stats": q_text_stats,
+    "term_frequency": q_term_frequency,
+    "distinctive_terms": q_distinctive_terms,
+    "exact_quantiles": q_exact_quantiles,
+    # ======== window boundary (50) ========
+    # --- r5-green block (stalest greens; r8 rotation candidates) ---
     "approx_stats": q_approx_stats,
     "ivf_topk": q_ivf_topk,
     "ivf_persisted": q_ivf_persisted,
@@ -7676,51 +7667,57 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": q_asof_join_events,
     "snapshot_diff": q_snapshot_diff,
     "message_snapshot_delta": q_message_snapshot_delta,
-    "dedup_corpus": q_dedup_corpus,
-    "incremental_dedup": q_incremental_dedup,
-    "compaction": q_compaction,
-    "sessionization": q_sessionization,
-    "stream_dedup": q_stream_dedup,
-    # --- remaining r4-green rows ---
-    "histogram_quantiles": q_histogram_quantiles,
-    "mixture_sample": q_mixture_sample,
-    "minhash_signatures": q_minhash_signatures,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "retrieve_field_window": q_retrieve_field_window,
-    "session_error_counts": q_session_error_counts,
-    "interval_event_counts": q_interval_event_counts,
-    "hll_distinct_users": q_hll_distinct_users,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "stream_sessionization": q_stream_sessionization,
-    "stream_attribution": q_stream_attribution,
-    "field_window": q_field_window,
-    "asof_bounds": q_asof_bounds,
-    "boundary_padding": q_boundary_padding,
-    "daily_rollup": q_daily_rollup,
-    "cube_events": q_cube_events,
-    "json_flatten": q_json_flatten,
-    "locf": q_locf,
-    "pivot_matrix": q_pivot_matrix,
-    "reconstruct_message": q_reconstruct_message,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
-    "event_deltas": q_event_deltas,
-    "running_sum": q_running_sum,
-    "topk_per_group": q_topk_per_group,
-    "distinct_agg": q_distinct_agg,
-    "rollup": q_rollup,
-    "unpivot_lineitem": q_unpivot_lineitem,
-    "dedup_exact": q_dedup_exact,
-    "word_jaccard_pairs": q_word_jaccard_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "text_stats": q_text_stats,
-    "term_frequency": q_term_frequency,
-    "distinctive_terms": q_distinctive_terms,
-    "exact_quantiles": q_exact_quantiles,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
+    # --- r6-green block (freshest driver rows) ---
+    "phrase_persisted": q_phrase_persisted,
+    "ivf_eval": q_ivf_eval,
+    "compaction_persisted": q_compaction_persisted,
+    "salted_join": q_salted_join,
+    "bloom_prefilter": q_bloom_prefilter,
+    "stream_sink_exactly_once": q_stream_sink_exactly_once,
+    "image_resize": q_image_resize,
+    "retrieve_message_asof": q_retrieve_message_asof,
+    "multiple_fields_asof": q_multiple_fields_asof,
+    "multiple_fields_state": q_multiple_fields_state,
+    "multiple_fields_snapshot": q_multiple_fields_snapshot,
+    "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
+    "corpus_pipeline": q_corpus_pipeline,
+    "train_split": q_train_split,
+    "stream_latest_state": q_stream_latest_state,
+    "decontamination": q_decontamination,
+    "pii_scan": q_pii_scan,
+    "doc_chunks": q_doc_chunks,
+    "repetition_scores": q_repetition_scores,
+    "token_estimate": q_token_estimate,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "window_suite": q_window_suite,
+    "collocations": q_collocations,
+    "pagerank": q_pagerank,
+    "mmr_rerank": q_mmr_rerank,
+    "bpe_merges": q_bpe_merges,
+    "pca_direction": q_pca_direction,
+    "update_history_dense": q_update_history_dense,
+    "phrase_search": q_phrase_search,
+    "tpch_q22": q_tpch_q22,
+    "chunk_dedup": q_chunk_dedup,
+    "domain_cap": q_domain_cap,
+    "corpus_shuffle": q_corpus_shuffle,
 }
 
 

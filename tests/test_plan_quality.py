@@ -367,3 +367,36 @@ def test_funnel_single_user_exchange(spark):
     plan = plan_of(spark, "funnel_counts")
     assert "Join" not in plan
     assert plan.lower().count("hashpartitioning(user_id") <= 1
+
+
+def test_session_hygiene_zero_persisted_rdds(spark):
+    """The round-6 cache-hygiene claim as an invariant: after running
+    the cache/localCheckpoint-heaviest registry queries and applying
+    the same between-query hygiene the bench and oracle-gate loops
+    use (clearCache + free_local_checkpoints), the context holds ZERO
+    persisted RDDs — a long 142-query session cannot accumulate
+    executor memory. A future operator that leaks a persist outside
+    that hygiene seam fails here before it regresses the bench."""
+    from alstom_spark_cassandra_spark.operators import (
+        free_local_checkpoints,
+    )
+    from alstom_spark_cassandra_spark.workloads import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    heavy = [
+        "update_history_dense",   # cached twice-consumed base scan
+        "mmr_rerank",             # localCheckpoint iteration results
+        "pagerank",               # localCheckpoint per round
+        "bpe_merges",             # caller-persist contract
+        "pca_direction",          # power-iteration checkpoints
+        "phrase_search",          # positional-index build
+        "compaction",             # S7 union path
+    ]
+    jsc = spark.sparkContext._jsc.sc()
+    for name in heavy:
+        SPARK_QUERIES[name](spark, sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+        free_local_checkpoints(spark)
+    assert jsc.getPersistentRDDs().size() == 0
