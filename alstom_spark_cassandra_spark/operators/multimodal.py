@@ -71,11 +71,6 @@ def _audio_features_schema(id_col: str) -> T.StructType:
     )
 
 
-# default-id instances kept for callers that imported the constants
-IMAGE_FEATURES_SCHEMA = _image_features_schema("doc_id")
-AUDIO_FEATURES_SCHEMA = _audio_features_schema("doc_id")
-
-
 def decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
     """REAL decoder for uncompressed 24-bit BMP — pure `struct`, no
     external codec. Returns (width, height, mean Rec.601 luma in
@@ -216,10 +211,6 @@ def _resize_schema(id_col: str) -> T.StructType:
     )
 
 
-# default-id instance kept for callers that imported the constant
-RESIZE_SCHEMA = _resize_schema("doc_id")
-
-
 def image_resize(
     df: DataFrame,
     out_w: int,
@@ -334,9 +325,6 @@ def _resample_schema(id_col: str) -> T.StructType:
             T.StructField("sample_rate", T.IntegerType()),
         ]
     )
-
-
-RESAMPLE_SCHEMA = _resample_schema("doc_id")
 
 
 def audio_resample(

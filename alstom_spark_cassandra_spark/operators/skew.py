@@ -42,6 +42,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_salt_cols(salt_cols: Sequence[str] | None) -> None:
+    """An explicitly-passed EMPTY salt_cols must fail loudly: a
+    dynamically-computed list that came out empty would otherwise
+    silently fall back to all-columns hashing — exactly the
+    duplicate-rows-collapse degradation the parameter exists to
+    avoid."""
+    if salt_cols is not None and not salt_cols:
+        raise ValueError(
+            "salt_cols is empty; pass None for the all-columns default "
+            "or name at least one high-entropy column"
+        )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -71,6 +84,7 @@ def salted_agg(
     for out, (col, fn) in aggs.items():
         if fn not in merge_fn:
             raise ValueError(f"{fn} is not algebraic; use groupBy directly")
+    _check_salt_cols(salt_cols)
 
     # salt from row CONTENT, never monotonically_increasing_id: a
     # nondeterministic salt recomputed on task retry moves rows between
@@ -81,7 +95,14 @@ def salted_agg(
     salted = df.withColumn(
         "__salt",
         F.pmod(
-            F.xxhash64(*[F.col(c) for c in (salt_cols or df.columns)]),
+            F.xxhash64(
+                *[
+                    F.col(c)
+                    for c in (
+                        salt_cols if salt_cols is not None else df.columns
+                    )
+                ]
+            ),
             F.lit(n_salts),
         ),
     )
@@ -136,8 +157,16 @@ def salted_join(
         )
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    _check_salt_cols(salt_cols)
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in (salt_cols or skewed.columns)]),
+        F.xxhash64(
+            *[
+                F.col(c)
+                for c in (
+                    salt_cols if salt_cols is not None else skewed.columns
+                )
+            ]
+        ),
         F.lit(n_salts),
     ).cast("int")
     l = skewed.withColumn("__salt", salt)

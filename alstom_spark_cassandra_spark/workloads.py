@@ -4979,7 +4979,13 @@ def q_bucketed_join_persisted(spark, sf_dir):
     at 100 TB (a broadcast would hide the layout). The oracle runs
     the PLAIN join + GROUP BY: bucketing is pure physical layout and
     must change nothing — the salted_join/bloom_prefilter exactness
-    contract. Prices ride as integer cents so sums are order-free."""
+    contract. Prices ride as integer cents so sums are order-free.
+
+    The bucketed tables stay REGISTERED after the call (the returned
+    plan reads them lazily, and a persisted layout's whole point is
+    reuse across queries — the ivf_persisted/bm25_persisted
+    convention); paths are per-sf-slugged so reruns overwrite in
+    place. Single-writer like every *_persisted query."""
     import tempfile
 
     from .sources.sinks import write_bucketed
@@ -5088,21 +5094,27 @@ def q_stream_late_data(spark, sf_dir):
     )
     src_dir = f"{base}/src"
     os.makedirs(src_dir)
-    for k in range(4):
-        stage = f"{base}/stage{k}"
-        (
-            ev.filter(F.col("b") == k)
-            .drop("b")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        dst = f"{src_dir}/batch{k}.parquet"
-        shutil.copyfile(part, dst)
-        # FileStreamSource orders by modification time: pin it so the
-        # replay processes the files in assignment order
-        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    # one events scan feeds all four staged files (cached across the
+    # per-batch filters; released before the replay starts)
+    ev = ev.cache()
+    try:
+        for k in range(4):
+            stage = f"{base}/stage{k}"
+            (
+                ev.filter(F.col("b") == k)
+                .drop("b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src_dir}/batch{k}.parquet"
+            shutil.copyfile(part, dst)
+            # FileStreamSource orders by modification time: pin it so
+            # the replay processes the files in assignment order
+            os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    finally:
+        ev.unpersist()
     schema = ev.drop("b").schema
     src = (
         spark.readStream.schema(schema)

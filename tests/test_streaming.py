@@ -622,7 +622,9 @@ def test_late_filter_semantics_lag_and_boundary(spark, tmp_path):
     2. the drop boundary is INCLUSIVE (window end == lagged watermark
        drops);
     3. append mode emits exactly the windows whose end <= the final
-       watermark — later windows stay in state, unfinalized.
+       watermark — INCLUSIVE at the boundary (a window ending exactly
+       on the final watermark is emitted); later windows stay in
+       state, unfinalized.
 
     Four hand-built files, one per trigger, delay 0: if Spark's
     semantics drift on an upgrade, this fails before the driver's
@@ -634,7 +636,10 @@ def test_late_filter_semantics_lag_and_boundary(spark, tmp_path):
         [(1, 2 * H)],                    # M0=2H
         [(2, int(1.5 * H))],             # w1 row; lagged wm=0 -> KEPT (rule 1)
         [(4, int(1.7 * H)), (5, 4 * H)], # w1 end 2H <= lagged wm 2H -> DROP (rule 2)
-        [(6, 8 * H)],                    # finalize; own window > final wm (rule 3)
+        # finalize: final wm = 9H, so w8's end == 9H sits EXACTLY on
+        # the emission boundary (inclusive -> emitted) while w9
+        # (end 10H) stays unfinalized (rule 3)
+        [(6, 8 * H), (7, 9 * H)],
     ]
     src_dir = str(tmp_path / "late_src")
     os.makedirs(src_dir)
@@ -686,8 +691,9 @@ def test_late_filter_semantics_lag_and_boundary(spark, tmp_path):
         ).collect()
     }
     # w1 emitted with ONLY the batch-1 row (rules 1+2); w2 and w4
-    # emitted; w8 (end 9H > final wm 8H) unfinalized (rule 3)
-    assert got == {1: 1, 2: 1, 4: 1}
+    # emitted; w8 (end 9H == final wm 9H) emitted AT the inclusive
+    # boundary; w9 (end 10H > 9H) unfinalized (rule 3)
+    assert got == {1: 1, 2: 1, 4: 1, 8: 1}
 
 
 def test_stream_late_data_drops_and_converges(spark):
