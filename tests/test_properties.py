@@ -474,3 +474,96 @@ def test_bloom_never_false_negative(spark, member_ids, probe_ids, portable):
     assert members_probed <= cand
     if not member_ids:
         assert cand == set()
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # group key
+            st.integers(min_value=-50, max_value=50),   # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(min_value=1, max_value=9),
+    use_rid_salt=st.booleans(),
+)
+def test_salted_agg_equals_plain_groupby(spark, rows, n_salts, use_rid_salt):
+    """Two-phase salting is a PHYSICAL rewrite: for any input
+    (including byte-identical duplicate rows), salt count, and either
+    salt source (all columns or the high-entropy salt_cols seam), the
+    salted sum/count/min/max per key is exactly the plain groupBy
+    result."""
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)],
+        "k int, v int, rid int",
+    )
+    plain = {
+        r.k: (r.s, r.n, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.k: (r.s, r.n, r.mn, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "s": ("v", "sum"),
+                "n": ("v", "count"),
+                "mn": ("v", "min"),
+                "mx": ("v", "max"),
+            },
+            n_salts=n_salts,
+            salt_cols=["rid"] if use_rid_salt else None,
+        ).collect()
+    }
+    assert salted == plain
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=30,
+    ),
+    in_rate=st.integers(min_value=1000, max_value=48000),
+    out_rate=st.integers(min_value=1000, max_value=48000),
+)
+def test_resample_wav_nearest_exact_index_map(samples, in_rate, out_rate):
+    """For ANY 16-bit sample vector and rate pair, the resampled WAV
+    decodes to exactly out_n = max(n*out//in, 1) frames at out_rate,
+    and output frame k is byte-identically source frame
+    k*in//out — the zero-order-hold contract the audio_resample
+    oracle reproduces arithmetically."""
+    import io
+    import struct
+    import wave
+
+    from alstom_spark_cassandra_spark.operators.multimodal import (
+        encode_wav,
+        resample_wav_nearest,
+    )
+
+    out = resample_wav_nearest(encode_wav(samples, in_rate), out_rate)
+    with wave.open(io.BytesIO(out)) as w:
+        assert w.getframerate() == out_rate
+        got = list(
+            struct.unpack(
+                f"<{w.getnframes()}h", w.readframes(w.getnframes())
+            )
+        )
+    out_n = max(len(samples) * out_rate // in_rate, 1)
+    assert got == [samples[k * in_rate // out_rate] for k in range(out_n)]
