@@ -5,6 +5,7 @@ from .queries import (
     get_multiple_fields,
     get_multiple_fields_history,
     get_update_history,
+    get_update_history_chunked,
     make_arguments,
     retrieve_field,
     retrieve_message,
@@ -18,6 +19,7 @@ __all__ = [
     "get_multiple_fields",
     "get_multiple_fields_history",
     "get_update_history",
+    "get_update_history_chunked",
     "retrieve_field",
     "retrieve_message",
 ]

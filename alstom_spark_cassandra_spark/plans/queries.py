@@ -943,12 +943,13 @@ def get_update_history(
                     f"get_update_history dense grid would be "
                     f"{n_ids} time points x {n_series} series = "
                     f"{n_series * n_ids} cells, above the "
-                    f"max_dense_cells cap ({max_dense_cells}). Chunk "
-                    f"the [start, end] id window into sub-windows "
-                    f"(each seeded by its own start state — results "
-                    f"concatenate exactly), request fewer series per "
-                    f"call, or pass max_dense_cells=None if the "
-                    f"cluster is sized for the full matrix."
+                    f"max_dense_cells cap ({max_dense_cells}). Use "
+                    f"get_update_history_chunked (splits the id "
+                    f"window into sub-windows, each seeded by its "
+                    f"own start state — results concatenate "
+                    f"exactly), request fewer series per call, or "
+                    f"pass max_dense_cells=None if the cluster is "
+                    f"sized for the full matrix."
                 )
     placeholders = ids.crossJoin(
         F.broadcast(arguments.select(*SERIES_KEY))
@@ -1101,6 +1102,81 @@ def get_update_history(
         .agg(F.first("value"))
         .orderBy("instance_message_id")
     )
+
+
+def get_update_history_chunked(
+    instance_field: DataFrame,
+    arguments: Arguments | DataFrame,
+    start_instance_message_id: int,
+    end_instance_message_id: int,
+    n_chunks: int = 4,
+    default_value: float = -1.0,
+    use_cache: bool = False,
+) -> DataFrame:
+    """The documented escape hatch for get_update_history's
+    max_dense_cells guard, as an actual API: split the [start, end]
+    id window into `n_chunks` contiguous sub-windows, run each with
+    its own start state, and concatenate — EXACTLY the unchunked long
+    result (pinned by test_update_history_chunked_exact), with the
+    dense grid never wider than one chunk at a time.
+
+    Why concatenation is exact: chunk i covers updates in
+    (b_i, b_{i+1}] and seeds every series with its LOCF state as of
+    b_i — the same value the full matrix carries at that point — so
+    the only surplus rows are each later chunk's injected start-state
+    row at id == b_i, which either duplicates chunk i-1's grid row at
+    that id (when an update landed exactly there) or corresponds to
+    no grid point of the full result; dropping later chunks' rows at
+    their own start id therefore reproduces the full grid row-for-row
+    (values, iteration-tie resolution, per-series filters — all
+    chunk-local by construction, since filters gate each time point
+    independently).
+
+    Long format only (the pivot is presentation; pivot the
+    concatenated result if needed). `use_cache` defaults to False
+    here, unlike the single-shot call: each chunk caches a scan up to
+    its own end id, and n_chunks overlapping caches would hold
+    roughly n_chunks/2 copies of the log — the chunked path exists
+    precisely because memory is tight."""
+    if n_chunks < 1:
+        raise ValueError("n_chunks must be >= 1")
+    span = end_instance_message_id - start_instance_message_id
+    if span < 0:
+        raise ValueError("end must be >= start")
+    if span == 0:  # degenerate window: nothing to chunk
+        return get_update_history(
+            instance_field,
+            arguments,
+            start_instance_message_id,
+            end_instance_message_id,
+            pivot=False,
+            default_value=default_value,
+            use_cache=use_cache,
+            max_dense_cells=None,
+        )
+    n_chunks = min(n_chunks, span)
+    bounds = [
+        start_instance_message_id + span * i // n_chunks
+        for i in range(n_chunks + 1)
+    ]
+    out = None
+    for i in range(n_chunks):
+        piece = get_update_history(
+            instance_field,
+            arguments,
+            bounds[i],
+            bounds[i + 1],
+            pivot=False,
+            default_value=default_value,
+            use_cache=use_cache,
+            max_dense_cells=None,  # bounded by construction
+        )
+        if i > 0:
+            piece = piece.filter(
+                F.col("instance_message_id") != F.lit(bounds[i])
+            )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy(*SERIES_KEY, "instance_message_id")
 
 
 def backup(

@@ -668,3 +668,93 @@ def test_update_history_leading_default_carries_until_first_update(spark):
     assert got[(2, 40)] == 77.0
     # never-updated-in-window series: -1 across the whole grid
     assert got[(3, 10)] == -1.0 and got[(3, 30)] == -1.0 and got[(3, 40)] == -1.0
+
+
+def test_update_history_chunked_exact(spark, domain):
+    """get_update_history_chunked is the dense-grid guard's escape
+    hatch made real: for several chunk counts — including one whose
+    boundary lands EXACTLY on an update id, the duplicate-boundary
+    case the concatenation rule has to handle — the concatenated
+    result is row-for-row identical to the unchunked matrix, with
+    per-series filters applied chunk-locally."""
+    from alstom_spark_cassandra_spark.plans import (
+        get_update_history_chunked,
+    )
+
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
+    full = sorted(
+        map(tuple, get_update_history(domain["log"], args, 50, 120).collect())
+    )
+    # an actual update id inside the window, to pin a boundary on it
+    some_id = int(
+        domain["log"]
+        .filter(
+            (F.col("instance_message_id") > 50)
+            & (F.col("instance_message_id") < 120)
+        )
+        .agg(F.max("instance_message_id"))
+        .collect()[0][0]
+    )
+    for n in (1, 3):
+        got = sorted(
+            map(
+                tuple,
+                get_update_history_chunked(
+                    domain["log"], args, 50, 120, n_chunks=n
+                ).collect(),
+            )
+        )
+        assert got == full, f"n_chunks={n}"
+    # n_chunks > span clamps to 1-id chunks (every boundary an id)
+    tiny_full = sorted(
+        map(tuple, get_update_history(domain["log"], args, 50, 55).collect())
+    )
+    tiny_got = sorted(
+        map(
+            tuple,
+            get_update_history_chunked(
+                domain["log"], args, 50, 55, n_chunks=70
+            ).collect(),
+        )
+    )
+    assert tiny_got == tiny_full
+    # boundary exactly on an update id: 2 chunks split at some_id via
+    # chunk span arithmetic -> emulate by splitting [50, some_id] +
+    # [some_id, 120] through n_chunks on the exact sub-span
+    width = some_id - 50
+    got = sorted(
+        map(
+            tuple,
+            get_update_history_chunked(
+                domain["log"], args, 50, 50 + 2 * width, n_chunks=2
+            ).collect(),
+        )
+    )
+    full2 = sorted(
+        map(
+            tuple,
+            get_update_history(
+                domain["log"], args, 50, 50 + 2 * width
+            ).collect(),
+        )
+    )
+    assert got == full2
+    # filtered variant: filters gate each time point chunk-locally
+    fargs = make_arguments(
+        spark, [1, 2], [0, 0], [0, 0], filters=["value > 0", None]
+    )
+    full_f = sorted(
+        map(
+            tuple,
+            get_update_history(domain["log"], fargs, 50, 120).collect(),
+        )
+    )
+    got_f = sorted(
+        map(
+            tuple,
+            get_update_history_chunked(
+                domain["log"], fargs, 50, 120, n_chunks=4
+            ).collect(),
+        )
+    )
+    assert got_f == full_f
