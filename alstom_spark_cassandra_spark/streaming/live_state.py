@@ -73,6 +73,8 @@ def stateful_latest_value(
     order_col: str = "instance_message_id",
     value_col: str = "new_value",
     tiebreak_col: str | None = None,
+    ttl: str | None = None,
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-series
     (current value, total update count, last update id), maintained
@@ -80,9 +82,20 @@ def stateful_latest_value(
 
     This is the op the built-in `max_by` aggregation can't express —
     the cumulative n_updates_total requires explicit state carried
-    between batches. State per key is 4 longs; use the TTL variant of
-    GroupStateTimeout in deployments where series churn (the
-    reference's catalog is bounded, so NoTimeout is safe there).
+    between batches. State per key is 4 longs. With the default
+    `ttl=None` state lives forever (NoTimeout — correct for the
+    reference's BOUNDED catalog of series). For unbounded/churning
+    key domains — the 100 TB stream case — pass `ttl` (e.g.
+    "2 hours"): a series idle longer than `ttl` of EVENT time has its
+    state evicted via GroupStateTimeout.EventTimeTimeout, so state is
+    bounded by keys active inside the horizon, not by lifetime key
+    cardinality. Eviction is silent (no tombstone row); a later
+    update re-creates the series fresh, so n_updates_total restarts —
+    the deliberate trade, mirroring dedup_stream's
+    dropDuplicatesWithinWatermark contract, and the downstream batch
+    argmax remains the total-order source of truth. `ttl` requires
+    the stream to carry a watermark on `ts_col` (eviction fires when
+    the watermark passes last-seen event time + ttl).
 
     Equal-`order_col` updates compare on (order_col, tiebreak_col) —
     the same total order as the batch `latest_per_key` — so a
@@ -91,14 +104,38 @@ def stateful_latest_value(
     and the >= compare keeps the last row of the batch-local sort
     (exactly the old behavior, defined only when clocks are unique).
     """
+    ttl_ms = None
+    if ttl is not None:
+        # parse "N unit" the same way Spark intervals do, via a tiny
+        # whitelist (the state API wants epoch-ms numbers, not
+        # interval strings)
+        qty, _, unit = ttl.partition(" ")
+        unit_ms = {
+            "millisecond": 1, "milliseconds": 1,
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }.get(unit.strip())
+        if unit_ms is None or not qty.isdigit():
+            raise ValueError(
+                f"ttl must look like '30 minutes', got {ttl!r}"
+            )
+        ttl_ms = int(qty) * unit_ms
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the event-time TTL: evict silently — the
+            # series re-creates fresh on its next update
+            state.remove()
+            return
         if state.exists:
             value, n, last_id, last_tb = state.get
         else:
             value, n, last_id, last_tb = None, 0, -1, -1
+        max_ts = None
         for pdf in pdfs:
             cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(cols, kind="stable")
@@ -109,7 +146,13 @@ def stateful_latest_value(
                 last_id = int(newest[order_col])
                 last_tb = tb
                 value = int(newest[value_col])
+            if ttl_ms is not None:
+                batch_max = pdf[ts_col].max()
+                ts_ms = int(pd.Timestamp(batch_max).value // 1_000_000)
+                max_ts = ts_ms if max_ts is None else max(max_ts, ts_ms)
         state.update((value, n, last_id, last_tb))
+        if ttl_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(max_ts + ttl_ms)
         yield pd.DataFrame(
             {
                 "uevol_field_id": [key[0]],
@@ -124,7 +167,11 @@ def stateful_latest_value(
         outputStructType=CHANGE_COUNT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

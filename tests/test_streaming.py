@@ -711,3 +711,80 @@ def test_stream_late_data_drops_and_converges(spark):
     # emitted strictly fewer than fed, but most rows survive
     assert total_emitted < 1000 - 42 + 1
     assert total_emitted > 800
+
+
+def test_stateful_latest_ttl_evicts_idle_series(spark, tmp_path):
+    """Event-time TTL on stateful_latest_value — the bounded-state
+    mode for unbounded key domains: a series idle past the TTL is
+    evicted once the watermark passes (last event time + ttl), and a
+    LATER update re-creates it FRESH (update counter restarts, and a
+    stale id that the old state would have rejected now wins) — while
+    a series active inside the horizon keeps cumulative state. Forced
+    one-file-per-trigger; eviction fires in a batch where the evicted
+    key has no input (Spark never times out a key with data in the
+    same batch)."""
+    import glob
+    import os
+    import shutil
+
+    H = 3_600_000
+    files = [
+        # k1 and k2 born at 0.5H
+        [(1, 10, 100, int(0.5 * H)), (2, 7, 70, int(0.5 * H))],
+        # k2 active at 3.5H -> advances wm past k1's 1.5H timeout
+        [(2, 20, 200, int(3.5 * H))],
+        # unrelated k3: the batch where k1's timeout actually fires
+        [(3, 1, 1, 4 * H)],
+        # k1 returns with a STALE id: fresh state must accept it
+        [(1, 5, 55, int(4.5 * H))],
+    ]
+    schema = (
+        "uevol_field_id int, instance_message_id long, new_value long,"
+        " ts_ms long"
+    )
+    src_dir = str(tmp_path / "ttl_src")
+    os.makedirs(src_dir)
+    for k, rows in enumerate(files):
+        stage = str(tmp_path / f"stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stateful_latest_value(src, ttl="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ttl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 4
+    rows = spark.sql("select * from ttl_stateful").collect()
+    k1 = sorted(
+        (r.current_value, r.n_updates_total, r.last_update_id)
+        for r in rows
+        if r.uevol_field_id == 1
+    )
+    # first life (100, 1, 10), then evicted, then FRESH (55, 1, 5);
+    # the no-TTL outcome (100, 2, 10) must never appear
+    assert k1 == [(55, 1, 5), (100, 1, 10)]
+    k2 = {
+        (r.current_value, r.n_updates_total, r.last_update_id)
+        for r in rows
+        if r.uevol_field_id == 2
+    }
+    # active inside the horizon: cumulative state survives
+    assert (200, 2, 20) in k2
