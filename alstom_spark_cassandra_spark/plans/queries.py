@@ -815,6 +815,8 @@ def get_update_history(
     default_value: float = -1.0,
     use_cache: bool = True,
     max_dense_cells: int | None = 100_000_000,
+    start_state: DataFrame | None = None,
+    sort_output: bool = True,
 ) -> DataFrame:
     """Q3: dense value-over-time matrix for a set of series over an id
     window (reference: SQL/GetUpdateHistory.sql).
@@ -866,11 +868,21 @@ def get_update_history(
         base = base.cache()
 
     # Start-of-window state per series (the reference calls
-    # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29);
-    # same aggregation, over the shared cached base scan.
-    start_state = _scalar_state(
-        base, arguments, start_instance_message_id, default_value
-    ).select(
+    # GetMultipleFieldsHistory for this, SQL/GetUpdateHistory.sql:29,
+    # and passes the start table INTO the procedure — `start_state`
+    # exposes that same seam so get_update_history_chunked can seed
+    # interior chunks with the true LOCF carry instead of the
+    # min-relative-path scalar). Default: the _scalar_state
+    # aggregation over the shared cached base scan.
+    if start_state is None:
+        start_state = _scalar_state(
+            base, arguments, start_instance_message_id, default_value
+        )
+    else:
+        start_state = start_state.select(
+            *SERIES_KEY, F.col("value").cast("double").alias("value")
+        )
+    start_state = start_state.select(
         *SERIES_KEY,
         F.lit(start_instance_message_id).cast("long").alias(
             "instance_message_id"
@@ -1072,6 +1084,10 @@ def get_update_history(
         )
 
     if not pivot:
+        if not sort_output:
+            # chunked composition: each chunk's global presentation
+            # sort would be discarded by the union — sort once there
+            return filled
         return filled.orderBy(*SERIES_KEY, "instance_message_id")
 
     # Presentation pivot: column names follow the reference's
@@ -1112,32 +1128,46 @@ def get_update_history_chunked(
     n_chunks: int = 4,
     default_value: float = -1.0,
     use_cache: bool = False,
+    max_dense_cells: int | None = 100_000_000,
 ) -> DataFrame:
     """The documented escape hatch for get_update_history's
     max_dense_cells guard, as an actual API: split the [start, end]
     id window into `n_chunks` contiguous sub-windows, run each with
     its own start state, and concatenate — EXACTLY the unchunked long
-    result (pinned by test_update_history_chunked_exact), with the
-    dense grid never wider than one chunk at a time.
+    result (pinned by test_update_history_chunked_exact, including
+    multi-relative-path series), with the dense grid never wider than
+    one chunk at a time.
 
-    Why concatenation is exact: chunk i covers updates in
-    (b_i, b_{i+1}] and seeds every series with its LOCF state as of
-    b_i — the same value the full matrix carries at that point — so
-    the only surplus rows are each later chunk's injected start-state
-    row at id == b_i, which either duplicates chunk i-1's grid row at
-    that id (when an update landed exactly there) or corresponds to
-    no grid point of the full result; dropping later chunks' rows at
-    their own start id therefore reproduces the full grid row-for-row
-    (values, iteration-tie resolution, per-series filters — all
-    chunk-local by construction, since filters gate each time point
-    independently).
+    Why concatenation is exact: chunk 0 seeds from _scalar_state at
+    `start` — the same min-path scalar the unchunked call (and the
+    reference's GetMultipleFieldsHistory hand-off,
+    SQL/GetUpdateHistory.sql:29) uses. Every LATER chunk seeds each
+    series with the full matrix's TRUE LOCF carry at its boundary:
+    the max-(id, iteration) update value in (start, b_i] across ALL
+    relative_paths — the reference's interior loop overwrites from
+    the unfiltered update stream (SQL/GetUpdateHistory.sql:104-110),
+    so an interior re-seed through the min-path scalar would diverge
+    for multi-path series — falling back to the start scalar for
+    series with no update yet. With that seed, chunk i's grid rows at
+    ids in (b_i, b_{i+1}] equal the full matrix's (LOCF is Markovian
+    in the carried value), and the only surplus rows are each later
+    chunk's injected start row at b_i, which either duplicates chunk
+    i-1's grid row there or corresponds to no full-grid point —
+    dropped unconditionally. Per-series filters gate each time point
+    independently, so they are chunk-local too.
 
-    Long format only (the pivot is presentation; pivot the
-    concatenated result if needed). `use_cache` defaults to False
-    here, unlike the single-shot call: each chunk caches a scan up to
-    its own end id, and n_chunks overlapping caches would hold
-    roughly n_chunks/2 copies of the log — the chunked path exists
-    precisely because memory is tight."""
+    `max_dense_cells` forwards to every chunk: an under-chunked call
+    still RAISES instead of rebuilding the memory-breaking matrix the
+    guard exists to prevent — increase n_chunks (or lower the series
+    count) until each chunk fits. Long format only (the pivot is
+    presentation; pivot the concatenated result if needed).
+    `use_cache` defaults to False here, unlike the single-shot call:
+    each chunk caches a scan up to its own end id, and n_chunks
+    overlapping caches would hold roughly n_chunks/2 copies of the
+    log — the chunked path exists precisely because memory is tight.
+    Each interior seed costs one bounded aggregation over the log up
+    to its boundary; that is the price of never materializing the
+    full grid."""
     if n_chunks < 1:
         raise ValueError("n_chunks must be >= 1")
     span = end_instance_message_id - start_instance_message_id
@@ -1152,15 +1182,54 @@ def get_update_history_chunked(
             pivot=False,
             default_value=default_value,
             use_cache=use_cache,
-            max_dense_cells=None,
+            max_dense_cells=max_dense_cells,
         )
     n_chunks = min(n_chunks, span)
     bounds = [
         start_instance_message_id + span * i // n_chunks
         for i in range(n_chunks + 1)
     ]
+
+    # shared ingredients for the interior seeds
+    args_df, arg_rows = _resolve_args(arguments, instance_field)
+    restricted = _series_restrict(instance_field, args_df, arg_rows)
+    scalar_start = _scalar_state(
+        restricted, args_df, start_instance_message_id, default_value
+    )
+    in_window = restricted.filter(
+        F.col("instance_message_id") > F.lit(start_instance_message_id)
+    )
+
     out = None
     for i in range(n_chunks):
+        if i == 0:
+            seed = None  # the unchunked call's own start scalar
+        else:
+            carried = (
+                in_window.filter(
+                    F.col("instance_message_id") <= F.lit(bounds[i])
+                )
+                .groupBy(*SERIES_KEY)
+                .agg(
+                    F.max_by(
+                        F.col("new_value").cast("double"),
+                        F.struct(
+                            F.col("instance_message_id"),
+                            F.col("iteration").cast("long"),
+                        ),
+                    ).alias("__carried")
+                )
+            )
+            seed = (
+                scalar_start.join(carried, SERIES_KEY, "left")
+                .select(
+                    *SERIES_KEY,
+                    F.coalesce("__carried", "value").alias("value"),
+                )
+            )
+        # each chunk gets the ORIGINAL arguments (driver-known lists
+        # keep their pushed-predicate restriction inside the chunk);
+        # the resolved args_df above serves only the seed computation
         piece = get_update_history(
             instance_field,
             arguments,
@@ -1169,7 +1238,9 @@ def get_update_history_chunked(
             pivot=False,
             default_value=default_value,
             use_cache=use_cache,
-            max_dense_cells=None,  # bounded by construction
+            max_dense_cells=max_dense_cells,
+            start_state=seed,
+            sort_output=False,
         )
         if i > 0:
             piece = piece.filter(

@@ -64,7 +64,10 @@ CHANGE_COUNT_SCHEMA = T.StructType(
         T.StructField("last_update_id", T.LongType()),
     ]
 )
-_STATE_SCHEMA = "value long, n long, last_id long, last_tb long"
+# last_ts carries the max event time (epoch ms) ever seen for the key,
+# so an out-of-order batch of OLDER rows can never move the TTL
+# timeout earlier (the no-TTL path stores 0 there)
+_STATE_SCHEMA = "value long, n long, last_id long, last_tb long, last_ts long"
 
 
 def stateful_latest_value(
@@ -105,23 +108,23 @@ def stateful_latest_value(
     (exactly the old behavior, defined only when clocks are unique).
     """
     ttl_ms = None
+    tz = None
     if ttl is not None:
-        # parse "N unit" the same way Spark intervals do, via a tiny
-        # whitelist (the state API wants epoch-ms numbers, not
-        # interval strings)
-        qty, _, unit = ttl.partition(" ")
-        unit_ms = {
-            "millisecond": 1, "milliseconds": 1,
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }.get(unit.strip())
-        if unit_ms is None or not qty.isdigit():
+        try:
+            ttl_ms = int(pd.Timedelta(ttl).total_seconds() * 1000)
+        except ValueError as exc:
             raise ValueError(
-                f"ttl must look like '30 minutes', got {ttl!r}"
-            )
-        ttl_ms = int(qty) * unit_ms
+                f"ttl must be a duration like '30 minutes', got {ttl!r}"
+            ) from exc
+        if ttl_ms <= 0:
+            raise ValueError(f"ttl must be positive, got {ttl!r}")
+        # applyInPandasWithState hands pandas tz-NAIVE timestamps
+        # rendered in the session timezone; capture it at build time
+        # so the epoch-ms conversion below is exact in any session,
+        # not just UTC
+        tz = stream.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -132,10 +135,9 @@ def stateful_latest_value(
             state.remove()
             return
         if state.exists:
-            value, n, last_id, last_tb = state.get
+            value, n, last_id, last_tb, last_ts = state.get
         else:
-            value, n, last_id, last_tb = None, 0, -1, -1
-        max_ts = None
+            value, n, last_id, last_tb, last_ts = None, 0, -1, -1, 0
         for pdf in pdfs:
             cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(cols, kind="stable")
@@ -147,12 +149,30 @@ def stateful_latest_value(
                 last_tb = tb
                 value = int(newest[value_col])
             if ttl_ms is not None:
-                batch_max = pdf[ts_col].max()
-                ts_ms = int(pd.Timestamp(batch_max).value // 1_000_000)
-                max_ts = ts_ms if max_ts is None else max(max_ts, ts_ms)
-        state.update((value, n, last_id, last_tb))
-        if ttl_ms is not None and max_ts is not None:
-            state.setTimeoutTimestamp(max_ts + ttl_ms)
+                # NULL event times produce NaT; they must not poison
+                # the timeout base (NaT.value is -2^63)
+                batch_max = pdf[ts_col].dropna().max()
+                if not pd.isna(batch_max):
+                    ts_ms = int(
+                        pd.Timestamp(batch_max).tz_localize(tz).value
+                        // 1_000_000
+                    )
+                    # monotone: an out-of-order batch of OLDER rows
+                    # never moves the timeout earlier
+                    last_ts = max(last_ts, ts_ms)
+        state.update((value, n, last_id, last_tb, last_ts))
+        if ttl_ms is not None:
+            wm = state.getCurrentWatermarkMs()
+            if last_ts > 0:
+                # the API rejects a timestamp at/below the current
+                # watermark (possible when only late-but-valid rows
+                # arrived); clamp to the next representable instant —
+                # the timeout then fires in the next batch, which is
+                # exactly when the horizon says it should
+                state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
+            elif wm > 0:
+                # no usable event time ever seen: age out by watermark
+                state.setTimeoutTimestamp(wm + ttl_ms)
         yield pd.DataFrame(
             {
                 "uevol_field_id": [key[0]],

@@ -758,3 +758,49 @@ def test_update_history_chunked_exact(spark, domain):
         )
     )
     assert got_f == full_f
+
+
+def test_update_history_chunked_multi_path_series(spark):
+    """The case that makes interior re-seeding through _scalar_state
+    WRONG: a series with several relative_paths. The dense grid's
+    interior LOCF carries the last update of ANY path (the
+    reference's unfiltered update stream), while the min-path scalar
+    would resurrect the stale "000" value at a chunk boundary. Built
+    so a boundary lands exactly on the path-"001" update: chunked
+    must still equal unchunked row-for-row."""
+    from alstom_spark_cassandra_spark.plans import (
+        get_update_history,
+        get_update_history_chunked,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, 0, 0, 50, "000", 0, 5),
+            (1, 0, 0, 100, "001", 0, 9),   # boundary lands here
+            (1, 0, 0, 150, "000", 0, 7),
+            (2, 0, 0, 60, "000", 0, 1),
+        ],
+        "uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, relative_path string, iteration int,"
+        " new_value long",
+    )
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
+    full = sorted(
+        map(tuple, get_update_history(log, args, 0, 200).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            get_update_history_chunked(
+                log, args, 0, 200, n_chunks=2
+            ).collect(),
+        )
+    )
+    assert got == full
+    # and the carry really is the path-"001" value, not min-path "000"
+    by_id = {
+        (r[0], r[3]): r[4]
+        for r in full
+        if r[0] == 1
+    }
+    assert by_id[(1, 100)] == 9.0 and by_id[(1, 150)] == 7.0

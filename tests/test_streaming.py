@@ -788,3 +788,65 @@ def test_stateful_latest_ttl_evicts_idle_series(spark, tmp_path):
     }
     # active inside the horizon: cumulative state survives
     assert (200, 2, 20) in k2
+
+
+def test_stateful_latest_ttl_monotone_under_late_rows(spark, tmp_path):
+    """A late-but-valid OLDER event (inside the watermark delay) must
+    not move the key's TTL timeout earlier: the timeout base is the
+    max event time ever seen (carried in state), so the key survives
+    until true-last-seen + ttl. With the naive per-batch base the key
+    here would be evicted in batch 3 (timeout 3.5H < wm 3.7H) and its
+    counter would reset; the monotone base keeps 4.0H > 3.7H."""
+    import glob
+    import os
+    import shutil
+
+    H = 3_600_000
+    files = [
+        [(1, 10, 100, 3 * H)],            # k1 newest ts 3.0H
+        [(1, 11, 110, int(2.5 * H))],     # k1 late-but-valid older ts
+        [(3, 1, 1, int(4.7 * H))],        # wm -> 3.7H during next batch
+        [(2, 2, 2, 5 * H)],               # k1 idle: timeout check fires
+        [(1, 5, 55, int(5.2 * H))],       # stale id: live state rejects
+    ]
+    schema = (
+        "uevol_field_id int, instance_message_id long, new_value long,"
+        " ts_ms long"
+    )
+    src_dir = str(tmp_path / "mono_src")
+    os.makedirs(src_dir)
+    for k, rows in enumerate(files):
+        stage = str(tmp_path / f"stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "1 hour")
+    )
+    out = stateful_latest_value(src, ttl="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_mono")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mono_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql(
+        "select * from ttl_mono where uevol_field_id = 1"
+    ).collect()
+    counts = sorted(r.n_updates_total for r in rows)
+    # three emissions, cumulative: the state was never evicted
+    assert counts == [1, 2, 3]
+    final = max(rows, key=lambda r: r.n_updates_total)
+    # newest id 11 still wins; the stale id-5 row only bumped the count
+    assert (final.current_value, final.last_update_id) == (110, 11)
