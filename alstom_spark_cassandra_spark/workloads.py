@@ -4914,17 +4914,22 @@ def q_salted_agg(spark, sf_dir):
     """Skew-mitigated two-phase aggregation (operators/skew.
     salted_agg): events aggregate on the HIGH-CARDINALITY composite
     key (user_id, event_type, day) — the shape salted_agg's own
-    guidance reserves it for, because map-side partial aggregation
-    cannot compress when nearly every task-local row is its own group,
-    so a hot key's rows genuinely funnel into one reducer without the
-    salt. Phase 1 aggregates on (keys, salt from event_id — the
-    high-entropy salt_cols seam, so even duplicate payload rows
-    spread), phase 2 merges partials on the keys. The oracle runs the
-    PLAIN GROUP BY: like salted_join, salting is a physical rewrite
-    and the graded claim is exactness — counts, order-free integer
-    milli sums, and min/max must match bit-for-bit. The two-exchange
-    physical shape is pinned by
-    tests/test_skew.py::test_salted_agg_two_phase_plan."""
+    guidance reserves it for: with nearly every task-local row its
+    own group, map-side partial aggregation passes rows through
+    uncompressed, so the phase-1 (keys, salt) aggregation adds no
+    exchange volume over the plain plan — the rewrite is free to
+    adopt, and it is what bounds the reducer when the key space
+    skews or the follow-up aggregate cannot pre-combine
+    (distinct-style work, windows over a hot partition — SCALE.md's
+    measured guidance; for purely algebraic aggs over low-cardinality
+    keys the plain groupBy wins and stays the default). Phase 1
+    aggregates on (keys, salt from event_id — the high-entropy
+    salt_cols seam, so even duplicate payload rows spread), phase 2
+    merges partials on the keys. The oracle runs the PLAIN GROUP BY:
+    like salted_join, salting is a physical rewrite and the graded
+    claim is exactness — counts, order-free integer milli sums, and
+    min/max must match bit-for-bit. The two-exchange physical shape
+    is pinned by tests/test_skew.py::test_salted_agg_two_phase_plan."""
     from .operators.skew import salted_agg
 
     ev = _t(spark, sf_dir, "events").select(
