@@ -844,6 +844,15 @@ def get_update_history(
     ceiling (SURVEY.md §7.4); `pivot=True` gives that presentation for
     bounded series counts.
 
+    `start_state`, when given, replaces the internal _scalar_state
+    seed with a caller-supplied (series key, value) frame — the
+    reference's own start-table hand-off (SQL/GetUpdateHistory.sql:29)
+    and the seam get_update_history_chunked seeds interior chunks
+    through. CONTRACT: the frame must contain EVERY requested series;
+    a missing series has no start row, so its leading grid cells come
+    back NULL instead of default_value (the chunked wrapper guarantees
+    completeness by left-joining onto the start scalar).
+
     Per-series user filter strings (column `filter` of `arguments`)
     are validated by the whitelist compiler before touching the plan
     (the reference string-concatenates them into SQL,
@@ -1196,9 +1205,20 @@ def get_update_history_chunked(
     scalar_start = _scalar_state(
         restricted, args_df, start_instance_message_id, default_value
     )
+    # NULL new_value rows never become a carried value: the full
+    # matrix's dense agg prefers real rows at each id and LOCF fills
+    # null grid cells from the previous real value, so the carry is
+    # the last NON-NULL update by (id, iteration) — a null row with a
+    # higher iteration must not shadow it here either
     in_window = restricted.filter(
-        F.col("instance_message_id") > F.lit(start_instance_message_id)
+        (F.col("instance_message_id") > F.lit(start_instance_message_id))
+        & F.col("new_value").isNotNull()
     )
+    # driver-known Arguments keep their pushed-predicate restriction
+    # inside each chunk; already-expanded DataFrame args are passed
+    # through resolved so wildcard expansion and guard-probe jobs are
+    # not re-paid n_chunks times
+    chunk_args = arguments if arg_rows is not None else args_df
 
     out = None
     for i in range(n_chunks):
@@ -1227,12 +1247,9 @@ def get_update_history_chunked(
                     F.coalesce("__carried", "value").alias("value"),
                 )
             )
-        # each chunk gets the ORIGINAL arguments (driver-known lists
-        # keep their pushed-predicate restriction inside the chunk);
-        # the resolved args_df above serves only the seed computation
         piece = get_update_history(
             instance_field,
-            arguments,
+            chunk_args,
             bounds[i],
             bounds[i + 1],
             pivot=False,

@@ -85,7 +85,12 @@ def stateful_latest_value(
 
     This is the op the built-in `max_by` aggregation can't express —
     the cumulative n_updates_total requires explicit state carried
-    between batches. State per key is 4 longs. With the default
+    between batches. State per key is 5 longs (value, count, last id,
+    last tiebreak, max event time seen — the last one feeds the TTL
+    timeout and stays 0 on the no-TTL path; NOTE: the schema widened
+    from 4 longs when TTL landed, so checkpoints written by the
+    4-long build cannot be resumed — restart such queries from a
+    fresh checkpoint). With the default
     `ttl=None` state lives forever (NoTimeout — correct for the
     reference's BOUNDED catalog of series). For unbounded/churning
     key domains — the 100 TB stream case — pass `ttl` (e.g.
@@ -121,10 +126,20 @@ def stateful_latest_value(
         # applyInPandasWithState hands pandas tz-NAIVE timestamps
         # rendered in the session timezone; capture it at build time
         # so the epoch-ms conversion below is exact in any session,
-        # not just UTC
+        # not just UTC — and fail FAST here if pandas cannot resolve
+        # the session zone (e.g. Spark-legal 'GMT+8'), instead of
+        # crashing executors later
         tz = stream.sparkSession.conf.get(
             "spark.sql.session.timeZone", "UTC"
         )
+        try:
+            pd.Timestamp("2000-01-02 03:04:05").tz_localize(tz)
+        except Exception as exc:
+            raise ValueError(
+                f"session timezone {tz!r} is not resolvable by pandas; "
+                f"set spark.sql.session.timeZone to an IANA zone "
+                f"(e.g. 'UTC', 'America/New_York') to use ttl"
+            ) from exc
 
     def update(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -150,11 +165,19 @@ def stateful_latest_value(
                 value = int(newest[value_col])
             if ttl_ms is not None:
                 # NULL event times produce NaT; they must not poison
-                # the timeout base (NaT.value is -2^63)
+                # the timeout base (NaT.value is -2^63). DST edges on
+                # non-UTC sessions resolve deterministically
+                # (ambiguous -> first occurrence, nonexistent ->
+                # shifted forward) — worst case the timeout drifts by
+                # the DST offset, never a crash
                 batch_max = pdf[ts_col].dropna().max()
                 if not pd.isna(batch_max):
                     ts_ms = int(
-                        pd.Timestamp(batch_max).tz_localize(tz).value
+                        pd.Timestamp(batch_max)
+                        .tz_localize(
+                            tz, ambiguous=True, nonexistent="shift_forward"
+                        )
+                        .value
                         // 1_000_000
                     )
                     # monotone: an out-of-order batch of OLDER rows
@@ -162,17 +185,15 @@ def stateful_latest_value(
                     last_ts = max(last_ts, ts_ms)
         state.update((value, n, last_id, last_tb, last_ts))
         if ttl_ms is not None:
+            # ALWAYS arm: with no usable event time yet (last_ts=0,
+            # watermark 0) the timeout lands at epoch+ttl, which fires
+            # as soon as the stream develops any watermark — never an
+            # unmonitored key leaking state forever. The wm+1 clamp
+            # satisfies the API's timestamp-above-watermark rule when
+            # only late-but-valid rows arrived; the timeout then fires
+            # next batch, exactly when the horizon says it should.
             wm = state.getCurrentWatermarkMs()
-            if last_ts > 0:
-                # the API rejects a timestamp at/below the current
-                # watermark (possible when only late-but-valid rows
-                # arrived); clamp to the next representable instant —
-                # the timeout then fires in the next batch, which is
-                # exactly when the horizon says it should
-                state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
-            elif wm > 0:
-                # no usable event time ever seen: age out by watermark
-                state.setTimeoutTimestamp(wm + ttl_ms)
+            state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
         yield pd.DataFrame(
             {
                 "uevol_field_id": [key[0]],

@@ -804,3 +804,40 @@ def test_update_history_chunked_multi_path_series(spark):
         if r[0] == 1
     }
     assert by_id[(1, 100)] == 9.0 and by_id[(1, 150)] == 7.0
+
+
+def test_update_history_chunked_null_value_not_carried(spark):
+    """A NULL new_value row with a HIGHER iteration at the boundary id
+    must not shadow the real value in the interior seed: the full
+    matrix's dense agg prefers real rows and LOCF fills nulls from the
+    previous real value, so the carry is the last NON-NULL update —
+    chunked must agree."""
+    from alstom_spark_cassandra_spark.plans import (
+        get_update_history,
+        get_update_history_chunked,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, 0, 0, 100, "000", 0, 5),
+            (1, 0, 0, 100, "000", 1, None),  # null tie-winner by it
+            (1, 0, 0, 150, "000", 0, 7),
+        ],
+        "uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, relative_path string, iteration int,"
+        " new_value long",
+    )
+    args = make_arguments(spark, [1], [0], [0])
+    full = sorted(
+        map(tuple, get_update_history(log, args, 0, 200).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            get_update_history_chunked(log, args, 0, 200, n_chunks=2).collect(),
+        )
+    )
+    assert got == full
+    vals = {r[3]: r[4] for r in full}
+    assert vals[100] == 5.0  # real row beats the null iteration-winner
+    assert vals[150] == 7.0
