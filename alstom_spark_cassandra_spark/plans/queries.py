@@ -1134,7 +1134,7 @@ def get_update_history_chunked(
     arguments: Arguments | DataFrame,
     start_instance_message_id: int,
     end_instance_message_id: int,
-    n_chunks: int = 4,
+    n_chunks: int | None = None,
     default_value: float = -1.0,
     use_cache: bool = False,
     max_dense_cells: int | None = 100_000_000,
@@ -1165,11 +1165,17 @@ def get_update_history_chunked(
     dropped unconditionally. Per-series filters gate each time point
     independently, so they are chunk-local too.
 
-    `max_dense_cells` forwards to every chunk: an under-chunked call
-    still RAISES instead of rebuilding the memory-breaking matrix the
-    guard exists to prevent — increase n_chunks (or lower the series
-    count) until each chunk fits. Long format only (the pivot is
-    presentation; pivot the concatenated result if needed).
+    `n_chunks=None` (the default) AUTO-SIZES: chunks = ceil(driver-
+    known cell bound / max_dense_cells), so the one-line migration
+    from a guard ValueError is "call the chunked variant" — no manual
+    iteration on chunk counts. The bound uses the resolved series
+    count (driver-known arg lists are free; DataFrame/wildcard args
+    pay one count job — this path exists because the grid is huge, so
+    one bounded job is noise). `max_dense_cells` still forwards to
+    every chunk: even a mis-sized explicit n_chunks RAISES instead of
+    rebuilding the memory-breaking matrix the guard exists to prevent.
+    Long format only (the pivot is presentation; pivot the
+    concatenated result if needed).
     `use_cache` defaults to False here, unlike the single-shot call:
     each chunk caches a scan up to its own end id, and n_chunks
     overlapping caches would hold roughly n_chunks/2 copies of the
@@ -1177,7 +1183,7 @@ def get_update_history_chunked(
     Each interior seed costs one bounded aggregation over the log up
     to its boundary; that is the price of never materializing the
     full grid."""
-    if n_chunks < 1:
+    if n_chunks is not None and n_chunks < 1:
         raise ValueError("n_chunks must be >= 1")
     span = end_instance_message_id - start_instance_message_id
     if span < 0:
@@ -1193,15 +1199,26 @@ def get_update_history_chunked(
             use_cache=use_cache,
             max_dense_cells=max_dense_cells,
         )
+
+    # shared ingredients for the interior seeds (and auto-sizing)
+    args_df, arg_rows = _resolve_args(arguments, instance_field)
+    restricted = _series_restrict(instance_field, args_df, arg_rows)
+    if n_chunks is None:
+        if max_dense_cells is None:
+            n_chunks = 1
+        else:
+            # the guard's own driver-known upper bound: distinct grid
+            # ids cannot exceed the id-window width
+            n_series = (
+                len(arg_rows) if arg_rows is not None else args_df.count()
+            )
+            cell_bound = (span + 1) * max(n_series, 1)
+            n_chunks = max(1, -(-cell_bound // max_dense_cells))
     n_chunks = min(n_chunks, span)
     bounds = [
         start_instance_message_id + span * i // n_chunks
         for i in range(n_chunks + 1)
     ]
-
-    # shared ingredients for the interior seeds
-    args_df, arg_rows = _resolve_args(arguments, instance_field)
-    restricted = _series_restrict(instance_field, args_df, arg_rows)
     scalar_start = _scalar_state(
         restricted, args_df, start_instance_message_id, default_value
     )

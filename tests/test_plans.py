@@ -841,3 +841,38 @@ def test_update_history_chunked_null_value_not_carried(spark):
     vals = {r[3]: r[4] for r in full}
     assert vals[100] == 5.0  # real row beats the null iteration-winner
     assert vals[150] == 7.0
+
+
+def test_update_history_chunked_auto_sizes_from_cap(spark, domain):
+    """n_chunks=None derives the chunk count from the driver-known
+    cell bound / max_dense_cells: the exact call that raises the
+    unchunked guard succeeds chunked with NO manual chunk count, and
+    still matches the unguarded result."""
+    import pytest
+
+    from alstom_spark_cassandra_spark.plans import (
+        get_update_history,
+        get_update_history_chunked,
+    )
+
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
+    # 2 series x 71-id window = 142-cell bound; cap 40 -> auto ~4 chunks
+    with pytest.raises(ValueError, match="max_dense_cells"):
+        get_update_history(domain["log"], args, 50, 120, max_dense_cells=40)
+    full = sorted(
+        map(
+            tuple,
+            get_update_history(
+                domain["log"], args, 50, 120, max_dense_cells=None
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            get_update_history_chunked(
+                domain["log"], args, 50, 120, max_dense_cells=40
+            ).collect(),
+        )
+    )
+    assert got == full
