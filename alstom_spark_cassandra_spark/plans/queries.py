@@ -1185,6 +1185,8 @@ def get_update_history_chunked(
     full grid."""
     if n_chunks is not None and n_chunks < 1:
         raise ValueError("n_chunks must be >= 1")
+    if max_dense_cells is not None and max_dense_cells < 1:
+        raise ValueError("max_dense_cells must be >= 1, or None")
     span = end_instance_message_id - start_instance_message_id
     if span < 0:
         raise ValueError("end must be >= start")
@@ -1200,20 +1202,36 @@ def get_update_history_chunked(
             max_dense_cells=max_dense_cells,
         )
 
-    # shared ingredients for the interior seeds (and auto-sizing)
+    # shared ingredients for the interior seeds (and auto-sizing).
+    # DataFrame/wildcard args get CACHED: args_df is lazy, so without
+    # it every chunk plan plus every seed would re-execute the
+    # expansion join and its probe jobs; the cache is narrow (series
+    # keys + filter strings) and LRU-evictable — the gate/bench
+    # hygiene sweep reclaims it like every other helper cache
     args_df, arg_rows = _resolve_args(arguments, instance_field)
+    if arg_rows is None:
+        args_df = args_df.cache()
     restricted = _series_restrict(instance_field, args_df, arg_rows)
     if n_chunks is None:
         if max_dense_cells is None:
             n_chunks = 1
         else:
-            # the guard's own driver-known upper bound: distinct grid
-            # ids cannot exceed the id-window width
-            n_series = (
-                len(arg_rows) if arg_rows is not None else args_df.count()
+            # size so each CHUNK's driver-known bound fits the cap:
+            # a chunk spanning w ids bounds at (w + 1) × series (the
+            # +1 is its injected boundary-seed id), so solve
+            # (ceil(span / n) + 1) × S <= cap for n — sizing from
+            # the WHOLE window's bound under-chunks by exactly that
+            # per-chunk seed id and re-raises the guard on dense logs
+            n_series = max(
+                len(arg_rows) if arg_rows is not None else args_df.count(),
+                1,
             )
-            cell_bound = (span + 1) * max(n_series, 1)
-            n_chunks = max(1, -(-cell_bound // max_dense_cells))
+            per_chunk_ids = max(max_dense_cells // n_series - 1, 1)
+            n_chunks = max(1, -(-span // per_chunk_ids))
+            # if cap < 2×series even 1-id chunks exceed it: fall
+            # through and let the per-chunk guard raise its
+            # informative error (chunking cannot help — each grid
+            # row already costs `series` cells)
     n_chunks = min(n_chunks, span)
     bounds = [
         start_instance_message_id + span * i // n_chunks
@@ -1232,9 +1250,8 @@ def get_update_history_chunked(
         & F.col("new_value").isNotNull()
     )
     # driver-known Arguments keep their pushed-predicate restriction
-    # inside each chunk; already-expanded DataFrame args are passed
-    # through resolved so wildcard expansion and guard-probe jobs are
-    # not re-paid n_chunks times
+    # inside each chunk; DataFrame/wildcard args pass through the
+    # cached resolution above
     chunk_args = arguments if arg_rows is not None else args_df
 
     out = None

@@ -154,15 +154,27 @@ def stateful_latest_value(
         else:
             value, n, last_id, last_tb, last_ts = None, 0, -1, -1, 0
         for pdf in pdfs:
+            # rows without an order clock cannot participate in the
+            # total order (and int(NaN) would kill the executor)
+            pdf = pdf.dropna(subset=[order_col])
+            if not len(pdf):
+                continue
             cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(cols, kind="stable")
             n += len(pdf)
             newest = pdf.iloc[-1]
-            tb = int(newest[tiebreak_col]) if tiebreak_col else 0
+            tb = (
+                int(newest[tiebreak_col])
+                if tiebreak_col and pd.notna(newest[tiebreak_col])
+                else 0
+            )
             if (int(newest[order_col]), tb) >= (last_id, last_tb):
                 last_id = int(newest[order_col])
                 last_tb = tb
-                value = int(newest[value_col])
+                v = newest[value_col]
+                # a NULL new_value winning the order is stored as NULL
+                # (the batch max_by does the same), never int(NaN)
+                value = int(v) if pd.notna(v) else None
             if ttl_ms is not None:
                 # NULL event times produce NaT; they must not poison
                 # the timeout base (NaT.value is -2^63). DST edges on
@@ -185,15 +197,23 @@ def stateful_latest_value(
                     last_ts = max(last_ts, ts_ms)
         state.update((value, n, last_id, last_tb, last_ts))
         if ttl_ms is not None:
-            # ALWAYS arm: with no usable event time yet (last_ts=0,
-            # watermark 0) the timeout lands at epoch+ttl, which fires
-            # as soon as the stream develops any watermark — never an
-            # unmonitored key leaking state forever. The wm+1 clamp
-            # satisfies the API's timestamp-above-watermark rule when
-            # only late-but-valid rows arrived; the timeout then fires
-            # next batch, exactly when the horizon says it should.
+            # ALWAYS arm — a key must never sit in state unmonitored.
             wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
+            if last_ts > 0:
+                # event-time horizon; the wm+1 clamp satisfies the
+                # API's above-watermark rule when only late-but-valid
+                # rows arrived (the horizon already passed — fire
+                # next batch)
+                state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
+            else:
+                # no usable event time ever seen: give the FULL ttl
+                # grace on the watermark clock as of this batch (wm+1
+                # here would evict on the very next tick). Cold start
+                # (wm still 0) arms at epoch+ttl — best effort, since
+                # a key with neither event time nor watermark has no
+                # defined horizon; it ages out once a watermark
+                # develops rather than leaking forever.
+                state.setTimeoutTimestamp(max(wm + ttl_ms, ttl_ms))
         yield pd.DataFrame(
             {
                 "uevol_field_id": [key[0]],

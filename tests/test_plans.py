@@ -876,3 +876,53 @@ def test_update_history_chunked_auto_sizes_from_cap(spark, domain):
         )
     )
     assert got == full
+
+
+def test_update_history_chunked_auto_sizes_dense_log(spark):
+    """Auto-sizing must account for each chunk's injected boundary-
+    seed id: on a log with an update at EVERY id, sizing from the
+    whole-window bound alone under-chunks and re-raises the guard —
+    the per-chunk (span+1)x series solve must make the same call
+    succeed. Also: max_dense_cells=0 rejects cleanly."""
+    import pytest
+
+    from alstom_spark_cassandra_spark.plans import (
+        get_update_history,
+        get_update_history_chunked,
+    )
+
+    rows = [
+        (f, 0, 0, i, "000", 0, f * 100 + i)
+        for i in range(1, 11)
+        for f in (1, 2)
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, relative_path string, iteration int,"
+        " new_value long",
+    )
+    args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
+    # whole-window bound = 11 ids x 2 = 22 > 11; naive n=ceil(22/11)=2
+    # gives 6-id chunks -> (6+1)x2 = 14 > 11 and the guard re-raises
+    with pytest.raises(ValueError, match="max_dense_cells"):
+        get_update_history(log, args, 0, 10, max_dense_cells=11)
+    full = sorted(
+        map(
+            tuple,
+            get_update_history(
+                log, args, 0, 10, max_dense_cells=None
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            get_update_history_chunked(
+                log, args, 0, 10, max_dense_cells=11
+            ).collect(),
+        )
+    )
+    assert got == full
+    with pytest.raises(ValueError, match="max_dense_cells"):
+        get_update_history_chunked(log, args, 0, 10, max_dense_cells=0)

@@ -850,3 +850,68 @@ def test_stateful_latest_ttl_monotone_under_late_rows(spark, tmp_path):
     final = max(rows, key=lambda r: r.n_updates_total)
     # newest id 11 still wins; the stale id-5 row only bumped the count
     assert (final.current_value, final.last_update_id) == (110, 11)
+
+
+def test_stateful_latest_ttl_null_ts_grace_and_null_value(spark, tmp_path):
+    """Keys whose rows carry NO event time still get the FULL ttl
+    grace on the watermark clock (an always-arm at wm+1 would evict
+    them on the very next tick), and a NULL new_value winning the
+    order is stored as NULL instead of crashing the executor with
+    int(NaN). Timeline (ttl 2h, delay 0): k1's null-ts state must
+    survive watermark 1.5H (armed at 1.5H+2H after its batch-2 row),
+    then evict once the watermark passes 3.5H, so its third life
+    starts fresh."""
+    import glob
+    import os
+    import shutil
+
+    H = 3_600_000
+    files = [
+        [(1, 10, 100, None), (9, 1, 1, 1 * H)],        # k1 null-ts born
+        [(9, 2, 2, int(1.5 * H))],                     # wm 1H: k1 survives
+        [(1, 12, None, None)],                         # null VALUE wins; n=2
+        [(9, 3, 3, 4 * H)],                            # wm 1.5H: still alive
+        [(9, 4, 4, int(4.2 * H))],                     # wm 4H > 3.5H: evict k1
+        [(1, 13, 130, int(4.5 * H))],                  # fresh life: n=1
+    ]
+    schema = (
+        "uevol_field_id int, instance_message_id long, new_value long,"
+        " ts_ms long"
+    )
+    src_dir = str(tmp_path / "nullts_src")
+    os.makedirs(src_dir)
+    for k, rows in enumerate(files):
+        stage = str(tmp_path / f"stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stateful_latest_value(src, ttl="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_nullts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "nullts_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    k1 = sorted(
+        (r.n_updates_total, r.current_value, r.last_update_id)
+        for r in spark.sql(
+            "select * from ttl_nullts where uevol_field_id = 1"
+        ).collect()
+    )
+    # life 1: (100,1,10); batch-2 row SURVIVED (n=2, null value won by
+    # id order); life 2 after watermark-clock eviction: fresh (130,1,13)
+    assert k1 == [(1, 100, 10), (1, 130, 13), (2, None, 12)]
