@@ -68,6 +68,8 @@ CHANGE_COUNT_SCHEMA = T.StructType(
 # so an out-of-order batch of OLDER rows can never move the TTL
 # timeout earlier (the no-TTL path stores 0 there)
 _STATE_SCHEMA = "value long, n long, last_id long, last_tb long, last_ts long"
+# NULL tiebreaks sort below every real value (batch desc/NULLS LAST)
+_NULL_TIEBREAK = -(1 << 62)
 
 
 def stateful_latest_value(
@@ -149,24 +151,34 @@ def stateful_latest_value(
             # series re-creates fresh on its next update
             state.remove()
             return
-        if state.exists:
+        existed = state.exists
+        if existed:
             value, n, last_id, last_tb, last_ts = state.get
         else:
             value, n, last_id, last_tb, last_ts = None, 0, -1, -1, 0
+        processed = False
         for pdf in pdfs:
             # rows without an order clock cannot participate in the
             # total order (and int(NaN) would kill the executor)
             pdf = pdf.dropna(subset=[order_col])
             if not len(pdf):
                 continue
-            cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
-            pdf = pdf.sort_values(cols, kind="stable")
+            processed = True
+            if tiebreak_col:
+                # a NULL tiebreak is SMALLEST — the batch
+                # latest_per_key orders desc (NULLS LAST), so a null
+                # tiebreak loses to every real one; pandas' NaN-sorts-
+                # last default would instead let it WIN the intra-
+                # batch sort and diverge online from batch
+                pdf = pdf.assign(
+                    __tb=pdf[tiebreak_col].fillna(_NULL_TIEBREAK)
+                ).sort_values([order_col, "__tb"], kind="stable")
+            else:
+                pdf = pdf.sort_values([order_col], kind="stable")
             n += len(pdf)
             newest = pdf.iloc[-1]
             tb = (
-                int(newest[tiebreak_col])
-                if tiebreak_col and pd.notna(newest[tiebreak_col])
-                else 0
+                int(newest["__tb"]) if tiebreak_col else 0
             )
             if (int(newest[order_col]), tb) >= (last_id, last_tb):
                 last_id = int(newest[order_col])
@@ -195,6 +207,11 @@ def stateful_latest_value(
                     # monotone: an out-of-order batch of OLDER rows
                     # never moves the timeout earlier
                     last_ts = max(last_ts, ts_ms)
+        if not processed and not existed:
+            # every row lacked an order clock and there is no prior
+            # state: creating one would emit a phantom (n=0, id=-1)
+            # row AND permanently occupy a state entry per garbage key
+            return
         state.update((value, n, last_id, last_tb, last_ts))
         if ttl_ms is not None:
             # ALWAYS arm — a key must never sit in state unmonitored.
@@ -208,12 +225,16 @@ def stateful_latest_value(
             else:
                 # no usable event time ever seen: give the FULL ttl
                 # grace on the watermark clock as of this batch (wm+1
-                # here would evict on the very next tick). Cold start
-                # (wm still 0) arms at epoch+ttl — best effort, since
-                # a key with neither event time nor watermark has no
-                # defined horizon; it ages out once a watermark
-                # develops rather than leaking forever.
-                state.setTimeoutTimestamp(max(wm + ttl_ms, ttl_ms))
+                # here would evict on the very next tick; wm is never
+                # negative, so cold start arms at epoch+ttl — best
+                # effort for a key with no defined horizon, which
+                # then ages out once a watermark develops rather than
+                # leaking forever)
+                state.setTimeoutTimestamp(wm + ttl_ms)
+        if not processed:
+            # existing key invoked with only clock-less rows: state
+            # kept alive (and re-armed) but nothing changed to emit
+            return
         yield pd.DataFrame(
             {
                 "uevol_field_id": [key[0]],

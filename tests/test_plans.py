@@ -904,7 +904,8 @@ def test_update_history_chunked_auto_sizes_dense_log(spark):
     )
     args = make_arguments(spark, [1, 2], [0, 0], [0, 0])
     # whole-window bound = 11 ids x 2 = 22 > 11; naive n=ceil(22/11)=2
-    # gives 6-id chunks -> (6+1)x2 = 14 > 11 and the guard re-raises
+    # gives 5-id-wide chunks -> 6 time points x 2 = 12 > 11 and the
+    # guard re-raises; the per-chunk solve picks n so each chunk fits
     with pytest.raises(ValueError, match="max_dense_cells"):
         get_update_history(log, args, 0, 10, max_dense_cells=11)
     full = sorted(

@@ -857,10 +857,13 @@ def test_stateful_latest_ttl_null_ts_grace_and_null_value(spark, tmp_path):
     grace on the watermark clock (an always-arm at wm+1 would evict
     them on the very next tick), and a NULL new_value winning the
     order is stored as NULL instead of crashing the executor with
-    int(NaN). Timeline (ttl 2h, delay 0): k1's null-ts state must
-    survive watermark 1.5H (armed at 1.5H+2H after its batch-2 row),
-    then evict once the watermark passes 3.5H, so its third life
-    starts fresh."""
+    int(NaN). Timeline (ttl 2h, delay 0): after k1's batch-2 row the
+    grace arms at wm(1.5H)+2H = 3.5H; the watermark then sits at 3.2H
+    — ABOVE the degenerate wm+1-style arm a graceless always-arm (or
+    the old max(last_ts+ttl, wm+1) with last_ts=0 -> 2H) would fire
+    at, but below 3.5H — so only the grace keeps k1 alive for its
+    on-time id-13 row (n=3). Eviction then genuinely happens once the
+    watermark passes 4.5H+2H, and the final life restarts at n=1."""
     import glob
     import os
     import shutil
@@ -870,9 +873,13 @@ def test_stateful_latest_ttl_null_ts_grace_and_null_value(spark, tmp_path):
         [(1, 10, 100, None), (9, 1, 1, 1 * H)],        # k1 null-ts born
         [(9, 2, 2, int(1.5 * H))],                     # wm 1H: k1 survives
         [(1, 12, None, None)],                         # null VALUE wins; n=2
-        [(9, 3, 3, 4 * H)],                            # wm 1.5H: still alive
-        [(9, 4, 4, int(4.2 * H))],                     # wm 4H > 3.5H: evict k1
-        [(1, 13, 130, int(4.5 * H))],                  # fresh life: n=1
+        [(9, 3, 3, int(3.2 * H))],                     # wm 1.5H: alive
+        [(9, 4, 4, int(3.4 * H))],                     # wm 3.2H: 2H-arm would
+                                                       # evict; 3.5H-arm holds
+        [(1, 13, 130, int(4.5 * H))],                  # state alive: n=3
+        [(9, 5, 5, 7 * H)],                            # wm 4.5H: alive
+        [(9, 6, 6, int(7.2 * H))],                     # wm 7H > 6.5H: evict k1
+        [(1, 14, 140, int(7.5 * H))],                  # fresh life: n=1
     ]
     schema = (
         "uevol_field_id int, instance_message_id long, new_value long,"
@@ -912,6 +919,54 @@ def test_stateful_latest_ttl_null_ts_grace_and_null_value(spark, tmp_path):
             "select * from ttl_nullts where uevol_field_id = 1"
         ).collect()
     )
-    # life 1: (100,1,10); batch-2 row SURVIVED (n=2, null value won by
-    # id order); life 2 after watermark-clock eviction: fresh (130,1,13)
-    assert k1 == [(1, 100, 10), (1, 130, 13), (2, None, 12)]
+    # one life through n=3 (the 3.2H watermark did NOT evict — grace
+    # held), then a genuine watermark-clock eviction and a fresh start
+    assert k1 == [
+        (1, 100, 10),
+        (1, 140, 14),
+        (2, None, 12),
+        (3, 130, 13),
+    ]
+
+
+def test_null_tiebreak_loses_online_like_batch(spark, tmp_path):
+    """A NULL tiebreak sorts BELOW every real tiebreak in the batch
+    latest_per_key (desc ordering, NULLS LAST) — the stateful operator
+    must agree, even though pandas' default NaN-sorts-last would let
+    the null row win the intra-batch sort."""
+    from alstom_spark_cassandra_spark.operators.latest import latest_per_key
+
+    df = spark.createDataFrame(
+        [(1, 5, 3, 111), (1, 5, None, 222)],
+        "uevol_field_id int, instance_message_id long, iteration int,"
+        " new_value long",
+    )
+    batch = {
+        r.uevol_field_id: r.new_value
+        for r in latest_per_key(
+            df,
+            ["uevol_field_id"],
+            "instance_message_id",
+            tiebreak_cols=["iteration"],
+        ).collect()
+    }
+    assert batch == {1: 111}  # real tiebreak beats NULL
+
+    path = str(tmp_path / "nulltb_src")
+    df.coalesce(1).write.parquet(path)
+    src = spark.readStream.schema(df.schema).parquet(path)
+    out = stateful_latest_value(src, tiebreak_col="iteration")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nulltb_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "nulltb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.uevol_field_id: r.current_value
+        for r in spark.sql("select * from nulltb_stateful").collect()
+    }
+    assert got == batch
