@@ -64,10 +64,13 @@ CHANGE_COUNT_SCHEMA = T.StructType(
         T.StructField("last_update_id", T.LongType()),
     ]
 )
-# last_ts carries the max event time (epoch ms) ever seen for the key,
-# so an out-of-order batch of OLDER rows can never move the TTL
-# timeout earlier (the no-TTL path stores 0 there)
-_STATE_SCHEMA = "value long, n long, last_id long, last_tb long, last_ts long"
+# State schema is selected PER CALL: the no-TTL path keeps the
+# original 4-long layout so existing no-TTL checkpoints stay
+# resumable; enabling ttl appends last_ts — the max event time
+# (epoch ms) ever seen for the key, so an out-of-order batch of
+# OLDER rows can never move the TTL timeout earlier
+_STATE_SCHEMA_BASE = "value long, n long, last_id long, last_tb long"
+_STATE_SCHEMA_TTL = _STATE_SCHEMA_BASE + ", last_ts long"
 # NULL tiebreaks sort below every real value (batch desc/NULLS LAST)
 _NULL_TIEBREAK = -(1 << 62)
 
@@ -87,12 +90,17 @@ def stateful_latest_value(
 
     This is the op the built-in `max_by` aggregation can't express —
     the cumulative n_updates_total requires explicit state carried
-    between batches. State per key is 5 longs (value, count, last id,
-    last tiebreak, max event time seen — the last one feeds the TTL
-    timeout and stays 0 on the no-TTL path; NOTE: the schema widened
-    from 4 longs when TTL landed, so checkpoints written by the
-    4-long build cannot be resumed — restart such queries from a
-    fresh checkpoint). With the default
+    between batches. State per key is 4 longs (value, count, last id,
+    last tiebreak); enabling `ttl` appends a 5th (max event time
+    seen, the TTL timeout base). The schema is selected per call so
+    no-TTL checkpoints written before TTL existed stay resumable
+    (pinned by test_no_ttl_checkpoint_resumes_across_builds); the
+    corollary is that TOGGLING `ttl` on an existing checkpoint
+    changes the state schema and Spark's state-store schema check
+    rejects the resume (an incompatible-schema error naming the old
+    and new state types — pinned by
+    test_ttl_toggle_on_old_checkpoint_fails_loudly). Restart from a
+    fresh checkpoint when enabling or disabling ttl. With the default
     `ttl=None` state lives forever (NoTimeout — correct for the
     reference's BOUNDED catalog of series). For unbounded/churning
     key domains — the 100 TB stream case — pass `ttl` (e.g.
@@ -113,6 +121,14 @@ def stateful_latest_value(
     replay. Without `tiebreak_col` the tiebreak is 0 for every row
     and the >= compare keeps the last row of the batch-local sort
     (exactly the old behavior, defined only when clocks are unique).
+
+    Known batch/online divergence: rows with a NULL `order_col` are
+    dropped here (they cannot take a position in the total order, and
+    int(NaN) would kill the executor), so a key whose rows ALL lack
+    the clock emits nothing online, while the batch `latest_per_key`
+    (desc sort, NULLS LAST) still emits that key with its arbitrary
+    null-clock row. Feeds whose clock column is nullable should
+    filter or default it upstream if that key set matters.
     """
     ttl_ms = None
     tz = None
@@ -125,6 +141,25 @@ def stateful_latest_value(
             ) from exc
         if ttl_ms <= 0:
             raise ValueError(f"ttl must be positive, got {ttl!r}")
+        # fail FAST on a missing or mistyped event-time column: the
+        # canonical change-log clock is epoch-ms LONG, and a long
+        # passed here would reach pd.Timestamp(int) below as
+        # NANOSECONDS — last_ts collapses to ~0 and every key is
+        # silently evicted at its next idle micro-batch instead of
+        # after ttl; a missing column only surfaces as an executor
+        # KeyError. Both are build-time errors, like the tz check.
+        dtypes = dict(stream.dtypes)
+        if ts_col not in dtypes:
+            raise ValueError(
+                f"ttl requires event-time column {ts_col!r}, not in "
+                f"stream columns {stream.columns}"
+            )
+        if dtypes[ts_col] != "timestamp":
+            raise ValueError(
+                f"ttl requires {ts_col!r} to be TimestampType, got "
+                f"{dtypes[ts_col]!r} — convert the canonical epoch-ms "
+                f"long clock with F.timestamp_millis() first"
+            )
         # applyInPandasWithState hands pandas tz-NAIVE timestamps
         # rendered in the session timezone; capture it at build time
         # so the epoch-ms conversion below is exact in any session,
@@ -152,10 +187,14 @@ def stateful_latest_value(
             state.remove()
             return
         existed = state.exists
+        last_ts = 0
         if existed:
-            value, n, last_id, last_tb, last_ts = state.get
+            if ttl_ms is not None:
+                value, n, last_id, last_tb, last_ts = state.get
+            else:
+                value, n, last_id, last_tb = state.get
         else:
-            value, n, last_id, last_tb, last_ts = None, 0, -1, -1, 0
+            value, n, last_id, last_tb = None, 0, -1, -1
         processed = False
         for pdf in pdfs:
             # rows without an order clock cannot participate in the
@@ -212,7 +251,10 @@ def stateful_latest_value(
             # state: creating one would emit a phantom (n=0, id=-1)
             # row AND permanently occupy a state entry per garbage key
             return
-        state.update((value, n, last_id, last_tb, last_ts))
+        if ttl_ms is not None:
+            state.update((value, n, last_id, last_tb, last_ts))
+        else:
+            state.update((value, n, last_id, last_tb))
         if ttl_ms is not None:
             # ALWAYS arm — a key must never sit in state unmonitored.
             wm = state.getCurrentWatermarkMs()
@@ -247,7 +289,9 @@ def stateful_latest_value(
     return stream.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType=CHANGE_COUNT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=(
+            _STATE_SCHEMA_TTL if ttl is not None else _STATE_SCHEMA_BASE
+        ),
         outputMode="update",
         timeoutConf=(
             GroupStateTimeout.EventTimeTimeout

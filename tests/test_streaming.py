@@ -970,3 +970,186 @@ def test_null_tiebreak_loses_online_like_batch(spark, tmp_path):
         for r in spark.sql("select * from nulltb_stateful").collect()
     }
     assert got == batch
+
+
+def _stage_files(spark, tmp_path, files, schema, sub="src"):
+    """One parquet file per micro-batch, mtime-ordered so the
+    FileStreamSource replays them in list order (the staging pattern
+    of q_stream_late_data)."""
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / sub)
+    os.makedirs(src_dir, exist_ok=True)
+    for k, rows in enumerate(files):
+        stage = str(tmp_path / f"{sub}_stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    return src_dir
+
+
+_LOG_SCHEMA = (
+    "uevol_field_id int, instance_message_id long, new_value long,"
+    " ts_ms long"
+)
+
+
+def test_ttl_timeout_fires_strictly_above_watermark(spark, tmp_path):
+    """Probe-pinned EventTimeTimeout firing rule (the q_stream_latest_ttl
+    oracle encodes exactly this): a key's timeout T fires in a batch
+    where the key has no data and the CURRENT batch watermark (max
+    event time over PRIOR batches minus delay — it lags data by one
+    batch) is STRICTLY greater than T; wm == T does not fire. Here
+    k1's T = 1H-ts + 1h ttl = 2H and the watermark reaches exactly 2H
+    during batches 2 and 3 — strictly-greater means k1 is never
+    evicted and its counter stays cumulative (n=2); an inclusive rule
+    would restart it (n=1). A Spark upgrade that changes the
+    comparison fails here first."""
+    H = 3_600_000
+    files = [
+        [(1, 10, 100, 1 * H)],
+        [(2, 1, 1, 2 * H)],       # wm during this batch: 1H
+        [(3, 1, 1, 2 * H)],       # wm: 2H == T -> must NOT fire
+        [(1, 11, 110, int(2.1 * H))],  # wm still 2H; k1 has data
+    ]
+    src_dir = _stage_files(spark, tmp_path, files, _LOG_SCHEMA)
+    src = (
+        spark.readStream.schema(_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_millis("ts_ms"))
+        .withWatermark("ts", "0 seconds")
+    )
+    out = stateful_latest_value(src, ttl="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_strict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "strict_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    ns = sorted(
+        r.n_updates_total
+        for r in spark.sql(
+            "select * from ttl_strict where uevol_field_id = 1"
+        ).collect()
+    )
+    assert ns == [1, 2], f"timeout comparison rule changed: {ns}"
+
+
+def test_no_ttl_checkpoint_resumes_across_builds(spark, tmp_path):
+    """The no-TTL path keeps the original 4-long state schema (the
+    analyzed plan carries no last_ts field), so checkpoints written
+    before TTL existed resume cleanly — the per-call-schema contract
+    from the round-7 review."""
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_upsert_sink,
+        read_upsert_sink,
+    )
+
+    H = 3_600_000
+    sink = str(tmp_path / "nottl_sink")
+    ckpt = str(tmp_path / "nottl_ckpt")
+
+    def run():
+        src = (
+            spark.readStream.schema(_LOG_SCHEMA)
+            .parquet(str(tmp_path / "src"))
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+        )
+        out = stateful_latest_value(src)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "last_tb" in plan and "last_ts" not in plan
+        q = (
+            out.writeStream.foreachBatch(foreach_batch_upsert_sink(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    _stage_files(spark, tmp_path, [[(1, 10, 100, 1 * H)]], _LOG_SCHEMA)
+    run()
+    _stage_files(
+        spark,
+        tmp_path,
+        [[(1, 10, 100, 1 * H)], [(1, 11, 110, 2 * H)]],
+        _LOG_SCHEMA,
+    )
+    run()  # resumes the same checkpoint: only batch1 is new
+    got = read_upsert_sink(spark, sink, ["uevol_field_id"]).collect()
+    assert [(r.current_value, r.n_updates_total) for r in got] == [(110, 2)]
+
+
+def test_ttl_toggle_on_old_checkpoint_fails_loudly(spark, tmp_path):
+    """Enabling ttl on a checkpoint written by the no-TTL (4-long)
+    schema must fail with Spark's state-schema incompatibility error
+    — a CLEAR message naming both schemas (the round-7 verdict asked
+    for a loud failure instead of a cryptic deserializer crash; the
+    per-call schema makes Spark's own checker produce it). The
+    remedy is the docstring's: restart from a fresh checkpoint."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_upsert_sink,
+    )
+
+    H = 3_600_000
+    sink = str(tmp_path / "toggle_sink")
+    ckpt = str(tmp_path / "toggle_ckpt")
+
+    def run(ttl):
+        src = (
+            spark.readStream.schema(_LOG_SCHEMA)
+            .parquet(str(tmp_path / "src"))
+            .withColumn("ts", F.timestamp_millis("ts_ms"))
+        )
+        if ttl:
+            src = src.withWatermark("ts", "0 seconds")
+        out = stateful_latest_value(src, ttl=ttl)
+        q = (
+            out.writeStream.foreachBatch(foreach_batch_upsert_sink(sink))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    _stage_files(spark, tmp_path, [[(1, 10, 100, 1 * H)]], _LOG_SCHEMA)
+    run(None)
+    _stage_files(
+        spark,
+        tmp_path,
+        [[(1, 10, 100, 1 * H)], [(1, 11, 110, 2 * H)]],
+        _LOG_SCHEMA,
+    )
+    with pytest.raises(
+        StreamingQueryException,
+        match="STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE",
+    ):
+        run("1 hour")
+
+
+def test_ttl_requires_timestamp_ts_col(spark, stream_dir):
+    """ttl fails FAST at build time when ts_col is absent or not a
+    timestamp (an epoch-ms long would silently collapse the timeout
+    base to ~0 via pandas' nanosecond reinterpretation — every key
+    evicted on its next idle batch; a missing column only died later
+    as an executor KeyError)."""
+    path, schema = stream_dir
+    src = spark.readStream.schema(schema).parquet(path)
+    with pytest.raises(ValueError, match="not in"):
+        stateful_latest_value(src, ttl="1 hour", ts_col="nope")
+    src_long = src.withColumn("ts", F.col("instance_message_id") * 1000)
+    with pytest.raises(ValueError, match="TimestampType"):
+        stateful_latest_value(src_long, ttl="1 hour")
