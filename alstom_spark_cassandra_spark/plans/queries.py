@@ -1129,6 +1129,75 @@ def get_update_history(
     )
 
 
+def _chunk_seeds(
+    in_window: DataFrame,
+    scalar_start: DataFrame,
+    bounds: list[int],
+) -> DataFrame:
+    """Every interior chunk's start state in ONE pass over the
+    restricted log: bucket each (non-null-value) update into the
+    chunk it falls in — update id u lands in chunk j iff
+    bounds[j] < u <= bounds[j+1], computed as the count of interior
+    boundaries strictly below u (exact under the uneven integer
+    chunk split, unlike a closed-form division) — argmax each
+    (series, chunk) bucket by (id, iteration), then carry the latest
+    value across empty chunks with a running last(ignorenulls) over
+    chunk index. Returns a CACHED (series, __chunk, value) table:
+    row (s, j, v) is the TRUE any-path LOCF carry at bounds[j+1] —
+    chunk j+1 seeds from __chunk == j. Cost is one job and
+    n_series × n_chunks tiny rows however many chunks there are
+    (the per-chunk prefix rescans this replaces scanned
+    O(n_chunks²/2) log rows). The cache is LRU-evictable helper
+    state, reclaimed by the session-hygiene sweep like args_df's."""
+    n_chunks = len(bounds) - 1
+    boundary_arr = F.array(*[F.lit(b) for b in bounds[1:]])
+    per_chunk = (
+        in_window.withColumn(
+            "__chunk",
+            F.size(
+                F.filter(
+                    boundary_arr,
+                    lambda x: x < F.col("instance_message_id"),
+                )
+            ),
+        )
+        .groupBy(*SERIES_KEY, "__chunk")
+        .agg(
+            F.max_by(
+                F.col("new_value").cast("double"),
+                F.struct(
+                    F.col("instance_message_id"),
+                    F.col("iteration").cast("long"),
+                ),
+            ).alias("__v")
+        )
+    )
+    chunks_df = (
+        in_window.sparkSession.range(n_chunks)
+        .select(F.col("id").cast("int").alias("__chunk"))
+    )
+    # n_chunks-row broadcast fan-out: every series needs a carry row
+    # at every boundary even when the chunk has no updates (LOCF
+    # carries across them) — same sanctioned tiny-broadcast
+    # crossJoin shape as the dense grid itself
+    grid = scalar_start.crossJoin(F.broadcast(chunks_df))
+    w = (
+        Window.partitionBy(*SERIES_KEY)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_chunk, [*SERIES_KEY, "__chunk"], "left")
+        .withColumn("__carry", F.last("__v", ignorenulls=True).over(w))
+        .select(
+            *SERIES_KEY,
+            "__chunk",
+            F.coalesce("__carry", "value").alias("value"),
+        )
+        .cache()
+    )
+
+
 def get_update_history_chunked(
     instance_field: DataFrame,
     arguments: Arguments | DataFrame,
@@ -1180,9 +1249,15 @@ def get_update_history_chunked(
     each chunk caches a scan up to its own end id, and n_chunks
     overlapping caches would hold roughly n_chunks/2 copies of the
     log — the chunked path exists precisely because memory is tight.
-    Each interior seed costs one bounded aggregation over the log up
-    to its boundary; that is the price of never materializing the
-    full grid."""
+    Interior seeds are SINGLE-PASS: one scan of the restricted log
+    buckets every update into its chunk, a per-(series, chunk) argmax
+    compresses each bucket to at most one row, and a running
+    last(ignorenulls) over chunk index carries values across empty
+    chunks — the whole n_chunks × series seed table costs ONE bounded
+    job (cached, a few columns per series per chunk), regardless of
+    n_chunks (the round-7 per-chunk prefix rescans were
+    O(n_chunks²/2) scanned rows; pinned by
+    test_chunk_seeds_single_pass)."""
     if n_chunks is not None and n_chunks < 1:
         raise ValueError("n_chunks must be >= 1")
     if max_dense_cells is not None and max_dense_cells < 1:
@@ -1254,33 +1329,17 @@ def get_update_history_chunked(
     # cached resolution above
     chunk_args = arguments if arg_rows is not None else args_df
 
+    seeds = (
+        _chunk_seeds(in_window, scalar_start, bounds)
+        if n_chunks > 1
+        else None
+    )
     out = None
     for i in range(n_chunks):
         if i == 0:
             seed = None  # the unchunked call's own start scalar
         else:
-            carried = (
-                in_window.filter(
-                    F.col("instance_message_id") <= F.lit(bounds[i])
-                )
-                .groupBy(*SERIES_KEY)
-                .agg(
-                    F.max_by(
-                        F.col("new_value").cast("double"),
-                        F.struct(
-                            F.col("instance_message_id"),
-                            F.col("iteration").cast("long"),
-                        ),
-                    ).alias("__carried")
-                )
-            )
-            seed = (
-                scalar_start.join(carried, SERIES_KEY, "left")
-                .select(
-                    *SERIES_KEY,
-                    F.coalesce("__carried", "value").alias("value"),
-                )
-            )
+            seed = seeds.filter(F.col("__chunk") == i - 1).drop("__chunk")
         piece = get_update_history(
             instance_field,
             chunk_args,

@@ -927,3 +927,75 @@ def test_update_history_chunked_auto_sizes_dense_log(spark):
     assert got == full
     with pytest.raises(ValueError, match="max_dense_cells"):
         get_update_history_chunked(log, args, 0, 10, max_dense_cells=0)
+
+
+def test_chunk_seeds_single_pass(spark):
+    """Interior chunk seeds are computed in ONE pass: values equal the
+    brute-force per-boundary prefix argmax (incl. empty-chunk LOCF
+    carry and never-updated fallback to the start scalar), the seed
+    table is cached, and materializing it costs the same constant
+    job count whether there are 2 chunks or 9 (the round-7 design ran
+    one growing-prefix aggregation job per chunk)."""
+    from alstom_spark_cassandra_spark.plans.queries import (
+        SERIES_KEY,
+        _chunk_seeds,
+    )
+
+    in_window = spark.createDataFrame(
+        [
+            # series A: updates in chunks 0 and 3 of a 4-chunk split
+            (1, 0, 0, 105, "000", 0, 10),
+            (1, 0, 0, 110, "001", 2, 11),  # same chunk, higher id wins
+            (1, 0, 0, 195, "000", 0, 40),
+            # series B: single early update -> carried across all
+            (2, 0, 0, 101, "000", 0, 7),
+            # series C: no updates at all -> start scalar everywhere
+        ],
+        "uevol_field_id int, src_id int, dst_id int,"
+        " instance_message_id long, relative_path string, iteration int,"
+        " new_value long",
+    )
+    scalar_start = spark.createDataFrame(
+        [(1, 0, 0, -1.0), (2, 0, 0, -1.0), (3, 0, 0, 99.0)],
+        "uevol_field_id int, src_id int, dst_id int, value double",
+    )
+
+    def run(bounds):
+        sc = spark.sparkContext
+        group = f"seeds_{len(bounds)}"
+        seeds = _chunk_seeds(in_window, scalar_start, bounds)
+        assert seeds.is_cached
+        sc.setJobGroup(group, "seed materialization")
+        try:
+            seeds.count()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        rows = {
+            (r["uevol_field_id"], r["__chunk"]): r["value"]
+            for r in seeds.collect()
+        }
+        seeds.unpersist()
+        return n_jobs, rows
+
+    jobs4, rows4 = run([100, 125, 150, 175, 200])
+    # carry at 125 = id-110 update (argmax by id within chunk 0);
+    # empty chunks 1-2 carry it forward; chunk 3 overwrites with 40
+    assert rows4[(1, 0)] == 11.0
+    assert rows4[(1, 1)] == 11.0
+    assert rows4[(1, 2)] == 11.0
+    assert rows4[(1, 3)] == 40.0
+    assert all(rows4[(2, j)] == 7.0 for j in range(4))
+    assert all(rows4[(3, j)] == 99.0 for j in range(4))
+
+    bounds16 = [100 + 100 * i // 16 for i in range(17)]
+    jobs16, rows16 = run(bounds16)
+    # AQE materializes query stages as jobs, so the count wobbles by
+    # ~1 with plan shape — but it must NOT grow with n_chunks (the
+    # per-chunk prefix-rescan design would add one aggregation job
+    # per extra chunk: +12 here)
+    assert jobs16 <= jobs4 + 2, (jobs4, jobs16)
+    assert rows16[(1, 15)] == 40.0  # id-195 lands in the last chunk
+    # 6-id-wide chunks split ids 105 and 110 across chunks 0 and 1
+    assert rows16[(1, 0)] == 10.0
+    assert rows16[(1, 1)] == 11.0
