@@ -1244,6 +1244,33 @@ WHERE f.instance_message_id IN (SELECT instance_message_id FROM good_ids)
 """
 
 
+def q_update_history_chunked(spark, sf_dir):
+    """plans.get_update_history_chunked — the dense-grid guard's
+    escape hatch (SQL/GetUpdateHistory.sql semantics at widths the
+    single-shot matrix must refuse): the SAME dense LOCF history over
+    the wider [10%, 90%] window, computed as 5 contiguous chunks,
+    each seeded from the single-pass per-(series, chunk) carry table,
+    and concatenated. The oracle is the PLAIN unchunked history SQL —
+    chunking is a physical rewrite and must change nothing
+    (the salted_agg/bucketed_join exactness contract). Filters apply
+    chunk-locally; the never-updated series falls back to -1."""
+    from .plans.queries import get_update_history_chunked
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    start, end = int(mx) // 10, int(mx) * 9 // 10
+    args = _domain_args(spark, with_filters=True)
+    return get_update_history_chunked(
+        _domain_log(ev), args, start, end, n_chunks=5
+    ).orderBy("uevol_field_id", "src_id", "instance_message_id")
+
+
+SQL_UPDATE_HISTORY_CHUNKED = SQL_UPDATE_HISTORY_DENSE.replace(
+    "max(event_id) // 5 AS s, max(event_id) * 3 // 5 AS e",
+    "max(event_id) // 10 AS s, max(event_id) * 9 // 10 AS e",
+)
+
+
 def q_retrieve_field_window(spark, sf_dir):
     """plans.retrieve_field (RetrieveField.java:50-93): click-series
     updates inside a wall-clock window, the time bounds resolved to
@@ -5196,6 +5223,233 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_latest_bucketed_persisted(spark, sf_dir):
+    """The proven bucketed layout applied to the domain's HOT path
+    (the round-7 verdict's flagship beneficiary): the change-log is
+    persisted bucketed by series key (8 buckets on
+    (uevol_field_id, src_id) — the snapshot-epoching physical layout
+    the reference approximates with snapshot tables,
+    SQL/GetMessage.sql:63-88), and the central latest-per-series
+    argmax then reads it with ZERO exchange before the aggregate:
+    the bucketed scan reports HashPartitioning(field, src), which
+    satisfies the groupBy's clustering (bucket cols ⊆ grouping keys),
+    so the only exchange in the whole plan is the output sort
+    (plan-asserted in tests/test_sinks.py::
+    test_latest_bucketed_persisted_query_plan). At 100 TB this is
+    the difference between shuffling the full log for every
+    reconstruction and shuffling nothing. Oracle: the plain argmax —
+    bucketing is physical layout and must change nothing. The table
+    stays registered for reuse (the *_persisted convention)."""
+    import tempfile
+
+    from .sources.sinks import write_bucketed
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = f"{tempfile.gettempdir()}/latest_bucketed{slug}"
+    log = _domain_log(_t(spark, sf_dir, "events"))
+    t_log = f"bkt_log{slug}"
+    write_bucketed(
+        log,
+        t_log,
+        ["uevol_field_id", "src_id"],
+        8,
+        sort_cols=["uevol_field_id", "src_id"],
+        path=f"{base}/log",
+    )
+    return (
+        spark.table(t_log)
+        .groupBy("uevol_field_id", "src_id", "dst_id")
+        .agg(
+            F.max("instance_message_id").alias("last_update_id"),
+            F.max_by(
+                "new_value",
+                F.struct(
+                    F.col("instance_message_id"),
+                    F.col("iteration").cast("long"),
+                ),
+            ).alias("last_value"),
+        )
+        .orderBy("uevol_field_id", "src_id")
+    )
+
+
+SQL_LATEST_BUCKETED_PERSISTED = """
+SELECT event_type AS uevol_field_id, user_id AS src_id,
+       0 AS dst_id, max(event_id) AS last_update_id,
+       max_by(value, event_id) AS last_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_stream_latest_ttl(spark, sf_dir):
+    """Event-time TTL eviction on the custom stateful latest-value
+    operator — the 100 TB state-bounding story, graded end-to-end:
+    the events log replays as four 8-day files (one micro-batch
+    each), every key skips the batch where (key + batch) % 3 == 0,
+    so each key has a one-batch idle gap somewhere, and a 12-hour
+    TTL under a 30-minute watermark evicts the keys whose last event
+    fell early enough in their last active window. An evicted key's
+    next update re-creates it FRESH (n_updates_total restarts — the
+    documented trade), a surviving key stays cumulative. Final state
+    is recovered from the exactly-once foreachBatch sink (last
+    emitted row per key, argmax over batch_id — eviction itself is
+    silent). The oracle replays the probe-measured rules as batch
+    SQL: the timeout base is the key's max event time in its latest
+    active batch, the arming clamp is max(base + ttl, wm + 1), the
+    firing watermark is the CURRENT batch's (max event time over
+    PRIOR batches minus delay — it lags data by one batch), fires
+    only when STRICTLY above the timeout, and only in a batch where
+    the key has no data (all pinned by tests/test_streaming.py::
+    test_ttl_timeout_fires_strictly_above_watermark and the TTL
+    lifecycle tests, so a Spark upgrade fails locally first)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.live_state import (
+        foreach_batch_upsert_sink,
+        read_upsert_sink,
+        stateful_latest_value,
+    )
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = f"{tempfile.gettempdir()}/stream_ttl{slug}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").cast("int").alias("uevol_field_id"),
+            F.col("event_id").alias("instance_message_id"),
+            F.floor(F.col("value") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("new_value"),
+            "ts",
+        )
+        .withColumn(
+            "b",
+            F.least(
+                F.expr("greatest(ts DIV 86400000 - 19723, 0) DIV 8"),
+                F.lit(3),
+            ).cast("int"),
+        )
+        # deterministic idle gaps: every key sits out one batch per
+        # 3-batch stretch, so the TTL actually has something to evict
+        .filter((F.col("uevol_field_id") + F.col("b")) % 3 != 0)
+    )
+    src_dir = f"{base}/src"
+    os.makedirs(src_dir)
+    ev = ev.cache()
+    try:
+        for k in range(4):
+            stage = f"{base}/stage{k}"
+            (
+                ev.filter(F.col("b") == k)
+                .drop("b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src_dir}/batch{k}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+        schema = ev.drop("b").schema
+    finally:
+        ev.unpersist()
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("tts", F.timestamp_millis("ts"))
+        .withWatermark("tts", "30 minutes")
+    )
+    out = stateful_latest_value(src, ttl="12 hours", ts_col="tts")
+    q = (
+        out.writeStream.foreachBatch(
+            foreach_batch_upsert_sink(f"{base}/sink")
+        )
+        .outputMode("update")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_latest_ttl did not drain in 300s")
+    return (
+        read_upsert_sink(spark, f"{base}/sink", ["uevol_field_id"])
+        .select(
+            "uevol_field_id",
+            "current_value",
+            "n_updates_total",
+            "last_update_id",
+        )
+        .orderBy("uevol_field_id")
+    )
+
+
+# batch replay of the probe-measured TTL rules: per key per present
+# batch, timeout T = max(key's batch-max event time + ttl, wm + 1);
+# the key is evicted between consecutive present batches (p, q) iff
+# there is an intermediate batch (q - p >= 2) and the watermark
+# during batch q-1 (the largest intermediate one — max event time
+# over batches < q-1, minus delay) STRICTLY exceeds T(p). Final
+# state = aggregates over the key's last unevicted stretch.
+SQL_STREAM_LATEST_TTL = """
+WITH e AS (
+  SELECT CAST(user_id AS INTEGER) AS k, event_id, epoch_ms(ts) AS ts_ms,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+),
+a AS (
+  SELECT *,
+         least(greatest(ts_ms // 86400000 - 19723, 0) // 8, 3) AS b
+  FROM e
+),
+f AS (SELECT * FROM a WHERE (k + b) % 3 <> 0),
+bm AS (SELECT b, max(ts_ms) AS mx FROM f GROUP BY b),
+wm AS (
+  SELECT d.b AS j,
+         (SELECT max(mx) FROM bm WHERE bm.b < d.b) - 1800000 AS w
+  FROM (SELECT DISTINCT b FROM f) d
+),
+kb AS (
+  SELECT k, b, count(*) AS cnt, max(ts_ms) AS kmax
+  FROM f GROUP BY k, b
+),
+t AS (
+  SELECT kb.k, kb.b,
+         greatest(kb.kmax + 43200000, coalesce(wm.w, 0) + 1) AS timeout
+  FROM kb JOIN wm ON wm.j = kb.b
+),
+s AS (
+  SELECT t.*, lag(b) OVER (PARTITION BY k ORDER BY b) AS pb,
+         lag(timeout) OVER (PARTITION BY k ORDER BY b) AS pt
+  FROM t
+),
+ev2 AS (
+  SELECT s.k, s.b,
+         CASE WHEN pb IS NOT NULL AND s.b - pb >= 2
+               AND (SELECT w FROM wm WHERE wm.j = s.b - 1) > pt
+              THEN 1 ELSE 0 END AS evicted_before
+  FROM s
+),
+epoch AS (
+  SELECT k,
+         coalesce(max(b) FILTER (WHERE evicted_before = 1), min(b)) AS e
+  FROM ev2 GROUP BY k
+)
+SELECT f.k AS uevol_field_id,
+       max_by(f.v_milli, f.event_id) AS current_value,
+       count(*) AS n_updates_total,
+       max(f.event_id) AS last_update_id
+FROM f JOIN epoch ON epoch.k = f.k AND f.b >= epoch.e
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_bloom_prefilter(spark, sf_dir):
     """Bloom-filter join pruning (operators/sketches.bloom_build /
     bloom_prefilter): the BUILDING-segment customer keys compile to a
@@ -7565,132 +7819,96 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 # ORDER MATTERS: the driver grades the first ~50 entries; the window
 # ROTATES each round so every query has a driver CORRECTNESS row at
-# most ~2 rounds old (all 142 are also locally gated every round by
-# scripts/check_oracle.py regardless of position). Round-7 window
-# (per the r6 verdict: rotate ALL 46 r4-stale rows in, cap new
-# queries at 4 so the whole stale block fits):
-# HEAD = the four new-this-round queries (salted_agg,
-# audio_resample, bucketed_join_persisted, stream_late_data — never
-# graded);
-# then ALL 46 queries whose last green driver row is round 4, in the
-# verdict's order: the procedure-twin cluster first
-# (reconstruct_message — the RetrieveMessage.java:54-118 twin — then
-# json_flatten/locf/pivot_matrix/compaction/retrieve_field_window/
-# field_window/asof_bounds/boundary_padding), the dedup family, the
-# four stream_* rows, tpch_q1/q3/q4, and the remaining r4 block.
-# After r7 no registry query's last green driver row is older than
-# round 5.
+# most ~2 rounds old (all 145 are also locally gated every round by
+# scripts/check_oracle.py regardless of position). Round-8 window
+# (per the r7 verdict: rotate ALL 42 r5-stale rows in, cap new
+# queries at 8 so the whole stale block fits):
+# HEAD = the three new-this-round queries (update_history_chunked —
+# the dense-grid guard's escape hatch with single-pass seeds,
+# stream_latest_ttl — the event-time TTL eviction path,
+# latest_bucketed_persisted — the bucketed layout on the hot argmax
+# path; never graded);
+# then 5 changed-code rows: stream_latest_state /
+# stream_sink_exactly_once / stream_late_data (streaming/
+# live_state.py reworked its state schema per call this round) and
+# update_history_dense + locf (plans/queries.py's history machinery
+# gained the single-pass chunk seeds next to them);
+# then ALL 42 queries whose last green driver row is round 5, in the
+# r7 verdict's order: the snapshot/argmax core first
+# (message_snapshot_delta, snapshot_diff, latest_per_key,
+# asof_join_events — the GetMessage.sql:63-226 machinery), then
+# retrieval/ANN, timeseries, tpch_q5/q6/q10/q14/q18/q19, and the
+# rest of the r5 block.
+# After r8 no registry query's last green driver row is older than
+# round 6.
 # TAIL (outside the window, all locally exact-gated every round):
-# the r5-green block (next round's rotation candidates), then the
-# r6-green block (freshest).
+# the r6-green block (next round's rotation candidates), then the
+# r7-green block (freshest).
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- new this round (round 7), never graded ---
-    "salted_agg": q_salted_agg,
-    "audio_resample": q_audio_resample,
-    "bucketed_join_persisted": q_bucketed_join_persisted,
+    # --- new this round (round 8), never graded ---
+    "update_history_chunked": q_update_history_chunked,
+    "stream_latest_ttl": q_stream_latest_ttl,
+    "latest_bucketed_persisted": q_latest_bucketed_persisted,
+    # --- changed-code rows (live_state.py / plans.queries reworked) ---
+    "stream_latest_state": q_stream_latest_state,
+    "stream_sink_exactly_once": q_stream_sink_exactly_once,
     "stream_late_data": q_stream_late_data,
-    # --- the 46 r4-stale rows: procedure twins first ---
-    "reconstruct_message": q_reconstruct_message,
-    "json_flatten": q_json_flatten,
+    "update_history_dense": q_update_history_dense,
     "locf": q_locf,
-    "pivot_matrix": q_pivot_matrix,
-    "compaction": q_compaction,
-    "retrieve_field_window": q_retrieve_field_window,
-    "field_window": q_field_window,
-    "asof_bounds": q_asof_bounds,
-    "boundary_padding": q_boundary_padding,
-    # --- dedup family ---
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_corpus": q_dedup_corpus,
-    "minhash_signatures": q_minhash_signatures,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "incremental_dedup": q_incremental_dedup,
-    "word_jaccard_pairs": q_word_jaccard_pairs,
-    # --- streaming rows ---
-    "stream_dedup": q_stream_dedup,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "stream_sessionization": q_stream_sessionization,
-    "stream_attribution": q_stream_attribution,
-    # --- TPC-H r4 rows ---
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
-    # --- remaining r4 block ---
-    "token_rarity": q_token_rarity,
-    "mean_embedding": q_mean_embedding,
-    "sessionization": q_sessionization,
-    "histogram_quantiles": q_histogram_quantiles,
-    "mixture_sample": q_mixture_sample,
-    "session_error_counts": q_session_error_counts,
-    "interval_event_counts": q_interval_event_counts,
-    "hll_distinct_users": q_hll_distinct_users,
-    "daily_rollup": q_daily_rollup,
-    "cube_events": q_cube_events,
-    "anti_join": q_anti_join,
-    "semi_join": q_semi_join,
-    "event_deltas": q_event_deltas,
-    "running_sum": q_running_sum,
-    "topk_per_group": q_topk_per_group,
-    "distinct_agg": q_distinct_agg,
-    "rollup": q_rollup,
-    "unpivot_lineitem": q_unpivot_lineitem,
-    "text_stats": q_text_stats,
-    "term_frequency": q_term_frequency,
-    "distinctive_terms": q_distinctive_terms,
-    "exact_quantiles": q_exact_quantiles,
-    # ======== window boundary (50) ========
-    # --- r5-green block (stalest greens; r8 rotation candidates) ---
-    "approx_stats": q_approx_stats,
+    # --- the 42 r5-stale rows: snapshot/argmax core first ---
+    "message_snapshot_delta": q_message_snapshot_delta,
+    "snapshot_diff": q_snapshot_diff,
+    "latest_per_key": q_latest_per_key,
+    "asof_join_events": q_asof_join_events,
+    # --- retrieval / ANN ---
     "ivf_topk": q_ivf_topk,
     "ivf_persisted": q_ivf_persisted,
-    "passage_dedup": q_passage_dedup,
-    "kmeans_clusters": q_kmeans,
     "bm25_retrieval": q_bm25_retrieval,
-    "pq_topk": q_pq_topk,
     "bm25_persisted": q_bm25_persisted,
-    "scd2_intervals": q_scd2_intervals,
-    "cdc_minimize": q_cdc_minimize,
-    "heavy_hitters": q_heavy_hitters,
-    "zorder_locality": q_zorder_locality,
+    "pq_topk": q_pq_topk,
     "hybrid_rrf": q_hybrid_rrf,
-    "quality_classifier": q_quality_classifier,
     "ann_filtered_topk": q_ann_filtered_topk,
-    "stream_enrichment": q_stream_enrichment,
-    "leakage_safe_split": q_leakage_safe_split,
-    "data_quality": q_data_quality,
-    "bpe_token_counts": q_bpe_token_counts,
-    "funnel_counts": q_funnel_counts,
-    "cohort_retention": q_cohort_retention,
-    "quantile_normalize": q_quantile_normalize,
+    "lsh_eval": q_lsh_eval,
+    "jaccard_prefix_join": q_jaccard_prefix_join,
+    # --- timeseries ---
     "rolling_zscore": q_rolling_zscore,
     "resample_linear": q_resample_linear,
     "series_trend": q_series_trend,
-    "distribution_drift": q_distribution_drift,
-    "table_profile": q_table_profile,
-    "jaccard_prefix_join": q_jaccard_prefix_join,
-    "lsh_eval": q_lsh_eval,
-    "temperature_mixture": q_temperature_mixture,
-    "event_transitions": q_event_transitions,
-    "embargo_split": q_embargo_split,
+    "quantile_normalize": q_quantile_normalize,
+    # --- TPC-H r5 rows ---
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
-    "latest_per_key": q_latest_per_key,
-    "asof_join_events": q_asof_join_events,
-    "snapshot_diff": q_snapshot_diff,
-    "message_snapshot_delta": q_message_snapshot_delta,
-    # --- r6-green block (freshest driver rows) ---
+    # --- rest of the r5 block ---
+    "approx_stats": q_approx_stats,
+    "passage_dedup": q_passage_dedup,
+    "kmeans_clusters": q_kmeans,
+    "scd2_intervals": q_scd2_intervals,
+    "cdc_minimize": q_cdc_minimize,
+    "heavy_hitters": q_heavy_hitters,
+    "zorder_locality": q_zorder_locality,
+    "quality_classifier": q_quality_classifier,
+    "stream_enrichment": q_stream_enrichment,
+    "leakage_safe_split": q_leakage_safe_split,
+    "data_quality": q_data_quality,
+    "bpe_token_counts": q_bpe_token_counts,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "distribution_drift": q_distribution_drift,
+    "table_profile": q_table_profile,
+    "temperature_mixture": q_temperature_mixture,
+    "event_transitions": q_event_transitions,
+    "embargo_split": q_embargo_split,
+    # ======== window boundary (50) ========
+    # --- r6-green block (stalest greens; r9 rotation candidates) ---
     "phrase_persisted": q_phrase_persisted,
     "ivf_eval": q_ivf_eval,
     "compaction_persisted": q_compaction_persisted,
     "salted_join": q_salted_join,
     "bloom_prefilter": q_bloom_prefilter,
-    "stream_sink_exactly_once": q_stream_sink_exactly_once,
     "image_resize": q_image_resize,
     "retrieve_message_asof": q_retrieve_message_asof,
     "multiple_fields_asof": q_multiple_fields_asof,
@@ -7700,7 +7918,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "corpus_pipeline": q_corpus_pipeline,
     "train_split": q_train_split,
-    "stream_latest_state": q_stream_latest_state,
     "decontamination": q_decontamination,
     "pii_scan": q_pii_scan,
     "doc_chunks": q_doc_chunks,
@@ -7729,12 +7946,60 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_rerank": q_mmr_rerank,
     "bpe_merges": q_bpe_merges,
     "pca_direction": q_pca_direction,
-    "update_history_dense": q_update_history_dense,
     "phrase_search": q_phrase_search,
     "tpch_q22": q_tpch_q22,
     "chunk_dedup": q_chunk_dedup,
     "domain_cap": q_domain_cap,
     "corpus_shuffle": q_corpus_shuffle,
+    # --- r7-green block (freshest driver rows) ---
+    "salted_agg": q_salted_agg,
+    "audio_resample": q_audio_resample,
+    "bucketed_join_persisted": q_bucketed_join_persisted,
+    "reconstruct_message": q_reconstruct_message,
+    "json_flatten": q_json_flatten,
+    "pivot_matrix": q_pivot_matrix,
+    "compaction": q_compaction,
+    "retrieve_field_window": q_retrieve_field_window,
+    "field_window": q_field_window,
+    "asof_bounds": q_asof_bounds,
+    "boundary_padding": q_boundary_padding,
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "incremental_dedup": q_incremental_dedup,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "stream_dedup": q_stream_dedup,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessionization": q_stream_sessionization,
+    "stream_attribution": q_stream_attribution,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "token_rarity": q_token_rarity,
+    "mean_embedding": q_mean_embedding,
+    "sessionization": q_sessionization,
+    "histogram_quantiles": q_histogram_quantiles,
+    "mixture_sample": q_mixture_sample,
+    "session_error_counts": q_session_error_counts,
+    "interval_event_counts": q_interval_event_counts,
+    "hll_distinct_users": q_hll_distinct_users,
+    "daily_rollup": q_daily_rollup,
+    "cube_events": q_cube_events,
+    "anti_join": q_anti_join,
+    "semi_join": q_semi_join,
+    "event_deltas": q_event_deltas,
+    "running_sum": q_running_sum,
+    "topk_per_group": q_topk_per_group,
+    "distinct_agg": q_distinct_agg,
+    "rollup": q_rollup,
+    "unpivot_lineitem": q_unpivot_lineitem,
+    "text_stats": q_text_stats,
+    "term_frequency": q_term_frequency,
+    "distinctive_terms": q_distinctive_terms,
+    "exact_quantiles": q_exact_quantiles,
 }
 
 
@@ -7767,6 +8032,9 @@ ORACLE_SQL: dict[str, str] = {
     "multiple_fields_state": SQL_MULTIPLE_FIELDS_STATE,
     "multiple_fields_snapshot": SQL_MULTIPLE_FIELDS_SNAPSHOT,
     "update_history_dense": SQL_UPDATE_HISTORY_DENSE,
+    "update_history_chunked": SQL_UPDATE_HISTORY_CHUNKED,
+    "stream_latest_ttl": SQL_STREAM_LATEST_TTL,
+    "latest_bucketed_persisted": SQL_LATEST_BUCKETED_PERSISTED,
     "message_snapshot_delta": SQL_MESSAGE_SNAPSHOT_DELTA,
     "retrieve_field_window": SQL_RETRIEVE_FIELD_WINDOW,
     "retrieve_message_asof": SQL_RETRIEVE_MESSAGE_ASOF,

@@ -232,6 +232,8 @@ BNLJ_SANCTIONED = {
     "hybrid_rrf",          # fuses the BM25 + dense paths above
     "snapshot_diff",       # broadcast 1-row epoch scalar
     "update_history_dense",  # grid = ids x broadcast(arguments)
+    "update_history_chunked",  # same grid per chunk + n_chunks-row
+                               # broadcast seed-carry fan-out
     "resample_linear",       # grid = series x broadcast(21 steps)
     "retrieve_field_window",  # broadcast 1-row bounds scalar
     "reconstruct_message",    # broadcast 1-row epoch scalar
