@@ -380,8 +380,9 @@ def interval_join_stream(
     right_ts: str,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each left event joined to
+    """Watermarked stream-stream join: each left event joined to
     right events with the same key inside [left_ts, left_ts + horizon]
     (inclusive) — the attribution/correlation shape (click -> purchase,
     command -> acknowledgement).
@@ -393,6 +394,22 @@ def interval_join_stream(
     disjoint across the two inputs (rename before calling); inner-join
     matches emit immediately — the watermark only bounds state, it
     does not delay output.
+
+    ``how="left_outer"`` additionally emits each never-matched left
+    row once, null-padded, when the join can PROVE no future right row
+    can match it.  Measured semantics on this Spark (pinned by
+    tests/test_streaming.py::test_outer_join_null_emission_*):
+
+    - the global watermark is the MIN over both inputs of
+      (max event time seen − that input's delay) — a quiet right
+      stream holds back left-side null emission and vice versa;
+    - a null row for left L emits only when
+      ``L[left_ts] + horizon < watermark`` STRICTLY — eviction
+      exactly at the watermark does not emit;
+    - matched rows are never delayed and never re-emitted as null.
+
+    State for both sides is bounded by the horizon + delay window, so
+    an unbounded 100 TB feed holds only the last few hours of rows.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -401,7 +418,7 @@ def interval_join_stream(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def foreach_batch_upsert_sink(path: str):

@@ -5223,6 +5223,183 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_stream_join_outer(spark, sf_dir):
+    """Watermarked LEFT-OUTER stream-stream join — the other stateful
+    join fate `stream_attribution` (inner) cannot show: a left event
+    that never finds a match must still be emitted exactly once,
+    null-padded, and only when the watermark PROVES no future match
+    can arrive (the request-without-acknowledgement / click-without-
+    purchase shape). Even events are the left feed ("requests"), odd
+    events the right ("responses"); same-user responses within
+    [request_ts, request_ts + 30 min] match. Both feeds are staged as
+    four 8-day files assigned purely by own event time (no
+    stragglers — `maxFilesPerTrigger=1` over two sources advances the
+    sides in lockstep, one file each per trigger), so nothing is ever
+    late and cross-batch matches near file boundaries cannot be lost
+    to eviction (the eviction point L+30min of any left with a
+    next-file match lies beyond that batch's watermark because the
+    1-hour delay exceeds the 30-min horizon). The oracle then only
+    needs Spark's two measured outer-join rules (pinned by
+    tests/test_streaming.py::test_outer_join_*):
+
+    - global watermark = MIN over both inputs of (max event time −
+      delay) — a quiet side holds back the other side's null rows;
+    - a never-matched left emits its null row iff
+      left_ts + horizon < final watermark, STRICTLY — lefts whose
+      eviction point the final watermark never strictly passes stay
+      in state and are suppressed from the sink.
+
+    State on both sides is bounded by horizon + delay of traffic, not
+    stream length — the property that lets this join run forever on
+    an unbounded feed."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.live_state import interval_join_stream
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = f"{tempfile.gettempdir()}/stream_ojoin{slug}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "v_milli"
+        ),
+    )
+    # 8-day chunks from the 2024-01-01 epoch day, assigned purely by
+    # own ts: monotone file maxima => no row is ever late under the
+    # lagged watermark (wm_k <= previous files' max - delay < file k's
+    # start)
+    ev = ev.withColumn(
+        "b",
+        F.least(
+            F.expr("greatest(ts DIV 86400000 - 19723, 0) DIV 8"),
+            F.lit(3),
+        ).cast("int"),
+    )
+    ev = ev.cache()
+    try:
+        for side, parity in (("L", 0), ("R", 1)):
+            os.makedirs(f"{base}/{side}")
+            for k in range(4):
+                stage = f"{base}/stage_{side}{k}"
+                (
+                    ev.filter(
+                        (F.col("b") == k)
+                        & (F.col("event_id") % 2 == parity)
+                    )
+                    .drop("b")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(stage)
+                )
+                part = glob.glob(f"{stage}/part-*.parquet")[0]
+                dst = f"{base}/{side}/batch{k}.parquet"
+                shutil.copyfile(part, dst)
+                os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    finally:
+        ev.unpersist()
+    left = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, v_milli long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/L")
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts_ms"),
+            F.col("user_id").alias("l_user"),
+            F.timestamp_millis("ts").alias("ltts"),
+        )
+    )
+    right = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, v_milli long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/R")
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts_ms"),
+            F.col("user_id").alias("r_user"),
+            F.col("v_milli").alias("r_v_milli"),
+            F.timestamp_millis("ts").alias("rtts"),
+        )
+    )
+    j = interval_join_stream(
+        left,
+        right,
+        "l_user",
+        "r_user",
+        "ltts",
+        "rtts",
+        horizon="30 minutes",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    name = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.select(
+            "l_event_id",
+            "l_ts_ms",
+            F.col("l_user").alias("user_id"),
+            "r_event_id",
+            "r_ts_ms",
+            "r_v_milli",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_join_outer did not drain in 300s")
+    return spark.table(name).orderBy("l_event_id", "r_event_id")
+
+
+# the oracle replays the two measured outer-join watermark rules as
+# batch SQL: min-of-sides final watermark, strict null-emission cutoff
+SQL_STREAM_JOIN_OUTER = """
+WITH e AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+),
+l AS (SELECT event_id, ts_ms, user_id FROM e WHERE event_id % 2 = 0),
+r AS (SELECT event_id, ts_ms, user_id, v_milli FROM e
+      WHERE event_id % 2 = 1),
+wm AS (
+  SELECT least((SELECT max(ts_ms) FROM l),
+               (SELECT max(ts_ms) FROM r)) - 3600000 AS w
+),
+m AS (
+  SELECT l.event_id AS l_event_id, l.ts_ms AS l_ts_ms, l.user_id,
+         r.event_id AS r_event_id, r.ts_ms AS r_ts_ms,
+         r.v_milli AS r_v_milli
+  FROM l JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 1800000
+)
+SELECT * FROM m
+UNION ALL
+SELECT l.event_id, l.ts_ms, l.user_id,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM l, wm
+WHERE l.ts_ms + 1800000 < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.l_event_id = l.event_id)
+ORDER BY 1, 4
+"""
+
+
 def q_latest_bucketed_persisted(spark, sf_dir):
     """The proven bucketed layout applied to the domain's HOT path
     (the round-7 verdict's flagship beneficiary): the change-log is
@@ -8000,6 +8177,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_frequency": q_term_frequency,
     "distinctive_terms": q_distinctive_terms,
     "exact_quantiles": q_exact_quantiles,
+    # --- new in round 8, placed OUTSIDE the (already-full) grading
+    # window so the r7 verdict's stale-row rotation is undisturbed;
+    # locally exact-gated now, rotate to the HEAD in round 9 ---
+    "stream_join_outer": q_stream_join_outer,
 }
 
 
@@ -8158,4 +8339,5 @@ ORACLE_SQL: dict[str, str] = {
     # every registry query carries an oracle: the last three
     # engine-hash holdouts graduated via portable md5 variants
     # (minhash/simhash) and literal-hyperplane LSH (embedding pairs).
+    "stream_join_outer": SQL_STREAM_JOIN_OUTER,
 }

@@ -1192,3 +1192,120 @@ def test_stream_latest_ttl_demo_really_evicts(spark):
     ]
     assert len(restarted) >= 1, "TTL demo degenerated: nothing evicted"
     assert len(survived) >= 1, "TTL demo degenerated: everything evicted"
+
+
+def _run_outer_join(spark, tmp_path, left_files, right_files,
+                    horizon="30 minutes", watermark="1 hour"):
+    """Replay two mtime-pinned file feeds through the left-outer
+    watermarked interval join (one file per side per trigger) and
+    return [(lid, rid)] sorted."""
+    import uuid
+
+    from alstom_spark_cassandra_spark.streaming import interval_join_stream
+
+    lsrc = _stage_files(
+        spark, tmp_path, left_files, "lid long, lts long, lkey long", "L"
+    )
+    rsrc = _stage_files(
+        spark, tmp_path, right_files, "rid long, rts long, rkey long", "R"
+    )
+    ls = (
+        spark.readStream.schema("lid long, lts long, lkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc)
+        .withColumn("ltts", F.timestamp_millis("lts"))
+    )
+    rs = (
+        spark.readStream.schema("rid long, rts long, rkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc)
+        .withColumn("rtts", F.timestamp_millis("rts"))
+    )
+    j = interval_join_stream(
+        ls, rs, "lkey", "rkey", "ltts", "rtts",
+        horizon=horizon, watermark=watermark, how="left_outer",
+    )
+    name = f"oj_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return sorted(
+        (r.lid, r.rid) for r in spark.table(name).select("lid", "rid").collect()
+    )
+
+
+_T0 = 1_704_067_200_000  # 2024-01-01, the canonical test epoch
+_MIN = 60_000
+
+
+def test_outer_join_null_emission_strict_boundary(spark, tmp_path):
+    """Pins the measured null-emission rule the stream_join_outer
+    oracle encodes: a never-matched left row emits its null row iff
+    left_ts + horizon < final watermark, STRICTLY.  A left sentinel
+    (700min, never emitted: eviction 730min > wm) keeps the left
+    input's own watermark from being the minimum; the right side's
+    max (200min) then sets wm_final = 140min.  A left at 110min
+    (eviction exactly 140min) must NOT emit; one at 110min − 1ms
+    must."""
+    sent_l = (98, _T0 + 700 * _MIN, 98)
+    sent_r = [(99, _T0 + 200 * _MIN, 99)]
+    files_r = [sent_r, [], []]
+    # eviction point == wm exactly -> suppressed
+    out = _run_outer_join(
+        spark, tmp_path / "eq",
+        [[sent_l, (1, _T0 + 110 * _MIN, 1)], [], []], files_r,
+    )
+    assert out == []
+    # 1ms below the boundary -> the null row emits
+    out = _run_outer_join(
+        spark, tmp_path / "lt",
+        [[sent_l, (1, _T0 + 110 * _MIN - 1, 1)], [], []], files_r,
+    )
+    assert out == [(1, None)]
+
+
+def test_outer_join_watermark_is_min_of_sides(spark, tmp_path):
+    """Pins the other measured rule: the global watermark is the MIN
+    over both inputs of (max event time − delay).  Here the left
+    side's own max (115min) is the minimum, so wm_final = 55min and
+    NO left row's eviction point (130/145min) is ever strictly
+    passed — nothing emits, even though the right side's clock
+    (200min) alone would have released the 100min row."""
+    out = _run_outer_join(
+        spark, tmp_path,
+        [[(1, _T0 + 100 * _MIN, 1), (2, _T0 + 115 * _MIN, 2)], [], []],
+        [[(9, _T0 + 200 * _MIN, 99)], [], []],
+    )
+    assert out == []
+
+
+def test_outer_join_matches_cross_batch_and_nulls(spark, tmp_path):
+    """End-to-end fates in one replay: same-batch match, cross-batch
+    match near the file boundary (left still in state because the
+    1-hour delay exceeds the 30-min horizon), early never-matched
+    left (null row), and a tail left whose eviction the final
+    watermark never strictly passes (suppressed)."""
+    out = _run_outer_join(
+        spark, tmp_path,
+        [
+            [
+                (1, _T0, 10),              # matched in batch 0
+                (2, _T0 + 10 * _MIN, 20),  # never matched -> null row
+                (3, _T0 + 230 * _MIN, 30), # match arrives in batch 1
+            ],
+            [(4, _T0 + 470 * _MIN, 40)],   # eviction 500min < wm 660min
+            [(5, _T0 + 700 * _MIN, 50)],   # eviction 730min > wm: suppressed
+        ],
+        [
+            [(101, _T0 + 10 * _MIN, 10)],
+            [(103, _T0 + 250 * _MIN, 30)],
+            [(199, _T0 + 720 * _MIN - 1, 99)],
+        ],
+    )
+    assert out == [(1, 101), (2, None), (3, 103), (4, None)]
