@@ -42,6 +42,7 @@ from .layout import (
     zorder_repartition,
 )
 from .locf import locf, locf_pivot
+from .merge import apply_changes, latest_changes
 from .multimodal import (
     audio_features,
     audio_resample,
@@ -126,6 +127,7 @@ def free_local_checkpoints(spark) -> int:
 
 
 __all__ = [
+    "apply_changes",
     "asof_id_bounds",
     "asof_snapshot_pair",
     "audio_features",
@@ -177,6 +179,7 @@ __all__ = [
     "interval_join",
     "ivf_topk",
     "jaccard_join_prefix",
+    "latest_changes",
     "latest_per_key",
     "locf",
     "locf_pivot",

@@ -5400,6 +5400,99 @@ ORDER BY 1, 4
 """
 
 
+def q_merge_apply(spark, sf_dir):
+    """MERGE-style change application (operators/merge.py) — the
+    contract the reference's compaction cannot express: the change
+    feed's LATEST change per key decides each key's fate, and a
+    tombstone REMOVES the key (the reference only ever supersedes,
+    SQL/GetMessage.sql:63-88; erasure/retraction needs true MERGE).
+    Scenario over events: days 0-15 build the base snapshot (latest
+    value per (user_id, event_type); users with user_id % 7 == 0
+    onboard later, so they are absent from the base), days 16+ are
+    the change feed ('view' series quiesce — no changes — and a
+    change whose cents digit is 0 is a tombstone). The one output
+    table exercises all five fates: update, delete,
+    insert-of-new-key, base pass-through, and tombstone-for-unseen-
+    key (a no-op). Plan: the feed minimizes via map-side-partial
+    argmax BEFORE the single full-outer shuffle join — at 100 TB the
+    raw feed never moves, only one row per changed key does."""
+    from .operators.merge import apply_changes
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("greatest(ts DIV 86400000 - 19723, 0)").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "v_cents"
+        ),
+    )
+    base = (
+        ev.filter((F.col("day") < 16) & (F.col("user_id") % 7 != 0))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("v_cents", F.col("event_id")).alias("v_cents"),
+        )
+    )
+    changes = ev.filter(
+        (F.col("day") >= 16) & (F.col("event_type") != "view")
+    ).withColumn(
+        "op",
+        F.when(F.col("v_cents") % 10 == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    merged = apply_changes(
+        base,
+        changes,
+        ["user_id", "event_type"],
+        "event_id",
+        ["v_cents"],
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("v_cents").alias("last_v_cents"),
+    ).orderBy("user_id", "event_type")
+
+
+SQL_MERGE_APPLY = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         greatest(epoch_ms(ts) // 86400000 - 19723, 0) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+  FROM events
+),
+base AS (
+  SELECT user_id, event_type, max(event_id) AS event_id,
+         max_by(v_cents, event_id) AS v_cents
+  FROM e WHERE day < 16 AND user_id % 7 <> 0
+  GROUP BY 1, 2
+),
+lc AS (
+  SELECT user_id, event_type, max(event_id) AS event_id,
+         max_by(v_cents, event_id) AS v_cents,
+         max_by(CASE WHEN v_cents % 10 = 0 THEN 'D' ELSE 'U' END,
+                event_id) AS op
+  FROM e WHERE day >= 16 AND event_type <> 'view'
+  GROUP BY 1, 2
+)
+SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+       COALESCE(b.event_type, c.event_type) AS event_type,
+       CASE WHEN c.op IS NOT NULL THEN c.event_id
+            ELSE b.event_id END AS last_event_id,
+       CASE WHEN c.op IS NOT NULL THEN c.v_cents
+            ELSE b.v_cents END AS last_v_cents
+FROM base b
+FULL OUTER JOIN lc c
+  ON b.user_id = c.user_id AND b.event_type = c.event_type
+WHERE c.op IS NULL OR c.op <> 'D'
+ORDER BY 1, 2
+"""
+
+
 def q_latest_bucketed_persisted(spark, sf_dir):
     """The proven bucketed layout applied to the domain's HOT path
     (the round-7 verdict's flagship beneficiary): the change-log is
@@ -8181,6 +8274,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window so the r7 verdict's stale-row rotation is undisturbed;
     # locally exact-gated now, rotate to the HEAD in round 9 ---
     "stream_join_outer": q_stream_join_outer,
+    "merge_apply": q_merge_apply,
 }
 
 
@@ -8340,4 +8434,5 @@ ORACLE_SQL: dict[str, str] = {
     # engine-hash holdouts graduated via portable md5 variants
     # (minhash/simhash) and literal-hyperplane LSH (embedding pairs).
     "stream_join_outer": SQL_STREAM_JOIN_OUTER,
+    "merge_apply": SQL_MERGE_APPLY,
 }

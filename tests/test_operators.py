@@ -293,3 +293,72 @@ def test_asof_join_rejects_column_collision(spark):
     df = spark.createDataFrame([(1, 2, 3.0)], "k int, t long, v double")
     with _pytest.raises(ValueError):
         asof_join(df, df, on=["k"], left_on="t", right_on="t", value_cols=["v"])
+
+
+def _merge_fixture(spark):
+    base = spark.createDataFrame(
+        [
+            (1, "a", 10, 100),  # updated by seq 21
+            (1, "b", 11, 110),  # deleted (latest change D at seq 23)
+            (2, "a", 12, 120),  # no change -> passes through
+            (2, "b", 13, 130),  # D then U: latest op wins -> updated
+        ],
+        "k1 long, k2 string, event_id long, v long",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 20, 200, "U"),
+            (1, "a", 21, 210, "U"),   # latest for (1,a)
+            (1, "b", 22, 220, "U"),
+            (1, "b", 23, 0, "D"),     # latest for (1,b): tombstone
+            (2, "b", 24, 0, "D"),
+            (2, "b", 25, 240, "U"),   # revives (2,b) after tombstone
+            (3, "a", 26, 260, "U"),   # insert: key absent from base
+            (3, "b", 27, 0, "D"),     # tombstone for never-seen key
+        ],
+        "k1 long, k2 string, event_id long, v long, op string",
+    )
+    return base, changes
+
+
+def test_merge_apply_all_five_fates(spark):
+    from alstom_spark_cassandra_spark.operators import apply_changes
+
+    base, changes = _merge_fixture(spark)
+    out = apply_changes(
+        base, changes, ["k1", "k2"], "event_id", ["v"]
+    )
+    got = {(r.k1, r.k2): (r.event_id, r.v) for r in out.collect()}
+    assert got == {
+        (1, "a"): (21, 210),  # update
+        (2, "a"): (12, 120),  # untouched base row
+        (2, "b"): (25, 240),  # tombstone superseded by later upsert
+        (3, "a"): (26, 260),  # insert of a new key
+        # (1,"b") deleted; (3,"b") tombstone for unseen key is a no-op
+    }
+
+
+def test_merge_latest_changes_minimizes_feed(spark):
+    from alstom_spark_cassandra_spark.operators import latest_changes
+
+    _, changes = _merge_fixture(spark)
+    lc = latest_changes(changes, ["k1", "k2"], "event_id", ["v"])
+    got = {(r.k1, r.k2): (r.event_id, r.v, r.op) for r in lc.collect()}
+    assert got[(1, "b")] == (23, 0, "D")
+    assert got[(2, "b")] == (25, 240, "U")
+    assert len(got) == 5
+
+
+def test_merge_apply_plan_no_extra_exchange(spark):
+    """The minimized change side must reuse its groupBy partitioning
+    for the full-outer join (keys identical), so the whole merge
+    carries exactly TWO hash exchanges: one per input. A third would
+    mean the argmax output is being reshuffled for the join."""
+    from alstom_spark_cassandra_spark.operators import apply_changes
+
+    base, changes = _merge_fixture(spark)
+    out = apply_changes(
+        base, changes, ["k1", "k2"], "event_id", ["v"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
