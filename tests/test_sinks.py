@@ -174,3 +174,43 @@ def test_latest_bucketed_persisted_query_plan(spark):
     finally:
         slug = "".join(c if c.isalnum() else "_" for c in sf)
         spark.sql(f"DROP TABLE IF EXISTS bkt_log{slug}")
+
+
+def test_merge_apply_bucketed_base_single_exchange(spark, tmp_path):
+    """apply_changes against a base PERSISTED bucketed by the merge
+    keys: the base side of the full-outer join reads pre-partitioned
+    (no exchange), so the entire merge moves only the minimized
+    change set — ONE hash exchange in the whole plan. This is the
+    daily-MERGE economics at 100 TB: the big snapshot never
+    shuffles, only the day's changes do."""
+    from alstom_spark_cassandra_spark.operators import apply_changes
+    from alstom_spark_cassandra_spark.sources.sinks import write_bucketed
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).alias("v"),
+    )
+    write_bucketed(
+        base, "bkt_merge_base", ["k"], 4, sort_cols=["k"],
+        path=str(tmp_path / "base"),
+    )
+    changes = spark.range(2000, 2100).select(
+        (F.col("id") % 50).alias("k"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 89).alias("v"),
+        F.when(F.col("id") % 10 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    try:
+        out = apply_changes(
+            spark.table("bkt_merge_base"), changes, ["k"], "event_id", ["v"]
+        )
+        n = out.count()
+        # 1000 base keys, changes touch keys 0..49, 10 of the 100
+        # change rows are tombstones; latest-change-wins decides how
+        # many of the 50 touched keys survive
+        assert 950 <= n <= 1000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_merge_base")

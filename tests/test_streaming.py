@@ -1309,3 +1309,95 @@ def test_outer_join_matches_cross_batch_and_nulls(spark, tmp_path):
         ],
     )
     assert out == [(1, 101), (2, None), (3, 103), (4, None)]
+
+
+def test_outer_join_state_bounded_by_watermark(spark, tmp_path):
+    """The 100 TB contract of the outer join: state is bounded by
+    traffic inside the horizon+delay window, not stream length. On
+    the sf0.001 replay (1000 events fed across 4 files per side),
+    every batch must REMOVE evicted rows and the final batch's
+    retained state must be the unprovable tail only — two orders of
+    magnitude below the fed row count."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from alstom_spark_cassandra_spark.sources.loader import load_table
+    from alstom_spark_cassandra_spark.streaming import interval_join_stream
+
+    base = str(tmp_path / "ojoin_state")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias(
+            "v_milli"
+        ),
+    )
+    ev = ev.withColumn(
+        "b",
+        F.least(
+            F.expr("greatest(ts DIV 86400000 - 19723, 0) DIV 8"), F.lit(3)
+        ).cast("int"),
+    )
+    for side, parity in (("L", 0), ("R", 1)):
+        os.makedirs(f"{base}/{side}")
+        for k in range(4):
+            stage = f"{base}/stage_{side}{k}"
+            (
+                ev.filter(
+                    (F.col("b") == k) & (F.col("event_id") % 2 == parity)
+                )
+                .drop("b")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{base}/{side}/batch{k}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    sch = "event_id long, ts long, user_id long, v_milli long"
+    left = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/L")
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user"),
+            F.timestamp_millis("ts").alias("ltts"),
+        )
+    )
+    right = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/R")
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user"),
+            F.timestamp_millis("ts").alias("rtts"),
+        )
+    )
+    j = interval_join_stream(
+        left, right, "l_user", "r_user", "ltts", "rtts",
+        horizon="30 minutes", watermark="1 hour", how="left_outer",
+    )
+    name = f"ojs_{uuid.uuid4().hex[:8]}"
+    q = (
+        j.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    progress = q.recentProgress
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    removed = sum(
+        p["stateOperators"][0]["numRowsRemoved"] for p in progress
+    )
+    assert removed >= 400, (totals, removed)
+    assert totals[-1] <= 20, totals  # only the unprovable tail is kept
+    assert max(totals) < 500, totals  # never the whole 1000-row feed
