@@ -101,7 +101,7 @@ from .sketches import (
     value_histogram,
 )
 from .skew import salted_agg, salted_broadcast_left, salted_join
-from .timeseries import resample_linear, rolling_zscore
+from .timeseries import ohlc_bars, resample_linear, rolling_zscore
 
 
 def free_local_checkpoints(spark) -> int:
@@ -191,6 +191,7 @@ __all__ = [
     "minhash_signatures_portable",
     "morton_z",
     "ngram_jaccard_pairs",
+    "ohlc_bars",
     "pagerank",
     "pii_counts",
     "pii_redact",

@@ -180,3 +180,43 @@ def resample_linear(
         value_micro.alias("value_micro"),
     )
     return out
+
+
+def ohlc_bars(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_col: str,
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Time-bucketed OHLC bars per series: open/high/low/close plus
+    count and exact integer sum for each `bucket_ms` bucket of the
+    epoch-ms clock `ts_col` — the canonical downsampling step that
+    turns a raw tick/update feed into fixed-width bars for trend
+    features (the LOCF family's aggregating cousin: instead of
+    carrying state ACROSS buckets it summarizes WITHIN them).
+
+    open/close are argmin/argmax by `order_col`, which must totally
+    order rows within a series bucket (a unique log id — ties on a
+    wall clock would make open/close nondeterministic; the same
+    contract as merge.latest_changes). One groupBy, map-side partial
+    aggregation: at 100 TB each task collapses its rows to one
+    partial bar per (series, bucket) before the shuffle, so only
+    bars move, never ticks. `value_col` must already be exact
+    (integer-quantized) for the sum to be engine-portable."""
+    # integer DIV on the canonical non-negative epoch-ms clock (no
+    # float quotient in the bucketing path)
+    bucket = F.expr(f"({ts_col} DIV {bucket_ms}) * {bucket_ms}")
+    o = F.col(order_col)
+    return (
+        df.groupBy(*series_cols, bucket.alias("bucket_start_ms"))
+        .agg(
+            F.min_by(value_col, o).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, o).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("sum_value"),
+        )
+    )

@@ -5493,6 +5493,132 @@ ORDER BY 1, 2
 """
 
 
+def q_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC bars per (user, event_type) series (operators/
+    timeseries.ohlc_bars) — the aggregating cousin of the LOCF dense
+    grid: instead of carrying state ACROSS buckets it summarizes
+    WITHIN them (open/high/low/close + count + exact cents sum).
+    open/close are argmin/argmax by event_id (the unique log clock —
+    wall-clock ties cannot make them nondeterministic). ONE groupBy
+    with map-side partial aggregation: at 100 TB each task collapses
+    its ticks to one partial bar per (series, hour) before the
+    shuffle — only bars move, never ticks."""
+    from .operators.timeseries import ohlc_bars
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "v_cents"
+        ),
+    )
+    bars = ohlc_bars(
+        ev,
+        ["user_id", "event_type"],
+        "ts",
+        "v_cents",
+        "event_id",
+        bucket_ms=3_600_000,
+    )
+    return bars.select(
+        "user_id",
+        "event_type",
+        "bucket_start_ms",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n",
+        F.col("sum_value").alias("sum_cents"),
+    ).orderBy("user_id", "event_type", "bucket_start_ms")
+
+
+SQL_OHLC_BARS = """
+WITH e AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT user_id, event_type,
+       (ts_ms // 3600000) * 3600000 AS bucket_start_ms,
+       min_by(v_cents, event_id) AS open,
+       max(v_cents) AS high,
+       min(v_cents) AS low,
+       max_by(v_cents, event_id) AS close,
+       count(*) AS n,
+       CAST(sum(v_cents) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_partitioned_ingest(spark, sf_dir):
+    """Idempotent partitioned ingest + pruned read-back
+    (sources/sinks.write_partitioned): the events log is written
+    partitioned by its canonical day index — the once-per-ingest
+    layout cost that makes every later time-windowed query scan only
+    its days — and the read-back aggregates days 10-19 only. The
+    day predicate must resolve at PLANNING time against the
+    partition directories (PartitionFilters, plan-asserted in
+    tests/test_sinks.py::test_partitioned_ingest_prunes), so at
+    100 TB the scan touches ~1/3 of the files here and one day of a
+    year-long log in the point case. Overwrite mode makes re-ingest
+    idempotent (the batch-replay twin of the streaming sink's
+    per-batch-id overwrite). Oracle: the same windowed aggregate
+    over the raw table — layout must change nothing."""
+    import tempfile
+
+    from .sources.sinks import write_partitioned
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/part_ingest{slug}"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "v_cents"
+        ),
+        F.expr("greatest(ts DIV 86400000 - 19723, 0)").alias("day"),
+    )
+    write_partitioned(ev, path, ["day"])
+    back = spark.read.parquet(path).filter(
+        (F.col("day") >= 10) & (F.col("day") <= 19)
+    )
+    return (
+        # the partition column comes back type-inferred from the
+        # directory names; pin it to the canonical long day index
+        back.groupBy(
+            F.col("day").cast("long").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_cents").alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_PARTITIONED_INGEST = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+         greatest(epoch_ms(ts) // 86400000 - 19723, 0) AS day
+  FROM events
+)
+SELECT day, event_type, count(*) AS n,
+       CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+       count(DISTINCT user_id) AS n_users
+FROM e
+WHERE day BETWEEN 10 AND 19
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_latest_bucketed_persisted(spark, sf_dir):
     """The proven bucketed layout applied to the domain's HOT path
     (the round-7 verdict's flagship beneficiary): the change-log is
@@ -8275,6 +8401,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # locally exact-gated now, rotate to the HEAD in round 9 ---
     "stream_join_outer": q_stream_join_outer,
     "merge_apply": q_merge_apply,
+    "ohlc_bars": q_ohlc_bars,
+    "partitioned_ingest": q_partitioned_ingest,
 }
 
 
@@ -8435,4 +8563,6 @@ ORACLE_SQL: dict[str, str] = {
     # (minhash/simhash) and literal-hyperplane LSH (embedding pairs).
     "stream_join_outer": SQL_STREAM_JOIN_OUTER,
     "merge_apply": SQL_MERGE_APPLY,
+    "ohlc_bars": SQL_OHLC_BARS,
+    "partitioned_ingest": SQL_PARTITIONED_INGEST,
 }

@@ -76,3 +76,72 @@ def test_resample_series_without_updates_absent(spark):
     got = _resample(spark, [(1, 50, 5.0)], 0, 100, 50)
     assert set(got) == {(1, 0), (1, 50), (1, 100)}
     assert got[(1, 0)] == got[(1, 100)] == 5_000_000
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from alstom_spark_cassandra_spark.operators import ohlc_bars
+
+    H = 3_600_000
+    rows = [
+        # (event_id, ts, series, value): two buckets for series "a"
+        (1, 100, "a", 50),
+        (2, 200, "a", 70),      # high
+        (3, 300, "a", 40),      # low
+        (4, H - 1, "a", 60),    # close of bucket 0
+        (5, H + 10, "a", 90),   # bucket 1: single row -> o=h=l=c
+        (6, 500, "b", 10),      # other series, same bucket window
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, series string, v long"
+    )
+    out = {
+        (r.series, r.bucket_start_ms): (
+            r.open, r.high, r.low, r.close, r.n, r.sum_value
+        )
+        for r in ohlc_bars(
+            df, ["series"], "ts", "v", "event_id", bucket_ms=H
+        ).collect()
+    }
+    assert out == {
+        ("a", 0): (50, 70, 40, 60, 4, 220),
+        ("a", H): (90, 90, 90, 90, 1, 90),
+        ("b", 0): (10, 10, 10, 10, 1, 10),
+    }
+
+
+def test_ohlc_open_close_use_order_col_not_ts(spark):
+    """Wall-clock ties must not make open/close nondeterministic:
+    the order column (unique log id) decides, even when it disagrees
+    with ts ordering."""
+    from alstom_spark_cassandra_spark.operators import ohlc_bars
+
+    rows = [
+        (2, 100, "a", 11),  # same ts; higher event_id -> close
+        (1, 100, "a", 22),  # lower event_id -> open
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, series string, v long"
+    )
+    [bar] = ohlc_bars(
+        df, ["series"], "ts", "v", "event_id", bucket_ms=1000
+    ).collect()
+    assert (bar.open, bar.close) == (22, 11)
+
+
+def test_ohlc_bars_single_exchange(spark):
+    """One groupBy with map-side partials: exactly one hash exchange
+    — ticks collapse to partial bars before the shuffle."""
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators import ohlc_bars
+
+    df = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1000).alias("ts"),
+        (F.col("id") % 7).cast("string").alias("series"),
+        (F.col("id") % 97).alias("v"),
+    )
+    out = ohlc_bars(df, ["series"], "ts", "v", "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan.lower(), plan
