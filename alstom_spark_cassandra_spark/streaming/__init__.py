@@ -1,9 +1,11 @@
 from .live_state import (
     dedup_stream,
     enrich_stream,
+    foreach_batch_merge_sink,
     foreach_batch_upsert_sink,
     interval_join_stream,
     latest_value_stream,
+    read_merge_sink,
     read_upsert_sink,
     sessionize_stream,
     stateful_latest_value,
@@ -13,7 +15,9 @@ from .live_state import (
 __all__ = [
     "dedup_stream",
     "enrich_stream",
+    "foreach_batch_merge_sink",
     "foreach_batch_upsert_sink",
+    "read_merge_sink",
     "read_upsert_sink",
     "interval_join_stream",
     "latest_value_stream",

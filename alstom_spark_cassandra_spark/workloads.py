@@ -5493,6 +5493,118 @@ ORDER BY 1, 2
 """
 
 
+def q_stream_cdc_apply(spark, sf_dir):
+    """CONTINUOUS MERGE (streaming/live_state.
+    foreach_batch_merge_sink): the merge_apply scenario with the
+    change feed arriving as a STREAM — days 16+ staged as three
+    mtime-pinned files (one per trigger), each micro-batch applied to
+    the running snapshot (latest change wins, tombstones delete) and
+    the result persisted to its own snap_{batch_id} directory
+    (replayed batches re-read their PREDECESSOR's snapshot and
+    overwrite their own — exactly-once on retry). The oracle is the
+    SINGLE-PASS batch MERGE over the whole feed: iterated per-batch
+    application must equal it because latest-change-wins composes
+    across any batching — delete-then-insert re-inserts,
+    insert-then-delete deletes, and a key's final payload is decided
+    by its globally largest event_id regardless of which file carried
+    it. The per-batch compute is one minimized-changes join against
+    the snapshot, never a re-aggregation of history."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.live_state import (
+        foreach_batch_merge_sink,
+        read_merge_sink,
+    )
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_cdc{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    sink = f"{base_dir}/sink"
+    os.makedirs(sink)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("greatest(ts DIV 86400000 - 19723, 0)").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "v_cents"
+        ),
+    )
+    # seed: the day<16 base snapshot (late-onboarding users absent),
+    # written as snap_-1 so batch 0 merges into it
+    (
+        ev.filter((F.col("day") < 16) & (F.col("user_id") % 7 != 0))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("v_cents", F.col("event_id")).alias("v_cents"),
+        )
+        .write.parquet(f"{sink}/snap_-1")
+    )
+    changes = (
+        ev.filter((F.col("day") >= 16) & (F.col("event_type") != "view"))
+        .withColumn(
+            "op",
+            F.when(F.col("v_cents") % 10 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn(
+            "fb",
+            F.least(((F.col("day") - 16) / 5).cast("int"), F.lit(2)),
+        )
+    )
+    src_dir = f"{base_dir}/src"
+    os.makedirs(src_dir)
+    for k in range(3):
+        stage = f"{base_dir}/stage{k}"
+        (
+            changes.filter(F.col("fb") == k)
+            .select("user_id", "event_type", "event_id", "v_cents", "op")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_type string, event_id long,"
+            " v_cents long, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            foreach_batch_merge_sink(
+                sink, ["user_id", "event_type"], "event_id", ["v_cents"]
+            )
+        )
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_cdc_apply did not drain in 300s")
+    return (
+        read_merge_sink(spark, sink)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("v_cents").alias("last_v_cents"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 def q_ohlc_bars(spark, sf_dir):
     """Hourly OHLC bars per (user, event_type) series (operators/
     timeseries.ohlc_bars) — the aggregating cousin of the LOCF dense
@@ -8403,6 +8515,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_apply": q_merge_apply,
     "ohlc_bars": q_ohlc_bars,
     "partitioned_ingest": q_partitioned_ingest,
+    "stream_cdc_apply": q_stream_cdc_apply,
 }
 
 
@@ -8565,4 +8678,6 @@ ORACLE_SQL: dict[str, str] = {
     "merge_apply": SQL_MERGE_APPLY,
     "ohlc_bars": SQL_OHLC_BARS,
     "partitioned_ingest": SQL_PARTITIONED_INGEST,
+    # the streaming twin must converge to the single-pass batch MERGE
+    "stream_cdc_apply": SQL_MERGE_APPLY,
 }

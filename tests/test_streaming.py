@@ -1401,3 +1401,54 @@ def test_outer_join_state_bounded_by_watermark(spark, tmp_path):
     assert removed >= 400, (totals, removed)
     assert totals[-1] <= 20, totals  # only the unprovable tail is kept
     assert max(totals) < 500, totals  # never the whole 1000-row feed
+
+
+def test_merge_sink_retry_idempotent_and_composes(spark, tmp_path):
+    """foreach_batch_merge_sink: (a) a replayed batch re-reads its
+    PREDECESSOR's snapshot and overwrites its own, so at-least-once
+    delivery yields the once-applied result; (b) fates compose
+    across batches — delete-then-insert re-inserts, insert-then-
+    delete deletes."""
+    import os
+
+    from alstom_spark_cassandra_spark.streaming import (
+        foreach_batch_merge_sink,
+        read_merge_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    spark.createDataFrame(
+        [(1, 10, 100), (2, 11, 110)], "k long, event_id long, v long"
+    ).write.parquet(f"{sink}/snap_-1")
+    write = foreach_batch_merge_sink(sink, ["k"], "event_id", ["v"])
+
+    b0 = spark.createDataFrame(
+        [
+            (1, 20, 0, "D"),    # delete key 1 ...
+            (3, 21, 330, "U"),  # ... insert key 3
+        ],
+        "k long, event_id long, v long, op string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, 30, 150, "U"),  # ... then re-insert key 1
+            (3, 31, 0, "D"),    # ... then delete key 3
+        ],
+        "k long, event_id long, v long, op string",
+    )
+    write(b0, 0)
+    write(b1, 1)
+    final = {
+        (r.k): (r.event_id, r.v)
+        for r in read_merge_sink(spark, sink).collect()
+    }
+    assert final == {1: (30, 150), 2: (11, 110)}
+    # replay batch 1 (simulated foreachBatch retry): same result,
+    # not a double-application
+    write(b1, 1)
+    again = {
+        (r.k): (r.event_id, r.v)
+        for r in read_merge_sink(spark, sink).collect()
+    }
+    assert again == final
