@@ -42,7 +42,7 @@ from .layout import (
     zorder_repartition,
 )
 from .locf import locf, locf_pivot
-from .merge import apply_changes, latest_changes
+from .merge import apply_changes, apply_changes_broadcast, latest_changes
 from .multimodal import (
     audio_features,
     audio_resample,
@@ -128,6 +128,7 @@ def free_local_checkpoints(spark) -> int:
 
 __all__ = [
     "apply_changes",
+    "apply_changes_broadcast",
     "asof_id_bounds",
     "asof_snapshot_pair",
     "audio_features",

@@ -106,3 +106,71 @@ def apply_changes(
         ~(has_change & (F.col("__c_op") == delete_op))
         # base-side-only rows survive; change-side-only upserts insert
     ).select(*keys, *out_cols)
+
+
+def apply_changes_broadcast(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """`apply_changes` for the common daily case: the minimized
+    change set fits in memory, the base does not. Spark cannot
+    broadcast either side of a FULL OUTER join, so the shuffle-free
+    form decomposes it:
+
+      1. base ⟕ broadcast(latest changes): update / delete /
+         pass-through — one broadcast pass over the base, no
+         exchange;
+      2. base ⋉ broadcast(change keys): which change keys already
+         exist — at most one row per changed key, tiny;
+      3. latest changes ⟕anti broadcast(matched keys): the inserts
+         (new keys, minus tombstones-for-unseen-keys);
+      4. union 1 (minus deletes) with 3.
+
+    The base is scanned twice but SHUFFLED never — at 100 TB two
+    broadcast map passes beat one full-table exchange by the width
+    of the cluster bisection. Every exchange in the plan moves only
+    the minimized FEED (the argmax, once per consuming branch unless
+    Catalyst reuses it); all three joins are broadcast-hash — no
+    sort-merge anywhere (plan-pinned by tests/test_operators.py::
+    test_merge_apply_broadcast_plan). Same contract as
+    apply_changes; results are identical (equality-pinned by test on
+    the shared fixture)."""
+    keys = list(key_cols)
+    lc = latest_changes(changes, keys, seq_col, payload_cols, op_col)
+    b = base.select(
+        *keys,
+        *[F.col(c).alias(f"__b_{c}") for c in [seq_col, *payload_cols]],
+    )
+    c = lc.select(
+        *keys,
+        F.col(op_col).alias("__c_op"),
+        *[F.col(x).alias(f"__c_{x}") for x in [seq_col, *payload_cols]],
+    )
+    has_change = F.col("__c_op").isNotNull()
+    existing = (
+        b.join(F.broadcast(c), keys, "left_outer")
+        .filter(~(has_change & (F.col("__c_op") == delete_op)))
+        .select(
+            *keys,
+            *[
+                F.when(has_change, F.col(f"__c_{x}"))
+                .otherwise(F.col(f"__b_{x}"))
+                .alias(x)
+                for x in [seq_col, *payload_cols]
+            ],
+        )
+    )
+    matched = base.join(
+        F.broadcast(lc.select(*keys)), keys, "left_semi"
+    ).select(*keys)
+    inserts = (
+        lc.join(F.broadcast(matched), keys, "left_anti")
+        .filter(F.col(op_col) != delete_op)
+        .select(*keys, seq_col, *payload_cols)
+    )
+    return existing.unionByName(inserts)

@@ -5458,6 +5458,59 @@ def q_merge_apply(spark, sf_dir):
     ).orderBy("user_id", "event_type")
 
 
+def q_merge_apply_broadcast(spark, sf_dir):
+    """The broadcast physical form of merge_apply (operators/merge.
+    apply_changes_broadcast) on the identical scenario — the common
+    daily case where the minimized change set fits in memory and the
+    base does not. Spark cannot broadcast a FULL OUTER join, so the
+    operator decomposes it into three broadcast-hash joins (update/
+    delete/pass-through pass, matched-keys semi pass, inserts anti
+    pass): the base is scanned but NEVER shuffled or sort-merged
+    (plan-pinned by tests/test_operators.py::
+    test_merge_apply_broadcast_plan). Oracle: the same MERGE SQL as
+    merge_apply — a physical rewrite must change nothing."""
+    from .operators.merge import apply_changes_broadcast
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("greatest(ts DIV 86400000 - 19723, 0)").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "v_cents"
+        ),
+    )
+    base = (
+        ev.filter((F.col("day") < 16) & (F.col("user_id") % 7 != 0))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("event_id").alias("event_id"),
+            F.max_by("v_cents", F.col("event_id")).alias("v_cents"),
+        )
+    )
+    changes = ev.filter(
+        (F.col("day") >= 16) & (F.col("event_type") != "view")
+    ).withColumn(
+        "op",
+        F.when(F.col("v_cents") % 10 == 0, F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    merged = apply_changes_broadcast(
+        base,
+        changes,
+        ["user_id", "event_type"],
+        "event_id",
+        ["v_cents"],
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("v_cents").alias("last_v_cents"),
+    ).orderBy("user_id", "event_type")
+
+
 SQL_MERGE_APPLY = """
 WITH e AS (
   SELECT event_id, user_id, event_type,
@@ -8351,7 +8404,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest).
+# r7-green block (freshest), then the SIX queries ADDED during
+# round 8 after the window was already full (stream_join_outer,
+# merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
+# merge_apply_broadcast — each exact vs its oracle at
+# sf0.001/0.01/0.1 this round): they lead the round-9 rotation.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -8516,6 +8573,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_bars": q_ohlc_bars,
     "partitioned_ingest": q_partitioned_ingest,
     "stream_cdc_apply": q_stream_cdc_apply,
+    "merge_apply_broadcast": q_merge_apply_broadcast,
 }
 
 
@@ -8680,4 +8738,6 @@ ORACLE_SQL: dict[str, str] = {
     "partitioned_ingest": SQL_PARTITIONED_INGEST,
     # the streaming twin must converge to the single-pass batch MERGE
     "stream_cdc_apply": SQL_MERGE_APPLY,
+    # the broadcast physical form must equal the shuffle form exactly
+    "merge_apply_broadcast": SQL_MERGE_APPLY,
 }

@@ -362,3 +362,59 @@ def test_merge_apply_plan_no_extra_exchange(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_merge_apply_broadcast_equals_shuffle_form(spark):
+    from alstom_spark_cassandra_spark.operators import (
+        apply_changes,
+        apply_changes_broadcast,
+    )
+
+    base, changes = _merge_fixture(spark)
+    a = {
+        (r.k1, r.k2): (r.event_id, r.v)
+        for r in apply_changes(
+            base, changes, ["k1", "k2"], "event_id", ["v"]
+        ).collect()
+    }
+    b = {
+        (r.k1, r.k2): (r.event_id, r.v)
+        for r in apply_changes_broadcast(
+            base, changes, ["k1", "k2"], "event_id", ["v"]
+        ).collect()
+    }
+    assert a == b and len(a) == 4
+
+
+def test_merge_apply_broadcast_plan(spark):
+    """The broadcast form must never shuffle or sort-merge the base:
+    all three joins are broadcast-hash, and every hash exchange in
+    the plan partitions the minimized FEED (the argmax), never the
+    base relation."""
+    from alstom_spark_cassandra_spark.operators import (
+        apply_changes_broadcast,
+    )
+
+    base = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 97).alias("v"),
+    )
+    changes = spark.range(20_000, 20_100).select(
+        (F.col("id") % 120).alias("k"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 89).alias("v"),
+        F.when(F.col("id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    out = apply_changes_broadcast(
+        base, changes, ["k"], "event_id", ["v"]
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE renders initial+final plans, so count joins per rendering:
+    # three broadcast-hash joins, and no shuffle join of any kind
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
