@@ -490,17 +490,8 @@ def foreach_batch_merge_sink(
     the incremental cost is one minimized-changes join, not a
     re-aggregation of history. Seed `snap_-1` with the initial base
     snapshot before starting the stream; keep ONE writer per path."""
-    import glob as _glob
-
     def _latest_snap_below(spark, batch_id: int):
-        snaps = []
-        for d in _glob.glob(f"{path}/snap_*"):
-            try:
-                n = int(d.rsplit("snap_", 1)[1])
-            except ValueError:
-                continue
-            if n < batch_id:
-                snaps.append(n)
+        snaps = [n for n in _committed_snaps(path) if n < batch_id]
         if not snaps:
             return None
         return spark.read.parquet(f"{path}/snap_{max(snaps)}")
@@ -532,19 +523,40 @@ def foreach_batch_merge_sink(
     return _write
 
 
-def read_merge_sink(spark, path: str) -> DataFrame:
-    """Current snapshot from a foreach_batch_merge_sink directory:
-    the largest snap_N is the state after the last applied batch."""
+def _committed_snaps(path: str) -> list[int]:
+    """Batch ids of COMMITTED snapshots: only snap_N directories
+    carrying Spark's _SUCCESS marker count — a writer that died
+    mid-overwrite leaves no marker, so readers (and a retrying batch
+    looking for its predecessor) never see the torn snapshot; the
+    stream's replay of that batch rewrites it."""
     import glob as _glob
+    import os as _os
 
     snaps = []
     for d in _glob.glob(f"{path}/snap_*"):
         try:
-            snaps.append(int(d.rsplit("snap_", 1)[1]))
+            n = int(d.rsplit("snap_", 1)[1])
         except ValueError:
             continue
+        if _os.path.exists(f"{d}/_SUCCESS"):
+            snaps.append(n)
+    return snaps
+
+
+def read_merge_sink(spark, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot from a foreach_batch_merge_sink directory: by default
+    the largest committed snap_N (state after the last applied
+    batch); pass `version` to time-travel to the state as of that
+    batch id — the snap chain doubles as a coarse snapshot history
+    until compacted away."""
+    snaps = _committed_snaps(path)
+    if version is not None:
+        snaps = [n for n in snaps if n <= version]
     if not snaps:
-        raise FileNotFoundError(f"no snap_* snapshots under {path}")
+        raise FileNotFoundError(
+            f"no committed snap_* snapshots under {path}"
+            + (f" at or below version {version}" if version is not None else "")
+        )
     return spark.read.parquet(f"{path}/snap_{max(snaps)}")
 
 

@@ -520,6 +520,53 @@ def main():
     )
     spark.sql("DROP TABLE IF EXISTS probe_bl")
     spark.sql("DROP TABLE IF EXISTS probe_br")
+
+    # --- round 8: MERGE economics (daily-feed case) ----------------
+    # base 10M keys vs 100k-change feed: the full-outer shuffle form
+    # moves the whole base; the broadcast form scans it twice but
+    # moves only the minimized feed. Locally shuffles are memory
+    # copies, so the delta understates the cluster-scale win — the
+    # plan shapes (pinned in tests) carry the claim; this records
+    # that the broadcast form is not a local regression.
+    from alstom_spark_cassandra_spark.operators import (
+        apply_changes,
+        apply_changes_broadcast,
+    )
+
+    n_base = int(sizes_m[-1] * 1_000_000)
+    mbase = spark.range(n_base).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 9973).alias("v"),
+    ).cache()
+    mbase.count()
+    feed = spark.range(n_base, n_base + 100_000).select(
+        (F.col("id") % (n_base + 50_000)).alias("k"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 997).alias("v"),
+        F.when(F.col("id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    ).cache()
+    feed.count()
+    t_shuffle = timed(
+        apply_changes(mbase, feed, ["k"], "event_id", ["v"])
+    )
+    t_broadcast = timed(
+        apply_changes_broadcast(mbase, feed, ["k"], "event_id", ["v"])
+    )
+    print(
+        json.dumps(
+            {
+                "merge_base_rows_millions": sizes_m[-1],
+                "merge_feed_rows": 100_000,
+                "merge_shuffle_form": t_shuffle,
+                "merge_broadcast_form": t_broadcast,
+            }
+        )
+    )
+    mbase.unpersist()
+    feed.unpersist()
     spark.stop()
 
 

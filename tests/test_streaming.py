@@ -1452,3 +1452,62 @@ def test_merge_sink_retry_idempotent_and_composes(spark, tmp_path):
         for r in read_merge_sink(spark, sink).collect()
     }
     assert again == final
+
+
+def test_merge_sink_ignores_torn_snapshot_and_time_travels(spark, tmp_path):
+    """A snapshot directory without Spark's _SUCCESS marker (a writer
+    that died mid-overwrite) must be invisible both to readers and to
+    a retrying batch looking for its predecessor; and read_merge_sink
+    (version=N) time-travels to the committed state as of batch N."""
+    import os
+    import shutil
+
+    from alstom_spark_cassandra_spark.streaming import (
+        foreach_batch_merge_sink,
+        read_merge_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    spark.createDataFrame(
+        [(1, 10, 100)], "k long, event_id long, v long"
+    ).write.parquet(f"{sink}/snap_-1")
+    write = foreach_batch_merge_sink(sink, ["k"], "event_id", ["v"])
+    write(
+        spark.createDataFrame(
+            [(2, 20, 200, "U")], "k long, event_id long, v long, op string"
+        ),
+        0,
+    )
+    # tear snapshot 1: write it, then strip the success marker
+    write(
+        spark.createDataFrame(
+            [(1, 30, 0, "D")], "k long, event_id long, v long, op string"
+        ),
+        1,
+    )
+    os.remove(f"{sink}/snap_1/_SUCCESS")
+    # reader skips the torn snapshot and serves batch 0's state
+    got = {r.k: r.v for r in read_merge_sink(spark, sink).collect()}
+    assert got == {1: 100, 2: 200}
+    # the replayed batch also seeds from snap_0, not the torn snap_1
+    write(
+        spark.createDataFrame(
+            [(1, 30, 0, "D")], "k long, event_id long, v long, op string"
+        ),
+        1,
+    )
+    got = {r.k: r.v for r in read_merge_sink(spark, sink).collect()}
+    assert got == {2: 200}
+    # time travel: version=0 still shows key 1 alive
+    got0 = {r.k: r.v for r in read_merge_sink(spark, sink, version=0).collect()}
+    assert got0 == {1: 100, 2: 200}
+    # and a fully torn chain raises the clear error
+    shutil.rmtree(f"{sink}/snap_-1")
+    os.remove(f"{sink}/snap_0/_SUCCESS")
+    os.remove(f"{sink}/snap_1/_SUCCESS")
+    try:
+        read_merge_sink(spark, sink)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError as e:
+        assert "committed" in str(e)
