@@ -1,4 +1,5 @@
 from .live_state import (
+    compact_merge_sink,
     dedup_stream,
     enrich_stream,
     foreach_batch_merge_sink,
@@ -13,6 +14,7 @@ from .live_state import (
 )
 
 __all__ = [
+    "compact_merge_sink",
     "dedup_stream",
     "enrich_stream",
     "foreach_batch_merge_sink",

@@ -560,6 +560,40 @@ def read_merge_sink(spark, path: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(f"{path}/snap_{max(snaps)}")
 
 
+def compact_merge_sink(path: str, keep_last: int = 2) -> list[int]:
+    """Retention for a foreach_batch_merge_sink snap chain: delete all
+    committed snapshots except the newest `keep_last` (and every torn,
+    marker-less directory older than the newest committed one — a
+    torn CURRENT write must survive so its retry can overwrite in
+    place). Returns the batch ids removed. Keep at least 2 so the
+    current batch's predecessor is always available to a retry; run
+    it from the maintenance cycle, not inside the stream."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if keep_last < 2:
+        raise ValueError(
+            "keep_last must be >= 2: the retrying batch needs its"
+            " predecessor snapshot"
+        )
+    committed = sorted(_committed_snaps(path))
+    keep = set(committed[-keep_last:])
+    newest = committed[-1] if committed else None
+    removed = []
+    for d in _glob.glob(f"{path}/snap_*"):
+        try:
+            n = int(d.rsplit("snap_", 1)[1])
+        except ValueError:
+            continue
+        torn = not _os.path.exists(f"{d}/_SUCCESS")
+        if n in keep or (torn and (newest is None or n >= newest)):
+            continue
+        _shutil.rmtree(d)
+        removed.append(n)
+    return sorted(removed)
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: list[str],

@@ -1511,3 +1511,46 @@ def test_merge_sink_ignores_torn_snapshot_and_time_travels(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError as e:
         assert "committed" in str(e)
+
+
+def test_compact_merge_sink_retention(spark, tmp_path):
+    """compact_merge_sink keeps the newest keep_last committed
+    snapshots (so a retry always finds its predecessor), preserves a
+    torn CURRENT write for its retry, and deletes older torn debris."""
+    import os
+
+    from alstom_spark_cassandra_spark.streaming import (
+        compact_merge_sink,
+        foreach_batch_merge_sink,
+        read_merge_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    spark.createDataFrame(
+        [(1, 10, 100)], "k long, event_id long, v long"
+    ).write.parquet(f"{sink}/snap_-1")
+    write = foreach_batch_merge_sink(sink, ["k"], "event_id", ["v"])
+    for i in range(4):
+        write(
+            spark.createDataFrame(
+                [(2 + i, 20 + i, 200 + i, "U")],
+                "k long, event_id long, v long, op string",
+            ),
+            i,
+        )
+    # age a torn older snapshot and a torn newest-write
+    os.remove(f"{sink}/snap_0/_SUCCESS")
+    os.makedirs(f"{sink}/snap_9")
+    removed = compact_merge_sink(sink, keep_last=2)
+    assert removed == [-1, 0, 1]  # old committed + old torn go
+    assert sorted(
+        d for d in os.listdir(sink) if d.startswith("snap_")
+    ) == ["snap_2", "snap_3", "snap_9"]  # torn current write survives
+    final = {r.k for r in read_merge_sink(spark, sink).collect()}
+    assert final == {1, 2, 3, 4, 5}
+    try:
+        compact_merge_sink(sink, keep_last=1)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "predecessor" in str(e)
