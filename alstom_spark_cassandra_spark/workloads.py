@@ -5223,35 +5223,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def q_stream_join_outer(spark, sf_dir):
-    """Watermarked LEFT-OUTER stream-stream join — the other stateful
-    join fate `stream_attribution` (inner) cannot show: a left event
-    that never finds a match must still be emitted exactly once,
-    null-padded, and only when the watermark PROVES no future match
-    can arrive (the request-without-acknowledgement / click-without-
-    purchase shape). Even events are the left feed ("requests"), odd
-    events the right ("responses"); same-user responses within
-    [request_ts, request_ts + 30 min] match. Both feeds are staged as
-    four 8-day files assigned purely by own event time (no
-    stragglers — `maxFilesPerTrigger=1` over two sources advances the
-    sides in lockstep, one file each per trigger), so nothing is ever
-    late and cross-batch matches near file boundaries cannot be lost
-    to eviction (the eviction point L+30min of any left with a
-    next-file match lies beyond that batch's watermark because the
-    1-hour delay exceeds the 30-min horizon). The oracle then only
-    needs Spark's two measured outer-join rules (pinned by
-    tests/test_streaming.py::test_outer_join_*):
-
-    - global watermark = MIN over both inputs of (max event time −
-      delay) — a quiet side holds back the other side's null rows;
-    - a never-matched left emits its null row iff
-      left_ts + horizon < final watermark, STRICTLY — lefts whose
-      eviction point the final watermark never strictly passes stay
-      in state and are suppressed from the sink.
-
-    State on both sides is bounded by horizon + delay of traffic, not
-    stream length — the property that lets this join run forever on
-    an unbounded feed."""
+def _staged_interval_join_replay(spark, sf_dir, how, tag):
+    """Shared replay harness for the outer stream-stream join twins:
+    even events as the left feed, odd as the right, four 8-day files
+    per side assigned purely by own event time (monotone file maxima
+    + delay 1h > horizon 30min => nothing is ever late and no
+    boundary match can be lost to eviction), one file per side per
+    trigger. Returns the drained memory table with raw l_*/r_*
+    columns; callers select their output shape."""
     import glob
     import os
     import shutil
@@ -5261,7 +5240,7 @@ def q_stream_join_outer(spark, sf_dir):
     from .streaming.live_state import interval_join_stream
 
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    base = f"{tempfile.gettempdir()}/stream_ojoin{slug}"
+    base = f"{tempfile.gettempdir()}/stream_{tag}{slug}"
     shutil.rmtree(base, ignore_errors=True)
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -5340,14 +5319,15 @@ def q_stream_join_outer(spark, sf_dir):
         "rtts",
         horizon="30 minutes",
         watermark="1 hour",
-        how="left_outer",
+        how=how,
     )
-    name = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
+    name = f"stream_{tag}_{uuid.uuid4().hex[:8]}"
     q = (
         j.select(
             "l_event_id",
             "l_ts_ms",
-            F.col("l_user").alias("user_id"),
+            "l_user",
+            "r_user",
             "r_event_id",
             "r_ts_ms",
             "r_v_milli",
@@ -5361,8 +5341,48 @@ def q_stream_join_outer(spark, sf_dir):
     )
     if not q.awaitTermination(300):
         q.stop()
-        raise TimeoutError("stream_join_outer did not drain in 300s")
-    return spark.table(name).orderBy("l_event_id", "r_event_id")
+        raise TimeoutError(f"stream_{tag} did not drain in 300s")
+    return spark.table(name)
+
+
+def q_stream_join_outer(spark, sf_dir):
+    """Watermarked LEFT-OUTER stream-stream join — the other stateful
+    join fate `stream_attribution` (inner) cannot show: a left event
+    that never finds a match must still be emitted exactly once,
+    null-padded, and only when the watermark PROVES no future match
+    can arrive (the request-without-acknowledgement / click-without-
+    purchase shape). Even events are the left feed ("requests"), odd
+    events the right ("responses"); same-user responses within
+    [request_ts, request_ts + 30 min] match. Both feeds are staged as
+    four 8-day files assigned purely by own event time (no
+    stragglers — `maxFilesPerTrigger=1` over two sources advances the
+    sides in lockstep, one file each per trigger), so nothing is ever
+    late and cross-batch matches near file boundaries cannot be lost
+    to eviction (the eviction point L+30min of any left with a
+    next-file match lies beyond that batch's watermark because the
+    1-hour delay exceeds the 30-min horizon). The oracle then only
+    needs Spark's two measured outer-join rules (pinned by
+    tests/test_streaming.py::test_outer_join_*):
+
+    - global watermark = MIN over both inputs of (max event time −
+      delay) — a quiet side holds back the other side's null rows;
+    - a never-matched left emits its null row iff
+      left_ts + horizon < final watermark, STRICTLY — lefts whose
+      eviction point the final watermark never strictly passes stay
+      in state and are suppressed from the sink.
+
+    State on both sides is bounded by horizon + delay of traffic, not
+    stream length — the property that lets this join run forever on
+    an unbounded feed."""
+    out = _staged_interval_join_replay(spark, sf_dir, "left_outer", "ojoin")
+    return out.select(
+        "l_event_id",
+        "l_ts_ms",
+        F.col("l_user").alias("user_id"),
+        "r_event_id",
+        "r_ts_ms",
+        "r_v_milli",
+    ).orderBy("l_event_id", "r_event_id")
 
 
 # the oracle replays the two measured outer-join watermark rules as
@@ -5396,6 +5416,76 @@ SELECT l.event_id, l.ts_ms, l.user_id,
 FROM l, wm
 WHERE l.ts_ms + 1800000 < wm.w
   AND NOT EXISTS (SELECT 1 FROM m WHERE m.l_event_id = l.event_id)
+ORDER BY 1, 4
+"""
+
+
+def q_stream_join_full_outer(spark, sf_dir):
+    """Watermarked FULL-OUTER stream-stream join — both null fates in
+    one replay: never-matched requests (left) AND never-matched
+    responses (right) each emit exactly once, null-padded, when the
+    watermark proves no future partner can arrive. Same staged feeds
+    and safety argument as stream_join_outer; the oracle adds the
+    probe-measured right-side rule (pinned by tests/test_streaming.py
+    ::test_full_outer_right_null_boundary):
+
+    - a never-matched right emits iff r_ts < final watermark,
+      STRICTLY — its own timestamp is the eviction point, because a
+      matching left must satisfy l_ts <= r_ts and lefts below the
+      watermark can no longer arrive;
+    - the left rule is unchanged (l_ts + horizon < watermark);
+    - matched rows emit exactly once, never additionally as nulls.
+
+    user_id is coalesced across the sides so every row names its
+    series regardless of which side survived."""
+    out = _staged_interval_join_replay(
+        spark, sf_dir, "full_outer", "fjoin"
+    )
+    return out.select(
+        "l_event_id",
+        "l_ts_ms",
+        F.coalesce("l_user", "r_user").alias("user_id"),
+        "r_event_id",
+        "r_ts_ms",
+        "r_v_milli",
+    ).orderBy("l_event_id", "r_event_id")
+
+
+SQL_STREAM_JOIN_FULL_OUTER = """
+WITH e AS (
+  SELECT event_id, epoch_ms(ts) AS ts_ms, user_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+),
+l AS (SELECT event_id, ts_ms, user_id FROM e WHERE event_id % 2 = 0),
+r AS (SELECT event_id, ts_ms, user_id, v_milli FROM e
+      WHERE event_id % 2 = 1),
+wm AS (
+  SELECT least((SELECT max(ts_ms) FROM l),
+               (SELECT max(ts_ms) FROM r)) - 3600000 AS w
+),
+m AS (
+  SELECT l.event_id AS l_event_id, l.ts_ms AS l_ts_ms, l.user_id,
+         r.event_id AS r_event_id, r.ts_ms AS r_ts_ms,
+         r.v_milli AS r_v_milli
+  FROM l JOIN r
+    ON l.user_id = r.user_id
+   AND r.ts_ms >= l.ts_ms AND r.ts_ms <= l.ts_ms + 1800000
+)
+SELECT * FROM m
+UNION ALL
+SELECT l.event_id, l.ts_ms, l.user_id,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM l, wm
+WHERE l.ts_ms + 1800000 < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.l_event_id = l.event_id)
+UNION ALL
+SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), r.user_id,
+       r.event_id, r.ts_ms, r.v_milli
+FROM r, wm
+WHERE r.ts_ms < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.r_event_id = r.event_id)
 ORDER BY 1, 4
 """
 
@@ -8574,6 +8664,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "partitioned_ingest": q_partitioned_ingest,
     "stream_cdc_apply": q_stream_cdc_apply,
     "merge_apply_broadcast": q_merge_apply_broadcast,
+    "stream_join_full_outer": q_stream_join_full_outer,
 }
 
 
@@ -8740,4 +8831,5 @@ ORACLE_SQL: dict[str, str] = {
     "stream_cdc_apply": SQL_MERGE_APPLY,
     # the broadcast physical form must equal the shuffle form exactly
     "merge_apply_broadcast": SQL_MERGE_APPLY,
+    "stream_join_full_outer": SQL_STREAM_JOIN_FULL_OUTER,
 }

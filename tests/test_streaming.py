@@ -1195,7 +1195,8 @@ def test_stream_latest_ttl_demo_really_evicts(spark):
 
 
 def _run_outer_join(spark, tmp_path, left_files, right_files,
-                    horizon="30 minutes", watermark="1 hour"):
+                    horizon="30 minutes", watermark="1 hour",
+                    how="left_outer"):
     """Replay two mtime-pinned file feeds through the left-outer
     watermarked interval join (one file per side per trigger) and
     return [(lid, rid)] sorted."""
@@ -1223,7 +1224,7 @@ def _run_outer_join(spark, tmp_path, left_files, right_files,
     )
     j = interval_join_stream(
         ls, rs, "lkey", "rkey", "ltts", "rtts",
-        horizon=horizon, watermark=watermark, how="left_outer",
+        horizon=horizon, watermark=watermark, how=how,
     )
     name = f"oj_{uuid.uuid4().hex[:8]}"
     q = (
@@ -1554,3 +1555,27 @@ def test_compact_merge_sink_retention(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "predecessor" in str(e)
+
+
+def test_full_outer_right_null_boundary(spark, tmp_path):
+    """Pins the measured full-outer right-side rule the
+    stream_join_full_outer oracle encodes: a never-matched right row
+    emits its null row iff r_ts < final watermark, STRICTLY — its own
+    timestamp is the eviction point (a matching left must satisfy
+    l_ts <= r_ts, and lefts at or below the watermark can no longer
+    arrive). Sentinels on both sides pin the watermark at 640min;
+    rights at 640min and above are suppressed, 1ms below emits."""
+    sent_l = (98, _T0 + 700 * _MIN, 98)
+    sent_r = (97, _T0 + 700 * _MIN, 97)
+    for off, expect in [
+        (0, []),                   # r_ts == wm -> suppressed
+        (1, []),                   # above -> suppressed
+        (-1, [(None, 9)]),         # 1ms below -> null row emits
+    ]:
+        out = _run_outer_join(
+            spark, tmp_path / f"o{off}",
+            [[sent_l], [], []],
+            [[sent_r, (9, _T0 + 640 * _MIN + off, 9)], [], []],
+            how="full_outer",
+        )
+        assert out == expect, (off, out)
