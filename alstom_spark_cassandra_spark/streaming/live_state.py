@@ -560,6 +560,69 @@ def read_merge_sink(spark, path: str, version: int | None = None) -> DataFrame:
     return spark.read.parquet(f"{path}/snap_{max(snaps)}")
 
 
+def quota_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Streaming per-key admission quota: the first `cap` rows of each
+    key pass (tagged with their 1-based `quota_rank`), everything
+    after is dropped at ingest — the streaming twin of the batch
+    `cap_per_group`/domain-cap operator, enforced with one LONG of
+    state per key via applyInPandasWithState (the admitted count;
+    once a key is saturated its rows are discarded map-side without
+    growing state or output).
+
+    Ordering contract: admission is by arrival; within a micro-batch
+    rows are ordered by `order_col` (rows with a null `order_col`
+    cannot take a position and are dropped), so when the feed arrives
+    `order_col`-nondecreasing per key — a replayed log, a kafka
+    partition keyed by the series — the admitted set is exactly "the
+    first `cap` rows per key by `order_col`" and a batch row_number
+    oracle reproduces it. Under out-of-order arrival the quota is
+    still exact (never more than `cap`), but which rows won depends
+    on arrival, as any online quota must."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    out_cols = [*key_cols, order_col, *payload_cols]
+    out_schema = StructType(
+        [stream.schema[c] for c in out_cols]
+        + [StructField("quota_rank", LongType())]
+    )
+
+    def admit(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if n >= cap:
+                break
+            pdf = pdf.dropna(subset=[order_col]).sort_values(
+                [order_col], kind="stable"
+            )
+            take = pdf.iloc[: cap - n]
+            if not len(take):
+                continue
+            take = take.assign(
+                quota_rank=range(n + 1, n + 1 + len(take))
+            )
+            n += len(take)
+            yield take[[*out_cols, "quota_rank"]]
+        state.update((n,))
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType="n_admitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def compact_merge_sink(path: str, keep_last: int = 2) -> list[int]:
     """Retention for a foreach_batch_merge_sink snap chain: delete all
     committed snapshots except the newest `keep_last` (and every torn,

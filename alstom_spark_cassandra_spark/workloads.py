@@ -5490,6 +5490,100 @@ ORDER BY 1, 4
 """
 
 
+def q_stream_quota(spark, sf_dir):
+    """Streaming per-key admission quota (streaming/live_state.
+    quota_stream): the first 20 events of every user pass, tagged
+    with their admission rank; everything after is dropped AT INGEST
+    with one long of state per key — the online form of the
+    per-domain cap every training-data pipeline enforces (batch twin:
+    domain_cap/cap_per_group). The events log replays as four
+    mtime-pinned files split on event_id QUARTILES, so arrival order
+    equals log order per key and the admitted set is exactly "first
+    20 by event_id" — which the batch row_number oracle reproduces.
+    Saturated keys keep arriving across later batches and must stay
+    rejected (cross-batch state, not a per-batch head)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.live_state import quota_stream
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base = f"{tempfile.gettempdir()}/stream_quota{slug}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+            "v_cents"
+        ),
+    )
+    # id-quartile file split: arrival order == log order (the
+    # sanctioned 1-row scalar collect, like the as-of lookups)
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    span = max_id // 4 + 1
+    src_dir = f"{base}/src"
+    os.makedirs(src_dir)
+    ev = ev.cache()
+    try:
+        for k in range(4):
+            stage = f"{base}/stage{k}"
+            (
+                ev.filter(
+                    (F.col("event_id") >= k * span)
+                    & (F.col("event_id") < (k + 1) * span)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{src_dir}/batch{k}.parquet"
+            shutil.copyfile(part, dst)
+            os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    finally:
+        ev.unpersist()
+    src = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, v_cents long"
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    admitted = quota_stream(
+        src, ["user_id"], "event_id", ["event_type", "v_cents"], cap=20
+    )
+    name = f"stream_quota_{uuid.uuid4().hex[:8]}"
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_quota did not drain in 300s")
+    return spark.table(name).select(
+        "user_id", "event_id", "event_type", "v_cents", "quota_rank"
+    ).orderBy("user_id", "event_id")
+
+
+SQL_STREAM_QUOTA = """
+SELECT user_id, event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+       CAST(rn AS BIGINT) AS quota_rank
+FROM (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           AS rn
+  FROM events
+)
+WHERE rn <= 20
+ORDER BY user_id, event_id
+"""
+
+
 def q_merge_apply(spark, sf_dir):
     """MERGE-style change application (operators/merge.py) — the
     contract the reference's compaction cannot express: the change
@@ -8665,6 +8759,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cdc_apply": q_stream_cdc_apply,
     "merge_apply_broadcast": q_merge_apply_broadcast,
     "stream_join_full_outer": q_stream_join_full_outer,
+    "stream_quota": q_stream_quota,
 }
 
 
@@ -8832,4 +8927,5 @@ ORACLE_SQL: dict[str, str] = {
     # the broadcast physical form must equal the shuffle form exactly
     "merge_apply_broadcast": SQL_MERGE_APPLY,
     "stream_join_full_outer": SQL_STREAM_JOIN_FULL_OUTER,
+    "stream_quota": SQL_STREAM_QUOTA,
 }

@@ -1579,3 +1579,51 @@ def test_full_outer_right_null_boundary(spark, tmp_path):
             how="full_outer",
         )
         assert out == expect, (off, out)
+
+
+def test_quota_stream_cross_batch_saturation(spark, tmp_path):
+    """A key saturated in batch 0 must stay rejected in later batches
+    (one long of cross-batch state, not a per-batch head); an
+    under-cap key keeps admitting with continuing ranks; null order
+    rows are dropped."""
+    import uuid
+
+    from alstom_spark_cassandra_spark.streaming import quota_stream
+
+    sch = "k long, event_id long, v long"
+    src = _stage_files(
+        spark, tmp_path,
+        [
+            # batch 0: key 1 hits the cap (3); key 2 admits 2 of 3
+            [(1, 10, 0), (1, 11, 1), (1, 12, 2), (1, 13, 3),
+             (2, 20, 0), (2, 21, 1)],
+            # batch 1: key 1 all rejected; key 2 admits one more then
+            # rejects; null order row dropped
+            [(1, 14, 4), (2, 22, 2), (2, 23, 3), (2, None, 9)],
+        ],
+        sch,
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = quota_stream(stream, ["k"], "event_id", ["v"], cap=3)
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.k, r.event_id): r.quota_rank
+        for r in spark.table(name).collect()
+    }
+    assert got == {
+        (1, 10): 1, (1, 11): 2, (1, 12): 3,
+        (2, 20): 1, (2, 21): 2, (2, 22): 3,
+    }
