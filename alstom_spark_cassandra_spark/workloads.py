@@ -8588,11 +8588,12 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the SIX queries ADDED during
+# r7-green block (freshest), then the EIGHT queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
-# merge_apply_broadcast — each exact vs its oracle at
-# sf0.001/0.01/0.1 this round): they lead the round-9 rotation.
+# merge_apply_broadcast, stream_join_full_outer, stream_quota —
+# each exact vs its oracle at sf0.001/0.01/0.1 this round): they
+# lead the round-9 rotation, exactly filling its <=8-new budget.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
