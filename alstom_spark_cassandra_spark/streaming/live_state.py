@@ -397,7 +397,12 @@ def interval_join_stream(
 
     ``how="left_outer"`` additionally emits each never-matched left
     row once, null-padded, when the join can PROVE no future right row
-    can match it.  Measured semantics on this Spark (pinned by
+    can match it; ``how="full_outer"`` adds the symmetric right-side
+    fate, whose measured eviction point is the right row's OWN
+    timestamp (emits iff ``r[right_ts] < watermark`` strictly, since
+    a matching left must satisfy ``left_ts <= right_ts`` — pinned by
+    tests/test_streaming.py::test_full_outer_right_null_boundary).
+    Measured semantics on this Spark (pinned by
     tests/test_streaming.py::test_outer_join_null_emission_*):
 
     - the global watermark is the MIN over both inputs of
