@@ -102,6 +102,7 @@ from .sketches import (
 )
 from .skew import salted_agg, salted_broadcast_left, salted_join
 from .timeseries import ohlc_bars, resample_linear, rolling_zscore
+from .winnow import winnow_fingerprints, winnow_overlap_pairs
 
 
 def free_local_checkpoints(spark) -> int:
@@ -225,6 +226,8 @@ __all__ = [
     "unchanged_rows",
     "uniqueness_violations",
     "value_histogram",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "word_counts",
     "write_bm25_index",
     "write_positional_index",
