@@ -100,6 +100,7 @@ from .sketches import (
     hll_rollup,
     value_histogram,
 )
+from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .skew import salted_agg, salted_broadcast_left, salted_join
 from .timeseries import ohlc_bars, resample_linear, rolling_zscore
 from .winnow import winnow_fingerprints, winnow_overlap_pairs
@@ -132,6 +133,8 @@ __all__ = [
     "apply_changes_broadcast",
     "asof_id_bounds",
     "asof_snapshot_pair",
+    "BigramLM",
+    "bigram_nll",
     "audio_features",
     "audio_resample",
     "benchmark_contamination",
@@ -223,6 +226,7 @@ __all__ = [
     "symmetric_diff_rows",
     "table_profile",
     "temperature_quotas",
+    "train_bigram_lm",
     "unchanged_rows",
     "uniqueness_violations",
     "value_histogram",

@@ -3667,6 +3667,81 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Smoothed bigram-LM quality scoring (operators/lm_score.py) —
+    the SEQUENCE-AWARE CCNet-style filter that token_rarity's
+    bag-of-words profile cannot express: train an add-one bigram LM
+    on the even-doc_id half, score EVERY document with its average
+    per-bigram negative log-likelihood plus the integer audit
+    anchors (bigram count, unseen-transition count) that must match
+    engine-to-engine before the float is compared. Model tables are
+    vocabulary-sized and broadcast; the exploded corpus side never
+    shuffles before the per-doc aggregation."""
+    from .operators.lm_score import bigram_nll, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    out = bigram_nll(docs, "doc_id", "text", lm)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen",
+        half_up(F.col("avg_nll"), 6).alias("avg_nll"),
+    ).orderBy("doc_id")
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH trws AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL AND trim(text) <> ''
+),
+trbg AS (
+  SELECT unnest([ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+                 for i in range(1, CAST(len(ws) AS BIGINT))]) AS bg
+  FROM trws WHERE len(ws) >= 2
+),
+big AS (SELECT bg, count(*) AS c12 FROM trbg GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM big GROUP BY 1
+),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(ws) AS tok FROM trws)
+),
+scws AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ws
+  FROM documents
+),
+scbg AS (
+  SELECT doc_id,
+         unnest([ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)]
+                 for i in range(1, CAST(len(ws) AS BIGINT))]) AS bg
+  FROM scws WHERE len(ws) >= 2
+),
+agg AS (
+  SELECT s.doc_id, count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unseen,
+         avg(ln(coalesce(c.c1, 0) + (SELECT v FROM voc))
+             - ln(coalesce(b.c12, 0) + 1)) AS avg_nll
+  FROM scbg s
+  LEFT JOIN big b USING (bg)
+  LEFT JOIN ctx c ON c.w1 = split_part(s.bg, ' ', 1)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.n_unseen, 0) AS n_unseen,
+       floor(a.avg_nll * 1000000 + 0.5) / 1000000.0 AS avg_nll
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Exact-count weighted data mixture (operators/sampling.
     mixture_sample): a fixed per-source recipe drawn by
@@ -8693,13 +8768,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the TEN queries ADDED during
+# r7-green block (freshest), then the ELEVEN queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
-# winnow_fingerprints, winnow_overlap_pairs — each exact vs its
-# oracle at sf0.001/0.01/0.1 this round): the first eight fill
-# round 9's <=8-new budget; the two winnow queries lead round 10's.
+# winnow_fingerprints, winnow_overlap_pairs, lm_perplexity — each
+# exact vs its oracle at sf0.001/0.01/0.1 this round): the first
+# eight fill round 9's <=8-new budget; the winnow pair and
+# lm_perplexity lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -8869,6 +8945,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quota": q_stream_quota,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 
@@ -9039,4 +9116,5 @@ ORACLE_SQL: dict[str, str] = {
     "stream_quota": SQL_STREAM_QUOTA,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
 }
