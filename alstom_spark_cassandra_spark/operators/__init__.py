@@ -100,6 +100,7 @@ from .sketches import (
     hll_rollup,
     value_histogram,
 )
+from .fuzzy import deletion_variants, fuzzy_pairs
 from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .skew import salted_agg, salted_broadcast_left, salted_join
 from .timeseries import ohlc_bars, resample_linear, rolling_zscore
@@ -161,6 +162,7 @@ __all__ = [
     "decontaminate",
     "dedup_corpus",
     "dedup_exact",
+    "deletion_variants",
     "dequantize_embedding",
     "encode_bmp",
     "encode_wav",
@@ -170,6 +172,7 @@ __all__ = [
     "flatten_json_value",
     "frame_sample",
     "free_local_checkpoints",
+    "fuzzy_pairs",
     "gram_matrix",
     "hash_sample",
     "hash_split",

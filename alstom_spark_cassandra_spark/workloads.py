@@ -2849,6 +2849,36 @@ WHERE sh.shared * 1.0 / least(sa.nf, sb.nf) >= 0.25
 """
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance record linkage (operators/fuzzy.py): every
+    customer-name pair within Levenshtein distance 1 on a
+    c_custkey<=2000 slice, via the FastSS deletion-neighborhood
+    equi-join + exact verify. The oracle is the brute-force cross
+    join itself — the strongest possible check that the blocking is
+    LOSSLESS: any neighborhood miss would surface as a missing row,
+    any verify slack as an extra one."""
+    from .operators.fuzzy import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
+    return (
+        fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+        .orderBy("a", "b")
+    )
+
+
+SQL_FUZZY_PAIRS = """
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  WHERE c_custkey <= 2000
+)
+SELECT a.id AS a, b.id AS b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY a, b
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): documents
     whose word 3-grams leak from the held-out benchmark slice
@@ -8768,14 +8798,14 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the ELEVEN queries ADDED during
+# r7-green block (freshest), then the TWELVE queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
-# winnow_fingerprints, winnow_overlap_pairs, lm_perplexity — each
-# exact vs its oracle at sf0.001/0.01/0.1 this round): the first
-# eight fill round 9's <=8-new budget; the winnow pair and
-# lm_perplexity lead round 10's.
+# winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
+# fuzzy_pairs — each exact vs its oracle at sf0.001/0.01/0.1 this
+# round): the first eight fill round 9's <=8-new budget; the winnow
+# pair, lm_perplexity and fuzzy_pairs lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -8946,6 +8976,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "lm_perplexity": q_lm_perplexity,
+    "fuzzy_pairs": q_fuzzy_pairs,
 }
 
 
@@ -9117,4 +9148,5 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
 }
