@@ -101,6 +101,7 @@ from .sketches import (
     value_histogram,
 )
 from .fuzzy import deletion_variants, fuzzy_pairs
+from .ivm import agg_state, merge_agg_deltas
 from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .skew import salted_agg, salted_broadcast_left, salted_join
 from .timeseries import ohlc_bars, resample_linear, rolling_zscore
@@ -130,6 +131,7 @@ def free_local_checkpoints(spark) -> int:
 
 
 __all__ = [
+    "agg_state",
     "apply_changes",
     "apply_changes_broadcast",
     "asof_id_bounds",
@@ -192,6 +194,7 @@ __all__ = [
     "locf",
     "locf_pivot",
     "mean_pool",
+    "merge_agg_deltas",
     "minhash_bands",
     "mixture_sample",
     "mmr_rerank",

@@ -2849,6 +2849,75 @@ WHERE sh.shared * 1.0 / least(sa.nf, sb.nf) >= 0.25
 """
 
 
+def q_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance (operators/ivm.py): a per-(user,
+    event_type) count/sum statistics snapshot built from the base
+    slice (event_id%10 < 7), then refreshed by folding ONE signed
+    delta batch — the remaining rows as +1 inserts, every 37th base
+    row as a -1 correction, and the ('signup', user%5==0) keys fully
+    retracted (their inserts withheld) so the vanish-at-zero fate is
+    non-vacuous. Money is carried as exact integer cents; the oracle
+    recomputes the same signed history from scratch with GROUP BY +
+    HAVING — the equality IS the IVM theorem for the additive monoid.
+    Refresh cost ∝ delta (one exchange of the minimized batch; zero
+    snapshot exchanges when bucketed — pinned by tests/test_ivm.py)."""
+    from .operators.ivm import agg_state, merge_agg_deltas
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as long)").alias("cents"),
+    )
+    dropk = (F.col("event_type") == "signup") & (F.col("user_id") % 5 == 0)
+    base = ev.filter(F.col("event_id") % 10 < 7)
+    snapshot = agg_state(base, ["user_id", "event_type"], "cents")
+    deltas = (
+        ev.filter((F.col("event_id") % 10 >= 7) & ~dropk)
+        .withColumn("mult", F.lit(1))
+        .unionByName(
+            base.filter((F.col("event_id") % 37 == 0) | dropk)
+            .withColumn("mult", F.lit(-1))
+        )
+    )
+    out = merge_agg_deltas(
+        snapshot, deltas, ["user_id", "event_type"], "cents"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        (F.col("total") / 100.0).alias("sum_value"),
+    ).orderBy("user_id", "event_type")
+
+
+SQL_AGG_MAINTENANCE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         (event_type = 'signup' AND user_id % 5 = 0) AS dropk
+  FROM events
+),
+sgn AS (
+  SELECT user_id, event_type, cents, 1 AS mult
+  FROM ev WHERE event_id % 10 < 7
+  UNION ALL
+  SELECT user_id, event_type, cents, 1
+  FROM ev WHERE event_id % 10 >= 7 AND NOT dropk
+  UNION ALL
+  SELECT user_id, event_type, cents, -1
+  FROM ev WHERE event_id % 10 < 7 AND (event_id % 37 = 0 OR dropk)
+)
+SELECT user_id, event_type,
+       CAST(sum(mult) AS BIGINT) AS cnt,
+       sum(mult * cents) / 100.0 AS sum_value
+FROM sgn
+GROUP BY 1, 2
+HAVING sum(mult) <> 0
+ORDER BY user_id, event_type
+"""
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance record linkage (operators/fuzzy.py): every
     customer-name pair within Levenshtein distance 1 on a
@@ -8798,14 +8867,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the TWELVE queries ADDED during
+# r7-green block (freshest), then the THIRTEEN queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
-# fuzzy_pairs — each exact vs its oracle at sf0.001/0.01/0.1 this
-# round): the first eight fill round 9's <=8-new budget; the winnow
-# pair, lm_perplexity and fuzzy_pairs lead round 10's.
+# fuzzy_pairs, agg_maintenance — each exact vs its oracle at
+# sf0.001/0.01/0.1 this round): the first eight fill round 9's
+# <=8-new budget; the winnow pair, lm_perplexity, fuzzy_pairs and
+# agg_maintenance lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -8977,6 +9047,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "lm_perplexity": q_lm_perplexity,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "agg_maintenance": q_agg_maintenance,
 }
 
 
@@ -9149,4 +9220,5 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_overlap_pairs": SQL_WINNOW_OVERLAP_PAIRS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "agg_maintenance": SQL_AGG_MAINTENANCE,
 }
