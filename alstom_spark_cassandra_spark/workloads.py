@@ -2849,6 +2849,42 @@ WHERE sh.shared * 1.0 / least(sa.nf, sb.nf) >= 0.25
 """
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py) on the
+    co-purchase graph — parts connected when some order contains
+    both (a 10% order slice keeps the oracle's 3-way join bounded).
+    The Spark path orients edges by DEGREE (out-degrees bounded
+    O(sqrt(m)) — the skew-proof wedge build); the oracle orients by
+    plain id — any acyclic orientation finds each triangle exactly
+    once, so the two must agree corner-for-corner, which makes the
+    green row a proof of the orientation argument itself."""
+    from .operators.graph import cooccurrence_edges, triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_counts(edges).orderBy("v")
+
+
+SQL_TRIANGLE_COUNTS = """
+WITH gi AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+  FROM lineitem WHERE l_orderkey % 10 = 0
+),
+e AS (
+  SELECT DISTINCT l.i AS a, r.i AS b
+  FROM gi l JOIN gi r ON l.g = r.g AND l.i < r.i
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (SELECT unnest([x, y, z]) AS v FROM tri)
+SELECT v, count(*) AS n_tri FROM corners GROUP BY v ORDER BY v
+"""
+
+
 def q_agg_maintenance(spark, sf_dir):
     """Incremental view maintenance (operators/ivm.py): a per-(user,
     event_type) count/sum statistics snapshot built from the base
@@ -8867,15 +8903,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the THIRTEEN queries ADDED during
+# r7-green block (freshest), then the FOURTEEN queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
-# fuzzy_pairs, agg_maintenance — each exact vs its oracle at
-# sf0.001/0.01/0.1 this round): the first eight fill round 9's
-# <=8-new budget; the winnow pair, lm_perplexity, fuzzy_pairs and
-# agg_maintenance lead round 10's.
+# fuzzy_pairs, agg_maintenance, triangle_counts — each exact vs its
+# oracle at sf0.001/0.01/0.1 this round): the first eight fill
+# round 9's <=8-new budget; the winnow pair, lm_perplexity,
+# fuzzy_pairs, agg_maintenance and triangle_counts lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9048,6 +9084,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "fuzzy_pairs": q_fuzzy_pairs,
     "agg_maintenance": q_agg_maintenance,
+    "triangle_counts": q_triangle_counts,
 }
 
 
@@ -9221,4 +9258,5 @@ ORACLE_SQL: dict[str, str] = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "agg_maintenance": SQL_AGG_MAINTENANCE,
+    "triangle_counts": SQL_TRIANGLE_COUNTS,
 }
