@@ -61,12 +61,14 @@ def merge_agg_deltas(
     mult_col: str = "mult",
 ) -> DataFrame:
     """Fold a signed delta batch into a (keys..., cnt, total)
-    snapshot: new keys are inserted, retractions subtract, keys whose
-    maintained count nets to zero disappear.  Equal to recomputing
-    ``agg_state`` over the full signed history — the associativity of
-    (+) is the whole proof, so iterated per-batch folding composes
-    across any batching (the same argument as merge_apply's
-    latest-wins composition, but for the additive monoid).
+    snapshot: new keys are inserted, retractions subtract, and keys
+    whose state nets to the additive identity (0, 0) disappear.
+    Equal to recomputing ``agg_state`` over the full signed history —
+    the associativity of (+) is the whole proof, so iterated
+    per-batch folding composes across ANY batching (the same argument
+    as merge_apply's latest-wins composition, but for the additive
+    monoid).  That invariance is exactly why only the (0, 0) no-op is
+    eliminated from state: see the filter comment below.
 
     The delta side is minimized BEFORE the join; pass a snapshot read
     from a layout bucketed by ``key_cols`` and the plan's only
@@ -93,5 +95,14 @@ def merge_agg_deltas(
                 + F.coalesce(F.col("d_total"), F.lit(0))
             ).alias("total"),
         )
-        .filter(F.col("cnt") != 0)
+        # STATE-fold elimination, not view semantics: only the exact
+        # (0, 0) no-op may be dropped (it is the additive identity —
+        # indistinguishable from an absent key under any further
+        # folding).  A key at cnt = 0 with a NONZERO total is a
+        # transiently inconsistent prefix (a correction whose target
+        # insert sits in a later batch) and MUST survive, or iterated
+        # folding stops equaling the one-shot fold.  For a complete
+        # consistent history the two filters coincide: full
+        # retraction nets the total to zero too.
+        .filter((F.col("cnt") != 0) | (F.col("total") != 0))
     )

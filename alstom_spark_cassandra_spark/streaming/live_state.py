@@ -689,3 +689,59 @@ def dedup_stream(
     if exact:
         return wm.dropDuplicates(key_cols)
     return wm.dropDuplicatesWithinWatermark(key_cols)
+
+
+def foreach_batch_ivm_sink(
+    path: str,
+    key_cols: list[str],
+    val_col: str,
+    mult_col: str = "mult",
+):
+    """foreachBatch CONTINUOUS statistics maintenance: each
+    micro-batch of SIGNED deltas (+1 insert / -1 retraction) is
+    folded into the running (keys..., cnt, total) snapshot with
+    operators/ivm.merge_agg_deltas and written whole to its own
+    `snap_{batch_id}` directory — the additive-monoid twin of
+    foreach_batch_merge_sink (latest-wins), sharing its snap-chain
+    layout, its _SUCCESS-gated torn-snapshot skip, and therefore
+    read_merge_sink / compact_merge_sink unchanged.
+
+    Exactly-once on retry by the same construction: a replayed batch
+    re-reads its PREDECESSOR's snapshot and overwrites its own
+    directory, so at-least-once delivery still folds each batch once.
+    Iterated folding equals the one-shot fold because (+) is
+    associative AND the state fold only eliminates the exact (0, 0)
+    identity — a transiently inconsistent prefix (correction before
+    its insert: cnt 0, total nonzero) survives batching (pinned by
+    tests/test_ivm.py::test_transient_zero_count_state_survives_
+    batching).  Read the maintained view with read_merge_sink and
+    apply the final HAVING (cnt != 0) if the feed may be incomplete.
+
+    Scale: per batch, ONE exchange of the map-side-minimized delta;
+    the full-snapshot rewrite is the correct-but-naive durable form —
+    same refinement path as the merge sink (bucketed layout: zero
+    snapshot exchanges; lakehouse MERGE: partition-level rewrite).
+    Seed `snap_-1` with the initial statistics before starting; keep
+    ONE writer per path."""
+    def _write(batch_df, batch_id: int) -> None:
+        from ..operators.ivm import merge_agg_deltas
+
+        spark = batch_df.sparkSession
+        snaps = [n for n in _committed_snaps(path) if n < batch_id]
+        if snaps:
+            prev = spark.read.parquet(f"{path}/snap_{max(snaps)}")
+        else:
+            prev = (
+                batch_df.groupBy(*key_cols)
+                .agg(
+                    F.lit(0).cast("long").alias("cnt"),
+                    F.lit(0).cast("long").alias("total"),
+                )
+                .limit(0)
+            )
+        folded = merge_agg_deltas(
+            prev, batch_df, key_cols, val_col, mult_col=mult_col
+        )
+        folded.write.mode("overwrite").parquet(f"{path}/snap_{batch_id}")
+
+    return _write

@@ -6157,6 +6157,99 @@ def q_stream_cdc_apply(spark, sf_dir):
     )
 
 
+def q_stream_agg_maintenance(spark, sf_dir):
+    """CONTINUOUS statistics maintenance (streaming/live_state.
+    foreach_batch_ivm_sink): the agg_maintenance signed feed arriving
+    as a STREAM — three mtime-pinned files (one per trigger), each
+    micro-batch folded into the running (cnt, total) snapshot and
+    persisted as snap_{batch_id} (predecessor-read + self-overwrite:
+    exactly-once on retry). The oracle is the SAME from-scratch
+    recompute as batch agg_maintenance: iterated folding must equal
+    it because (+) is associative and only the (0,0) identity is
+    eliminated from state — the file split is by event_id % 3, so
+    corrections routinely land in different batches than the rows
+    they correct, making the transient-state survival non-vacuous."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.ivm import agg_state
+    from .streaming.live_state import (
+        foreach_batch_ivm_sink,
+        read_merge_sink,
+    )
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_ivm{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    sink = f"{base_dir}/sink"
+    os.makedirs(sink)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as long)").alias("cents"),
+    )
+    dropk = (F.col("event_type") == "signup") & (F.col("user_id") % 5 == 0)
+    base = ev.filter(F.col("event_id") % 10 < 7)
+    agg_state(base, ["user_id", "event_type"], "cents").write.parquet(
+        f"{sink}/snap_-1"
+    )
+    deltas = (
+        ev.filter((F.col("event_id") % 10 >= 7) & ~dropk)
+        .withColumn("mult", F.lit(1))
+        .unionByName(
+            base.filter((F.col("event_id") % 37 == 0) | dropk)
+            .withColumn("mult", F.lit(-1))
+        )
+    )
+    src_dir = f"{base_dir}/src"
+    os.makedirs(src_dir)
+    for k in range(3):
+        stage = f"{base_dir}/stage{k}"
+        (
+            deltas.filter(F.col("event_id") % 3 == k)
+            .select("user_id", "event_type", "cents", "mult")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_type string, cents long, mult int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            foreach_batch_ivm_sink(sink, ["user_id", "event_type"], "cents")
+        )
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_agg_maintenance did not drain in 300s")
+    return (
+        read_merge_sink(spark, sink)
+        .filter(F.col("cnt") != 0)  # the view's final HAVING
+        .select(
+            "user_id",
+            "event_type",
+            "cnt",
+            (F.col("total") / 100.0).alias("sum_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 def q_ohlc_bars(spark, sf_dir):
     """Hourly OHLC bars per (user, event_type) series (operators/
     timeseries.ohlc_bars) — the aggregating cousin of the LOCF dense
@@ -8903,15 +8996,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the FOURTEEN queries ADDED during
+# r7-green block (freshest), then the FIFTEEN queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
-# fuzzy_pairs, agg_maintenance, triangle_counts — each exact vs its
-# oracle at sf0.001/0.01/0.1 this round): the first eight fill
-# round 9's <=8-new budget; the winnow pair, lm_perplexity,
-# fuzzy_pairs, agg_maintenance and triangle_counts lead round 10's.
+# fuzzy_pairs, agg_maintenance, triangle_counts,
+# stream_agg_maintenance — each exact vs its oracle at
+# sf0.001/0.01/0.1 this round): the first eight fill round 9's
+# <=8-new budget; the remaining seven lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9085,6 +9178,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "agg_maintenance": q_agg_maintenance,
     "triangle_counts": q_triangle_counts,
+    "stream_agg_maintenance": q_stream_agg_maintenance,
 }
 
 
@@ -9259,4 +9353,5 @@ ORACLE_SQL: dict[str, str] = {
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "agg_maintenance": SQL_AGG_MAINTENANCE,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
+    "stream_agg_maintenance": SQL_AGG_MAINTENANCE,
 }

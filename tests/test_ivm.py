@@ -67,6 +67,25 @@ def test_fold_composes_and_equals_recompute(spark, snapshot):
     assert _rows(step)["a"] == (2, 30) and "b" not in _rows(step)
 
 
+def test_transient_zero_count_state_survives_batching(spark):
+    """A correction can land BEFORE the insert it corrects: the key
+    passes through cnt = 0 with a nonzero total. That state must
+    survive the fold (only the exact (0,0) identity is eliminated),
+    or iterated folding diverges from the one-shot fold."""
+    empty = agg_state(
+        spark.createDataFrame([], "k string, v long"), KEYS, "v"
+    )
+    b1 = spark.createDataFrame(
+        [("x", 8, 1), ("x", 5, -1)], "k string, v long, mult int"
+    )  # nets cnt 0, total +3 — the in-flight correction
+    b2 = spark.createDataFrame([("x", 5, 1)], "k string, v long, mult int")
+    step = merge_agg_deltas(
+        merge_agg_deltas(empty, b1, KEYS, "v"), b2, KEYS, "v"
+    )
+    once = merge_agg_deltas(empty, b1.unionByName(b2), KEYS, "v")
+    assert _rows(step) == _rows(once) == {"x": (1, 8)}
+
+
 def test_bucketed_snapshot_single_exchange(spark, tmp_path):
     """Snapshot persisted bucketed by the group keys: the refresh
     plan's ONLY hash exchange is the minimized delta batch — the full
@@ -96,3 +115,41 @@ def test_bucketed_snapshot_single_exchange(spark, tmp_path):
         assert plan.count("Exchange hashpartitioning") == 1, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_ivm_snap")
+
+
+def test_ivm_sink_retry_idempotent_and_composes(spark, tmp_path):
+    """foreach_batch_ivm_sink: (a) a replayed batch re-reads its
+    PREDECESSOR's snapshot and overwrites its own, so at-least-once
+    delivery folds each batch once; (b) folds compose — including a
+    key passing through the transient cnt-0-nonzero-total state
+    across a batch boundary."""
+    import os
+
+    from alstom_spark_cassandra_spark.streaming import (
+        foreach_batch_ivm_sink,
+        read_merge_sink,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "k string, cnt long, total long"
+    ).write.parquet(f"{sink}/snap_-1")
+    write = foreach_batch_ivm_sink(sink, ["k"], "v")
+
+    b0 = spark.createDataFrame(
+        [("a", 8, 1), ("a", 5, -1),  # in-place correction, nets cnt 0
+         ("b", 5, -1)],              # full retraction -> (0,0) -> gone
+        "k string, v long, mult int",
+    )
+    b1 = spark.createDataFrame(
+        [("a", 5, 1), ("c", 9, 1)], "k string, v long, mult int"
+    )
+    write(b0, 0)
+    write(b1, 1)
+    final = {r.k: (r.cnt, r.total) for r in read_merge_sink(spark, sink).collect()}
+    assert final == {"a": (3, 38), "c": (1, 9)}
+    # foreachBatch retry of batch 1: same result, not double-folded
+    write(b1, 1)
+    again = {r.k: (r.cnt, r.total) for r in read_merge_sink(spark, sink).collect()}
+    assert again == final
