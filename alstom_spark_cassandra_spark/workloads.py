@@ -3877,6 +3877,68 @@ ORDER BY doc_id
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition filter
+    (operators/repetition.py): per-doc bigram totals, the most
+    frequent bigram's occurrence count, duplicated-bigram
+    occurrences, and the two Gopher fractions. The Spark path is ONE
+    row-local projection (sort the gram array, run-length scan with
+    aggregate/filter lambdas — no explode, no shuffle before the
+    output sort); the oracle takes the opposite physical form
+    (unnest + GROUP BY doc, gram + max/sum), so the green row checks
+    the run-length algebra against the relational definition."""
+    from .operators.repetition import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    st = repetition_stats(docs, "doc_id", "text", n=2)
+    return st.select(
+        "doc_id",
+        "n_grams",
+        "top_gram",
+        "dup_grams",
+        half_up(F.col("top_gram") / F.nullif(F.col("n_grams"), F.lit(0)), 4)
+        .alias("top_frac"),
+        half_up(F.col("dup_grams") / F.nullif(F.col("n_grams"), F.lit(0)), 4)
+        .alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION_STATS = r"""
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+                 for i in range(1, CAST(len(w) AS BIGINT))]) AS gram
+  FROM ws WHERE len(w) >= 2
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+s AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         max(c) AS top_gram,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           AS dup_grams
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.top_gram, 0) AS top_gram,
+       coalesce(s.dup_grams, 0) AS dup_grams,
+       floor(s.top_gram * 1.0 / s.n_grams * 10000 + 0.5) / 10000.0
+         AS top_frac,
+       floor(s.dup_grams * 1.0 / s.n_grams * 10000 + 0.5) / 10000.0
+         AS dup_frac
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Exact-count weighted data mixture (operators/sampling.
     mixture_sample): a fixed per-source recipe drawn by
@@ -8996,15 +9058,15 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the FIFTEEN queries ADDED during
+# r7-green block (freshest), then the SIXTEEN queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
 # fuzzy_pairs, agg_maintenance, triangle_counts,
-# stream_agg_maintenance — each exact vs its oracle at
-# sf0.001/0.01/0.1 this round): the first eight fill round 9's
-# <=8-new budget; the remaining seven lead round 10's.
+# stream_agg_maintenance, repetition_stats — each exact vs its
+# oracle at sf0.001/0.01/0.1 this round): the first eight fill
+# round 9's <=8-new budget; the remaining eight lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9179,6 +9241,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_maintenance": q_agg_maintenance,
     "triangle_counts": q_triangle_counts,
     "stream_agg_maintenance": q_stream_agg_maintenance,
+    "repetition_stats": q_repetition_stats,
 }
 
 
@@ -9354,4 +9417,5 @@ ORACLE_SQL: dict[str, str] = {
     "agg_maintenance": SQL_AGG_MAINTENANCE,
     "triangle_counts": SQL_TRIANGLE_COUNTS,
     "stream_agg_maintenance": SQL_AGG_MAINTENANCE,
+    "repetition_stats": SQL_REPETITION_STATS,
 }
