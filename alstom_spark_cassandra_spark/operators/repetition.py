@@ -46,6 +46,9 @@ def _stats_expr(text_col: str, n: int) -> str:
         f"i -> concat_ws(' ', slice(w, i, {n}))) "
         f"ELSE cast(array() as array<string>) END"
     )
+    # the guards rely on OR's short-circuit evaluation: element_at at
+    # index 0 / size+1 would error under ANSI mode (verified safe with
+    # spark.sql.ansi.enabled=true)
     boundary = "(i = 1 OR element_at(s, i) != element_at(s, i - 1))"
     run_val = f"IF({boundary}, 1L, st.run + 1L)"
     top = (

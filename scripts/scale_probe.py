@@ -567,6 +567,84 @@ def main():
     )
     mbase.unpersist()
     feed.unpersist()
+
+    # --- round-8: incremental aggregate maintenance ---------------------
+    from alstom_spark_cassandra_spark.operators.ivm import (
+        agg_state,
+        merge_agg_deltas,
+    )
+
+    ivm_base = spark.range(int(sizes_m[-1] * 1_000_000)).select(
+        (F.col("id") % 1_000_000).alias("k"),
+        (F.col("id") % 9973).alias("v"),
+    )
+    snap = agg_state(ivm_base, ["k"], "v").cache()
+    snap.count()
+    ivm_deltas = spark.range(100_000).select(
+        (F.col("id") * 7 % 1_000_000).alias("k"),
+        (F.col("id") % 8887).alias("v"),
+        F.when(F.col("id") % 11 == 0, -1).otherwise(1).alias("mult"),
+    )
+    t_fold = timed(merge_agg_deltas(snap, ivm_deltas, ["k"], "v"))
+    print(
+        json.dumps(
+            {
+                "ivm_base_rows_millions": sizes_m[-1],
+                "ivm_snapshot_keys": 1_000_000,
+                "ivm_delta_rows": 100_000,
+                "ivm_fold_sec": t_fold,
+            }
+        )
+    )
+    snap.unpersist()
+
+    # --- round-8: deletion-neighborhood fuzzy join ----------------------
+    from alstom_spark_cassandra_spark.operators.fuzzy import fuzzy_pairs
+
+    names = spark.range(1_000_000).select(
+        F.col("id"),
+        F.concat(F.lit("n"), (F.col("id") * 997).cast("string")).alias("s"),
+    )
+    t_fuzzy = timed(fuzzy_pairs(names, "id", "s", max_dist=1))
+    print(
+        json.dumps(
+            {"fuzzy_rows_millions": 1.0, "fuzzy_d1_pairs_sec": t_fuzzy}
+        )
+    )
+
+    # --- round-8: row-local text profiles (repetition, winnowing) ------
+    from alstom_spark_cassandra_spark.operators.repetition import (
+        repetition_stats,
+    )
+    from alstom_spark_cassandra_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    synth_docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), "
+            "i -> concat('w', cast((id * 31 + i * i) % 5000 as string))))"
+        ).alias("text"),
+    )
+    t_rep = timed(repetition_stats(synth_docs, "doc_id", "text", n=2))
+    t_win = timed(
+        winnow_fingerprints(
+            synth_docs.filter(F.col("doc_id") < 200_000),
+            "text",
+            "doc_id",
+        ).select(F.size("fps"))
+    )
+    print(
+        json.dumps(
+            {
+                "repetition_docs_millions": 1.0,
+                "repetition_sec": t_rep,
+                "winnow_docs_millions": 0.2,
+                "winnow_fingerprints_sec": t_win,
+            }
+        )
+    )
     spark.stop()
 
 
