@@ -247,6 +247,7 @@ BNLJ_SANCTIONED = {
     "tpch_q22",            # scalar subquery (avg acctbal)
     "ivf_eval",            # broadcast query vectors + 1-row corpus count
     "bloom_prefilter",     # broadcast 1-row count scalars
+    "lm_perplexity",       # broadcast 1-row vocabulary-size scalar
 }
 
 
