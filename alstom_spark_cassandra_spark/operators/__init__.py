@@ -104,6 +104,7 @@ from .fuzzy import deletion_variants, fuzzy_pairs
 from .ivm import agg_state, merge_agg_deltas
 from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .repetition import repetition_stats
+from .spans import repeated_span_stats
 from .skew import salted_agg, salted_broadcast_left, salted_join
 from .timeseries import ohlc_bars, resample_linear, rolling_zscore
 from .winnow import winnow_fingerprints, winnow_overlap_pairs
@@ -218,6 +219,7 @@ __all__ = [
     "read_positional_index",
     "referential_violations",
     "repetition_scores",
+    "repeated_span_stats",
     "repetition_stats",
     "resample_linear",
     "resample_wav_nearest",
