@@ -1,0 +1,81 @@
+"""Global stable row numbering without the single-partition sort.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY is one of
+the classic scale killers: Spark must move EVERY row into one
+partition (``Exchange SinglePartition`` in the plan) and sort the
+whole table on a single core.  The distributed classic replaces it
+with three n-way-parallel steps:
+
+1. ``repartitionByRange`` on the order columns — rows land in
+   globally ordered partition ranges (bounds come from a sample);
+2. per-partition ``row_number`` (a window PARTITIONED by the frozen
+   partition id — parallel, never global);
+3. add each partition's prefix-sum offset, computed from the
+   per-partition counts (a num_partitions-row collect — the
+   sanctioned tiny-collect pattern) and joined back broadcast.
+
+Correctness hinges on one subtlety this module exists to get right:
+the range exchange SAMPLES its bounds per execution, so the counts
+job and the output job could otherwise see DIFFERENT partition
+assignments — the partitioned DataFrame is therefore frozen with an
+eager ``localCheckpoint`` (the graph.py precedent) before both
+consumers, making the offsets provably consistent with the rows they
+offset.  (The final index is independent of WHERE the sampled bounds
+fall — any range partitioning yields the same total order — but the
+two jobs must agree on the one actually used.)  NOTE: localCheckpoint
+trades fault tolerance for speed, as documented in operators/graph.py
+— cluster deployments that must survive executor loss should use a
+reliable checkpoint dir.
+
+The order must be TOTAL (include a unique tiebreaker column):
+``row_number`` over tied rows is otherwise partition-order dependent
+and no longer reproducible across engines or runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def global_row_index(
+    df: DataFrame,
+    order_cols: list,
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """All input columns plus ``index_col`` = the 0-based (or
+    ``start``-based) rank of the row under the total order
+    ``order_cols`` — exactly ``row_number() OVER (ORDER BY ...) - 1 +
+    start``, computed with range partitioning + per-partition offsets
+    instead of a single-partition global sort."""
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    cols = df.columns
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    offsets, acc = [], start
+    for pid, c in sizes:
+        offsets.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "__pid")
+        .select(
+            *cols,
+            (F.col("__off") + F.col("__rn") - 1).alias(index_col),
+        )
+    )

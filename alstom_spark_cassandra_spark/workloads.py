@@ -911,6 +911,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id
 """
 
 
+def q_global_row_index(spark, sf_dir):
+    """Global stable row numbering (operators/rowindex.py): every
+    event ranked under the total order (value, event_id) WITHOUT the
+    Exchange-SinglePartition plan the naive global window forces —
+    range partitioning, per-partition ranks, broadcast prefix-sum
+    offsets, with the partition assignment frozen by an eager
+    localCheckpoint so the offsets job and the output job provably
+    agree (the range exchange samples its bounds per execution). The
+    oracle IS the naive global window — the rewrite must be
+    plan-different, value-identical."""
+    from .operators.rowindex import global_row_index
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return (
+        global_row_index(ev, ["value", "event_id"], index_col="idx")
+        .select("event_id", "idx")
+        .orderBy("event_id")
+    )
+
+
+SQL_GLOBAL_ROW_INDEX = """
+SELECT event_id,
+       row_number() OVER (ORDER BY value, event_id) - 1 AS idx
+FROM events
+ORDER BY event_id
+"""
+
+
 def q_daily_rollup(spark, sf_dir):
     """F8/A4: per-day activity (integer day index keeps both engines
     timestamp-free and exact)."""
@@ -9129,16 +9157,16 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the SEVENTEEN queries ADDED during
+# r7-green block (freshest), then the EIGHTEEN queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
 # fuzzy_pairs, agg_maintenance, triangle_counts,
-# stream_agg_maintenance, repetition_stats, repeated_spans — each
-# exact vs its oracle at sf0.001/0.01/0.1 this round): the first
-# eight fill round 9's <=8-new budget; the remaining nine lead
-# round 10's.
+# stream_agg_maintenance, repetition_stats, repeated_spans,
+# global_row_index — each exact vs its oracle at sf0.001/0.01/0.1
+# this round): the first eight fill round 9's <=8-new budget; the
+# remaining ten lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9315,6 +9343,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_agg_maintenance": q_stream_agg_maintenance,
     "repetition_stats": q_repetition_stats,
     "repeated_spans": q_repeated_spans,
+    "global_row_index": q_global_row_index,
 }
 
 
@@ -9492,4 +9521,5 @@ ORACLE_SQL: dict[str, str] = {
     "stream_agg_maintenance": SQL_AGG_MAINTENANCE,
     "repetition_stats": SQL_REPETITION_STATS,
     "repeated_spans": SQL_REPEATED_SPANS,
+    "global_row_index": SQL_GLOBAL_ROW_INDEX,
 }

@@ -1,0 +1,55 @@
+"""Global row index: equality with the naive global window, start
+offsets, multi-column total orders, and the no-SinglePartition plan
+contract that is the operator's reason to exist."""
+
+from pyspark.sql import Window, functions as F
+
+from alstom_spark_cassandra_spark.operators.rowindex import (
+    global_row_index,
+)
+
+
+def _naive(df, order_cols):
+    w = Window.orderBy(*order_cols)
+    return df.withColumn("idx", F.row_number().over(w) - 1)
+
+
+def test_matches_naive_global_window(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).alias("v"),
+    )
+    got = {
+        r["k"]: r["idx"]
+        for r in global_row_index(df, ["v", "k"], num_partitions=7).collect()
+    }
+    want = {r["k"]: r["idx"] for r in _naive(df, ["v", "k"]).collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(10_000))
+
+
+def test_start_offset_and_single_partition_input(spark):
+    df = spark.createDataFrame([(3,), (1,), (2,)], "k long").coalesce(1)
+    got = {
+        r["k"]: r["idx"]
+        for r in global_row_index(df, ["k"], start=100).collect()
+    }
+    assert got == {1: 100, 2: 101, 3: 102}
+
+
+def test_plan_has_no_single_partition_exchange(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    out = global_row_index(df, ["v", "k"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # the naive form is exactly the plan we refuse to produce
+    naive_plan = _naive(df, ["v", "k"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SinglePartition" in naive_plan
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k long")
+    assert global_row_index(df, ["k"]).count() == 0
