@@ -143,8 +143,23 @@ def winnow_overlap_pairs(
     fps = winnow_fingerprints(
         df, text_col, id_col, k=k, w=w, portable=portable
     )
-    sizes = fps.select("doc", F.size("fps").alias("nf"))
-    e = fps.select("doc", F.explode("fps").alias("fp"))
+    # The exploded fingerprint table feeds BOTH join sides and the
+    # size denominators; left lazy, Spark recomputes the (interpreted
+    # higher-order-lambda) fingerprint projection once per consumer —
+    # measured 3x the scoring cost at sf0.1.  Eagerly localCheckpoint
+    # it once: it is the winnowed table (2/(w+1) of the gram stream),
+    # not the corpus.  Same fault-tolerance caveat as the graph/PCA
+    # iterates (operators/graph.py docstring): cluster deployments
+    # that must survive executor loss should use a reliable
+    # checkpoint dir.
+    e = (
+        fps.select("doc", F.explode("fps").alias("fp"))
+        .localCheckpoint(eager=True)
+    )
+    # |fps| per doc == exploded row count (fingerprint sets are
+    # distinct); docs with empty sets can never pair, so their
+    # absence here is harmless.
+    sizes = e.groupBy("doc").agg(F.count(F.lit(1)).alias("nf"))
     if max_docs_per_fp is not None:
         keep = (
             e.groupBy("fp")
