@@ -105,7 +105,18 @@ def train_bigram_lm(df: DataFrame, text_col: str) -> BigramLM:
     comparable with the other text-quality metrics.
     """
     bg = _doc_bigrams(df, text_col, keep=[])
-    bigrams = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # Left lazy, the bigram aggregation would run TWICE over the
+    # training corpus (once feeding the context roll-up, once as the
+    # scoring join's build side).  The counts table is
+    # vocabulary-sized, the canonical checkpoint candidate — training
+    # therefore materializes the model eagerly (one job here; the
+    # graph/PCA localCheckpoint precedent and fault-tolerance caveat
+    # apply, see operators/graph.py).
+    bigrams = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     contexts = (
         bigrams.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
         .agg(F.sum("c12").alias("c1"))

@@ -107,16 +107,16 @@ def repeated_span_stats(
             F.sum("contrib").alias("covered_chars"),
         )
     )
-    n_grams = grams.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
+    # n_grams is a pure function of the normalized length — deriving
+    # it from `sizes` saves a third full pass over the gram stream
     return (
-        sizes.join(n_grams, "doc", "left")
-        .join(per_doc, "doc", "left")
+        sizes.join(per_doc, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
             "n_chars",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.greatest(
+                F.col("n_chars") - F.lit(L - 1), F.lit(0).cast("long")
+            ).alias("n_grams"),
             F.coalesce("n_repeated_pos", F.lit(0)).alias("n_repeated_pos"),
             F.coalesce("covered_chars", F.lit(0)).alias("covered_chars"),
         )
