@@ -104,7 +104,7 @@ from .fuzzy import deletion_variants, fuzzy_pairs
 from .ivm import agg_state, merge_agg_deltas
 from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .repetition import repetition_stats
-from .rowindex import global_row_index
+from .rowindex import global_ntile, global_row_index
 from .spans import repeated_span_stats
 from .skew import salted_agg, salted_broadcast_left, salted_join
 from .timeseries import ohlc_bars, resample_linear, rolling_zscore
@@ -179,6 +179,7 @@ __all__ = [
     "frame_sample",
     "free_local_checkpoints",
     "fuzzy_pairs",
+    "global_ntile",
     "global_row_index",
     "gram_matrix",
     "hash_sample",

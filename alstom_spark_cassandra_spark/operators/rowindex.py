@@ -79,3 +79,45 @@ def global_row_index(
             (F.col("__off") + F.col("__rn") - 1).alias(index_col),
         )
     )
+
+
+def global_ntile(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols: list,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All input columns plus ``bucket_col`` = the 1-based NTILE
+    bucket under the total order — bit-identical to SQL
+    ``ntile(n) OVER (ORDER BY ...)`` (the first ``total mod n``
+    buckets take the extra row), built on :func:`global_row_index`
+    so the plan never funnels through a single partition.
+
+    NTILE needs the total row count to place its bucket boundaries;
+    it is attached as a broadcast 1-row scalar (the sanctioned
+    cross-join pattern).  The same total-order requirement applies:
+    include a unique tiebreaker or bucket membership at the
+    boundaries is not reproducible."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    idx = global_row_index(
+        df, order_cols, index_col="__idx", num_partitions=num_partitions
+    )
+    total = idx.select(F.count(F.lit(1)).alias("__total"))
+    big = F.ceil(F.col("__total") / n_buckets).cast("long")   # big-bucket size
+    small = (F.col("__total") / n_buckets).cast("long")       # floor
+    r = F.col("__total") % n_buckets                          # # big buckets
+    cut = r * big                                             # rows in them
+    bucket = F.when(
+        F.col("__idx") < cut, F.floor(F.col("__idx") / big)
+    ).otherwise(
+        # past the big buckets; guard small=0 (n_buckets > total:
+        # every row lands in its own big bucket, branch unreachable)
+        r + F.floor((F.col("__idx") - cut) / F.greatest(small, F.lit(1)))
+    )
+    cols = df.columns
+    return (
+        idx.crossJoin(F.broadcast(total))
+        .select(*cols, (bucket + 1).cast("int").alias(bucket_col))
+    )

@@ -939,6 +939,32 @@ ORDER BY event_id
 """
 
 
+def q_global_ntile(spark, sf_dir):
+    """Exact percentile bucketing (operators/rowindex.global_ntile):
+    every event's ntile(100) bucket under the total order (value,
+    event_id), bit-identical to the SQL window INCLUDING the
+    remainder rule (the first total-mod-n buckets take the extra
+    row — the detail floor(idx*n/total) gets wrong), but with the
+    range-partitioned row-index plan instead of the naive window's
+    Exchange SinglePartition."""
+    from .operators.rowindex import global_ntile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    return (
+        global_ntile(ev, 100, ["value", "event_id"])
+        .select("event_id", "bucket")
+        .orderBy("event_id")
+    )
+
+
+SQL_GLOBAL_NTILE = """
+SELECT event_id,
+       CAST(ntile(100) OVER (ORDER BY value, event_id) AS INT) AS bucket
+FROM events
+ORDER BY event_id
+"""
+
+
 def q_daily_rollup(spark, sf_dir):
     """F8/A4: per-day activity (integer day index keeps both engines
     timestamp-free and exact)."""
@@ -9157,16 +9183,16 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the EIGHTEEN queries ADDED during
+# r7-green block (freshest), then the NINETEEN queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
 # fuzzy_pairs, agg_maintenance, triangle_counts,
 # stream_agg_maintenance, repetition_stats, repeated_spans,
-# global_row_index — each exact vs its oracle at sf0.001/0.01/0.1
-# this round): the first eight fill round 9's <=8-new budget; the
-# remaining ten lead round 10's.
+# global_row_index, global_ntile — each exact vs its oracle at
+# sf0.001/0.01/0.1 this round): the first eight fill round 9's
+# <=8-new budget; the remaining eleven lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9344,6 +9370,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "repeated_spans": q_repeated_spans,
     "global_row_index": q_global_row_index,
+    "global_ntile": q_global_ntile,
 }
 
 
@@ -9522,4 +9549,5 @@ ORACLE_SQL: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "repeated_spans": SQL_REPEATED_SPANS,
     "global_row_index": SQL_GLOBAL_ROW_INDEX,
+    "global_ntile": SQL_GLOBAL_NTILE,
 }

@@ -53,3 +53,42 @@ def test_plan_has_no_single_partition_exchange(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "k long")
     assert global_row_index(df, ["k"]).count() == 0
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    from alstom_spark_cassandra_spark.operators.rowindex import (
+        global_ntile,
+    )
+
+    # 103 rows into 10 buckets: the first 3 buckets take 11 rows —
+    # the remainder rule that floor(idx*n/total) gets wrong
+    df = spark.range(103).select(
+        F.col("id").alias("k"), ((F.col("id") * 7) % 31).alias("v")
+    )
+    got = {
+        r["k"]: r["bucket"]
+        for r in global_ntile(df, 10, ["v", "k"], num_partitions=5).collect()
+    }
+    w = Window.orderBy("v", "k")
+    want = {
+        r["k"]: r["nt"]
+        for r in df.withColumn("nt", F.ntile(10).over(w)).collect()
+    }
+    assert got == want
+    # more buckets than rows: every row alone in its own bucket
+    tiny = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got3 = {
+        r["k"]: r["bucket"] for r in global_ntile(tiny, 10, ["k"]).collect()
+    }
+    assert got3 == {1: 1, 2: 2, 3: 3}
+
+
+def test_global_ntile_bad_n(spark):
+    from alstom_spark_cassandra_spark.operators.rowindex import (
+        global_ntile,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        global_ntile(df, 0, ["k"])
