@@ -42,15 +42,20 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    toks = _toks(F.col(text_col))
-    n = F.size(toks)
+    # tokenize ONCE into a column, then derive the chunk count from
+    # the column reference in a second projection — deriving both from
+    # the raw split expression in one projection evaluated the
+    # tokenization twice per row (text_funcs' tokenize-once rule)
+    n = F.size(F.col("__toks"))
     n_chunks = F.greatest(
         F.lit(1),
         F.ceil((n - F.lit(overlap)) / F.lit(float(step))).cast("int"),
     )
     chunked = docs.select(
-        F.col(id_col),
-        toks.alias("__toks"),
+        F.col(id_col), _toks(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        "__toks",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
     )
     piece = F.slice(
