@@ -248,6 +248,7 @@ BNLJ_SANCTIONED = {
     "ivf_eval",            # broadcast query vectors + 1-row corpus count
     "bloom_prefilter",     # broadcast 1-row count scalars
     "lm_perplexity",       # broadcast 1-row vocabulary-size scalar
+    "global_ntile",        # broadcast 1-row total-count scalar
 }
 
 
