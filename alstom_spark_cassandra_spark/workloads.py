@@ -3771,6 +3771,60 @@ ORDER BY d.doc_id
 """
 
 
+def q_dedup_corpus_best(spark, sf_dir):
+    """The production dedup retention rule, graded: per near-dup
+    cluster keep the BEST copy (highest n_chars, ties min id), not
+    the first — dedup_corpus's prefer_col path
+    (operators/dedup.py:634), previously pytest-only. Same cluster
+    machinery and oracle CTE as dedup_corpus; only the winner rule
+    changes, so a green row isolates exactly the preference logic
+    (incl. its string-id-safe row_number tiebreak)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    return (
+        dedup_corpus(docs, pairs, "doc_id", prefer_col="n_chars")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_CORPUS_BEST = r"""
+WITH RECURSIVE
+s AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE doc_id < 100
+),
+e AS (SELECT doc_id, unnest(w) AS sh FROM s),
+i AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS cnt
+  FROM e l JOIN e r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM i JOIN s sa ON sa.doc_id = i.a JOIN s sb ON sb.doc_id = i.b
+  WHERE cnt * 1.0 / (len(sa.w) + len(sb.w) - cnt) >= 0.8
+),
+sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(v, lbl) AS (
+  SELECT doc_id, doc_id FROM s
+  UNION
+  SELECT sym.b, reach.lbl FROM reach JOIN sym ON sym.a = reach.v
+),
+comp AS (SELECT v, min(lbl) AS cluster FROM reach GROUP BY v),
+ranked AS (
+  SELECT c.v,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.v
+)
+SELECT d.doc_id, d.n_chars
+FROM ranked r JOIN documents d ON d.doc_id = r.v
+WHERE r.rn = 1
+ORDER BY d.doc_id
+"""
+
+
 def q_train_split(spark, sf_dir):
     """Content-addressed 90/10 train/eval split over documents
     (operators/sampling.hash_split): md5 buckets, so the assignment is
@@ -9183,16 +9237,16 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the NINETEEN queries ADDED during
+# r7-green block (freshest), then the TWENTY queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
 # fuzzy_pairs, agg_maintenance, triangle_counts,
 # stream_agg_maintenance, repetition_stats, repeated_spans,
-# global_row_index, global_ntile — each exact vs its oracle at
-# sf0.001/0.01/0.1 this round): the first eight fill round 9's
-# <=8-new budget; the remaining eleven lead round 10's.
+# global_row_index, global_ntile, dedup_corpus_best — each exact vs
+# its oracle at sf0.001/0.01/0.1 this round): the first eight fill
+# round 9's <=8-new budget; the remaining twelve lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9371,6 +9425,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_spans": q_repeated_spans,
     "global_row_index": q_global_row_index,
     "global_ntile": q_global_ntile,
+    "dedup_corpus_best": q_dedup_corpus_best,
 }
 
 
@@ -9550,4 +9605,5 @@ ORACLE_SQL: dict[str, str] = {
     "repeated_spans": SQL_REPEATED_SPANS,
     "global_row_index": SQL_GLOBAL_ROW_INDEX,
     "global_ntile": SQL_GLOBAL_NTILE,
+    "dedup_corpus_best": SQL_DEDUP_CORPUS_BEST,
 }
