@@ -3038,6 +3038,66 @@ ORDER BY a, b
 """
 
 
+def q_winnow_overlap_capped(spark, sf_dir):
+    """The winnow pairing's PRODUCTION path graded: the
+    stop-fingerprint hub cap (max_docs_per_fp — drop fingerprints
+    present in more than N documents BEFORE the self-join, the
+    defense against the O(d^2) boilerplate bucket), previously
+    pytest-only. Denominators stay the FULL per-doc set sizes, so the
+    cap can only remove pairs; cap=16 on this slice culls the
+    boilerplate-driven pairs the uncapped twin keeps, making the
+    green row isolate exactly the cap semantics."""
+    from .operators.winnow import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = winnow_overlap_pairs(
+        docs, "text", "doc_id", k=8, w=4, threshold=0.15,
+        max_docs_per_fp=16, portable=True,
+    )
+    return out.select(
+        "a", "b", "shared", half_up(F.col("overlap"), 6).alias("overlap")
+    ).orderBy("a", "b")
+
+
+SQL_WINNOW_OVERLAP_CAPPED = r"""
+WITH nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 300
+),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) >= 8 THEN
+      [substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 16)
+       for i in range(1, CAST(length(norm) - 8 + 2 AS BIGINT))]
+    ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM nrm
+),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN hs
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_distinct([list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])
+                             for j in range(1, CAST(len(hs) - 4 + 2 AS BIGINT))])
+    END AS fps
+  FROM hs
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 16),
+ek AS (SELECT doc_id, fp FROM e JOIN keep USING (fp)),
+sz AS (SELECT doc_id, len(fps) AS nf FROM fp),
+sh AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+  FROM ek l JOIN ek r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT sh.a, sh.b, sh.shared,
+       floor(sh.shared * 1.0 / least(sa.nf, sb.nf) * 1000000 + 0.5)
+         / 1000000.0 AS overlap
+FROM sh JOIN sz sa ON sa.doc_id = sh.a JOIN sz sb ON sb.doc_id = sh.b
+WHERE sh.shared * 1.0 / least(sa.nf, sb.nf) >= 0.15
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): documents
     whose word 3-grams leak from the held-out benchmark slice
@@ -9237,16 +9297,17 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the TWENTY queries ADDED during
+# r7-green block (freshest), then the TWENTY-ONE queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
 # winnow_fingerprints, winnow_overlap_pairs, lm_perplexity,
 # fuzzy_pairs, agg_maintenance, triangle_counts,
 # stream_agg_maintenance, repetition_stats, repeated_spans,
-# global_row_index, global_ntile, dedup_corpus_best — each exact vs
-# its oracle at sf0.001/0.01/0.1 this round): the first eight fill
-# round 9's <=8-new budget; the remaining twelve lead round 10's.
+# global_row_index, global_ntile, dedup_corpus_best,
+# winnow_overlap_capped — each exact vs its oracle at
+# sf0.001/0.01/0.1 this round): the first eight fill round 9's
+# <=8-new budget; the remaining thirteen lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9426,6 +9487,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_row_index": q_global_row_index,
     "global_ntile": q_global_ntile,
     "dedup_corpus_best": q_dedup_corpus_best,
+    "winnow_overlap_capped": q_winnow_overlap_capped,
 }
 
 
@@ -9606,4 +9668,5 @@ ORACLE_SQL: dict[str, str] = {
     "global_row_index": SQL_GLOBAL_ROW_INDEX,
     "global_ntile": SQL_GLOBAL_NTILE,
     "dedup_corpus_best": SQL_DEDUP_CORPUS_BEST,
+    "winnow_overlap_capped": SQL_WINNOW_OVERLAP_CAPPED,
 }
