@@ -3098,6 +3098,36 @@ WHERE sh.shared * 1.0 / least(sa.nf, sb.nf) >= 0.15
 """
 
 
+def q_fuzzy_pairs_d2(spark, sf_dir):
+    """The d=2 deletion-neighborhood path graded (pytest-only until
+    now): every customer-name pair within Levenshtein distance 2 on a
+    c_custkey<=1000 slice. The d=2 neighborhood is the nested-flatten
+    construction (O(len^2) variants per row) — a different code path
+    from d=1's single transform — and the oracle is again the
+    brute-force cross join, so the green row proves THAT construction
+    lossless too."""
+    from .operators.fuzzy import fuzzy_pairs
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    return (
+        fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=2)
+        .orderBy("a", "b")
+    )
+
+
+SQL_FUZZY_PAIRS_D2 = """
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS name FROM customer
+  WHERE c_custkey <= 1000
+)
+SELECT a.id AS a, b.id AS b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 2
+ORDER BY a, b
+"""
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): documents
     whose word 3-grams leak from the held-out benchmark slice
@@ -9297,7 +9327,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the TWENTY-ONE queries ADDED during
+# r7-green block (freshest), then the TWENTY-TWO queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
@@ -9305,9 +9335,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # fuzzy_pairs, agg_maintenance, triangle_counts,
 # stream_agg_maintenance, repetition_stats, repeated_spans,
 # global_row_index, global_ntile, dedup_corpus_best,
-# winnow_overlap_capped — each exact vs its oracle at
-# sf0.001/0.01/0.1 this round): the first eight fill round 9's
-# <=8-new budget; the remaining thirteen lead round 10's.
+# winnow_overlap_capped, fuzzy_pairs_d2 — each exact vs its oracle
+# at sf0.001/0.01/0.1 this round): the first eight fill round 9's
+# <=8-new budget; the remaining fourteen lead round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9488,6 +9518,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_ntile": q_global_ntile,
     "dedup_corpus_best": q_dedup_corpus_best,
     "winnow_overlap_capped": q_winnow_overlap_capped,
+    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
 }
 
 
@@ -9669,4 +9700,5 @@ ORACLE_SQL: dict[str, str] = {
     "global_ntile": SQL_GLOBAL_NTILE,
     "dedup_corpus_best": SQL_DEDUP_CORPUS_BEST,
     "winnow_overlap_capped": SQL_WINNOW_OVERLAP_CAPPED,
+    "fuzzy_pairs_d2": SQL_FUZZY_PAIRS_D2,
 }
