@@ -4351,6 +4351,46 @@ ORDER BY a, b
 """
 
 
+def q_incremental_simhash(spark, sf_dir):
+    """Steady-state SimHash dedup against a persisted index
+    (operators/dedup.build_simhash_index + incremental_simhash_pairs)
+    — the Hamming-distance twin of incremental_dedup, previously
+    pytest-only. Same contract: the corpus is band-indexed once, a
+    re-crawl (ids +10^7) is deduped touching only the index; an
+    identical re-crawl shares EVERY band key (pigeonhole
+    completeness), so after the final text-equality verify the output
+    is exactly the identical-text pairs with a new side — the same
+    engine-neutral oracle as incremental_dedup. Partial-Hamming
+    recall stays gated in tests/test_dedup.py."""
+    import tempfile
+
+    from .operators.dedup import (
+        build_simhash_index,
+        incremental_simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    index_path = f"{tempfile.gettempdir()}/simhash_index{slug}"
+    build_simhash_index(docs, index_path, "text", "doc_id")
+    new_batch = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    pairs = incremental_simhash_pairs(
+        spark, new_batch, index_path, "text", "doc_id", max_hamming=3
+    )
+    all_docs = docs.unionByName(new_batch)
+    ta = all_docs.select(F.col("doc_id").alias("a"), F.col("text").alias("__ta"))
+    tb = all_docs.select(F.col("doc_id").alias("b"), F.col("text").alias("__tb"))
+    return (
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .filter(F.col("__ta") == F.col("__tb"))
+        .select("a", "b")
+        .orderBy("a", "b")
+    )
+
+
 def q_mean_embedding(spark, sf_dir):
     """Class-centroid pooling (operators/similarity.mean_pool):
     element-wise mean vector per label in long (label, pos, mean)
@@ -9327,7 +9367,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # round 6.
 # TAIL (outside the window, all locally exact-gated every round):
 # the r6-green block (next round's rotation candidates), then the
-# r7-green block (freshest), then the TWENTY-TWO queries ADDED during
+# r7-green block (freshest), then the TWENTY-THREE queries ADDED during
 # round 8 after the window was already full (stream_join_outer,
 # merge_apply, ohlc_bars, partitioned_ingest, stream_cdc_apply,
 # merge_apply_broadcast, stream_join_full_outer, stream_quota,
@@ -9335,9 +9375,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # fuzzy_pairs, agg_maintenance, triangle_counts,
 # stream_agg_maintenance, repetition_stats, repeated_spans,
 # global_row_index, global_ntile, dedup_corpus_best,
-# winnow_overlap_capped, fuzzy_pairs_d2 — each exact vs its oracle
-# at sf0.001/0.01/0.1 this round): the first eight fill round 9's
-# <=8-new budget; the remaining fourteen lead round 10's.
+# winnow_overlap_capped, fuzzy_pairs_d2, incremental_simhash — each
+# exact vs its oracle at sf0.001/0.01/0.1 this round): the first
+# eight fill round 9's <=8-new budget; the remaining fifteen lead
+# round 10's.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new this round (round 8), never graded ---
     "update_history_chunked": q_update_history_chunked,
@@ -9519,6 +9560,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_corpus_best": q_dedup_corpus_best,
     "winnow_overlap_capped": q_winnow_overlap_capped,
     "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
+    "incremental_simhash": q_incremental_simhash,
 }
 
 
@@ -9701,4 +9743,5 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_corpus_best": SQL_DEDUP_CORPUS_BEST,
     "winnow_overlap_capped": SQL_WINNOW_OVERLAP_CAPPED,
     "fuzzy_pairs_d2": SQL_FUZZY_PAIRS_D2,
+    "incremental_simhash": SQL_INCREMENTAL_DEDUP,
 }
