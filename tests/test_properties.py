@@ -567,3 +567,48 @@ def test_resample_wav_nearest_exact_index_map(samples, in_rate, out_rate):
         )
     out_n = max(len(samples) * out_rate // in_rate, 1)
     assert got == [samples[k * in_rate // out_rate] for k in range(out_n)]
+
+
+# signed (key, value, mult) rows: the IVM fold's input domain; values
+# bounded so long sums are exact, mult in {-1, 1}
+signed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),      # key
+        st.integers(min_value=-50, max_value=50),   # value
+        st.sampled_from([1, 1, 1, -1]),             # mult (insert-heavy)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@SLOW
+@given(rows=signed_rows, split=st.integers(min_value=0, max_value=40))
+def test_ivm_fold_any_batching_equals_recompute(spark, rows, split):
+    """Folding a signed history in ANY two-batch split equals the
+    from-scratch recompute — the associativity contract behind
+    agg_maintenance and the continuous IVM sink, including batches
+    that drive keys through transient zero-count / zero-total
+    states (hypothesis finds those splits on its own)."""
+    from alstom_spark_cassandra_spark.operators.ivm import (
+        agg_state,
+        merge_agg_deltas,
+    )
+
+    split = min(split, len(rows))
+    schema = "k long, v long, mult int"
+    empty = agg_state(spark.createDataFrame([], "k long, v long"), ["k"], "v")
+    b1 = spark.createDataFrame(rows[:split] or [(99, 0, 1), (99, 0, -1)], schema)
+    b2 = spark.createDataFrame(rows[split:] or [(99, 0, 1), (99, 0, -1)], schema)
+    stepped = merge_agg_deltas(
+        merge_agg_deltas(empty, b1, ["k"], "v"), b2, ["k"], "v"
+    )
+    recompute = agg_state(
+        b1.unionByName(b2), ["k"], "v", mult_col="mult"
+    )
+    got = {r["k"]: (r["cnt"], r["total"]) for r in stepped.collect()}
+    want = {r["k"]: (r["cnt"], r["total"]) for r in recompute.collect()}
+    # state may keep cnt=0 rows with nonzero totals that the VIEW
+    # (and agg_state's Z-filter) drops; compare at view semantics
+    got = {k: v for k, v in got.items() if v[0] != 0}
+    assert got == want
