@@ -30,6 +30,12 @@ reliable checkpoint dir.
 The order must be TOTAL (include a unique tiebreaker column):
 ``row_number`` over tied rows is otherwise partition-order dependent
 and no longer reproducible across engines or runs.
+
+Null ordering is pinned to ASC NULLS LAST on every order column —
+the ANSI / DuckDB ``ORDER BY`` default — because Spark's bare
+``asc`` defaults to NULLS FIRST; leaving it unpinned would make the
+index diverge from a SQL ``row_number() OVER (ORDER BY ...)`` oracle
+the moment an order column is nullable.
 """
 
 from __future__ import annotations
@@ -54,8 +60,15 @@ def global_row_index(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     cols = df.columns
+    clash = {"__pid", "__rn", "__off", index_col} & set(cols)
+    if clash:
+        raise ValueError(
+            f"global_row_index working/output columns {sorted(clash)}"
+            " collide with input columns — rename the inputs"
+        )
+    order = [F.col(c).asc_nulls_last() for c in order_cols]
     ranged = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        df.repartitionByRange(n, *order)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -70,7 +83,7 @@ def global_row_index(
         offsets.append((pid, acc))
         acc += c
     off_df = spark.createDataFrame(offsets, "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    w = Window.partitionBy("__pid").orderBy(*order)
     return (
         ranged.withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "__pid")
@@ -101,6 +114,12 @@ def global_ntile(
     boundaries is not reproducible."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    clash = {"__total", bucket_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_ntile working/output columns {sorted(clash)}"
+            " collide with input columns — rename the inputs"
+        )
     idx = global_row_index(
         df, order_cols, index_col="__idx", num_partitions=num_partitions
     )

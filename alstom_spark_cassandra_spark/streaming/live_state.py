@@ -588,7 +588,17 @@ def quota_stream(
     first `cap` rows per key by `order_col`" and a batch row_number
     oracle reproduces it. Under out-of-order arrival the quota is
     still exact (never more than `cap`), but which rows won depends
-    on arrival, as any online quota must."""
+    on arrival, as any online quota must.
+
+    applyInPandasWithState delivers a key's micro-batch as MULTIPLE
+    Arrow chunks (default `spark.sql.execution.arrow.maxRecordsPerBatch`
+    = 10k rows), so the chunks for the key are concatenated before the
+    one sort+admit — otherwise a key with more rows than the chunk
+    size in a single batch would be admitted chunk-by-chunk and the
+    within-batch ordering contract above would silently break at
+    exactly the scales that matter. Memory cost: one key's micro-batch
+    rows held at once, the floor any within-batch total order needs;
+    a saturated key skips the concat entirely."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     if cap <= 0:
@@ -603,20 +613,20 @@ def quota_stream(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if n >= cap:
-                break
+        if n < cap:
+            # one concat per key: Arrow chunk boundaries must not be
+            # admission boundaries (see the docstring's ordering note)
+            pdf = pd.concat(list(pdfs), ignore_index=True)
             pdf = pdf.dropna(subset=[order_col]).sort_values(
                 [order_col], kind="stable"
             )
             take = pdf.iloc[: cap - n]
-            if not len(take):
-                continue
-            take = take.assign(
-                quota_rank=range(n + 1, n + 1 + len(take))
-            )
-            n += len(take)
-            yield take[[*out_cols, "quota_rank"]]
+            if len(take):
+                take = take.assign(
+                    quota_rank=range(n + 1, n + 1 + len(take))
+                )
+                n += len(take)
+                yield take[[*out_cols, "quota_rank"]]
         state.update((n,))
 
     return stream.groupBy(*key_cols).applyInPandasWithState(

@@ -92,3 +92,34 @@ def test_global_ntile_bad_n(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError):
         global_ntile(df, 0, ["k"])
+
+
+def test_nullable_order_col_sorts_nulls_last(spark):
+    """Null ordering is pinned ASC NULLS LAST (the ANSI/DuckDB ORDER BY
+    default) — Spark's bare asc is NULLS FIRST, which would silently
+    diverge from the row_number()-OVER oracle on any nullable order
+    column (round-9 ADVICE)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 10), (3, None), (4, 5)], "k long, v long"
+    )
+    got = {
+        r["k"]: r["idx"]
+        for r in global_row_index(df, ["v", "k"], num_partitions=3).collect()
+    }
+    # non-null v first (5 then 10), then nulls broken by k
+    assert got == {4: 0, 2: 1, 1: 2, 3: 3}
+
+
+def test_working_column_collision_raises(spark):
+    import pytest as _pytest
+
+    from alstom_spark_cassandra_spark.operators.rowindex import (
+        global_ntile,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k long, __pid long")
+    with _pytest.raises(ValueError, match="__pid"):
+        global_row_index(df, ["k"])
+    df2 = spark.createDataFrame([(1, 2)], "k long, __total long")
+    with _pytest.raises(ValueError, match="__total"):
+        global_ntile(df2, 2, ["k"])

@@ -1627,3 +1627,51 @@ def test_quota_stream_cross_batch_saturation(spark, tmp_path):
         (1, 10): 1, (1, 11): 2, (1, 12): 3,
         (2, 20): 1, (2, 21): 2, (2, 22): 3,
     }
+
+
+def test_quota_stream_arrow_chunk_boundary(spark, tmp_path):
+    """Pins the round-9 fix: applyInPandasWithState hands a key's
+    micro-batch to admit() as MULTIPLE Arrow chunks when the batch
+    exceeds arrow.maxRecordsPerBatch; sorting each chunk independently
+    would admit the first `cap` of the FIRST CHUNK, not the batch's
+    first `cap` by order_col. With the chunk size forced to 4 and one
+    12-row batch arriving in descending event_id order, the per-chunk
+    bug admits {9,10,11} (the first chunk's smallest); the contract —
+    and the row_number oracle — requires {0,1,2}."""
+    import uuid
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        sch = "k long, event_id long, v long"
+        src = _stage_files(
+            spark, tmp_path,
+            [[(1, eid, eid) for eid in range(11, -1, -1)]],
+            sch,
+        )
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        from alstom_spark_cassandra_spark.streaming import quota_stream
+
+        out = quota_stream(stream, ["k"], "event_id", ["v"], cap=3)
+        name = f"q_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            (r.event_id, r.quota_rank)
+            for r in spark.table(name).collect()
+        }
+        assert got == {(0, 1), (1, 2), (2, 3)}
+    finally:
+        spark.conf.set(key, old)
