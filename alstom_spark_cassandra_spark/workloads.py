@@ -5909,14 +5909,28 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def _staged_interval_join_replay(spark, sf_dir, how, tag):
+def _staged_interval_join_replay(spark, sf_dir, how, tag, files=None):
     """Shared replay harness for the outer stream-stream join twins:
-    even events as the left feed, odd as the right, four 8-day files
-    per side assigned purely by own event time (monotone file maxima
-    + delay 1h > horizon 30min => nothing is ever late and no
-    boundary match can be lost to eviction), one file per side per
-    trigger. Returns the drained memory table with raw l_*/r_*
-    columns; callers select their output shape."""
+    even events as the left feed, odd as the right, N own-event-time
+    day-chunk files per side (monotone file maxima + delay 1h >
+    horizon 30min => nothing is ever late and no boundary match can
+    be lost to eviction), one file per side per trigger. Returns the
+    drained memory table with raw l_*/r_* columns; callers select
+    their output shape.
+
+    The OUTPUT is batch-count independent: matches are watermark-free
+    and the null-row cutoffs depend only on the FINAL watermark
+    (min-of-sides max event time − delay), which is a property of the
+    whole feed, not of how it was chunked — any own-ts monotone
+    chunking drains to the same table (pinned by
+    tests/test_streaming.py::test_interval_join_replay_chunking_invariant).
+    So the replay runs 4 files/side at sf0.1 scale but only the
+    semantic minimum of 3 at smaller scales, where per-trigger state
+    store commit overhead — not data volume — dominates wall time;
+    for the same reason the small-scale path plans the stateful join
+    with 8 state partitions instead of the session's 32 (the
+    partition count is captured into the checkpoint at the first
+    batch, so the conf is restored immediately after the drain)."""
     import glob
     import os
     import shutil
@@ -5936,22 +5950,28 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag):
             "v_milli"
         ),
     )
-    # 8-day chunks from the 2024-01-01 epoch day, assigned purely by
+    cached = ev.cache()
+    small = cached.count() < 50_000
+    n_files, chunk_days = (3, 11) if small else (4, 8)
+    if files is not None:  # test override: (n_files, chunk_days)
+        n_files, chunk_days = files
+    # day chunks from the 2024-01-01 epoch day, assigned purely by
     # own ts: monotone file maxima => no row is ever late under the
     # lagged watermark (wm_k <= previous files' max - delay < file k's
     # start)
-    ev = ev.withColumn(
+    ev = cached.withColumn(
         "b",
         F.least(
-            F.expr("greatest(ts DIV 86400000 - 19723, 0) DIV 8"),
-            F.lit(3),
+            F.expr(
+                f"greatest(ts DIV 86400000 - 19723, 0) DIV {chunk_days}"
+            ),
+            F.lit(n_files - 1),
         ).cast("int"),
     )
-    ev = ev.cache()
     try:
         for side, parity in (("L", 0), ("R", 1)):
             os.makedirs(f"{base}/{side}")
-            for k in range(4):
+            for k in range(n_files):
                 stage = f"{base}/stage_{side}{k}"
                 (
                     ev.filter(
@@ -5968,7 +5988,7 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag):
                 shutil.copyfile(part, dst)
                 os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
     finally:
-        ev.unpersist()
+        cached.unpersist()
     left = (
         spark.readStream.schema(
             "event_id long, ts long, user_id long, v_milli long"
@@ -6008,26 +6028,37 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag):
         how=how,
     )
     name = f"stream_{tag}_{uuid.uuid4().hex[:8]}"
-    q = (
-        j.select(
-            "l_event_id",
-            "l_ts_ms",
-            "l_user",
-            "r_user",
-            "r_event_id",
-            "r_ts_ms",
-            "r_v_milli",
+    # state store instances = shuffle partitions, captured into the
+    # checkpoint at the first batch; the per-trigger commit fan-out
+    # dominates small-scale wall time, so trim it for the replay and
+    # restore the session value once the drain returns
+    part_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(part_key)
+    if small:
+        spark.conf.set(part_key, "8")
+    try:
+        q = (
+            j.select(
+                "l_event_id",
+                "l_ts_ms",
+                "l_user",
+                "r_user",
+                "r_event_id",
+                "r_ts_ms",
+                "r_v_milli",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{base}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"stream_{tag} did not drain in 300s")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"stream_{tag} did not drain in 300s")
+    finally:
+        spark.conf.set(part_key, old_parts)
     return spark.table(name)
 
 
@@ -6040,7 +6071,9 @@ def q_stream_join_outer(spark, sf_dir):
     purchase shape). Even events are the left feed ("requests"), odd
     events the right ("responses"); same-user responses within
     [request_ts, request_ts + 30 min] match. Both feeds are staged as
-    four 8-day files assigned purely by own event time (no
+    day-chunk files (4 at sf0.1, 3 below — the drained output is
+    chunking-invariant, see _staged_interval_join_replay) assigned
+    purely by own event time (no
     stragglers — `maxFilesPerTrigger=1` over two sources advances the
     sides in lockstep, one file each per trigger), so nothing is ever
     late and cross-batch matches near file boundaries cannot be lost

@@ -1675,3 +1675,29 @@ def test_quota_stream_arrow_chunk_boundary(spark, tmp_path):
         assert got == {(0, 1), (1, 2), (2, 3)}
     finally:
         spark.conf.set(key, old)
+
+
+def test_interval_join_replay_chunking_invariant(spark):
+    """The round-9 replay-cost trim rests on one claim: the drained
+    outer-join table is independent of how the feed is chunked into
+    trigger files, because matches never consult the watermark and
+    the null-row cutoffs depend only on the FINAL watermark — a
+    whole-feed property. Pin it by draining the same sf0.001 feed as
+    3×11-day and 4×8-day files and comparing the full row sets."""
+    from alstom_spark_cassandra_spark.workloads import (
+        _staged_interval_join_replay,
+    )
+
+    rows = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.collect()
+    )
+    a = rows(_staged_interval_join_replay(
+        spark, "/root/testdata/sf0.001", "left_outer", "inv3",
+        files=(3, 11),
+    ))
+    b = rows(_staged_interval_join_replay(
+        spark, "/root/testdata/sf0.001", "left_outer", "inv4",
+        files=(4, 8),
+    ))
+    assert a == b
+    assert len(a) > 0
