@@ -102,6 +102,7 @@ from .sketches import (
 )
 from .fuzzy import deletion_variants, fuzzy_pairs
 from .ivm import agg_state, merge_agg_deltas
+from .langid import CharNBModel, classify_language, train_char_profiles
 from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .repetition import repetition_stats
 from .rowindex import global_ntile, global_row_index
@@ -156,6 +157,8 @@ __all__ = [
     "build_positional_postings",
     "build_simhash_index",
     "cap_per_group",
+    "CharNBModel",
+    "classify_language",
     "check_rules",
     "chunk_dedup",
     "chunk_documents",
@@ -241,6 +244,7 @@ __all__ = [
     "table_profile",
     "temperature_quotas",
     "train_bigram_lm",
+    "train_char_profiles",
     "triangle_counts",
     "unchanged_rows",
     "uniqueness_violations",

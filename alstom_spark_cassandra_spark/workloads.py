@@ -9490,6 +9490,117 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# the five deterministic alphabet ciphers that give each documents.lang
+# label a genuinely distinct character distribution (the stored text is
+# the same synthetic English-ish vocabulary for every label, so raw
+# char statistics carry no language signal); en = identity, de = rot13,
+# es = rot1, fr = reversed, zh = a keyboard permutation
+_LANGID_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_LANGID_PERMS = {
+    "de": "nopqrstuvwxyzabcdefghijklm",
+    "es": "bcdefghijklmnopqrstuvwxyza",
+    "fr": "zyxwvutsrqponmlkjihgfedcba",
+    "zh": "qwertyuiopasdfghjklzxcvbnm",
+}
+
+
+def q_langid_scores(spark, sf_dir):
+    """Character-bigram Naive Bayes language identification
+    (operators/langid.py) — the lang-id gate every production corpus
+    pipeline (CCNet, RefinedWeb, Dolma) runs before quality
+    filtering. The stored documents text is one shared vocabulary
+    under every lang label, so the query first gives each label a
+    real character distribution with a deterministic per-lang
+    alphabet cipher (translate() — identical builtin in Spark and
+    DuckDB), then trains per-language char-bigram profiles on the
+    doc_id %% 5 != 0 slice and classifies EVERY document: argmax over
+    languages of the add-one NB average log-likelihood, ordered by
+    the half-up-rounded score with the language as tiebreaker so both
+    engines agree on the winner. n_grams and hit_grams are the
+    integer audit anchors; the model is three vocabulary-sized
+    broadcast tables and the corpus side never shuffles before the
+    per-doc aggregation."""
+    from .operators.langid import classify_language, train_char_profiles
+
+    docs = _t(spark, sf_dir, "documents")
+    cipher = F.col("text")
+    for lg, perm in _LANGID_PERMS.items():
+        cipher = F.when(
+            F.col("lang") == lg, F.translate("text", _LANGID_ALPHA, perm)
+        ).otherwise(cipher)
+    m = docs.select("doc_id", "lang", cipher.alias("t"))
+    model = train_char_profiles(
+        m.filter(F.col("doc_id") % 5 != 0), "t", "lang", n=2
+    )
+    out = classify_language(m, "doc_id", "t", model)
+    return (
+        docs.select("doc_id", "lang")
+        .join(out, "doc_id")
+        .select(
+            "doc_id", "lang", "pred_lang", "n_grams", "hit_grams", "avg_ll"
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LANGID_SCORES = """
+WITH m AS (
+  SELECT doc_id, lang,
+         CASE lang
+           WHEN 'de' THEN translate(text, '{a}', '{de}')
+           WHEN 'es' THEN translate(text, '{a}', '{es}')
+           WHEN 'fr' THEN translate(text, '{a}', '{fr}')
+           WHEN 'zh' THEN translate(text, '{a}', '{zh}')
+           ELSE text END AS t
+  FROM documents
+),
+trg AS (
+  SELECT lang,
+         unnest([substr(t, CAST(i AS INT), 2)
+                 for i in range(1, CAST(length(t) AS BIGINT))]) AS g
+  FROM m WHERE doc_id % 5 <> 0 AND length(t) >= 2
+),
+prof AS (SELECT lang, g, count(*) AS c FROM trg GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM prof GROUP BY 1),
+voc AS (SELECT count(DISTINCT g) AS v FROM prof),
+scg AS (
+  SELECT doc_id,
+         unnest([substr(t, CAST(i AS INT), 2)
+                 for i in range(1, CAST(length(t) AS BIGINT))]) AS g
+  FROM m WHERE length(t) >= 2
+),
+ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM scg GROUP BY 1),
+part AS (
+  SELECT s.doc_id, p.lang, sum(ln(p.c + 1)) AS s,
+         CAST(count(*) AS BIGINT) AS hits
+  FROM scg s JOIN prof p USING (g)
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT d.doc_id, t.lang, d.n_grams,
+         coalesce(p.hits, 0) AS hits,
+         floor((coalesce(p.s, 0) / d.n_grams
+                - ln(t.total + (SELECT v FROM voc))) * 1000000 + 0.5)
+           / 1000000.0 AS avg_ll
+  FROM ds d CROSS JOIN tot t
+  LEFT JOIN part p ON p.doc_id = d.doc_id AND p.lang = t.lang
+),
+best AS (
+  SELECT doc_id, lang, n_grams, hits, avg_ll,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY avg_ll DESC, lang ASC) AS rn
+  FROM sc
+)
+SELECT d.doc_id, d.lang,
+       b.lang AS pred_lang,
+       coalesce(b.n_grams, 0) AS n_grams,
+       coalesce(b.hits, 0) AS hit_grams,
+       b.avg_ll
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+""".format(a=_LANGID_ALPHA, **_LANGID_PERMS)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9715,6 +9826,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
     "incremental_simhash": q_incremental_simhash,
     "ivm_time_travel": q_ivm_time_travel,
+    # --- new in round 9 (window already consumed by the 24-row
+    # backlog + r6 refreshes; queued for the round-10 window) ---
+    "langid_scores": q_langid_scores,
 }
 
 
@@ -9899,4 +10013,5 @@ ORACLE_SQL: dict[str, str] = {
     "fuzzy_pairs_d2": SQL_FUZZY_PAIRS_D2,
     "incremental_simhash": SQL_INCREMENTAL_DEDUP,
     "ivm_time_travel": SQL_IVM_TIME_TRAVEL,
+    "langid_scores": SQL_LANGID_SCORES,
 }

@@ -249,6 +249,8 @@ BNLJ_SANCTIONED = {
     "bloom_prefilter",     # broadcast 1-row count scalars
     "lm_perplexity",       # broadcast 1-row vocabulary-size scalar
     "global_ntile",        # broadcast 1-row total-count scalar
+    "langid_scores",       # grid = docs x broadcast(n_langs rows) +
+                           # 1-row vocabulary-size scalar
 }
 
 
