@@ -3008,6 +3008,69 @@ ORDER BY user_id, event_type
 """
 
 
+def q_ivm_bucketed_persisted(spark, sf_dir):
+    """The IVM refresh's PHYSICAL half, graded end-to-end: the same
+    signed history as agg_maintenance, but the statistics snapshot is
+    round-tripped through DISK in the layout the 100 TB refresh story
+    requires — written bucketed by the group keys on (user_id,
+    event_type) (sources/sinks.write_bucketed), read back, and THEN
+    folded. The bucketed scan reports HashPartitioning over the keys,
+    which satisfies the full-outer fold join's clustering, so the
+    snapshot never shuffles; the bucket count is pinned to the
+    session's shuffle parallelism so the minimized delta's OWN
+    aggregation exchange already lands on the snapshot's partitioning
+    and the whole refresh is ONE hash exchange of the few-MB
+    aggregated delta (asserted by tests/test_ivm.py::
+    test_persisted_bucketed_fold_plan; a bucket count that differs
+    from the refresh job's shuffle parallelism costs a second,
+    delta-sized re-exchange — cheap, but pointless). The oracle is
+    SQL_AGG_MAINTENANCE verbatim — bucketing is physical layout and
+    must change NOTHING, the same physical-rewrite contract as
+    latest_bucketed_persisted/merge_apply. The table stays registered
+    for reuse (the *_persisted convention)."""
+    import tempfile
+
+    from .operators.ivm import agg_state, merge_agg_deltas
+    from .sources.sinks import write_bucketed
+
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    keys = ["user_id", "event_type"]
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as long)").alias("cents"),
+    )
+    dropk = (F.col("event_type") == "signup") & (F.col("user_id") % 5 == 0)
+    base = ev.filter(F.col("event_id") % 10 < 7)
+    write_bucketed(
+        agg_state(base, keys, "cents"),
+        f"bkt_ivm{slug}",
+        keys,
+        n_buckets,
+        sort_cols=keys,
+        path=f"{tempfile.gettempdir()}/ivm_bucketed{slug}",
+    )
+    deltas = (
+        ev.filter((F.col("event_id") % 10 >= 7) & ~dropk)
+        .withColumn("mult", F.lit(1))
+        .unionByName(
+            base.filter((F.col("event_id") % 37 == 0) | dropk)
+            .withColumn("mult", F.lit(-1))
+        )
+    )
+    out = merge_agg_deltas(
+        spark.table(f"bkt_ivm{slug}"), deltas, keys, "cents"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "cnt",
+        (F.col("total") / 100.0).alias("sum_value"),
+    ).orderBy("user_id", "event_type")
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance record linkage (operators/fuzzy.py): every
     customer-name pair within Levenshtein distance 1 on a
@@ -9829,6 +9892,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 9 (window already consumed by the 24-row
     # backlog + r6 refreshes; queued for the round-10 window) ---
     "langid_scores": q_langid_scores,
+    "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
 }
 
 
@@ -10014,4 +10078,5 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_simhash": SQL_INCREMENTAL_DEDUP,
     "ivm_time_travel": SQL_IVM_TIME_TRAVEL,
     "langid_scores": SQL_LANGID_SCORES,
+    "ivm_bucketed_persisted": SQL_AGG_MAINTENANCE,
 }

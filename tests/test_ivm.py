@@ -153,3 +153,20 @@ def test_ivm_sink_retry_idempotent_and_composes(spark, tmp_path):
     write(b1, 1)
     again = {r.k: (r.cnt, r.total) for r in read_merge_sink(spark, sink).collect()}
     assert again == final
+
+
+def test_persisted_bucketed_fold_plan(spark, tmp_path):
+    """The graded ivm_bucketed_persisted round-trip at its real data
+    shape: snapshot written bucketed by the group keys, read back
+    from disk, folded — the snapshot side must contribute ZERO hash
+    exchanges (its bucketed scan already satisfies the fold join's
+    clustering); the single hash exchange in the plan is the
+    minimized delta."""
+    from alstom_spark_cassandra_spark.workloads import (
+        q_ivm_bucketed_persisted,
+    )
+
+    out = q_ivm_bucketed_persisted(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert out.count() > 0
