@@ -103,6 +103,7 @@ from .sketches import (
 from .fuzzy import deletion_variants, fuzzy_pairs
 from .ivm import agg_state, merge_agg_deltas
 from .langid import CharNBModel, classify_language, train_char_profiles
+from .quality_pipeline import quality_filter
 from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .repetition import repetition_stats
 from .rowindex import global_ntile, global_row_index
@@ -243,6 +244,7 @@ __all__ = [
     "symmetric_diff_rows",
     "table_profile",
     "temperature_quotas",
+    "quality_filter",
     "train_bigram_lm",
     "train_char_profiles",
     "triangle_counts",

@@ -9664,6 +9664,144 @@ ORDER BY d.doc_id
 """.format(a=_LANGID_ALPHA, **_LANGID_PERMS)
 
 
+def q_quality_filter_pipeline(spark, sf_dir):
+    """The composed Gopher/CCNet quality stack
+    (operators/quality_pipeline.py) — what a user actually runs:
+    intra-doc repetition fractions ∧ corpus-level repeated-substring
+    coverage ∧ bigram-LM perplexity folded into one (doc_id, kept,
+    reason) verdict, with the three decision variables kept as audit
+    columns. Thresholds (top_frac > 0.10, dup_frac > 0.15,
+    dup_char_frac > 0.75, avg_nll > 3.49) each drop a real sf0.01
+    slice so every reason value is exercised. The SCORING plan reads
+    documents at most TWICE (plan-asserted in tests/
+    test_quality_pipeline.py): one spine scan carrying the row-local
+    repetition struct + the outer-exploded bigram scoring, one span
+    probe against the eagerly-materialized repeated-gram set — vs
+    five-plus scans for the naive call-three-operators-and-join
+    composition. Decision variables are rounded half-up BEFORE the
+    strict-> threshold compare, so both engines compare identical
+    doubles (the same contracts the three individually-graded
+    component rows pin)."""
+    from .operators.lm_score import train_bigram_lm
+    from .operators.quality_pipeline import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    return quality_filter(
+        docs,
+        "doc_id",
+        "text",
+        lm,
+        max_top_frac=0.10,
+        max_dup_frac=0.15,
+        max_dup_char_frac=0.75,
+        max_avg_nll=3.49,
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_FILTER_PIPELINE = r"""
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS w
+  FROM documents
+),
+rg AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')
+                 for i in range(1, CAST(len(w) AS BIGINT))]) AS gram
+  FROM ws WHERE len(w) >= 2
+),
+rc AS (SELECT doc_id, gram, count(*) AS c FROM rg GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top_gram,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM rc GROUP BY 1
+),
+nrm AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN ''
+              ELSE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) END AS s
+  FROM documents
+),
+sg AS (
+  SELECT doc_id, i AS pos, substr(s, CAST(i AS INT), 20) AS gram
+  FROM nrm, unnest(range(1, CAST(length(s) - 20 + 2 AS BIGINT))) AS t(i)
+  WHERE length(s) >= 20
+),
+srep AS (SELECT gram FROM sg GROUP BY gram HAVING count(*) >= 2),
+hits AS (
+  SELECT sg.doc_id, sg.pos,
+         lag(sg.pos) OVER (PARTITION BY sg.doc_id ORDER BY sg.pos) AS prev
+  FROM sg JOIN srep USING (gram)
+),
+cov AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN prev IS NULL THEN 20
+                       ELSE least(20, pos - prev) END) AS BIGINT)
+           AS covered_chars
+  FROM hits GROUP BY 1
+),
+trbg AS (
+  SELECT unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                 for i in range(1, CAST(len(w) AS BIGINT))]) AS bg
+  FROM ws WHERE doc_id % 2 = 0 AND len(w) >= 2
+),
+big AS (SELECT bg, count(*) AS c12 FROM trbg GROUP BY bg),
+ctx AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM big GROUP BY 1
+),
+voc AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM ws WHERE doc_id % 2 = 0)
+),
+scbg AS (
+  SELECT doc_id,
+         unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)]
+                 for i in range(1, CAST(len(w) AS BIGINT))]) AS bg
+  FROM ws WHERE len(w) >= 2
+),
+lma AS (
+  SELECT s.doc_id,
+         avg(ln(coalesce(c.c1, 0) + (SELECT v FROM voc))
+             - ln(coalesce(b.c12, 0) + 1)) AS avg_nll
+  FROM scbg s
+  LEFT JOIN big b USING (bg)
+  LEFT JOIN ctx c ON c.w1 = split_part(s.bg, ' ', 1)
+  GROUP BY 1
+),
+v AS (
+  SELECT d.doc_id,
+         floor(rep.top_gram / nullif(rep.n_grams, 0) * 10000 + 0.5)
+           / 10000.0 AS top_frac,
+         floor(rep.dup_grams / nullif(rep.n_grams, 0) * 10000 + 0.5)
+           / 10000.0 AS dup_frac,
+         floor(coalesce(cov.covered_chars, 0)
+               / nullif(length(nrm.s), 0) * 10000 + 0.5)
+           / 10000.0 AS dup_char_frac,
+         floor(lma.avg_nll * 1000000 + 0.5) / 1000000.0 AS avg_nll
+  FROM documents d
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN cov USING (doc_id)
+  LEFT JOIN nrm USING (doc_id)
+  LEFT JOIN lma USING (doc_id)
+)
+SELECT doc_id, top_frac, dup_frac, dup_char_frac, avg_nll,
+       CASE WHEN coalesce(top_frac > 0.10 OR dup_frac > 0.15, false)
+              OR coalesce(dup_char_frac > 0.75, false)
+              OR coalesce(avg_nll > 3.49, false)
+            THEN 0 ELSE 1 END AS kept,
+       CASE WHEN coalesce(top_frac > 0.10 OR dup_frac > 0.15, false)
+              THEN 'repetition'
+            WHEN coalesce(dup_char_frac > 0.75, false) THEN 'dup_spans'
+            WHEN coalesce(avg_nll > 3.49, false) THEN 'perplexity'
+            ELSE 'ok' END AS reason
+FROM v
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9893,6 +10031,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # backlog + r6 refreshes; queued for the round-10 window) ---
     "langid_scores": q_langid_scores,
     "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
+    "quality_filter_pipeline": q_quality_filter_pipeline,
 }
 
 
@@ -10079,4 +10218,5 @@ ORACLE_SQL: dict[str, str] = {
     "ivm_time_travel": SQL_IVM_TIME_TRAVEL,
     "langid_scores": SQL_LANGID_SCORES,
     "ivm_bucketed_persisted": SQL_AGG_MAINTENANCE,
+    "quality_filter_pipeline": SQL_QUALITY_FILTER_PIPELINE,
 }
