@@ -221,6 +221,7 @@ __all__ = [
     "power_iteration",
     "pq_build",
     "pq_topk",
+    "quality_filter",
     "quantize_embedding",
     "read_bm25_index",
     "read_positional_index",
@@ -244,7 +245,6 @@ __all__ = [
     "symmetric_diff_rows",
     "table_profile",
     "temperature_quotas",
-    "quality_filter",
     "train_bigram_lm",
     "train_char_profiles",
     "triangle_counts",
