@@ -645,6 +645,48 @@ def main():
             }
         )
     )
+
+    # --- round-9: language identification + composed quality filter ----
+    from alstom_spark_cassandra_spark.operators.langid import (
+        classify_language,
+        train_char_profiles,
+    )
+    from alstom_spark_cassandra_spark.operators.lm_score import (
+        train_bigram_lm,
+    )
+    from alstom_spark_cassandra_spark.operators.quality_pipeline import (
+        quality_filter,
+    )
+
+    # five pseudo-languages via shifted character windows (the probe
+    # times the operator shape; accuracy is the graded query's job)
+    ldocs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 5).cast("string")).alias("lang"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 12), i -> "
+            "substring('abcdefghijklmnopqrstuvwxyzabcd', "
+            "cast((id * 7 + i * i) % 21 as int) "
+            "+ cast(id % 5 as int) + 1, 4)))"
+        ).alias("text"),
+    )
+    model = train_char_profiles(
+        ldocs.filter(F.col("doc_id") % 10 == 0), "text", "lang", n=2
+    )
+    t_lang = timed(classify_language(ldocs, "doc_id", "text", model))
+    qdocs = synth_docs.filter(F.col("doc_id") < 200_000)
+    lm = train_bigram_lm(qdocs.filter(F.col("doc_id") % 10 == 0), "text")
+    t_q = timed(quality_filter(qdocs, "doc_id", "text", lm))
+    print(
+        json.dumps(
+            {
+                "langid_docs_millions": 1.0,
+                "langid_train_100k_classify_1m_sec": t_lang,
+                "quality_filter_docs_millions": 0.2,
+                "quality_filter_sec": t_q,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -251,6 +251,8 @@ BNLJ_SANCTIONED = {
     "global_ntile",        # broadcast 1-row total-count scalar
     "langid_scores",       # grid = docs x broadcast(n_langs rows) +
                            # 1-row vocabulary-size scalar
+    "quality_filter_pipeline",  # broadcast 1-row LM vocabulary scalar
+                                # (the lm_perplexity attach, composed)
 }
 
 
