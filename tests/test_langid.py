@@ -119,3 +119,37 @@ def test_bad_gram_width(spark):
 
     with _pytest.raises(ValueError):
         train_char_profiles(_mk(spark, [(0, "x", "ab")]), "text", "lang", n=0)
+
+
+def test_bijection_equivariance(spark):
+    """Relabeling the alphabet bijectively (same map on train AND
+    score) maps gram types 1:1 and preserves every count — the NB
+    scores, integer anchors, and predictions must be IDENTICAL. Pins
+    that the algebra depends only on gram count structure, never on
+    which characters appear."""
+    rows = [
+        (0, "aa", "the quick brown fox jumps"),
+        (1, "bb", "pack my box with five dozen jugs"),
+        (2, "aa", "how vexingly quick daft zebras jump"),
+        (3, "bb", "sphinx of black quartz judge my vow"),
+    ]
+    phi = str.maketrans(
+        "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba"
+    )
+    mapped = [(i, lg, t.translate(phi)) for i, lg, t in rows]
+
+    def run(data):
+        df = spark.createDataFrame(
+            data, "doc_id long, lang string, text string"
+        )
+        model = train_char_profiles(
+            df.filter("doc_id % 2 = 0"), "text", "lang"
+        )
+        return {
+            r["doc_id"]: (
+                r["pred_lang"], r["n_grams"], r["hit_grams"], r["avg_ll"]
+            )
+            for r in classify_language(df, "doc_id", "text", model).collect()
+        }
+
+    assert run(rows) == run(mapped)

@@ -105,3 +105,43 @@ def test_graded_plan_reads_documents_at_most_twice(spark):
     assert len(scans) <= 2, plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_composition_equals_standalone_operators(spark):
+    """The two-scan fusion must be semantics-free: the pipeline's four
+    audit columns equal the three standalone operators' outputs
+    (rounded with the same contracts) on real driver testdata."""
+    from alstom_spark_cassandra_spark.operators.lm_score import bigram_nll
+    from alstom_spark_cassandra_spark.operators.repetition import (
+        repetition_stats,
+    )
+    from alstom_spark_cassandra_spark.operators.spans import (
+        repeated_span_stats,
+    )
+    from alstom_spark_cassandra_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lm = train_bigram_lm(docs.filter("doc_id % 2 = 0"), "text")
+    got = {
+        r["doc_id"]: r
+        for r in quality_filter(docs, "doc_id", "text", lm).collect()
+    }
+
+    def hu(x, d):
+        import math
+
+        return None if x is None else math.floor(x * 10**d + 0.5) / 10**d
+
+    rep = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    spn = {r["doc_id"]: r for r in repeated_span_stats(docs, "doc_id", "text").collect()}
+    ppl = {r["doc_id"]: r for r in bigram_nll(docs, "doc_id", "text", lm).collect()}
+    assert set(got) == set(rep)
+    for d, row in got.items():
+        r, s, p = rep[d], spn[d], ppl[d]
+        want_top = hu(r["top_gram"] / r["n_grams"], 4) if r["n_grams"] else None
+        want_dup = hu(r["dup_grams"] / r["n_grams"], 4) if r["n_grams"] else None
+        want_cov = hu(s["covered_chars"] / s["n_chars"], 4) if s["n_chars"] else None
+        assert row["top_frac"] == want_top, d
+        assert row["dup_frac"] == want_dup, d
+        assert row["dup_char_frac"] == want_cov, d
+        assert row["avg_nll"] == hu(p["avg_nll"], 6), d
