@@ -121,6 +121,11 @@ def train_char_profiles(
     """
     if n < 1:
         raise ValueError(f"gram width must be >= 1, got {n}")
+    if lang_col in ("g", "c", "__gs"):
+        raise ValueError(
+            f"lang_col {lang_col!r} collides with a working column —"
+            " rename the input"
+        )
     g = _char_grams(df, text_col, keep=[lang_col], n=n)
     grams = (
         g.groupBy(F.col(lang_col).alias("lang"), "g")
@@ -155,6 +160,15 @@ def classify_language(
     shorter than the gram width keep a row with ``n_grams`` = 0 and
     NULL prediction — they carry no evidence.
     """
+    reserved = {
+        "g", "lang", "c", "total", "v", "s", "hits", "n_grams",
+        "avg_ll", "__gs", "__rn", "__k",
+    }
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a working/output column —"
+            f" rename the input (reserved: {sorted(reserved)})"
+        )
     hint = F.broadcast if broadcast_model else (lambda d: d)
     scale = F.lit(float(10**decimals))
     half_up = lambda c: F.floor(c * scale + F.lit(0.5)) / scale  # noqa: E731

@@ -82,6 +82,17 @@ def quality_filter(
     two-scan plan contract and the rounding-then-compare convention.
     """
     L = span_min_len
+    reserved = {
+        "bg", "w1", "c12", "c1", "v", "doc", "s", "gram", "pos",
+        "pos0", "prev", "contrib", "covered_chars", "n_chars",
+        "n_bigrams", "rep", "avg_nll", "kept", "reason", "top_frac",
+        "dup_frac", "dup_char_frac", "__nchars", "__rep", "__bgs",
+    }
+    if id_col in reserved:
+        raise ValueError(
+            f"id_col {id_col!r} collides with a working/output column —"
+            f" rename the input (reserved: {sorted(reserved)})"
+        )
     # train_bigram_lm checkpoints the bigram counts (and contexts
     # derive from them), but the 1-row vocab scalar still carries the
     # raw training-scan lineage — left lazy it would re-scan the

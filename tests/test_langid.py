@@ -153,3 +153,18 @@ def test_bijection_equivariance(spark):
         }
 
     assert run(rows) == run(mapped)
+
+
+def test_reserved_id_col_raises(spark):
+    import pytest as _pytest
+
+    df = _mk(spark, [(0, "x", "ab")])
+    model = train_char_profiles(df, "text", "lang")
+    with _pytest.raises(ValueError, match="collides"):
+        classify_language(
+            df.withColumnRenamed("doc_id", "lang"), "lang", "text", model
+        )
+    with _pytest.raises(ValueError, match="collides"):
+        train_char_profiles(
+            df.withColumnRenamed("lang", "g"), "text", "g"
+        )

@@ -145,3 +145,12 @@ def test_composition_equals_standalone_operators(spark):
         assert row["dup_frac"] == want_dup, d
         assert row["dup_char_frac"] == want_cov, d
         assert row["avg_nll"] == hu(p["avg_nll"], 6), d
+
+
+def test_reserved_id_col_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "a b c")], "bg long, text string")
+    lm = train_bigram_lm(df, "text")
+    with _pytest.raises(ValueError, match="collides"):
+        quality_filter(df, "bg", "text", lm)
