@@ -9,6 +9,8 @@ Runs every __spark_entry__.queries() entry and its oracle_sql() twin
     is strictly stronger than the driver's value hash)
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py [sf_dir] --first N   # simulate
+       the driver's grading window (the first N registry entries)
 """
 
 from __future__ import annotations
@@ -86,7 +88,12 @@ def multiset(rows, kinds=None):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    first_n = None
+    if args[:1] == ["--first"]:
+        first_n = int(args[1])
+        args = args[2:]
+    only = set(args)
 
     import __spark_entry__ as e
     from alstom_spark_cassandra_spark.session import get_spark
@@ -101,6 +108,8 @@ def main():
     from alstom_spark_cassandra_spark.operators import free_local_checkpoints
 
     qs = e.queries()
+    if first_n is not None:
+        qs = dict(list(qs.items())[:first_n])
     oracles = e.oracle_sql()
     failures = []
     for name, fn in qs.items():
