@@ -158,7 +158,10 @@ def classify_language(
     seen) are the integer audit anchors that must match
     engine-to-engine before the float is even compared.  Documents
     shorter than the gram width keep a row with ``n_grams`` = 0 and
-    NULL prediction — they carry no evidence.
+    NULL prediction — they carry no evidence.  An EMPTY model (no
+    training rows) degrades every row to that same no-evidence shape:
+    the doc x lang grid is empty, so nothing can be scored or
+    counted.
     """
     reserved = {
         "g", "lang", "c", "total", "v", "s", "hits", "n_grams",

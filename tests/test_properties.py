@@ -612,3 +612,93 @@ def test_ivm_fold_any_batching_equals_recompute(spark, rows, split):
     # (and agg_state's Z-filter) drops; compare at view semantics
     got = {k: v for k, v in got.items() if v[0] != 0}
     assert got == want
+
+
+# langid: random corpora over a tiny alphabet, random train/score
+# split by parity — the Spark NB must agree with an independent
+# pure-Python reference on the integer anchors always, and on the
+# argmax whenever the reference's top-2 margin is clear (JVM and
+# libm logs differ in the last ulp ~1e-16; a 1e-5 margin guard makes
+# the comparison deterministic without weakening it — the rounding
+# contract itself is pinned exactly vs DuckDB by the graded row).
+langid_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),          # doc_id
+        st.sampled_from(["la", "lb", "lc"]),            # lang
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(rows=langid_corpora)
+def test_langid_equals_python_reference(spark, rows):
+    import math
+    from collections import Counter
+
+    from alstom_spark_cassandra_spark.operators.langid import (
+        classify_language,
+        train_char_profiles,
+    )
+
+    def grams(t):
+        return (
+            []
+            if t is None or len(t) < 2
+            else [t[i : i + 2] for i in range(len(t) - 1)]
+        )
+
+    # --- pure-Python reference -------------------------------------
+    prof, totals = {}, Counter()
+    for d, lg, t in rows:
+        if d % 2 == 0:
+            for g in grams(t):
+                prof[(lg, g)] = prof.get((lg, g), 0) + 1
+                totals[lg] += 1
+    vocab = len({g for (_, g) in prof})
+    langs = sorted(totals)
+    ref = {}
+    for d, lg, t in rows:
+        gs = grams(t)
+        if not gs or not langs:
+            # empty model: the engine's doc x lang grid is empty, so
+            # every row degrades to the no-evidence shape (n_grams 0,
+            # NULL prediction) — documented in classify_language
+            ref[d] = (None, 0 if not langs else len(gs), 0, None, None)
+            continue
+        scored = []
+        for cand in langs:
+            s = sum(math.log(prof.get((cand, g), 0) + 1) for g in gs)
+            hits = sum(1 for g in gs if (cand, g) in prof)
+            raw = s / len(gs) - math.log(totals[cand] + vocab)
+            rounded = math.floor(raw * 1e6 + 0.5) / 1e6
+            scored.append((-rounded, cand, hits))
+        scored.sort()
+        margin = (
+            abs(scored[0][0] - scored[1][0]) if len(scored) > 1 else 1.0
+        )
+        _, win, hits = scored[0]
+        ref[d] = (win, len(gs), hits, -scored[0][0], margin)
+
+    # --- engine ------------------------------------------------------
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    model = train_char_profiles(df.filter("doc_id % 2 = 0"), "text", "lang")
+    got = {
+        r["doc_id"]: r
+        for r in classify_language(df, "doc_id", "text", model).collect()
+    }
+
+    assert set(got) == set(ref)
+    for d, (win, n, hits, score, margin) in ref.items():
+        assert got[d]["n_grams"] == n, d
+        if win is None:
+            assert got[d]["pred_lang"] is None, d
+        elif margin is None or margin > 1e-5:
+            assert got[d]["pred_lang"] == win, (d, ref[d], got[d])
+            assert got[d]["hit_grams"] == hits, d
+            assert abs(got[d]["avg_ll"] - score) <= 2e-6, d
