@@ -126,9 +126,15 @@ def train_bigram_lm(df: DataFrame, text_col: str) -> BigramLM:
         f"THEN cast(array() as array<string>) "
         f"ELSE split(trim(lower({text_col})), '\\\\s+') END"
     )
+    # The 1-row vocab scalar carries the raw training-scan lineage;
+    # every consumer (perplexity, quality_filter — possibly many calls
+    # over one trained model) would re-scan the training corpus per
+    # use.  Checkpoint it once here, next to the bigrams: training
+    # pays the scan exactly once, reuse is free.
     vocab = (
         df.select(F.explode(F.expr(toks)).alias("t"))
         .agg(F.count_distinct("t").alias("v"))
+        .localCheckpoint(eager=True)
     )
     return BigramLM(bigrams=bigrams, contexts=contexts, vocab=vocab)
 

@@ -93,11 +93,11 @@ def quality_filter(
             f"id_col {id_col!r} collides with a working/output column —"
             f" rename the input (reserved: {sorted(reserved)})"
         )
-    # train_bigram_lm checkpoints the bigram counts (and contexts
-    # derive from them), but the 1-row vocab scalar still carries the
-    # raw training-scan lineage — left lazy it would re-scan the
-    # training corpus inside THIS plan, breaking the scan contract
-    vocab = lm.vocab.localCheckpoint(eager=True)
+    # train_bigram_lm checkpoints the whole model eagerly — bigrams
+    # AND the 1-row vocab scalar — so reusing one trained model across
+    # refresh batches pays the training scan once, not once per
+    # quality_filter call.
+    vocab = lm.vocab
 
     # ---- scan 1: the spine (repetition struct + n_chars + LM score)
     ws = (

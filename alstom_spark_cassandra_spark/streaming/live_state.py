@@ -592,13 +592,20 @@ def quota_stream(
 
     applyInPandasWithState delivers a key's micro-batch as MULTIPLE
     Arrow chunks (default `spark.sql.execution.arrow.maxRecordsPerBatch`
-    = 10k rows), so the chunks for the key are concatenated before the
-    one sort+admit — otherwise a key with more rows than the chunk
-    size in a single batch would be admitted chunk-by-chunk and the
-    within-batch ordering contract above would silently break at
-    exactly the scales that matter. Memory cost: one key's micro-batch
-    rows held at once, the floor any within-batch total order needs;
-    a saturated key skips the concat entirely."""
+    = 10k rows), so admission must span chunks — otherwise a key with
+    more rows than the chunk size in a single batch would be admitted
+    chunk-by-chunk and the within-batch ordering contract above would
+    silently break at exactly the scales that matter. To keep memory
+    bounded by O(cap + chunk) rather than O(key's micro-batch), each
+    chunk is stable-sorted and pruned to its first `cap - n` rows
+    BEFORE the cross-chunk concat: a row past position `cap - n` in
+    its own chunk's stable order is preceded by >= `cap - n` rows of
+    its chunk in the global stable order, so it can never be admitted
+    — the pruned prefixes admit exactly the same set (same ties: the
+    per-chunk stable sort preserves original order among equal keys,
+    and chunks concat in delivery order, so the final stable sort
+    tie-breaks identically to sorting the whole batch at once). A
+    saturated key skips all of it."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     if cap <= 0:
@@ -614,13 +621,27 @@ def quota_stream(
     ) -> Iterator[pd.DataFrame]:
         n = state.get[0] if state.exists else 0
         if n < cap:
-            # one concat per key: Arrow chunk boundaries must not be
-            # admission boundaries (see the docstring's ordering note)
-            pdf = pd.concat(list(pdfs), ignore_index=True)
-            pdf = pdf.dropna(subset=[order_col]).sort_values(
-                [order_col], kind="stable"
+            # Arrow chunk boundaries must not be admission boundaries,
+            # but holding the whole micro-batch is unbounded by cap —
+            # prune each chunk to its stable-sorted first `cap - n`
+            # rows (a provable superset of the admitted set, same
+            # ties; see the docstring's memory note), then do the one
+            # cross-chunk sort over O(cap * n_chunks) rows.
+            budget = cap - n
+            prefixes = [
+                c.sort_values([order_col], kind="stable").head(budget)
+                for c in (
+                    chunk.dropna(subset=[order_col]) for chunk in pdfs
+                )
+                if len(c)
+            ]
+            pdf = (
+                pd.concat(prefixes, ignore_index=True)
+                if prefixes
+                else pd.DataFrame(columns=out_cols)
             )
-            take = pdf.iloc[: cap - n]
+            pdf = pdf.sort_values([order_col], kind="stable")
+            take = pdf.iloc[:budget]
             if len(take):
                 take = take.assign(
                     quota_rank=range(n + 1, n + 1 + len(take))

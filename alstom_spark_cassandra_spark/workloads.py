@@ -5993,7 +5993,16 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag, files=None):
     for the same reason the small-scale path plans the stateful join
     with 8 state partitions instead of the session's 32 (the
     partition count is captured into the checkpoint at the first
-    batch, so the conf is restored immediately after the drain)."""
+    batch, so the conf is restored immediately after the drain).
+
+    CONCURRENCY ASSUMPTION: the small-scale 8-partition override is a
+    session-global `spark.sql.shuffle.partitions` set — any query
+    planned on the same SparkSession while the drain is in flight
+    would silently inherit it (there is no per-stream conf for the
+    stateful-join partition count; it is read from the session at
+    plan time). Safe here because the harness (driver, check_oracle,
+    bench) runs queries strictly sequentially on the shared session;
+    do not call this helper from concurrently-planning code."""
     import glob
     import os
     import shutil

@@ -91,7 +91,14 @@ def main():
     args = sys.argv[2:]
     first_n = None
     if args[:1] == ["--first"]:
-        first_n = int(args[1])
+        try:
+            first_n = int(args[1])
+        except (IndexError, ValueError):
+            print(
+                "usage: check_oracle.py [SF_DIR] [--first N] [QUERY ...]",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         args = args[2:]
     only = set(args)
 

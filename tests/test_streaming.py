@@ -1677,6 +1677,52 @@ def test_quota_stream_arrow_chunk_boundary(spark, tmp_path):
         spark.conf.set(key, old)
 
 
+def test_quota_stream_chunk_prune_tie_break(spark, tmp_path):
+    """Pins the round-10 memory bound: admit() prunes each Arrow chunk
+    to its stable-sorted first `cap - n` rows before the cross-chunk
+    concat, so memory is O(cap + chunk) not O(micro-batch). The prune
+    must not change tie-breaking: with every row sharing order_col=7
+    across 3 forced chunks of 4, the stable contract admits the first
+    `cap` rows in DELIVERY order (chunk order, then original position
+    within chunk) — exactly what sorting the whole batch at once
+    yields. A prune that reordered ties would admit a different v-set."""
+    import uuid
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        sch = "k long, event_id long, v long"
+        # 12 rows, all tied on event_id=7; v encodes delivery position
+        src = _stage_files(
+            spark, tmp_path,
+            [[(1, 7, pos) for pos in range(12)]],
+            sch,
+        )
+        stream = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        from alstom_spark_cassandra_spark.streaming import quota_stream
+
+        out = quota_stream(stream, ["k"], "event_id", ["v"], cap=5)
+        name = f"q_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {(r.v, r.quota_rank) for r in spark.table(name).collect()}
+        assert got == {(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)}
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_interval_join_replay_chunking_invariant(spark):
     """The round-9 replay-cost trim rests on one claim: the drained
     outer-join table is independent of how the feed is chunked into
