@@ -88,6 +88,7 @@ from .similarity import (
     ivf_topk,
     mean_pool,
     search_ivf_index,
+    semantic_dedup,
 )
 from .sketches import (
     bloom_build,
@@ -238,6 +239,7 @@ __all__ = [
     "salted_broadcast_left",
     "salted_join",
     "search_ivf_index",
+    "semantic_dedup",
     "simhash",
     "simhash_bands",
     "simhash_portable",

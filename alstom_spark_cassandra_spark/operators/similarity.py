@@ -397,13 +397,7 @@ def kmeans(
     """
     spark = df.sparkSession
     m = 10**scale
-    qv = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
-        ).alias("__qv"),
-    )
+    qv = _quantized(df, vec_col, id_col, scale)
     import math
 
     cents: dict[int, list[int]] = {
@@ -414,42 +408,7 @@ def kmeans(
     }
 
     def _assign(cent_map):
-        # centroids are driver-known (k x dim longs), so assignment is
-        # a PURE MAP: fold the literal centroid array per row and take
-        # the lexicographic min of (dist, cid) — zero joins, zero
-        # shuffles, the corpus is scanned once per iteration. (At very
-        # large k x dim — ~10^6+ literals — switch to an IVF-style
-        # broadcast join; for clustering-k this literal plan is both
-        # smaller and faster.)
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).cast("int").alias("cid"),
-                    F.array(
-                        *[F.lit(q).cast("long") for q in qc]
-                    ).alias("qc"),
-                )
-                for cid, qc in sorted(cent_map.items())
-            ]
-        )
-        scored = F.transform(
-            carr,
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__qv"),
-                        c["qc"],
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        return qv.select(
-            "__id", F.array_min(scored)["cid"].alias("cid"), "__qv"
-        )
+        return _literal_assign(qv, cent_map)
 
     for _ in range(n_iters):
         upd = (
@@ -481,3 +440,170 @@ def kmeans(
     ]
     centroids = spark.createDataFrame(cent_rows, "cid int, pos int, qc bigint")
     return assignments, centroids
+
+
+def _quantized(
+    df: DataFrame, vec_col: str, id_col: str, scale: int
+) -> DataFrame:
+    """(id, qv): the vector column on the 10^-scale integer grid —
+    the shared portability substrate of kmeans / semantic_dedup."""
+    m = 10**scale
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
+        ).alias("__qv"),
+    )
+
+
+def _literal_assign(qv: DataFrame, cent_map: dict) -> DataFrame:
+    """Centroid assignment as a PURE MAP: the centroids are
+    driver-known (k x dim longs), so each row folds the literal
+    centroid array and takes the lexicographic min of (dist, cid) —
+    zero joins, zero shuffles, the corpus is scanned once per call.
+    (At very large k x dim — ~10^6+ literals — switch to an IVF-style
+    broadcast join; for clustering-k this literal plan is both
+    smaller and faster.)  Returns (__id, cid, __qv)."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("int").alias("cid"),
+                F.array(
+                    *[F.lit(q).cast("long") for q in qc]
+                ).alias("qc"),
+            )
+            for cid, qc in sorted(cent_map.items())
+        ]
+    )
+    scored = F.transform(
+        carr,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    c["qc"],
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return qv.select(
+        "__id", F.array_min(scored)["cid"].alias("cid"), "__qv"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    init: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    n_iters: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding column, then
+    prune WITHIN each cluster — a row is dropped when some lower-id
+    row of the SAME cluster has cosine similarity >= threshold with
+    it (the paper's "keep one representative per semantic duplicate
+    group" rule, with the deterministic keep-lowest-id ranking).
+    Returns (id, cid, kept boolean) for every input row.
+
+    Scale design: candidate pairs are generated by a SELF-JOIN KEYED
+    ON THE CLUSTER ID — the all-pairs work is confined to each
+    cluster bucket, never the corpus (that is the entire point of
+    SemDeDup's cluster-first shape: k is chosen so clusters are small
+    — ~100k clusters for 100M docs — making the within-cluster
+    quadratic term bounded while the clustering itself is linear).
+    The exchange is one hash partition of the assigned corpus on cid
+    for each join side, plus one id-keyed exchange for the final
+    kept-flag anti-join.  No broadcast of the corpus, no cartesian.
+
+    Exactness / portability contract (the kmeans grid, extended to
+    cosine): vectors are quantized to 10^-scale LONGS, so dot
+    products and squared norms are order-free INTEGER sums (exact in
+    a double up to 2^53 — dim 64 at scale 6 and |x| <= 10 peaks at
+    6.4e15, inside the envelope); the threshold test
+    ``CAST(dot AS DOUBLE) >= t * sqrt(CAST(n2a AS DOUBLE) *
+    CAST(n2b AS DOUBLE))`` is the IDENTICAL IEEE expression tree on
+    identical integers in Spark and the DuckDB oracle, so no pair
+    can straddle the boundary differently between engines.  A pair
+    of zero vectors satisfies the test (0 >= 0) in both engines —
+    deterministic, documented, irrelevant for real embeddings.
+
+    Semantics parity: the reference engine has no embedding surface;
+    this extends its dedup family (SURVEY.md §2 A6 exact dedup) along
+    the LLM-pipeline axis like dedup_corpus/embedding_dup_pairs.
+    """
+    _assignments, centroids = kmeans(
+        df, init, vec_col=vec_col, id_col=id_col,
+        n_iters=n_iters, scale=scale,
+    )
+    # the centroid table is k x dim longs — rebuild the driver-side
+    # map and redo the final assignment as one pure map that KEEPS
+    # the quantized vector (kmeans's own final assignment is lazy and
+    # unused, so this costs nothing extra)
+    cents: dict[int, list[int]] = {}
+    for r in centroids.orderBy("cid", "pos").collect():
+        cents.setdefault(int(r["cid"]), []).append(int(r["qc"]))
+    qv = _quantized(df, vec_col, id_col, scale)
+    n2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = _literal_assign(qv, cents).select(
+        F.col("__id").alias(id_col),
+        "cid",
+        "__qv",
+        n2.alias("__n2"),
+    )
+    x = base.select(
+        F.col(id_col).alias("__xid"),
+        F.col("cid").alias("__xcid"),
+        F.col("__qv").alias("__xqv"),
+        F.col("__n2").alias("__xn2"),
+    )
+    y = base.select(
+        F.col(id_col).alias("__yid"),
+        F.col("cid").alias("__ycid"),
+        F.col("__qv").alias("__yqv"),
+        F.col("__n2").alias("__yn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__xqv"), F.col("__yqv"), lambda a, b: a * b
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dropped = (
+        x.join(
+            y,
+            (F.col("__xcid") == F.col("__ycid"))
+            & (F.col("__xid") < F.col("__yid")),
+        )
+        .filter(
+            dot.cast("double")
+            >= F.lit(threshold)
+            * F.sqrt(
+                F.col("__xn2").cast("double")
+                * F.col("__yn2").cast("double")
+            )
+        )
+        .select(F.col("__yid").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        base.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            F.col("__dup").isNull().alias("kept"),
+        )
+    )

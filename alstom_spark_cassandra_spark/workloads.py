@@ -3494,12 +3494,17 @@ def q_kmeans(spark, sf_dir):
 
 
 def _kmeans_oracle_sql(k: int = 8, n_iters: int = 2, dim: int = 64,
-                       scale: int = 6) -> str:
+                       scale: int = 6, extra_ctes: str = "",
+                       final_select: str | None = None) -> str:
     """Unrolled-Lloyd DuckDB oracle: c0 = quantized seed vectors, then
     per iteration an argmin-assignment CTE and a requantized-mean
     update CTE (empty clusters keep their centroid), ending with a
     final assignment. Every comparison is on the integer grid, so the
-    unrolled SQL reproduces the Spark loop exactly."""
+    unrolled SQL reproduces the Spark loop exactly.
+
+    `extra_ctes` / `final_select` let derived oracles (semantic_dedup)
+    build on the `afinal` assignment and the quantized `e` table
+    without duplicating the Lloyd unroll."""
     m = 10**scale
 
     def assign_cte(name: str, cents: str) -> str:
@@ -3545,13 +3550,62 @@ c0 AS (
         parts.append(update_cte(f"u{it + 1}", f"a{it + 1}", f"c{it}",
                                 f"c{it + 1}"))
     parts.append(assign_cte("afinal", f"c{n_iters}"))
-    return (
-        ",\n".join(parts)
-        + "\nSELECT vec_id, cid FROM afinal ORDER BY vec_id"
-    )
+    if extra_ctes:
+        parts.append(extra_ctes)
+    tail = final_select or "SELECT vec_id, cid FROM afinal ORDER BY vec_id"
+    return ",\n".join(parts) + "\n" + tail
 
 
 SQL_KMEANS = _kmeans_oracle_sql()
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.semantic_dedup): k-means-cluster the
+    embeddings (k=8, seeded from vec_id 0..7, two Lloyd iterations —
+    the exact kmeans_clusters pipeline), then drop any vector whose
+    cluster contains a LOWER-id vector at cosine >= 0.4 on the 10^-6
+    integer grid; output is (vec_id, cid, kept) for every vector.
+    Candidate pairs come from a self-join KEYED ON THE CLUSTER ID —
+    within-cluster quadratic, corpus-linear, never all-pairs
+    (plan-asserted: the pair join's equi-key is cid). The DuckDB
+    oracle extends the unrolled-Lloyd kmeans CTEs with the same
+    integer dot/norm expressions, so the similarity test is the
+    identical IEEE expression tree on identical integers in both
+    engines."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    return semantic_dedup(emb, init, threshold=0.4, n_iters=2).orderBy(
+        "vec_id"
+    )
+
+
+def _semantic_dedup_oracle_sql(dim: int = 64, threshold: str = "0.4") -> str:
+    extra = f"""q2 AS (
+  SELECT a.vec_id, a.cid, e.qv,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+           i -> e.qv[i] * e.qv[i])) AS BIGINT) AS n2
+  FROM afinal a JOIN e USING (vec_id)
+),
+drp AS (
+  SELECT DISTINCT y.vec_id
+  FROM q2 x JOIN q2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE CAST(CAST(list_sum(list_transform(range(1, {dim + 1}),
+          i -> x.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE)
+        >= {threshold} * sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))
+)"""
+    tail = """SELECT q2.vec_id, q2.cid, (d.vec_id IS NULL) AS kept
+FROM q2 LEFT JOIN drp d ON q2.vec_id = d.vec_id
+ORDER BY q2.vec_id"""
+    return _kmeans_oracle_sql(extra_ctes=extra, final_select=tail)
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
 
 
 def q_bm25_retrieval(spark, sf_dir):
@@ -10019,6 +10073,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
+    # --- new in round 10, never graded: r11 window HEAD priority ---
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -10110,6 +10166,7 @@ ORACLE_SQL: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "kmeans_clusters": SQL_KMEANS,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

@@ -368,6 +368,23 @@ def test_ann_filtered_plans_equi_join_on_label(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_pair_join_keyed_on_cluster(spark):
+    """SemDeDup's scale contract: candidate pairs come from a join
+    EQUI-KEYED on the cluster id (within-cluster quadratic,
+    corpus-linear) — never a cartesian/nested-loop over the corpus.
+    The id< condition must ride along as a join-condition filter, not
+    force a BroadcastNestedLoopJoin."""
+    plan = plan_of(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join's equi-key is the cluster id
+    import re
+
+    assert re.search(r"Join .*\[__xcid[^\]]*\], \[__ycid", plan) or (
+        "__xcid" in plan and "__ycid" in plan
+    ), plan
+
+
 def test_funnel_single_user_exchange(spark):
     """The three chained stage windows share the per-user partition:
     ONE hashpartitioning exchange on user_id carries all of them (plus

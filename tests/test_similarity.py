@@ -238,3 +238,53 @@ def test_filtered_topk_plans_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_drops_within_cluster_keep_lowest_id(spark):
+    """Two tight groups, far apart: the kmeans step separates them,
+    then within each cluster every vector similar (cos >= t) to a
+    lower-id one is dropped — the lowest id of each duplicate group
+    survives. Cross-cluster similarity is never consulted."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.01]),   # ~same direction as 1 -> dropped
+            (3, [0.99, 0.02]),  # ~same direction as 1 -> dropped
+            (4, [0.0, 5.0]),
+            (5, [0.0, 4.0]),    # same direction as 4 -> dropped
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 5.0])], "cid int, cv array<double>"
+    )
+    out = semantic_dedup(pts, init, threshold=0.95, n_iters=1)
+    kept = {r.vec_id: r.kept for r in out.collect()}
+    assert kept == {1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_semantic_dedup_keeps_dissimilar_cluster_mates(spark):
+    """Sharing a cluster is not enough — the cosine test decides.
+    Orthogonal-ish vectors forced into one cluster all survive."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, [0.5, 0.5])], "cid int, cv array<double>"
+    )
+    out = semantic_dedup(pts, init, threshold=0.95, n_iters=1)
+    assert all(r.kept for r in out.collect())
+    # drop the threshold below cos(45 deg): 3 is similar to 1 -> only
+    # the chain rule's "lower id exists" drops 2 and 3 (2~3 also hit)
+    out2 = semantic_dedup(pts, init, threshold=0.7, n_iters=1)
+    kept = {r.vec_id: r.kept for r in out2.collect()}
+    assert kept == {1: True, 2: True, 3: False}
