@@ -104,6 +104,7 @@ from .sketches import (
 from .fuzzy import deletion_variants, fuzzy_pairs
 from .ivm import agg_state, merge_agg_deltas
 from .langid import CharNBModel, classify_language, train_char_profiles
+from .corpus_pipeline import curate
 from .quality_pipeline import quality_filter
 from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .repetition import repetition_stats
@@ -222,6 +223,7 @@ __all__ = [
     "power_iteration",
     "pq_build",
     "pq_topk",
+    "curate",
     "quality_filter",
     "quantize_embedding",
     "read_bm25_index",

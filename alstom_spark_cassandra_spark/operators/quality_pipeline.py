@@ -72,6 +72,7 @@ def quality_filter(
     rep_n: int = 2,
     span_min_len: int = 20,
     span_min_count: int = 2,
+    extra_cols: dict | None = None,
 ) -> DataFrame:
     """(id_col, top_frac, dup_frac, dup_char_frac, avg_nll, kept,
     reason) for every input row — the composed Gopher/CCNet verdict.
@@ -80,6 +81,15 @@ def quality_filter(
     ``reason`` is 'repetition' | 'dup_spans' | 'perplexity' | 'ok'
     (first failing signal wins).  See the module docstring for the
     two-scan plan contract and the rounding-then-compare convention.
+
+    ``extra_cols`` maps output names to ROW-LOCAL Column expressions
+    over the input row; they ride the spine scan (computed once in
+    the spine projection, carried through the per-document
+    re-aggregation as ``first()``) and are appended to the output —
+    the hook that lets a larger pipeline (corpus_pipeline.curate)
+    attach pass-through labels, content hashes, or split keys without
+    buying another corpus scan.  Expressions must be deterministic
+    and row-local (no aggregates/windows).
     """
     L = span_min_len
     reserved = {
@@ -93,6 +103,13 @@ def quality_filter(
             f"id_col {id_col!r} collides with a working/output column —"
             f" rename the input (reserved: {sorted(reserved)})"
         )
+    extra_cols = dict(extra_cols or {})
+    for k in extra_cols:
+        if k in reserved or k == id_col:
+            raise ValueError(
+                f"extra_cols name {k!r} collides with a working/output"
+                f" column (reserved: {sorted(reserved)})"
+            )
     # train_bigram_lm checkpoints the whole model eagerly — bigrams
     # AND the 1-row vocab scalar — so reusing one trained model across
     # refresh batches pays the training scan once, not once per
@@ -123,10 +140,12 @@ def quality_filter(
         F.length(F.expr(norm)).cast("long").alias("__nchars"),
         F.expr(_stats_expr(text_col, rep_n)).alias("__rep"),
         F.expr(bgs).alias("__bgs"),
+        *(c.alias(k) for k, c in extra_cols.items()),
     ).select(
         id_col,
         "__nchars",
         "__rep",
+        *extra_cols,
         F.explode_outer("__bgs").alias("bg"),
     )
     has_bg = F.col("bg").isNotNull()
@@ -139,6 +158,7 @@ def quality_filter(
         .agg(
             F.first("__nchars").alias("n_chars"),
             F.first("__rep").alias("rep"),
+            *(F.first(k).alias(k) for k in extra_cols),
             F.count("bg").alias("n_bigrams"),
             F.avg(
                 F.when(
@@ -227,4 +247,5 @@ def quality_filter(
         .when(ppl_bad, F.lit("perplexity"))
         .otherwise(F.lit("ok"))
         .alias("reason"),
+        *extra_cols,
     )

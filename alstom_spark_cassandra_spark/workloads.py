@@ -9762,8 +9762,10 @@ def q_quality_filter_pipeline(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-SQL_QUALITY_FILTER_PIPELINE = r"""
-WITH ws AS (
+# the quality stack's CTE chain (through the decision-variable table
+# `v`) is shared verbatim with the corpus_pipeline_v2 oracle — the
+# composed pipeline must reproduce the standalone verdict exactly
+_SQL_QUALITY_CTES = r"""ws AS (
   SELECT doc_id,
          CASE WHEN text IS NULL OR trim(text) = ''
               THEN CAST([] AS VARCHAR[])
@@ -9849,8 +9851,9 @@ v AS (
   LEFT JOIN cov USING (doc_id)
   LEFT JOIN nrm USING (doc_id)
   LEFT JOIN lma USING (doc_id)
-)
-SELECT doc_id, top_frac, dup_frac, dup_char_frac, avg_nll,
+)"""
+
+_SQL_QUALITY_VERDICT = """
        CASE WHEN coalesce(top_frac > 0.10 OR dup_frac > 0.15, false)
               OR coalesce(dup_char_frac > 0.75, false)
               OR coalesce(avg_nll > 3.49, false)
@@ -9859,10 +9862,160 @@ SELECT doc_id, top_frac, dup_frac, dup_char_frac, avg_nll,
               THEN 'repetition'
             WHEN coalesce(dup_char_frac > 0.75, false) THEN 'dup_spans'
             WHEN coalesce(avg_nll > 3.49, false) THEN 'perplexity'
-            ELSE 'ok' END AS reason
-FROM v
+            ELSE 'ok' END AS reason"""
+
+SQL_QUALITY_FILTER_PIPELINE = (
+    "WITH "
+    + _SQL_QUALITY_CTES
+    + "\nSELECT doc_id, top_frac, dup_frac, dup_char_frac, avg_nll,"
+    + _SQL_QUALITY_VERDICT
+    + "\nFROM v\nORDER BY doc_id\n"
+)
+
+
+def q_corpus_pipeline_v2(spark, sf_dir):
+    """The four-stage production curation pipeline in CCNet order
+    (operators/corpus_pipeline.curate): language identification
+    (char-bigram NB, the langid_scores model and cipher) → the
+    Gopher/CCNet quality stack (the quality_filter_pipeline
+    thresholds) → exact dedup among survivors (keep-lowest-id by
+    content hash) → content-addressed 90/10 split. One verdict row
+    per document: (doc_id, lang, pred_lang, kept, reason, split)
+    with reason ∈ {lang, repetition, dup_spans, perplexity, dup,
+    kept} — the first failing stage wins, exactly each stage's own
+    graded contract. The FUSED plan reads documents exactly THREE
+    times (plan-asserted): the quality spine (which also carries the
+    lang-id gram-count length expression, the dedup hash and the
+    split key via quality_filter's extra_cols hook), the span probe,
+    and the sparse lang-id gram probe — vs 6+ scans for the naive
+    call-four-operators-and-join composition."""
+    from .operators.corpus_pipeline import curate
+    from .operators.langid import train_char_profiles
+    from .operators.lm_score import train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    cipher = F.col("text")
+    for lg, perm in _LANGID_PERMS.items():
+        cipher = F.when(
+            F.col("lang") == lg, F.translate("text", _LANGID_ALPHA, perm)
+        ).otherwise(cipher)
+    m = docs.select("doc_id", "lang", cipher.alias("t"))
+    nb = train_char_profiles(
+        m.filter(F.col("doc_id") % 5 != 0), "t", "lang", n=2
+    )
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    return curate(
+        docs,
+        "doc_id",
+        "text",
+        nb,
+        lm,
+        "en",
+        langid_text=cipher,
+        keep_cols=("lang",),
+        max_top_frac=0.10,
+        max_dup_frac=0.15,
+        max_dup_char_frac=0.75,
+        max_avg_nll=3.49,
+    ).orderBy("doc_id")
+
+
+SQL_CORPUS_PIPELINE_V2 = (
+    """
+WITH m AS (
+  SELECT doc_id, lang,
+         CASE lang
+           WHEN 'de' THEN translate(text, '{a}', '{de}')
+           WHEN 'es' THEN translate(text, '{a}', '{es}')
+           WHEN 'fr' THEN translate(text, '{a}', '{fr}')
+           WHEN 'zh' THEN translate(text, '{a}', '{zh}')
+           ELSE text END AS t
+  FROM documents
+),
+trg AS (
+  SELECT lang,
+         unnest([substr(t, CAST(i AS INT), 2)
+                 for i in range(1, CAST(length(t) AS BIGINT))]) AS g
+  FROM m WHERE doc_id % 5 <> 0 AND length(t) >= 2
+),
+prof AS (SELECT lang, g, count(*) AS c FROM trg GROUP BY 1, 2),
+ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM prof GROUP BY 1),
+lvoc AS (SELECT count(DISTINCT g) AS v FROM prof),
+lscg AS (
+  SELECT doc_id,
+         unnest([substr(t, CAST(i AS INT), 2)
+                 for i in range(1, CAST(length(t) AS BIGINT))]) AS g
+  FROM m WHERE length(t) >= 2
+),
+lpart AS (
+  SELECT s.doc_id, p.lang, sum(ln(p.c + 1)) AS s
+  FROM lscg s JOIN prof p USING (g) GROUP BY 1, 2
+),
+lds AS (
+  SELECT doc_id,
+         CASE WHEN t IS NULL OR length(t) < 2 THEN 0
+              ELSE length(t) - 1 END AS n_grams
+  FROM m
+),
+lsc AS (
+  SELECT d.doc_id, t.lang,
+         floor((coalesce(p.s, 0) / nullif(d.n_grams, 0)
+                - ln(t.total + (SELECT v FROM lvoc))) * 1000000 + 0.5)
+           / 1000000.0 AS avg_ll
+  FROM lds d CROSS JOIN ltot t
+  LEFT JOIN lpart p ON p.doc_id = d.doc_id AND p.lang = t.lang
+),
+lbest AS (
+  SELECT doc_id, lang, avg_ll,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY avg_ll DESC, lang ASC) AS rn
+  FROM lsc
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN avg_ll IS NULL THEN NULL ELSE lang END AS pred_lang
+  FROM lbest WHERE rn = 1
+),
+""".format(a=_LANGID_ALPHA, **_LANGID_PERMS)
+    + _SQL_QUALITY_CTES
+    + ",\nqual AS (\n  SELECT doc_id,"
+    + _SQL_QUALITY_VERDICT
+    + r"""
+  FROM v
+),
+j AS (
+  SELECT d.doc_id, d.lang, p.pred_lang, q.kept AS q_kept,
+         q.reason AS q_reason,
+         md5(coalesce(d.text, '')) AS h,
+         substr(md5('split-v1' || coalesce(d.text, '')), 1, 4) AS sk,
+         coalesce(p.pred_lang = 'en', false) AND q.kept = 1 AS pre
+  FROM documents d
+  LEFT JOIN pred p USING (doc_id)
+  JOIN qual q USING (doc_id)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY h, pre ORDER BY doc_id) AS rnh
+  FROM j
+),
+rr AS (
+  SELECT doc_id, lang, pred_lang, sk,
+         CASE WHEN NOT coalesce(pred_lang = 'en', false) THEN 'lang'
+              WHEN q_reason <> 'ok' THEN q_reason
+              WHEN rnh > 1 THEN 'dup'
+              ELSE 'kept' END AS reason
+  FROM r
+)
+SELECT doc_id, lang, pred_lang,
+       CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS kept,
+       reason,
+       CASE WHEN reason = 'kept'
+            THEN CASE WHEN sk < 'e666' THEN 'train' ELSE 'eval' END
+       END AS split
+FROM rr
 ORDER BY doc_id
 """
+)
 
 
 # ---------------------------------------------------------------------------
@@ -10075,6 +10228,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q7": q_tpch_q7,
     # --- new in round 10, never graded: r11 window HEAD priority ---
     "semantic_dedup": q_semantic_dedup,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
 }
 
 
@@ -10167,6 +10321,7 @@ ORACLE_SQL: dict[str, str] = {
     "passage_dedup": SQL_PASSAGE_DEDUP,
     "kmeans_clusters": SQL_KMEANS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "corpus_pipeline_v2": SQL_CORPUS_PIPELINE_V2,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

@@ -253,6 +253,9 @@ BNLJ_SANCTIONED = {
                            # 1-row vocabulary-size scalar
     "quality_filter_pipeline",  # broadcast 1-row LM vocabulary scalar
                                 # (the lm_perplexity attach, composed)
+    "corpus_pipeline_v2",  # the two attaches above composed: grid =
+                           # docs x broadcast(n_langs rows) + the two
+                           # 1-row vocabulary scalars
 }
 
 
