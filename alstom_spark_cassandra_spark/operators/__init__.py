@@ -110,7 +110,12 @@ from .lm_score import BigramLM, bigram_nll, train_bigram_lm
 from .repetition import repetition_stats
 from .rowindex import global_ntile, global_row_index
 from .spans import repeated_span_stats
-from .skew import salted_agg, salted_broadcast_left, salted_join
+from .skew import (
+    salted_agg,
+    salted_broadcast_left,
+    salted_join,
+    salted_latest,
+)
 from .timeseries import ohlc_bars, resample_linear, rolling_zscore
 from .winnow import winnow_fingerprints, winnow_overlap_pairs
 
@@ -240,6 +245,7 @@ __all__ = [
     "salted_agg",
     "salted_broadcast_left",
     "salted_join",
+    "salted_latest",
     "search_ivf_index",
     "semantic_dedup",
     "simhash",

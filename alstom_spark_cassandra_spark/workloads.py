@@ -5799,6 +5799,54 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_skewed_latest(spark, sf_dir):
+    """Skew-stress argmax (operators/skew.salted_latest): every
+    even-user event is remapped onto ONE hot series (series -1 ≈ 50%
+    of all rows — SCALE.md's skew-probe shape, now a graded
+    contract), then latest-per-series runs through the two-phase
+    salted path: top-1 per (series, salt-of-event_id) spreads the hot
+    series across 16 reducers (each WindowGroupLimit-pruned map-side),
+    then top-1 per series over the ≤16 survivors. AQE's skew join
+    splitting never reaches WINDOW partitions, so salting is the
+    mechanism that makes a 50%-hot argmax scale — and the oracle runs
+    the PLAIN argmax: like salted_join/salted_agg, the rewrite is
+    physical and must change nothing (event_id is unique, so the
+    order is total and the contract exact). The salted two-window
+    shape is pinned by tests/test_skew.py."""
+    from .operators.skew import salted_latest
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("series"),
+        "event_id",
+        "value",
+    )
+    out = salted_latest(
+        ev, ["series"], "event_id", n_salts=16, salt_cols=["event_id"]
+    )
+    return out.select(
+        "series",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    ).orderBy("series")
+
+
+SQL_SKEWED_LATEST = """
+SELECT series, event_id AS last_event_id, value AS last_value
+FROM (
+  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS series,
+         event_id, value,
+         row_number() OVER (
+           PARTITION BY CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END
+           ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY series
+"""
+
+
 def q_bucketed_join_persisted(spark, sf_dir):
     """Shuffle-free join on a PERSISTED bucketed layout (sources/
     sinks.write_bucketed — proving the claim its docstring makes):
@@ -10229,6 +10277,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 10, never graded: r11 window HEAD priority ---
     "semantic_dedup": q_semantic_dedup,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "skewed_latest": q_skewed_latest,
 }
 
 
@@ -10322,6 +10371,7 @@ ORACLE_SQL: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "corpus_pipeline_v2": SQL_CORPUS_PIPELINE_V2,
+    "skewed_latest": SQL_SKEWED_LATEST,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

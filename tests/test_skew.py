@@ -99,3 +99,46 @@ def test_salt_cols_spreads_duplicate_rows(spark):
         n_salts=4, salt_cols=["rid"],
     ).collect()[0]
     assert (got.n, got.s) == (400, 400)
+
+
+def test_salted_latest_matches_plain_and_spreads(spark):
+    """salted_latest is a physical rewrite: on a 50%-hot key with a
+    total order it must equal plain latest_per_key exactly, and its
+    phase-1 window must actually spread the hot key across salts."""
+    from alstom_spark_cassandra_spark.operators.latest import (
+        latest_per_key,
+    )
+    from alstom_spark_cassandra_spark.operators.skew import salted_latest
+
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % 7)
+        .alias("k"),
+        F.col("id").alias("ord"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    plain = {
+        (r.k, r.ord, r.payload)
+        for r in latest_per_key(df, ["k"], "ord").collect()
+    }
+    salted = salted_latest(df, ["k"], "ord", n_salts=8, salt_cols=["ord"])
+    got = {(r.k, r.ord, r.payload) for r in salted.collect()}
+    assert got == plain and len(got) == 7
+
+
+def test_skewed_latest_salted_two_window_plan(spark):
+    """The graded query's skew contract: the plan runs TWO window
+    stages and the first one partitions on (..., __salt) — the hot
+    series spreads before any single reducer sees it; both windows
+    WindowGroupLimit-prune map-side; no join in the plan at all."""
+    from alstom_spark_cassandra_spark.workloads import q_skewed_latest
+
+    out = q_skewed_latest(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "__salt" in plan
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*__salt", plan), plan
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Join" not in plan
