@@ -13,6 +13,7 @@ from .sinks import (
     day_col,
     write_bucketed,
     write_compacted_log,
+    write_table,
     write_partitioned,
 )
 
@@ -30,5 +31,6 @@ __all__ = [
     "stream_source",
     "write_bucketed",
     "write_compacted_log",
+    "write_table",
     "write_partitioned",
 ]

@@ -66,6 +66,43 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def write_table(
+    df: DataFrame, base: str, name: str, mode: str = "append"
+) -> None:
+    """Write one logical table — the symmetric write side of
+    sources/loader.load_table's base-string convention: ``base`` is a
+    parquet directory (``{base}/{name}.parquet``) or a Cassandra
+    keyspace when prefixed ``cassandra://``.
+
+    The Cassandra branch closes the reference surface's last
+    asymmetry: Backup.java:43-61 INTENDS to write the compacted log
+    back to the cluster (the repo only ever shows it), and the read
+    path here already speaks ``cassandra://``
+    (sources/loader.load_table) — so the write side uses the same
+    connector format string and option names, requiring only the
+    spark-cassandra-connector jar on the classpath at deploy time
+    (without it Spark raises its standard failed-to-find-data-source
+    error, which is what the unit test pins: the dispatch and option
+    assembly are exercised; the cluster round-trip is a deployment
+    concern).
+
+    ``mode`` defaults to append — the natural semantics for both a
+    log write-back and a Cassandra upsert; pass "overwrite" (with the
+    connector's ``confirm.truncate`` at deploy time) for replace
+    semantics.
+    """
+    if base.startswith("cassandra://"):
+        keyspace = base[len("cassandra://") :]
+        (
+            df.write.format("org.apache.spark.sql.cassandra")
+            .options(table=name, keyspace=keyspace)
+            .mode(mode)
+            .save()
+        )
+        return
+    df.write.mode(mode).parquet(f"{base}/{name}.parquet")
+
+
 def write_compacted_log(
     compacted: DataFrame, path: str, mode: str = "overwrite"
 ) -> None:

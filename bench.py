@@ -7,6 +7,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query materializes through the noop sink so the full plan
 executes (count() alone lets Catalyst prune work).
+
+MEASUREMENT PROTOCOL (read before comparing rounds): the contract
+number is wall-clock on an OTHERWISE-QUIET box. The per-round driver
+artifact (BENCH_r{N}.json) may run concurrently with other driver
+work and has measured ±10%-class environment swings on identical
+code (r8→r9: 16.59 s → 18.03 s driver-box with ZERO code changes to
+the moved queries, 16.93 s same-round quiet-box). Treat a total
+within ~10% of the previous round as noise unless a specific query
+regressed with a code change to explain it; SCALE.md records the
+quiet-box number alongside each round's driver artifact.
 """
 
 from __future__ import annotations
