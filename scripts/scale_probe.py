@@ -687,6 +687,102 @@ def main():
             }
         )
     )
+
+    # --- round-10: salted window argmax under 50% skew ---------------
+    # the window analog of the salted_agg probe above: AQE splits
+    # oversized JOIN partitions but never WINDOW partitions, so a
+    # 50%-hot key funnels into one reducer under the plain argmax.
+    from alstom_spark_cassandra_spark.operators.skew import salted_latest
+
+    n = int(sizes_m[-1] * 1_000_000)
+    skw = synth_events(spark, n, n_users=1000, skew=True).cache()
+    skw.count()
+    t_plain = timed(latest_per_key(skw, ["user_id"], "event_id"))
+    t_salted = timed(
+        salted_latest(skw, ["user_id"], "event_id", salt_cols=["event_id"])
+    )
+    print(
+        json.dumps(
+            {
+                "skew_rows_millions": sizes_m[-1],
+                "plain_latest": t_plain,
+                "salted_latest": t_salted,
+            }
+        )
+    )
+    skw.unpersist()
+
+    # --- round-10: SemDeDup at two corpus sizes, cluster size fixed --
+    # the paper's scaling contract: k grows with the corpus so the
+    # within-cluster quadratic term stays bounded (~200 vectors per
+    # cluster here). Doubling the corpus at fixed cluster size should
+    # grow wall near-linearly; superlinear growth would falsify the
+    # cluster-confinement claim.
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    def synth_emb(n_vecs: int, k: int):
+        emb = spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, 15), p -> "
+                f"round(cast((id % {k}) * 37 + p * 101 as double) "
+                f"/ 29.0 % 7.0 "
+                f"+ cast((id * 13 + p * 7) % 11 as double) / 1000.0, 6))"
+            ).alias("embedding"),
+        )
+        init = spark.range(k).select(
+            F.col("id").cast("int").alias("cid"),
+            F.expr(
+                "transform(sequence(0, 15), p -> "
+                "round(cast(id * 37 + p * 101 as double) / 29.0 % 7.0, 6))"
+            ).alias("cv"),
+        )
+        return emb, init
+
+    sem = {}
+    for n_vecs, k in ((100_000, 512), (200_000, 1024)):
+        emb, init = synth_emb(n_vecs, k)
+        emb = emb.cache()
+        emb.count()
+        sem[f"semantic_dedup_{n_vecs // 1000}k_k{k}"] = timed(
+            semantic_dedup(emb, init, threshold=0.99, n_iters=2)
+        )
+        emb.unpersist()
+    print(json.dumps(sem))
+
+    # --- round-10: fused curation pipeline (corpus_pipeline.curate) --
+    # same 200k-doc shape as the quality_filter probe above, plus a
+    # 5-language label for the lang-id stage; the delta over the bare
+    # quality_filter number is the cost of lang-id + dedup + split
+    # riding the fused three-scan plan.
+    from alstom_spark_cassandra_spark.operators.corpus_pipeline import curate
+
+    cdocs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("L"), (F.col("id") % 5).cast("string")).alias(
+            "lang"
+        ),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), i -> "
+            "substring('abcdefghijklmnopqrstuvwxyzabcd', "
+            "cast((id * 7 + i * i) % 21 as int) "
+            "+ cast(id % 5 as int) + 1, 4)))"
+        ).alias("text"),
+    ).cache()
+    cdocs.count()
+    nb = train_char_profiles(
+        cdocs.filter(F.col("doc_id") % 10 == 0), "text", "lang", n=2
+    )
+    clm = train_bigram_lm(cdocs.filter(F.col("doc_id") % 10 == 0), "text")
+    t_cur = timed(curate(cdocs, "doc_id", "text", nb, clm, "L0"))
+    print(
+        json.dumps(
+            {"curate_docs_millions": 0.2, "curate_sec": t_cur}
+        )
+    )
+    cdocs.unpersist()
     spark.stop()
 
 
