@@ -55,7 +55,7 @@ from .multimodal import (
     resize_bmp_nearest,
 )
 from .pca import gram_matrix, power_iteration
-from .pq import pq_build, pq_topk
+from .pq import pq_build, pq_rerank_topk, pq_topk
 from .quantize import dequantize_embedding, quantize_embedding
 from .range_join import interval_join
 from .retrieval import (
@@ -227,6 +227,7 @@ __all__ = [
     "pii_scan",
     "power_iteration",
     "pq_build",
+    "pq_rerank_topk",
     "pq_topk",
     "curate",
     "quality_filter",

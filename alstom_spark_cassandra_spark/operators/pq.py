@@ -153,3 +153,75 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adist", "rank")
     )
+
+
+def pq_rerank_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    vec_col: str = "embedding",
+    k: int = 10,
+    shortlist: int = 30,
+    scale: int = 6,
+) -> DataFrame:
+    """PQ search with exact refinement (Jégou et al. TPAMI'11 §V-D's
+    re-ranking; the pattern production ANN stacks ship as
+    IVFADC+refine): the compressed-domain ADC scan shortlists
+    `shortlist` candidates per query, then ONLY those candidates are
+    reranked by EXACT cosine against the raw vector table, keeping
+    the top `k`. Output (query_id, vec_id, cosine, rank) —
+    cosine_topk's schema, so the two ends of the accuracy/cost
+    spectrum (brute force vs compressed+refine) are drop-in
+    interchangeable.
+
+    Scale shape: the full-corpus scan happens ONLY in the code domain
+    (~1000× smaller than raw at 100 TB); the raw vector table is
+    touched through one equi-join against the BROADCAST shortlist
+    (|Q| × shortlist rows by construction), so exact math runs on a
+    bounded candidate set, never the corpus. Determinism: the ADC
+    shortlist is an integer argmin with id tiebreak (bit-stable), and
+    the rerank reuses cosine_topk's exact expression tree, so the
+    whole two-stage pipeline reproduces in the DuckDB oracle.
+    """
+    from .similarity import cosine
+
+    short = pq_topk(
+        codes,
+        codebooks,
+        queries,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        k=shortlist,
+        scale=scale,
+    )
+    cand = short.select("query_id", id_col)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("__qv"),
+    )
+    scored = (
+        c.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -3715,6 +3715,37 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(codes, books, queries, k=10).orderBy("query_id", "rank")
 
 
+def q_pq_rerank_topk(spark, sf_dir):
+    """PQ + exact refine (operators/pq.pq_rerank_topk): the same
+    4x8x2-Lloyd PQ index as pq_topk shortlists 30 candidates per
+    query in the compressed domain, then ONLY those 30 are reranked
+    by exact cosine against the raw vectors (top-10 kept) — the
+    production compressed-scan + refine pattern (Jégou TPAMI'11
+    §V-D). Corpus-sized work stays in the code domain; the raw table
+    is touched via one equi-join against the broadcast 90-row
+    shortlist. Oracle = the full PQ CTE chain + the
+    SQL_ANN_COSINE_TOPK rerank tree over the shortlist."""
+    from .operators.pq import pq_build, pq_rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    codes, books = pq_build(emb, init, m_sub=4, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = pq_rerank_topk(codes, books, queries, emb, k=10, shortlist=30)
+    return out.select(
+        "query_id",
+        "vec_id",
+        half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def q_bm25_persisted(spark, sf_dir):
     """PERSISTED bucketed BM25 index (operators/retrieval.
     build_bm25_index(n_buckets)/write/read): postings written
@@ -3755,6 +3786,7 @@ def _pq_oracle_sql(
     scale: int = 6,
     nq: int = 3,
     topk: int = 10,
+    rerank_shortlist: int | None = None,
 ) -> str:
     """PQ oracle: per subspace, the same unrolled-Lloyd CTE chain as
     the kmeans oracle (on list_slice'd subvectors), then the ADC
@@ -3841,19 +3873,53 @@ def _pq_oracle_sql(
   )
   GROUP BY query_id, vec_id
 )""")
-    return (
-        ",\n".join(parts)
-        + f"""
+    if rerank_shortlist is None:
+        return (
+            ",\n".join(parts)
+            + f"""
 SELECT query_id, vec_id, adist, rank FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {topk}
 ORDER BY query_id, rank"""
+        )
+    # exact-cosine refine of the ADC shortlist: the shortlist is an
+    # integer argmin with vec_id tiebreak (bit-stable), the rerank is
+    # the SQL_ANN_COSINE_TOPK expression tree over shortlist rows only
+    parts.append(f"""short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {rerank_shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+         list_dot_product(c.cv, q.qv) /
+           (sqrt(list_dot_product(c.cv, c.cv)) *
+            sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM short s
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings) c USING (vec_id)
+  JOIN (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {nq}) q USING (query_id)
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, vec_id,
+       floor(cos * 1000000 + 0.5) / 1000000.0 AS cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM rr
+) WHERE rank <= {topk}
+ORDER BY query_id, rank"""
     )
 
 
 SQL_PQ_TOPK = _pq_oracle_sql()
+SQL_PQ_RERANK_TOPK = _pq_oracle_sql(rerank_shortlist=30)
 
 
 def q_repetition_scores(spark, sf_dir):
@@ -10105,11 +10171,11 @@ ORDER BY doc_id
 # than r7.
 #
 # Round-11 plan (stated now): HEAD = the round-10 post-window
-# additions (semantic_dedup, corpus_pipeline_v2, skewed_latest),
-# then the 22 remaining r7-green rows, then the 25 stalest
-# r8-green rows. Registry growth stays frozen (<=5 new rows per
-# round) until the staleness histogram shows nothing older than two
-# rounds (projected: r12 grades the ~25 remaining r8 rows + the
+# additions (semantic_dedup, corpus_pipeline_v2, skewed_latest,
+# pq_rerank_topk), then the 22 remaining r7-green rows, then the 24
+# stalest r8-green rows. Registry growth stays frozen (<=5 new rows
+# per round) until the staleness histogram shows nothing older than
+# two rounds (projected: r12 grades the ~25 remaining r8 rows + the
 # stalest r9 rows, closing the gap).
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-10 WINDOW HEAD: the 3 round-9 additions, never ---
@@ -10297,6 +10363,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "skewed_latest": q_skewed_latest,
+    "pq_rerank_topk": q_pq_rerank_topk,
 }
 
 
@@ -10391,6 +10458,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "corpus_pipeline_v2": SQL_CORPUS_PIPELINE_V2,
     "skewed_latest": SQL_SKEWED_LATEST,
+    "pq_rerank_topk": SQL_PQ_RERANK_TOPK,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

@@ -101,3 +101,99 @@ def test_adc_table_is_broadcast_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rerank_with_full_shortlist_equals_brute_force(spark):
+    """shortlist >= corpus: the ADC stage prunes nothing, so the
+    refine stage IS brute force — pq_rerank_topk must equal
+    cosine_topk row-for-row (the degenerate end of the accuracy
+    knob, like the IVF nprobe=k contract)."""
+    from alstom_spark_cassandra_spark.operators.pq import pq_rerank_topk
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rows = [
+        (i, [float((i * 13 + j * 3) % 11) / 11.0 for j in range(8)])
+        for i in range(30)
+    ]
+    df = _vecs(spark, rows)
+    queries = spark.createDataFrame(
+        [(0, rows[5][1]), (1, rows[17][1])],
+        "query_id long, query_vec array<double>",
+    )
+    codes, books = pq_build(df, _init_from(df, 4), m_sub=4, n_iters=2)
+    got = sorted(
+        map(
+            tuple,
+            pq_rerank_topk(
+                codes, books, queries, df, k=5, shortlist=100
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(df, queries, k=5)
+            .select("query_id", "vec_id", "cosine", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_rerank_candidates_come_from_adc_shortlist(spark):
+    """with a tight shortlist every refined row's id must appear in
+    the ADC shortlist for that query, ranks are 1..k dense per query,
+    and cosine is non-increasing with rank."""
+    from alstom_spark_cassandra_spark.operators.pq import pq_rerank_topk
+
+    rows = [
+        (i, [float((i * 7 + j * 5) % 13) / 13.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = _vecs(spark, rows)
+    queries = spark.createDataFrame(
+        [(0, rows[3][1])], "query_id long, query_vec array<double>"
+    )
+    codes, books = pq_build(df, _init_from(df, 4), m_sub=2, n_iters=1)
+    short_ids = {
+        r["vec_id"]
+        for r in pq_topk(codes, books, queries, k=8).collect()
+    }
+    out = pq_rerank_topk(
+        codes, books, queries, df, k=5, shortlist=8
+    ).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5
+    ]
+    assert all(r["vec_id"] in short_ids for r in out)
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert all(
+        by_rank[i]["cosine"] >= by_rank[i + 1]["cosine"]
+        for i in range(len(by_rank) - 1)
+    )
+
+
+def test_rerank_plan_broadcasts_shortlist_no_cartesian(spark):
+    """the raw-vector table is touched through a broadcast equi-join
+    against the bounded shortlist — never a cartesian."""
+    from alstom_spark_cassandra_spark.operators.pq import pq_rerank_topk
+
+    rows = [(i, [float((i + j) % 3) for j in range(8)]) for i in range(12)]
+    df = _vecs(spark, rows)
+    codes, books = pq_build(df, _init_from(df, 3), m_sub=2, n_iters=1)
+    queries = df.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = (
+        pq_rerank_topk(codes, books, queries, df, k=3, shortlist=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
