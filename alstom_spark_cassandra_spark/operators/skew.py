@@ -203,9 +203,18 @@ def salted_latest(
     phase 2 takes the top row per keys over the <= n_salts survivors.
     This is the window-operator analog of salted_agg: AQE's skew
     handling splits oversized JOIN partitions but never window
-    partitions — a 50%-hot series funnels into ONE reducer under
-    plain latest_per_key no matter what AQE does, and salting is the
-    lever that exists.
+    partitions, so salting is the lever that exists for window skew.
+
+    WHEN IT PAYS (measured, SCALE.md round-10 probes): for the pure
+    top-1 argmax on Spark >= 3.5, WindowGroupLimit already prunes to
+    <= 1 row per key per MAP partition before the exchange, so the
+    hot key reaches its reducer as ~n_tasks rows and plain
+    latest_per_key is skew-immune AND cheaper (0.67 s vs 0.94 s at
+    10M rows / 50%-hot on local[32] — salting pays a second window
+    stage). Reach for salted_latest where map-side pruning cannot
+    bound the hot partition: top-k with large k, rank/ntile/lag over
+    the full partition, per-key sorts, or engines without
+    WindowGroupLimit.
 
     Exactness contract (the graded claim, like salted_join): salting
     is a physical rewrite — the result must equal plain

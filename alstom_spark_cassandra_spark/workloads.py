@@ -5874,11 +5874,15 @@ def q_skewed_latest(spark, sf_dir):
     series across 16 reducers (each WindowGroupLimit-pruned map-side),
     then top-1 per series over the ≤16 survivors. AQE's skew join
     splitting never reaches WINDOW partitions, so salting is the
-    mechanism that makes a 50%-hot argmax scale — and the oracle runs
-    the PLAIN argmax: like salted_join/salted_agg, the rewrite is
-    physical and must change nothing (event_id is unique, so the
-    order is total and the contract exact). The salted two-window
-    shape is pinned by tests/test_skew.py."""
+    window-skew lever (for top-1 specifically WindowGroupLimit's
+    map-side prune already bounds the hot reducer — measured in
+    SCALE.md's round-10 probes — so this row grades the rewrite's
+    EXACTNESS, the property that makes salting safe to deploy where
+    pruning can't save the plan: large-k top-k, rank, per-key sorts).
+    The oracle runs the PLAIN argmax: like salted_join/salted_agg,
+    the rewrite is physical and must change nothing (event_id is
+    unique, so the order is total and the contract exact). The salted
+    two-window shape is pinned by tests/test_skew.py."""
     from .operators.skew import salted_latest
 
     ev = _t(spark, sf_dir, "events").select(
