@@ -88,6 +88,7 @@ from .similarity import (
     ivf_topk,
     mean_pool,
     search_ivf_index,
+    routed_semantic_dedup,
     semantic_dedup,
 )
 from .sketches import (
@@ -248,6 +249,7 @@ __all__ = [
     "salted_join",
     "salted_latest",
     "search_ivf_index",
+    "routed_semantic_dedup",
     "semantic_dedup",
     "simhash",
     "simhash_bands",

@@ -562,6 +562,17 @@ def semantic_dedup(
         "__qv",
         n2.alias("__n2"),
     )
+    return _prune_within_clusters(base, id_col, threshold)
+
+
+def _prune_within_clusters(
+    base: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The SemDeDup prune shared by the flat and routed assignment
+    paths: `base` = (id_col, cid, __qv, __n2); a row is dropped when
+    a lower-id row of the SAME cid passes the integer-grid cosine
+    test. Candidate pairs come from the cid-equi self-join — the
+    quadratic term is confined to each cluster bucket."""
     x = base.select(
         F.col(id_col).alias("__xid"),
         F.col("cid").alias("__xcid"),
@@ -607,3 +618,170 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("kept"),
         )
     )
+
+
+def routed_semantic_dedup(
+    df: DataFrame,
+    init: DataFrame,
+    n_coarse: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    scale: int = 6,
+) -> DataFrame:
+    """semantic_dedup with COARSE-ROUTED assignment — the O(n·√k·d)
+    scale path the round-10 probes called for (SCALE.md: flat
+    literal assignment is O(n·k·d) and dominates SemDeDup's cost as
+    k grows with the corpus; every production ANN stack routes
+    through a coarse quantizer instead — IVF's design).
+
+    Convention (deterministic, oracle-expressible): the FINE
+    centroids are `init` verbatim (no Lloyd here — training is
+    kmeans' own graded contract); the COARSE centroids are the first
+    `n_coarse` fine centroids by cid; each fine centroid belongs to
+    the bucket of its nearest coarse centroid (integer-grid argmin,
+    ties to the lowest coarse cid); each ROW takes the nearest
+    coarse centroid, then the nearest FINE centroid within that
+    bucket. Per row that is c + (bucket size) distance folds instead
+    of k. The prune within fine clusters is IDENTICAL to
+    semantic_dedup (shared code). Returns (id, cid, kept).
+
+    Routing is an APPROXIMATION of the flat argmin (a row near a
+    bucket boundary can land in a different fine cluster), so this
+    ships as a separate operator with its own oracle rather than a
+    rewrite of semantic_dedup — the lsh_eval/ivf_eval precedent:
+    approximate operators carry exact cross-engine contracts of
+    their own semantics. Degenerate ends: n_coarse=1 (one bucket =
+    all fine centroids) and n_coarse>=k with distinct centroids
+    (each bucket = its own centroid) both reduce to the flat argmin
+    — pinned in tests.
+
+    Exactness contract: every argmin is an integer-grid distance
+    with cid tiebreak (bit-stable cross-engine); the cosine test is
+    the shared IEEE expression tree. The fine→coarse map is computed
+    driver-side (k×c integer math on the collected k×dim init —
+    the same tiny-scalar pattern as kmeans' centroid loop).
+    """
+    import math
+
+    m = 10**scale
+    cents: dict[int, list[int]] = {
+        int(r["cid"]): [
+            int(math.floor(float(x) * m + 0.5)) for x in r["cv"]
+        ]
+        for r in init.collect()
+    }
+    if n_coarse < 1:
+        raise ValueError("n_coarse must be >= 1")
+    coarse_ids = sorted(cents)[:n_coarse]
+    coarse = {g: cents[g] for g in coarse_ids}
+
+    def _d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    # fine -> bucket: nearest coarse centroid, ties to lowest gid
+    bucket: dict[int, list[int]] = {g: [] for g in coarse_ids}
+    for cid, qc in sorted(cents.items()):
+        g = min(coarse_ids, key=lambda gid: (_d2(qc, coarse[gid]), gid))
+        bucket[g].append(cid)
+    if any(not members for members in bucket.values()):
+        # impossible with distinct centroids (a coarse centroid IS
+        # fine centroid g and routes to itself at distance 0); a
+        # duplicate-centroid init that empties a bucket would leave
+        # rows routed there unassignable — reject loudly.
+        raise ValueError("empty coarse bucket (duplicate centroids?)")
+
+    qv = _quantized(df, vec_col, id_col, scale)
+
+    def _argmin_literal(cent_items):
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("int").alias("cid"),
+                    F.array(
+                        *[F.lit(q).cast("long") for q in qc]
+                    ).alias("qc"),
+                )
+                for cid, qc in cent_items
+            ]
+        )
+        return F.array_min(
+            F.transform(
+                carr,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__qv"),
+                            c["qc"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"]
+
+    gcol = _argmin_literal(sorted(coarse.items()))
+    # fine argmin restricted to the routed bucket: a literal array of
+    # (gid, members) buckets, filtered by the routed gid. The routed
+    # gid is BOUND as a lambda variable (transform-over-1-element
+    # trick, the repo's CollapseProject guard) so the coarse argmin
+    # fold evaluates once per row no matter how projections collapse.
+    buckets_arr = F.array(
+        *[
+            F.struct(
+                F.lit(g).cast("int").alias("gid"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(cid).cast("int").alias("cid"),
+                            F.array(
+                                *[
+                                    F.lit(q).cast("long")
+                                    for q in cents[cid]
+                                ]
+                            ).alias("qc"),
+                        )
+                        for cid in members
+                    ]
+                ).alias("fines"),
+            )
+            for g, members in sorted(bucket.items())
+        ]
+    )
+    cid_col = F.transform(
+        F.array(gcol),
+        lambda gg: F.array_min(
+            F.transform(
+                F.filter(buckets_arr, lambda b: b["gid"] == gg)[0][
+                    "fines"
+                ],
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__qv"),
+                            c["qc"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )[0]
+    n2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    base = qv.select(
+        F.col("__id").alias(id_col),
+        cid_col.alias("cid"),
+        "__qv",
+        n2.alias("__n2"),
+    )
+    return _prune_within_clusters(base, id_col, threshold)

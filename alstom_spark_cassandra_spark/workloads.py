@@ -3585,7 +3585,11 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
-def _semantic_dedup_oracle_sql(dim: int = 64, threshold: str = "0.4") -> str:
+def _semdedup_prune_ctes(dim: int, threshold: str) -> tuple[str, str]:
+    """(extra_ctes, final_select) of the SemDeDup prune — shared by
+    the flat (semantic_dedup) and routed (semantic_dedup_routed)
+    oracles; both leave the assignment in a CTE named `afinal` and
+    the quantized corpus in `e`."""
     extra = f"""q2 AS (
   SELECT a.vec_id, a.cid, e.qv,
          CAST(list_sum(list_transform(range(1, {dim + 1}),
@@ -3602,10 +3606,113 @@ drp AS (
     tail = """SELECT q2.vec_id, q2.cid, (d.vec_id IS NULL) AS kept
 FROM q2 LEFT JOIN drp d ON q2.vec_id = d.vec_id
 ORDER BY q2.vec_id"""
+    return extra, tail
+
+
+def _semantic_dedup_oracle_sql(dim: int = 64, threshold: str = "0.4") -> str:
+    extra, tail = _semdedup_prune_ctes(dim, threshold)
     return _kmeans_oracle_sql(extra_ctes=extra, final_select=tail)
 
 
 SQL_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
+
+
+def q_semantic_dedup_routed(spark, sf_dir):
+    """Coarse-routed SemDeDup (operators/similarity.
+    routed_semantic_dedup) — the O(n·√k·d) assignment scale path the
+    round-10 probes called for: fine centroids = vec_id 0..7
+    verbatim (no Lloyd — training is kmeans' own graded row), coarse
+    = the first 2 of them, each fine centroid buckets to its nearest
+    coarse, each row routes nearest-coarse → nearest-fine-in-bucket
+    (all integer-grid argmins, cid tiebreak), then the shared
+    within-cluster cosine prune at 0.4. Routing approximates the
+    flat argmin, so this is its OWN graded contract (the
+    lsh_eval/ivf_eval precedent), with the flat-equivalence ends
+    (n_coarse=1, n_coarse=k) pinned in tests/test_similarity.py."""
+    from .operators.similarity import routed_semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    return routed_semantic_dedup(
+        emb, init, n_coarse=2, threshold=0.4
+    ).orderBy("vec_id")
+
+
+def _routed_semantic_dedup_oracle_sql(
+    k: int = 8,
+    c: int = 2,
+    dim: int = 64,
+    scale: int = 6,
+    threshold: str = "0.4",
+) -> str:
+    """Routed-assignment oracle: fine centroids = the k lowest-id
+    quantized vectors, coarse = the first c of those; fmap buckets
+    each fine centroid to its nearest coarse (k×c argmin), ra routes
+    each row to its nearest coarse (n×c argmin), afinal takes the
+    nearest fine WITHIN the routed bucket (n×bucket argmin via the
+    ra⋈fmap equi-join) — every argmin on the integer grid with cid
+    tiebreak, then the shared SemDeDup prune."""
+    m = 10**scale
+
+    def d2(a, b):
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    extra = f"""cc AS (
+  SELECT cid AS gid, qc AS gq FROM c0 WHERE cid < {c}
+),
+fmap AS (
+  SELECT cid, gid FROM (
+    SELECT f.cid, cc.gid,
+           row_number() OVER (PARTITION BY f.cid ORDER BY
+             {d2('f.qc', 'cc.gq')}, cc.gid) AS rn
+    FROM c0 f CROSS JOIN cc
+  ) WHERE rn = 1
+),
+ra AS (
+  SELECT vec_id, gid FROM (
+    SELECT e.vec_id, cc.gid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {d2('e.qv', 'cc.gq')}, cc.gid) AS rn
+    FROM e CROSS JOIN cc
+  ) WHERE rn = 1
+),
+afinal AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, f.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {d2('e.qv', 'f.qc')}, f.cid) AS rn
+    FROM e
+    JOIN ra USING (vec_id)
+    JOIN fmap fm ON fm.gid = ra.gid
+    JOIN c0 f ON f.cid = fm.cid
+  ) WHERE rn = 1
+)"""
+    prune, tail = _semdedup_prune_ctes(dim, threshold)
+    return (
+        f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS qc FROM e WHERE vec_id < {k}
+),
+"""
+        + extra
+        + ",\n"
+        + prune
+        + "\n"
+        + tail
+    )
+
+
+SQL_SEMANTIC_DEDUP_ROUTED = _routed_semantic_dedup_oracle_sql()
 
 
 def q_bm25_retrieval(spark, sf_dir):
@@ -10176,11 +10283,12 @@ ORDER BY doc_id
 #
 # Round-11 plan (stated now): HEAD = the round-10 post-window
 # additions (semantic_dedup, corpus_pipeline_v2, skewed_latest,
-# pq_rerank_topk), then the 22 remaining r7-green rows, then the 24
-# stalest r8-green rows. Registry growth stays frozen (<=5 new rows
-# per round) until the staleness histogram shows nothing older than
-# two rounds (projected: r12 grades the ~25 remaining r8 rows + the
-# stalest r9 rows, closing the gap).
+# pq_rerank_topk, semantic_dedup_routed), then the 22 remaining
+# r7-green rows, then the 23 stalest r8-green rows. Registry growth
+# stays frozen (<=5 new rows per round — r10 used all 5) until the
+# staleness histogram shows nothing older than two rounds
+# (projected: r12 grades the ~25 remaining r8 rows + the stalest
+# r9 rows, closing the gap).
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-10 WINDOW HEAD: the 3 round-9 additions, never ---
     # driver-graded (locally exact-gated at all three scales since
@@ -10368,6 +10476,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "skewed_latest": q_skewed_latest,
     "pq_rerank_topk": q_pq_rerank_topk,
+    "semantic_dedup_routed": q_semantic_dedup_routed,
 }
 
 
@@ -10463,6 +10572,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_pipeline_v2": SQL_CORPUS_PIPELINE_V2,
     "skewed_latest": SQL_SKEWED_LATEST,
     "pq_rerank_topk": SQL_PQ_RERANK_TOPK,
+    "semantic_dedup_routed": SQL_SEMANTIC_DEDUP_ROUTED,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

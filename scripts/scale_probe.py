@@ -752,6 +752,34 @@ def main():
         emb.unpersist()
     print(json.dumps(sem))
 
+    # coarse-routed assignment vs flat at the same fixed centroids
+    # (n_iters=0 isolates assignment+prune): flat folds k=1024
+    # centroid distances per row, routed folds c + k/c ≈ 64 — the
+    # O(n·√k·d) path semantic_dedup_routed grades.
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        routed_semantic_dedup,
+    )
+
+    emb, init = synth_emb(200_000, 1024)
+    emb = emb.cache()
+    emb.count()
+    t_flat0 = timed(semantic_dedup(emb, init, threshold=0.99, n_iters=0))
+    t_routed = timed(
+        routed_semantic_dedup(emb, init, n_coarse=32, threshold=0.99)
+    )
+    print(
+        json.dumps(
+            {
+                "routed_vecs": 200_000,
+                "k_fine": 1024,
+                "n_coarse": 32,
+                "flat_assign_prune": t_flat0,
+                "routed_assign_prune": t_routed,
+            }
+        )
+    )
+    emb.unpersist()
+
     # --- round-10: fused curation pipeline (corpus_pipeline.curate) --
     # same 200k-doc shape as the quality_filter probe above, plus a
     # 5-language label for the lang-id stage; the delta over the bare

@@ -288,3 +288,96 @@ def test_semantic_dedup_keeps_dissimilar_cluster_mates(spark):
     out2 = semantic_dedup(pts, init, threshold=0.7, n_iters=1)
     kept = {r.vec_id: r.kept for r in out2.collect()}
     assert kept == {1: True, 2: True, 3: False}
+
+
+def _routed_fixture(spark):
+    from pyspark.sql import functions as F
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), p -> "
+            "round(cast((id % 8) * 37 + p * 101 as double) / 29.0 % 7.0 "
+            "+ cast((id * 13 + p * 7) % 11 as double) / 100.0, 6))"
+        ).alias("embedding"),
+    )
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    return emb, init
+
+
+def test_routed_degenerate_ends_equal_flat_argmin(spark):
+    """n_coarse=1 (one bucket = all fine centroids) and n_coarse=k
+    (each distinct centroid buckets to itself) both reduce routing
+    to the flat argmin — routed output must equal semantic_dedup
+    with the same FIXED centroids (n_iters=0) row-for-row."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        routed_semantic_dedup,
+        semantic_dedup,
+    )
+
+    emb, init = _routed_fixture(spark)
+    flat = sorted(
+        map(
+            tuple,
+            semantic_dedup(emb, init, threshold=0.9, n_iters=0).collect(),
+        )
+    )
+    for c in (1, 8):
+        routed = sorted(
+            map(
+                tuple,
+                routed_semantic_dedup(
+                    emb, init, n_coarse=c, threshold=0.9
+                ).collect(),
+            )
+        )
+        assert routed == flat
+
+
+def test_routed_covers_every_row_once(spark):
+    """intermediate n_coarse: every input row appears exactly once,
+    cid is always a fine-centroid id, and each non-empty cluster
+    keeps its lowest surviving id (the SemDeDup keep rule)."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        routed_semantic_dedup,
+    )
+
+    emb, init = _routed_fixture(spark)
+    out = routed_semantic_dedup(
+        emb, init, n_coarse=3, threshold=0.9
+    ).collect()
+    assert len(out) == 300
+    assert len({r.vec_id for r in out}) == 300
+    assert {r.cid for r in out} <= set(range(8))
+    for cid in {r.cid for r in out}:
+        members = [r for r in out if r.cid == cid]
+        lowest = min(r.vec_id for r in members)
+        assert next(
+            r.kept for r in members if r.vec_id == lowest
+        ), "lowest id per cluster must survive"
+
+
+def test_routed_rejects_bad_inputs(spark):
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        routed_semantic_dedup,
+    )
+    import pytest
+
+    emb, init = _routed_fixture(spark)
+    with pytest.raises(ValueError):
+        routed_semantic_dedup(emb, init, n_coarse=0)
+    # duplicate centroids that empty a coarse bucket are rejected:
+    # fine 0 and 1 identical -> fine 1 routes to coarse 0, coarse
+    # bucket 1 is empty
+    dup_init = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "cid int, cv array<double>",
+    )
+    pts = spark.createDataFrame(
+        [(1, [1.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        routed_semantic_dedup(pts, dup_init, n_coarse=2)
