@@ -8684,13 +8684,18 @@ def q_mmr_rerank(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     top = cosine_topk(emb, queries, k=20)
+    # queries x 20 = 60 rows feeding THREE consumers (candidates +
+    # both sides of the pairwise-sims self-join) — checkpoint the
+    # tiny list so the corpus-scan cosine_topk runs once, not 3x
+    # (the repo's recompute policy: checkpoint vocabulary-sized
+    # intermediates, recompute corpus-sized ones)
     cands = top.select(
         "query_id",
         F.col("vec_id").alias("doc"),
         F.floor(F.col("cosine") * 1_000_000 + F.lit(0.5))
         .cast("long")
         .alias("rel_micro"),
-    )
+    ).localCheckpoint(eager=True)
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cv = cands.join(vecs, cands["doc"] == vecs["vec_id"]).select(
         "query_id", "doc", "v"

@@ -197,11 +197,13 @@ def test_mmr_no_sims_falls_back_to_relevance_order(spark):
 
 
 def test_mmr_no_cache_leftovers_and_large_k_lineage(spark):
-    """r5 VERDICT item 4: mmr_rerank must release its persisted
-    inputs before returning (no cached leftovers an hour-long session
-    accumulates), the returned frame must survive that release
-    (checkpoint, not lineage), and k > checkpoint interval must run
-    (the periodic localCheckpoint bounds the union/anti-join chain)."""
+    """Cache hygiene of BOTH impls (r5 VERDICT item 4). The loop
+    impl must release its persisted inputs before returning, the
+    returned frame must survive that release (checkpoint, not
+    lineage), and k > checkpoint interval must run (the periodic
+    localCheckpoint bounds the union/anti-join chain). The default
+    HOF impl must register NOTHING — the whole greedy chain is one
+    expression, no persisted state at all."""
     from alstom_spark_cassandra_spark.operators import (
         free_local_checkpoints,
     )
@@ -215,8 +217,9 @@ def test_mmr_no_cache_leftovers_and_large_k_lineage(spark):
     sims = spark.createDataFrame(
         [], "query_id long, a long, b long, sim_micro long"
     )
-    out = mmr_rerank(cands, sims, k=n)
     jsc = spark.sparkContext._jsc.sc()
+
+    out = mmr_rerank(cands, sims, k=n, impl="loop")
     # inputs released AND mid-loop checkpoints released once the
     # final one materialized: ONLY the returned frame stays
     assert jsc.getPersistentRDDs().size() == 1
@@ -224,6 +227,36 @@ def test_mmr_no_cache_leftovers_and_large_k_lineage(spark):
     assert got == list(range(n))  # usable after release, full k steps
     free_local_checkpoints(spark)
     assert jsc.getPersistentRDDs().size() == 0
+
+    out_hof = mmr_rerank(cands, sims, k=n)
+    assert jsc.getPersistentRDDs().size() == 0  # nothing registered
+    got_hof = [r.doc for r in out_hof.orderBy("step").collect()]
+    assert got_hof == list(range(n))
+
+
+def test_mmr_hof_equals_loop_impl(spark):
+    """Differential contract: the one-expression HOF greedy and the
+    k-step DataFrame loop are the SAME algorithm — equal output on
+    an adversarial mix (missing sim rows, asymmetric relevance ties
+    broken by doc id, k exceeding one query's candidate count)."""
+    cands = spark.createDataFrame(
+        [(1, 10, 900), (1, 11, 900), (1, 12, 880), (1, 13, 700),
+         (2, 20, 500), (2, 21, 400)],
+        "query_id long, doc long, rel_micro long",
+    )
+    sims = spark.createDataFrame(
+        [(1, 10, 11, 950), (1, 11, 10, 950), (1, 10, 12, 100),
+         (1, 12, 10, 100), (1, 11, 12, 990), (1, 12, 11, 990)],
+        "query_id long, a long, b long, sim_micro long",
+    )
+    hof = sorted(
+        map(tuple, mmr_rerank(cands, sims, k=3, impl="hof").collect())
+    )
+    loop = sorted(
+        map(tuple, mmr_rerank(cands, sims, k=3, impl="loop").collect())
+    )
+    assert hof == loop
+    assert len(hof) == 5  # query 2 exhausts at 2 of k=3
 
 
 def test_mmr_selects_per_query_independently(spark):
