@@ -29,11 +29,9 @@ bit-for-bit).
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import kmeans
+from .similarity import _argmin_cid
 
 
 def pq_build(
@@ -52,39 +50,114 @@ def pq_build(
     policy stays the caller's. Returns:
       codes     (id_col, sub, code)      — m_sub rows per vector
       codebooks (sub, cid, pos, qc)      — long-format quantized books
-    """
-    first = init.select(F.size("cv").alias("d")).first()
-    dim = int(first["d"])
+
+    Execution shape: the m_sub subspace codebooks are INDEPENDENT, so
+    all of them train in the SAME pass — per Lloyd iteration, one
+    corpus scan computes every subspace's literal-argmin assignment
+    and one map-side-combining groupBy((sub, cid, pos)) carries all
+    the update partials to the driver in ONE job (vs m_sub
+    driver-sequenced kmeans loops = m_sub × n_iters corpus scans).
+    Same integer-grid math as operators/similarity.kmeans — the
+    assignment expression is the shared _argmin_cid — so codes,
+    books, and the unrolled-Lloyd DuckDB oracle are unchanged."""
+    import math
+
+    spark = df.sparkSession
+    init_rows = init.collect()
+    if not init_rows:
+        raise ValueError("init must be non-empty")
+    dim = len(init_rows[0]["cv"])
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     d0 = dim // m_sub
+    m = 10**scale
 
-    codes_parts, book_parts = [], []
-    for s in range(m_sub):
-        df_s = df.select(
-            F.col(id_col),
-            F.slice(
-                F.col(vec_col).cast("array<double>"), s * d0 + 1, d0
-            ).alias("embedding"),
-        )
-        init_s = init.select(
-            "cid", F.slice(F.col("cv"), s * d0 + 1, d0).alias("cv")
-        )
-        assign, cents = kmeans(
-            df_s, init_s, "embedding", id_col, n_iters=n_iters, scale=scale
-        )
-        codes_parts.append(
-            assign.select(
-                F.col(id_col),
+    # per-subspace quantized centroid maps, updated between iterations
+    cents: list[dict[int, list[int]]] = [
+        {
+            int(r["cid"]): [
+                int(math.floor(float(x) * m + 0.5))
+                for x in r["cv"][s * d0 : (s + 1) * d0]
+            ]
+            for r in init_rows
+        }
+        for s in range(m_sub)
+    ]
+
+    qv = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
+        ).alias("__qfull"),
+    )
+
+    def _sv(s):
+        return F.slice(F.col("__qfull"), s * d0 + 1, d0)
+
+    def _sub_struct(s):
+        # the subspace slice is BOUND as a lambda variable so the
+        # cid argmin folds it once (transform-bind idiom); a factory
+        # function, not a default-arg closure — a 2-param lambda
+        # would be called by Spark as (element, index)
+        return F.transform(
+            F.array(_sv(s)),
+            lambda sv: F.struct(
                 F.lit(s).alias("sub"),
-                F.col("cid").alias("code"),
+                _argmin_cid(sv, cents[s]).alias("cid"),
+                sv.alias("sv"),
+            ),
+        )[0]
+
+    def _assigned_all():
+        # one row per (vector, subspace), all subspaces in one scan
+        return qv.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[_sub_struct(s) for s in range(m_sub)])
+            ).alias("__e"),
+        ).select(id_col, "__e.sub", "__e.cid", "__e.sv")
+
+    for _ in range(n_iters):
+        upd = (
+            _assigned_all()
+            .select("sub", "cid", F.posexplode("sv").alias("pos", "q"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: list[dict[int, dict[int, int]]] = [
+            {} for _ in range(m_sub)
+        ]
+        for r in upd:
+            new[r["sub"]].setdefault(r["cid"], {})[r["pos"]] = int(
+                math.floor(float(r["s"]) / r["n"] + 0.5)
             )
-        )
-        book_parts.append(
-            cents.select(F.lit(s).alias("sub"), "cid", "pos", "qc")
-        )
-    codes = reduce(DataFrame.unionByName, codes_parts)
-    codebooks = reduce(DataFrame.unionByName, book_parts)
+        # empty clusters keep their previous centroid (per subspace)
+        cents = [
+            {
+                cid: (
+                    [new[s][cid][p] for p in range(len(qc))]
+                    if cid in new[s]
+                    else qc
+                )
+                for cid, qc in cents[s].items()
+            }
+            for s in range(m_sub)
+        ]
+
+    codes = _assigned_all().select(
+        F.col(id_col), "sub", F.col("cid").alias("code")
+    )
+    book_rows = [
+        (s, cid, pos, q)
+        for s in range(m_sub)
+        for cid, qc in sorted(cents[s].items())
+        for pos, q in enumerate(qc)
+    ]
+    codebooks = spark.createDataFrame(
+        book_rows, "sub int, cid int, pos int, qc bigint"
+    )
     return codes, codebooks
 
 

@@ -457,31 +457,35 @@ def _quantized(
     )
 
 
-def _literal_assign(qv: DataFrame, cent_map: dict) -> DataFrame:
-    """Centroid assignment as a PURE MAP: the centroids are
-    driver-known (k x dim longs), so each row folds the literal
-    centroid array and takes the lexicographic min of (dist, cid) —
-    zero joins, zero shuffles, the corpus is scanned once per call.
-    (At very large k x dim — ~10^6+ literals — switch to an IVF-style
-    broadcast join; for clustering-k this literal plan is both
-    smaller and faster.)  Returns (__id, cid, __qv)."""
-    carr = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("int").alias("cid"),
-                F.array(
-                    *[F.lit(q).cast("long") for q in qc]
-                ).alias("qc"),
-            )
-            for cid, qc in sorted(cent_map.items())
-        ]
+def _centroid_literal_array(cent_map: dict):
+    """The k×dim centroid table as ONE parsed SQL literal —
+    array<struct<cid int, qc array<bigint>>>. Built as a string for
+    F.expr instead of nested F.lit calls: a k=8, dim=64 table is
+    ~500 py4j round-trips as F.lit chains (~seconds of driver time
+    PER PLAN BUILD, measured in the round-10 pq_build profile) and
+    one parse as a string."""
+    body = ", ".join(
+        "named_struct('cid', CAST({} AS INT), 'qc', array({}))".format(
+            cid, ", ".join(f"{int(q)}L" for q in qc)
+        )
+        for cid, qc in sorted(cent_map.items())
     )
+    return F.expr(f"array({body})")
+
+
+def _argmin_cid(qv_col, cent_map: dict):
+    """Column form of the literal argmin: the cid of the nearest
+    centroid to the quantized array `qv_col` — lexicographic min of
+    (integer squared-L2, cid) over the driver-known centroid
+    literals. Shared by _literal_assign and pq_build's batched
+    multi-subspace assignment."""
+    carr = _centroid_literal_array(cent_map)
     scored = F.transform(
         carr,
         lambda c: F.struct(
             F.aggregate(
                 F.zip_with(
-                    F.col("__qv"),
+                    qv_col,
                     c["qc"],
                     lambda a, b: (a - b) * (a - b),
                 ),
@@ -491,8 +495,21 @@ def _literal_assign(qv: DataFrame, cent_map: dict) -> DataFrame:
             c["cid"].alias("cid"),
         ),
     )
+    return F.array_min(scored)["cid"]
+
+
+def _literal_assign(qv: DataFrame, cent_map: dict) -> DataFrame:
+    """Centroid assignment as a PURE MAP: the centroids are
+    driver-known (k x dim longs), so each row folds the literal
+    centroid array and takes the lexicographic min of (dist, cid) —
+    zero joins, zero shuffles, the corpus is scanned once per call.
+    (At very large k x dim — ~10^6+ literals — switch to an IVF-style
+    broadcast join; for clustering-k this literal plan is both
+    smaller and faster.)  Returns (__id, cid, __qv)."""
     return qv.select(
-        "__id", F.array_min(scored)["cid"].alias("cid"), "__qv"
+        "__id",
+        _argmin_cid(F.col("__qv"), cent_map).alias("cid"),
+        "__qv",
     )
 
 
@@ -693,63 +710,31 @@ def routed_semantic_dedup(
 
     qv = _quantized(df, vec_col, id_col, scale)
 
-    def _argmin_literal(cent_items):
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).cast("int").alias("cid"),
-                    F.array(
-                        *[F.lit(q).cast("long") for q in qc]
-                    ).alias("qc"),
-                )
-                for cid, qc in cent_items
-            ]
-        )
-        return F.array_min(
-            F.transform(
-                carr,
-                lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("__qv"),
-                            c["qc"],
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )["cid"]
-
-    gcol = _argmin_literal(sorted(coarse.items()))
+    gcol = _argmin_cid(F.col("__qv"), coarse)
     # fine argmin restricted to the routed bucket: a literal array of
     # (gid, members) buckets, filtered by the routed gid. The routed
     # gid is BOUND as a lambda variable (transform-over-1-element
     # trick, the repo's CollapseProject guard) so the coarse argmin
     # fold evaluates once per row no matter how projections collapse.
-    buckets_arr = F.array(
-        *[
-            F.struct(
-                F.lit(g).cast("int").alias("gid"),
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(cid).cast("int").alias("cid"),
-                            F.array(
-                                *[
-                                    F.lit(q).cast("long")
-                                    for q in cents[cid]
-                                ]
-                            ).alias("qc"),
+    buckets_arr = F.expr(
+        "array({})".format(
+            ", ".join(
+                "named_struct('gid', CAST({} AS INT), 'fines', array({}))".format(
+                    g,
+                    ", ".join(
+                        "named_struct('cid', CAST({} AS INT), "
+                        "'qc', array({}))".format(
+                            cid,
+                            ", ".join(
+                                f"{int(q)}L" for q in cents[cid]
+                            ),
                         )
                         for cid in members
-                    ]
-                ).alias("fines"),
+                    ),
+                )
+                for g, members in sorted(bucket.items())
             )
-            for g, members in sorted(bucket.items())
-        ]
+        )
     )
     cid_col = F.transform(
         F.array(gcol),
