@@ -702,3 +702,66 @@ def test_langid_equals_python_reference(spark, rows):
             assert got[d]["pred_lang"] == win, (d, ref[d], got[d])
             assert got[d]["hit_grams"] == hits, d
             assert abs(got[d]["avg_ll"] - score) <= 2e-6, d
+
+
+# MMR differential: candidate lists with controlled ties (few doc ids,
+# coarse relevance grid) and a partial, symmetric sim matrix — the
+# HOF fold and the k-step DataFrame loop are independent
+# implementations of the same greedy chain and must agree exactly.
+mmr_cases = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2),   # query_id
+            st.integers(min_value=0, max_value=9),   # doc
+            st.integers(min_value=0, max_value=4),   # rel (coarse: ties)
+        ),
+        min_size=1,
+        max_size=14,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.data(),
+)
+
+
+@SLOW
+@given(case=mmr_cases)
+def test_mmr_hof_equals_loop_property(spark, case):
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    cands, data = case
+    cdf = spark.createDataFrame(
+        [(q, d, r * 100) for q, d, r in cands],
+        "query_id long, doc long, rel_micro long",
+    )
+    sims = []
+    by_q: dict = {}
+    for q, d, _ in cands:
+        by_q.setdefault(q, []).append(d)
+    for q, docs in by_q.items():
+        for i, a in enumerate(docs):
+            for b in docs[i + 1 :]:
+                s = data.draw(
+                    st.one_of(
+                        st.none(),
+                        st.integers(min_value=0, max_value=4),
+                    )
+                )
+                if s is not None:  # None = missing sim row pair
+                    sims.append((q, a, b, s * 100))
+                    sims.append((q, b, a, s * 100))
+    sdf = spark.createDataFrame(
+        sims or [(1, 0, 0, 0)],
+        "query_id long, a long, b long, sim_micro long",
+    )
+    if not sims:
+        sdf = sdf.filter("a != a")  # empty frame, schema kept
+    k = data.draw(st.integers(min_value=1, max_value=6))
+    hof = sorted(
+        map(tuple, mmr_rerank(cdf, sdf, k=k, impl="hof").collect())
+    )
+    loop = sorted(
+        map(tuple, mmr_rerank(cdf, sdf, k=k, impl="loop").collect())
+    )
+    assert hof == loop
