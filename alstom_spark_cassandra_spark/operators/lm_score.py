@@ -68,6 +68,15 @@ class BigramLM(NamedTuple):
     conditions on (a document-final token is not a context).
     ``vocab``: 1-row (v,) — distinct training token count, the
     add-one denominator term.
+
+    INVARIANT (for hand-assembled models — the NamedTuple is public):
+    all three DataFrames, vocab included, must be eagerly
+    materialized (``localCheckpoint(eager=True)``) before the model
+    is consumed.  ``train_bigram_lm`` guarantees this; a lazily-built
+    vocab would be silently re-derived inside every consumer plan —
+    ``quality_filter`` in particular trusts the invariant to keep its
+    documented <=2-scans-of-documents contract, and a lazy vocab that
+    re-scans its training corpus breaks it.
     """
 
     bigrams: DataFrame

@@ -113,7 +113,11 @@ def quality_filter(
     # train_bigram_lm checkpoints the whole model eagerly — bigrams
     # AND the 1-row vocab scalar — so reusing one trained model across
     # refresh batches pays the training scan once, not once per
-    # quality_filter call.
+    # quality_filter call.  CONTRACT for hand-assembled BigramLMs
+    # (the NamedTuple is public): vocab must already be materialized
+    # (see BigramLM's INVARIANT docstring) — a lazy vocab silently
+    # re-scans its training corpus inside this plan and breaks the
+    # <=2-documents-scans contract pinned by test_quality_pipeline.
     vocab = lm.vocab
 
     # ---- scan 1: the spine (repetition struct + n_chars + LM score)

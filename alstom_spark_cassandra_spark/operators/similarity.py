@@ -540,6 +540,14 @@ def semantic_dedup(
     for each join side, plus one id-keyed exchange for the final
     kept-flag anti-join.  No broadcast of the corpus, no cartesian.
 
+    AT-SCALE DEFAULT — k beyond ~10^3: use ``routed_semantic_dedup``.
+    This function's centroid assignment is a flat argmin over all k
+    centroids (O(n*k*d) FLOPs — fine for clustering-k in the
+    hundreds, infeasible at SemDeDup production k of ~10^5); the
+    routed variant assigns through sqrt(k) coarse centroids
+    (O(n*sqrt(k)*d), measured 4.9x faster at k=1024 on this box, gap
+    grows with k) with identical prune semantics per assignment.
+
     Exactness / portability contract (the kmeans grid, extended to
     cosine): vectors are quantized to 10^-scale LONGS, so dot
     products and squared norms are order-free INTEGER sums (exact in

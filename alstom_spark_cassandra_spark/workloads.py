@@ -6274,14 +6274,18 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag, files=None):
     partition count is captured into the checkpoint at the first
     batch, so the conf is restored immediately after the drain).
 
-    CONCURRENCY ASSUMPTION: the small-scale 8-partition override is a
-    session-global `spark.sql.shuffle.partitions` set — any query
-    planned on the same SparkSession while the drain is in flight
-    would silently inherit it (there is no per-stream conf for the
-    stateful-join partition count; it is read from the session at
-    plan time). Safe here because the harness (driver, check_oracle,
-    bench) runs queries strictly sequentially on the shared session;
-    do not call this helper from concurrently-planning code."""
+    ISOLATION: the small-scale 4-partition override is applied to a
+    CLONED session (`spark.newSession()` — own SQLConf, shared
+    SparkContext and shared state), never to the caller's session.
+    There is no per-stream conf for the stateful-join partition count
+    (it is read from the planning session's conf at the first batch
+    and captured into the checkpoint), so the clone is what makes the
+    override invisible to any query planned concurrently on the
+    caller's session — closed by construction, not by a sequencing
+    assumption (pinned by
+    tests/test_streaming.py::test_replay_leaves_caller_conf_untouched).
+    The returned DataFrame is bound to the clone; collecting it from
+    the caller is fine (same SparkContext)."""
     import glob
     import os
     import shutil
@@ -6321,6 +6325,12 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag, files=None):
         small = nbytes < 1_000_000
     except OSError:  # non-local source: fall back to counting
         small = ev.count() < 50_000
+    # the drain (and only the drain) runs on a cloned session so the
+    # small-scale shuffle-partitions override below can never leak
+    # into the caller's session, even mid-flight or on an exception —
+    # newSession() shares the SparkContext (same executors, same
+    # temp staged files) but owns its SQLConf and temp-view catalog
+    sess = spark.newSession() if small else spark
     n_files, chunk_days = (3, 11) if small else (4, 8)
     if files is not None:  # test override: (n_files, chunk_days)
         n_files, chunk_days = files
@@ -6360,7 +6370,7 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag, files=None):
             shutil.copyfile(part, dst)
             os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
     left = (
-        spark.readStream.schema(
+        sess.readStream.schema(
             "event_id long, ts long, user_id long, v_milli long"
         )
         .option("maxFilesPerTrigger", 1)
@@ -6373,7 +6383,7 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag, files=None):
         )
     )
     right = (
-        spark.readStream.schema(
+        sess.readStream.schema(
             "event_id long, ts long, user_id long, v_milli long"
         )
         .option("maxFilesPerTrigger", 1)
@@ -6400,36 +6410,33 @@ def _staged_interval_join_replay(spark, sf_dir, how, tag, files=None):
     name = f"stream_{tag}_{uuid.uuid4().hex[:8]}"
     # state store instances = shuffle partitions, captured into the
     # checkpoint at the first batch; the per-trigger commit fan-out
-    # dominates small-scale wall time, so trim it for the replay and
-    # restore the session value once the drain returns
-    part_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(part_key)
+    # dominates small-scale wall time, so trim it for the replay —
+    # on the CLONED session only (sess is spark.newSession() when
+    # small), so no restore is needed and the caller's conf is
+    # untouchable by construction
     if small:
-        spark.conf.set(part_key, "4")
-    try:
-        q = (
-            j.select(
-                "l_event_id",
-                "l_ts_ms",
-                "l_user",
-                "r_user",
-                "r_event_id",
-                "r_ts_ms",
-                "r_v_milli",
-            )
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", f"{base}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        sess.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        j.select(
+            "l_event_id",
+            "l_ts_ms",
+            "l_user",
+            "r_user",
+            "r_event_id",
+            "r_ts_ms",
+            "r_v_milli",
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(f"stream_{tag} did not drain in 300s")
-    finally:
-        spark.conf.set(part_key, old_parts)
-    return spark.table(name)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"stream_{tag} did not drain in 300s")
+    return sess.table(name)
 
 
 def q_stream_join_outer(spark, sf_dir):

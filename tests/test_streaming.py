@@ -1747,3 +1747,43 @@ def test_interval_join_replay_chunking_invariant(spark):
     ))
     assert a == b
     assert len(a) > 0
+
+
+def test_replay_leaves_caller_conf_untouched(spark, monkeypatch):
+    """Round-11 hardening of the r9-ADVICE shuffle-partitions item:
+    the small-scale 4-partition override now runs on a CLONED session
+    (spark.newSession() inside _staged_interval_join_replay), so the
+    caller's spark.sql.shuffle.partitions is untouchable by
+    construction — pin it on BOTH the success path (a full small
+    drain) and the failure path (the join builder raising mid-setup,
+    where the old session-global set + try/finally restore depended
+    on the finally actually running on the shared session)."""
+    from alstom_spark_cassandra_spark.workloads import (
+        _staged_interval_join_replay,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")  # sentinel no code path ever sets
+    try:
+        out = _staged_interval_join_replay(
+            spark, "/root/testdata/sf0.001", "left_outer", "confok"
+        )
+        assert out.count() > 0
+        assert spark.conf.get(key) == "7"
+
+        def boom(*a, **k):
+            raise RuntimeError("mid-drain failure")
+
+        monkeypatch.setattr(
+            "alstom_spark_cassandra_spark.streaming.live_state."
+            "interval_join_stream",
+            boom,
+        )
+        with pytest.raises(RuntimeError, match="mid-drain"):
+            _staged_interval_join_replay(
+                spark, "/root/testdata/sf0.001", "left_outer", "confko"
+            )
+        assert spark.conf.get(key) == "7"
+    finally:
+        spark.conf.set(key, old)
