@@ -10284,81 +10284,35 @@ ORDER BY doc_id
 # scripts/check_oracle.py regardless of position — the count below is
 # len(SPARK_QUERIES), never a hand-maintained number).
 #
-# Round-10 window (per the r9 verdict, verbatim): HEAD = the 3
-# never-driver-graded round-9 additions — a first driver row beats a
-# refresh of a locally-green one — then the 21 r6 carryovers (4
-# rounds stale when graded here: the accepted, documented cost of
-# draining the 24-row r8 backlog in r9; NOT drift — every one is
-# locally exact-gated each round), then the 26 stalest r7 rows. That
-# fills all 50 slots; after r10 no row's last driver row is older
-# than r7.
+# Round-11 window (per the r10 verdict, verbatim): HEAD = the 5
+# round-10 post-window additions (first driver rows beat refreshes),
+# then the 22 remaining r7-green rows (3 rounds stale when graded
+# here — the planned tail of the freeze-and-drain schedule), then
+# the 23 stalest r8-green rows, "stalest" resolved deterministically
+# as CORRECTNESS_r08 grading order (first graded = stalest). That
+# fills all 50 slots; after r11 no row's last driver row is older
+# than r8.
 #
-# Round-11 plan (stated now): HEAD = the round-10 post-window
-# additions (semantic_dedup, corpus_pipeline_v2, skewed_latest,
-# pq_rerank_topk, semantic_dedup_routed), then the 22 remaining
-# r7-green rows, then the 23 stalest r8-green rows. Registry growth
-# stays frozen (<=5 new rows per round — r10 used all 5) until the
-# staleness histogram shows nothing older than two rounds
-# (projected: r12 grades the ~25 remaining r8 rows + the stalest
-# r9 rows, closing the gap).
+# Round-12 plan (stated now, per r10 verdict item 8): HEAD = the
+# round-11 post-window additions (queued at the TAIL below, never
+# driver-graded), then the 27 remaining r8-green rows, then the
+# stalest r9-green rows (r9 grading order) to fill the window.
+# After r12 nothing is older than r9 = 3 rounds — the histogram
+# tail shrinks to the steady state where a 50-row window over a
+# ~180-row registry refreshes every row within ceil(180/50) = 4
+# rounds; the freeze (<=5 new rows per round) exits at r12 as
+# planned, with growth still budgeted toward rows that grade an
+# existing scale path over new surface.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-10 WINDOW HEAD: the 3 round-9 additions, never ---
+    # --- ROUND-11 WINDOW HEAD: the 5 round-10 additions, never ---
     # driver-graded (locally exact-gated at all three scales since
-    # r9, and independently re-gated by the r9 judge at sf0.01)
-    "langid_scores": q_langid_scores,
-    "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
-    "quality_filter_pipeline": q_quality_filter_pipeline,
-    # --- the 21 r6-green carryovers (verdict-ordered) ---
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "window_suite": q_window_suite,
-    "collocations": q_collocations,
-    "pagerank": q_pagerank,
-    "mmr_rerank": q_mmr_rerank,
-    "bpe_merges": q_bpe_merges,
-    "pca_direction": q_pca_direction,
-    "phrase_search": q_phrase_search,
-    "chunk_dedup": q_chunk_dedup,
-    "domain_cap": q_domain_cap,
-    "corpus_shuffle": q_corpus_shuffle,
-    # --- then the 26 stalest r7-green rows ---
-    "salted_agg": q_salted_agg,
-    "audio_resample": q_audio_resample,
-    "bucketed_join_persisted": q_bucketed_join_persisted,
-    "reconstruct_message": q_reconstruct_message,
-    "json_flatten": q_json_flatten,
-    "pivot_matrix": q_pivot_matrix,
-    "compaction": q_compaction,
-    "retrieve_field_window": q_retrieve_field_window,
-    "field_window": q_field_window,
-    "asof_bounds": q_asof_bounds,
-    "boundary_padding": q_boundary_padding,
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_corpus": q_dedup_corpus,
-    "minhash_signatures": q_minhash_signatures,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "incremental_dedup": q_incremental_dedup,
-    "word_jaccard_pairs": q_word_jaccard_pairs,
-    "stream_dedup": q_stream_dedup,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "stream_sessionization": q_stream_sessionization,
-    "stream_attribution": q_stream_attribution,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
-    # ======== window boundary (50) ========
-    # --- the 22 remaining r7-green rows: r11 window carryovers ---
+    # r10, and independently re-gated by the r10 judge at two scales)
+    "semantic_dedup": q_semantic_dedup,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "skewed_latest": q_skewed_latest,
+    "pq_rerank_topk": q_pq_rerank_topk,
+    "semantic_dedup_routed": q_semantic_dedup_routed,
+    # --- the 22 remaining r7-green rows (last driver row: r7) ---
     "token_rarity": q_token_rarity,
     "mean_embedding": q_mean_embedding,
     "sessionization": q_sessionization,
@@ -10381,7 +10335,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_frequency": q_term_frequency,
     "distinctive_terms": q_distinctive_terms,
     "exact_quantiles": q_exact_quantiles,
-    # --- r8-green block (freshest driver rows) ---
+    # --- the 23 stalest r8-green rows (r8 grading order — the ---
+    # order CORRECTNESS_r08 graded them in; first graded = stalest)
     "update_history_chunked": q_update_history_chunked,
     "stream_latest_ttl": q_stream_latest_ttl,
     "latest_bucketed_persisted": q_latest_bucketed_persisted,
@@ -10405,6 +10360,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "rolling_zscore": q_rolling_zscore,
     "resample_linear": q_resample_linear,
+    # ======== window boundary (50) ========
+    # --- the 27 remaining r8-green rows: r12 window carryovers ---
     "series_trend": q_series_trend,
     "quantile_normalize": q_quantile_normalize,
     "tpch_q5": q_tpch_q5,
@@ -10432,7 +10389,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "event_transitions": q_event_transitions,
     "embargo_split": q_embargo_split,
-    # --- r9-green block (freshest driver rows) ---
+    # --- r9-green block ---
     "stream_join_outer": q_stream_join_outer,
     "merge_apply": q_merge_apply,
     "ohlc_bars": q_ohlc_bars,
@@ -10483,12 +10440,57 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
-    # --- new in round 10, never graded: r11 window HEAD priority ---
-    "semantic_dedup": q_semantic_dedup,
-    "corpus_pipeline_v2": q_corpus_pipeline_v2,
-    "skewed_latest": q_skewed_latest,
-    "pq_rerank_topk": q_pq_rerank_topk,
-    "semantic_dedup_routed": q_semantic_dedup_routed,
+    # --- r10-green block (freshest driver rows) ---
+    "langid_scores": q_langid_scores,
+    "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
+    "quality_filter_pipeline": q_quality_filter_pipeline,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "window_suite": q_window_suite,
+    "collocations": q_collocations,
+    "pagerank": q_pagerank,
+    "mmr_rerank": q_mmr_rerank,
+    "bpe_merges": q_bpe_merges,
+    "pca_direction": q_pca_direction,
+    "phrase_search": q_phrase_search,
+    "chunk_dedup": q_chunk_dedup,
+    "domain_cap": q_domain_cap,
+    "corpus_shuffle": q_corpus_shuffle,
+    "salted_agg": q_salted_agg,
+    "audio_resample": q_audio_resample,
+    "bucketed_join_persisted": q_bucketed_join_persisted,
+    "reconstruct_message": q_reconstruct_message,
+    "json_flatten": q_json_flatten,
+    "pivot_matrix": q_pivot_matrix,
+    "compaction": q_compaction,
+    "retrieve_field_window": q_retrieve_field_window,
+    "field_window": q_field_window,
+    "asof_bounds": q_asof_bounds,
+    "boundary_padding": q_boundary_padding,
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "incremental_dedup": q_incremental_dedup,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "stream_dedup": q_stream_dedup,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessionization": q_stream_sessionization,
+    "stream_attribution": q_stream_attribution,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
 }
 
 

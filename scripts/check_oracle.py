@@ -11,6 +11,16 @@ Runs every __spark_entry__.queries() entry and its oracle_sql() twin
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
        python scripts/check_oracle.py [sf_dir] --first N   # simulate
        the driver's grading window (the first N registry entries)
+       python scripts/check_oracle.py [sf_dir] --no-warmup [query ...]
+
+A warmup no-op runs before the first graded row (batch scan + shuffle
++ one availableNow stream drain) so one-time session costs — JVM JIT,
+codegen, stream-engine/state-store init, ~8-9 s on this box — stop
+being charged to whichever query happens to sit in the first slot
+(r9: stream_join_outer read 14.1 s when its warm cost is ~5 s; r10:
+langid_scores — decompositions in SCALE.md).  Its wall time prints as
+a [warmup] line, excluded from every per-query timing.  --no-warmup
+skips it for quick targeted iterations where seconds don't matter.
 """
 
 from __future__ import annotations
@@ -86,9 +96,60 @@ def multiset(rows, kinds=None):
     )
 
 
+def warmup(spark, sf_dir):
+    """One-time session warmup: a batch scan+shuffle+collect (JIT,
+    whole-stage codegen, scheduler paths) and one tiny availableNow
+    streaming drain with a stateful agg (stream engine, state-store
+    provider init).  Uses the 5-row region table so the work itself
+    is negligible — only the fixed costs are paid here."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    t0 = time.time()
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df.groupBy(df.columns[0]).count().collect()
+    base = tempfile.mkdtemp(prefix="oracle_warmup_")
+    try:
+        src = os.path.join(base, "in")
+        os.makedirs(src)
+        p = f"{sf_dir}/region.parquet"
+        if os.path.isdir(p):
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    shutil.copyfile(
+                        os.path.join(p, f), os.path.join(src, f)
+                    )
+        else:
+            shutil.copyfile(p, os.path.join(src, "part-0.parquet"))
+        name = f"warmup_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.schema(df.schema)
+            .parquet(src)
+            .groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        spark.table(name).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(f"[warmup] {time.time() - t0:.1f}s (excluded from timings)")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     args = sys.argv[2:]
+    do_warmup = True
+    if "--no-warmup" in args:
+        do_warmup = False
+        args = [a for a in args if a != "--no-warmup"]
     first_n = None
     if args[:1] == ["--first"]:
         try:
@@ -113,6 +174,9 @@ def main():
         )
 
     from alstom_spark_cassandra_spark.operators import free_local_checkpoints
+
+    if do_warmup:
+        warmup(spark, sf_dir)
 
     qs = e.queries()
     if first_n is not None:
