@@ -88,6 +88,9 @@ from .similarity import (
     ivf_topk,
     mean_pool,
     search_ivf_index,
+    build_semantic_index,
+    incremental_semantic_dedup,
+    routed_dedup_eval,
     routed_semantic_dedup,
     semantic_dedup,
 )
@@ -249,6 +252,9 @@ __all__ = [
     "salted_join",
     "salted_latest",
     "search_ivf_index",
+    "build_semantic_index",
+    "incremental_semantic_dedup",
+    "routed_dedup_eval",
     "routed_semantic_dedup",
     "semantic_dedup",
     "simhash",

@@ -3585,27 +3585,31 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
-def _semdedup_prune_ctes(dim: int, threshold: str) -> tuple[str, str]:
+def _semdedup_prune_ctes(
+    dim: int, threshold: str, assign: str = "afinal", suffix: str = ""
+) -> tuple[str, str]:
     """(extra_ctes, final_select) of the SemDeDup prune — shared by
     the flat (semantic_dedup) and routed (semantic_dedup_routed)
-    oracles; both leave the assignment in a CTE named `afinal` and
-    the quantized corpus in `e`."""
-    extra = f"""q2 AS (
+    oracles, and instantiated TWICE (suffixed) by the routed-eval
+    oracle; the assignment CTE is named by `assign` (vec_id, cid)
+    and the quantized corpus lives in `e`."""
+    s = suffix
+    extra = f"""q2{s} AS (
   SELECT a.vec_id, a.cid, e.qv,
          CAST(list_sum(list_transform(range(1, {dim + 1}),
            i -> e.qv[i] * e.qv[i])) AS BIGINT) AS n2
-  FROM afinal a JOIN e USING (vec_id)
+  FROM {assign} a JOIN e USING (vec_id)
 ),
-drp AS (
+drp{s} AS (
   SELECT DISTINCT y.vec_id
-  FROM q2 x JOIN q2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  FROM q2{s} x JOIN q2{s} y ON x.cid = y.cid AND x.vec_id < y.vec_id
   WHERE CAST(CAST(list_sum(list_transform(range(1, {dim + 1}),
           i -> x.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE)
         >= {threshold} * sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))
 )"""
-    tail = """SELECT q2.vec_id, q2.cid, (d.vec_id IS NULL) AS kept
-FROM q2 LEFT JOIN drp d ON q2.vec_id = d.vec_id
-ORDER BY q2.vec_id"""
+    tail = f"""SELECT q2{s}.vec_id, q2{s}.cid, (d.vec_id IS NULL) AS kept
+FROM q2{s} LEFT JOIN drp{s} d ON q2{s}.vec_id = d.vec_id
+ORDER BY q2{s}.vec_id"""
     return extra, tail
 
 
@@ -3641,29 +3645,25 @@ def q_semantic_dedup_routed(spark, sf_dir):
     ).orderBy("vec_id")
 
 
-def _routed_semantic_dedup_oracle_sql(
-    k: int = 8,
-    c: int = 2,
-    dim: int = 64,
-    scale: int = 6,
-    threshold: str = "0.4",
-) -> str:
-    """Routed-assignment oracle: fine centroids = the k lowest-id
-    quantized vectors, coarse = the first c of those; fmap buckets
-    each fine centroid to its nearest coarse (k×c argmin), ra routes
-    each row to its nearest coarse (n×c argmin), afinal takes the
-    nearest fine WITHIN the routed bucket (n×bucket argmin via the
-    ra⋈fmap equi-join) — every argmin on the integer grid with cid
-    tiebreak, then the shared SemDeDup prune."""
-    m = 10**scale
+def _sql_d2(a: str, b: str, dim: int) -> str:
+    """Integer-grid squared-L2 between two qv list columns — the
+    DuckDB spelling of every assignment argmin's distance term."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
 
-    def d2(a, b):
-        return (
-            f"list_sum(list_transform(range(1, {dim + 1}), "
-            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
-        )
 
-    extra = f"""cc AS (
+def _routed_assign_ctes(c: int, dim: int, assign: str) -> str:
+    """The coarse-routed assignment as CTEs (cc/fmap/ra/{assign}),
+    reading centroids from `c0` (cid, qc) and the quantized corpus
+    from `e`: fine centroids bucket to their nearest coarse (k×c
+    argmin), each row routes nearest-coarse → nearest-fine-in-bucket
+    — every argmin on the integer grid with cid tiebreak.  Shared by
+    the routed oracle and the routed-eval oracle (which instantiates
+    it next to a flat argmin over the same c0)."""
+    d2 = lambda a, b: _sql_d2(a, b, dim)  # noqa: E731
+    return f"""cc AS (
   SELECT cid AS gid, qc AS gq FROM c0 WHERE cid < {c}
 ),
 fmap AS (
@@ -3682,7 +3682,7 @@ ra AS (
     FROM e CROSS JOIN cc
   ) WHERE rn = 1
 ),
-afinal AS (
+{assign} AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, f.cid,
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -3693,6 +3693,24 @@ afinal AS (
     JOIN c0 f ON f.cid = fm.cid
   ) WHERE rn = 1
 )"""
+
+
+def _routed_semantic_dedup_oracle_sql(
+    k: int = 8,
+    c: int = 2,
+    dim: int = 64,
+    scale: int = 6,
+    threshold: str = "0.4",
+) -> str:
+    """Routed-assignment oracle: fine centroids = the k lowest-id
+    quantized vectors, coarse = the first c of those; fmap buckets
+    each fine centroid to its nearest coarse (k×c argmin), ra routes
+    each row to its nearest coarse (n×c argmin), afinal takes the
+    nearest fine WITHIN the routed bucket (n×bucket argmin via the
+    ra⋈fmap equi-join) — every argmin on the integer grid with cid
+    tiebreak, then the shared SemDeDup prune."""
+    m = 10**scale
+    extra = _routed_assign_ctes(c, dim, assign="afinal")
     prune, tail = _semdedup_prune_ctes(dim, threshold)
     return (
         f"""WITH e AS (
@@ -3713,6 +3731,210 @@ c0 AS (
 
 
 SQL_SEMANTIC_DEDUP_ROUTED = _routed_semantic_dedup_oracle_sql()
+
+
+def q_semantic_dedup_routed_eval(spark, sf_dir):
+    """Routed-vs-flat SemDeDup agreement (operators/similarity.
+    routed_dedup_eval) — the lsh_eval/ivf_eval precedent applied to
+    the routing approximation: routed_semantic_dedup is the
+    documented at-scale default, but only its degenerate ends
+    (n_coarse=1, n_coarse=k) are pinned equal to flat; this row
+    GRADES the measured agreement of the configuration a cluster
+    actually runs (n_coarse=2 of k=8, the graded routed row's own
+    config). Both arms share the fine centroids (vec_id 0..7
+    verbatim, no Lloyd), so routing is the only difference. One row
+    per flat cluster: n_vecs, n_cid_agree (routed chose the same
+    cluster), n_kept_flat / n_kept_routed, n_kept_agree — all
+    integer-grid counts, so the DuckDB oracle recomputes the
+    MEASURED agreement exactly, not an error bound."""
+    from .operators.similarity import routed_dedup_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    return routed_dedup_eval(emb, init, n_coarse=2, threshold=0.4).orderBy(
+        "cid"
+    )
+
+
+def _routed_eval_oracle_sql(
+    k: int = 8,
+    c: int = 2,
+    dim: int = 64,
+    scale: int = 6,
+    threshold: str = "0.4",
+) -> str:
+    """Eval oracle: flat argmin (af) and routed assignment (ar) over
+    the SAME c0 centroids, the shared prune instantiated per arm
+    (q2f/drpf, q2r/drpr), per-row kept verdicts joined on vec_id and
+    aggregated by the FLAT cluster id.  Sums cast to BIGINT (DuckDB
+    sums integers to HUGEINT, which the driver canonicalizes as
+    float64 and would kind-mismatch Spark's longs)."""
+    m = 10**scale
+    af = f"""af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_sql_d2('e.qv', 'c.qc', dim)}, c.cid) AS rn
+    FROM e CROSS JOIN c0 c
+  ) WHERE rn = 1
+)"""
+    ar = _routed_assign_ctes(c, dim, assign="ar")
+    prune_f, _ = _semdedup_prune_ctes(dim, threshold, assign="af", suffix="f")
+    prune_r, _ = _semdedup_prune_ctes(dim, threshold, assign="ar", suffix="r")
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS qc FROM e WHERE vec_id < {k}
+),
+{af},
+{ar},
+{prune_f},
+{prune_r},
+kf AS (
+  SELECT q2f.vec_id, q2f.cid, (d.vec_id IS NULL) AS kept
+  FROM q2f LEFT JOIN drpf d ON q2f.vec_id = d.vec_id
+),
+kr AS (
+  SELECT q2r.vec_id, q2r.cid, (d.vec_id IS NULL) AS kept
+  FROM q2r LEFT JOIN drpr d ON q2r.vec_id = d.vec_id
+)
+SELECT f.cid AS cid,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN f.cid = r.cid THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cid_agree,
+       CAST(sum(CASE WHEN f.kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_flat,
+       CAST(sum(CASE WHEN r.kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_routed,
+       CAST(sum(CASE WHEN f.kept = r.kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_agree
+FROM kf f JOIN kr r USING (vec_id)
+GROUP BY f.cid ORDER BY cid"""
+
+
+SQL_SEMANTIC_DEDUP_ROUTED_EVAL = _routed_eval_oracle_sql()
+
+
+def q_incremental_semantic_dedup(spark, sf_dir):
+    """Steady-state SemDeDup against a persisted semantic index
+    (operators/similarity.build_semantic_index +
+    incremental_semantic_dedup) — the incremental_simhash /
+    ivm_bucketed_persisted production shape applied to semantic
+    dedup: the base corpus (vec_id % 4 != 0) is clustered and pruned
+    ONCE and only its SURVIVORS persist (id, cid, qv, n2, bucketed
+    by cid) plus the centroid grid; the new shard (vec_id % 4 == 0)
+    is then deduped touching only that index — assignment via the
+    persisted centroids, prune vs the retained representatives and
+    vs lower-id shard rows, both cid-equi joins. Returns
+    (vec_id, cid, kept) for the new shard. Dropped base rows never
+    suppress shard rows — the documented contract (state size =
+    survivors, not corpus). Centroids are the 8 lowest-id BASE
+    vectors verbatim (no Lloyd — training is kmeans' graded row).
+    Plan-asserted: the shard assignment is checkpointed after ONE
+    scan, so the steady-state plan has ZERO embeddings FileScans and
+    the base corpus is never rescanned (tests/test_similarity.py)."""
+    import tempfile
+
+    from .operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    index_path = f"{tempfile.gettempdir()}/semdedup_index{slug}"
+    build_semantic_index(base, init, index_path, threshold=0.4)
+    new_shard = emb.filter(F.col("vec_id") % 4 == 0)
+    return incremental_semantic_dedup(
+        spark, new_shard, index_path, threshold=0.4
+    ).orderBy("vec_id")
+
+
+def _incremental_semantic_dedup_oracle_sql(
+    k: int = 8,
+    dim: int = 64,
+    scale: int = 6,
+    threshold: str = "0.4",
+) -> str:
+    """Incremental oracle: the persisted index is an implementation
+    detail, so the SQL recomputes its content — base assignment +
+    prune → kept representatives kb, shard assignment → qn, a shard
+    row drops on a kept-base hit (no id test: every retained base
+    row precedes every shard row) or a lower-id shard hit."""
+    m = 10**scale
+    n2 = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> qv[i] * qv[i])) AS BIGINT)"
+    )
+    dotxy = (
+        f"CAST(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> x.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE)"
+    )
+    cos = (
+        f"{dotxy} >= {threshold} "
+        f"* sqrt(CAST(x.n2 AS DOUBLE) * CAST(y.n2 AS DOUBLE))"
+    )
+
+    def assign(src: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid, qv, {n2} AS n2 FROM (
+    SELECT s.vec_id, c.cid, s.qv,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             {_sql_d2('s.qv', 'c.qc', dim)}, c.cid) AS rn
+    FROM {src} s CROSS JOIN c0 c
+  ) WHERE rn = 1
+)"""
+
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+nw AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS qc
+  FROM b ORDER BY vec_id LIMIT {k}
+),
+{assign('b', 'qb')},
+drb AS (
+  SELECT DISTINCT y.vec_id
+  FROM qb x JOIN qb y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {cos}
+),
+kb AS (
+  SELECT qb.* FROM qb LEFT JOIN drb d ON qb.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+),
+{assign('nw', 'qn')},
+drn AS (
+  SELECT y.vec_id FROM kb x JOIN qn y ON x.cid = y.cid WHERE {cos}
+  UNION
+  SELECT y.vec_id
+  FROM qn x JOIN qn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {cos}
+)
+SELECT qn.vec_id, qn.cid, (d.vec_id IS NULL) AS kept
+FROM qn LEFT JOIN drn d ON qn.vec_id = d.vec_id
+ORDER BY qn.vec_id"""
+
+
+SQL_INCREMENTAL_SEMANTIC_DEDUP = _incremental_semantic_dedup_oracle_sql()
 
 
 def q_bm25_retrieval(spark, sf_dir):
@@ -10491,6 +10713,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
+    # --- new in round 11, never graded: r12 window HEAD priority ---
+    # (both grade an EXISTING scale path, per the r10 verdict's
+    # freeze-budget guidance: routed-vs-flat agreement for the
+    # at-scale SemDeDup default, and the persisted/incremental
+    # steady state of the semantic dedup family)
+    "semantic_dedup_routed_eval": q_semantic_dedup_routed_eval,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
 }
 
 
@@ -10587,6 +10816,8 @@ ORACLE_SQL: dict[str, str] = {
     "skewed_latest": SQL_SKEWED_LATEST,
     "pq_rerank_topk": SQL_PQ_RERANK_TOPK,
     "semantic_dedup_routed": SQL_SEMANTIC_DEDUP_ROUTED,
+    "semantic_dedup_routed_eval": SQL_SEMANTIC_DEDUP_ROUTED_EVAL,
+    "incremental_semantic_dedup": SQL_INCREMENTAL_SEMANTIC_DEDUP,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

@@ -381,3 +381,143 @@ def test_routed_rejects_bad_inputs(spark):
     )
     with pytest.raises(ValueError):
         routed_semantic_dedup(pts, dup_init, n_coarse=2)
+
+
+def test_routed_eval_degenerate_full_agreement(spark):
+    """n_coarse=k makes routing identical to the flat argmin, so
+    every agreement counter must equal n_vecs and the kept counts
+    must coincide — the eval harness's own calibration point."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        routed_dedup_eval,
+    )
+
+    emb, init = _routed_fixture(spark)
+    out = routed_dedup_eval(emb, init, n_coarse=8, threshold=0.9).collect()
+    assert sum(r.n_vecs for r in out) == 300
+    for r in out:
+        assert r.n_cid_agree == r.n_vecs
+        assert r.n_kept_agree == r.n_vecs
+        assert r.n_kept_flat == r.n_kept_routed
+
+
+def test_routed_eval_counts_match_operator_outputs(spark):
+    """Intermediate n_coarse: the eval row's counters must be exactly
+    the per-cluster tallies recomputed from the two graded operators'
+    own outputs (flat = semantic_dedup with n_iters=0 on the same
+    fixed centroids)."""
+    from collections import defaultdict
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        routed_dedup_eval,
+        routed_semantic_dedup,
+        semantic_dedup,
+    )
+
+    emb, init = _routed_fixture(spark)
+    flat = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            emb, init, threshold=0.9, n_iters=0
+        ).collect()
+    }
+    routed = {
+        r.vec_id: r
+        for r in routed_semantic_dedup(
+            emb, init, n_coarse=3, threshold=0.9
+        ).collect()
+    }
+    exp = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for vid, fr in flat.items():
+        rr = routed[vid]
+        e = exp[fr.cid]
+        e[0] += 1
+        e[1] += fr.cid == rr.cid
+        e[2] += fr.kept
+        e[3] += rr.kept
+        e[4] += fr.kept == rr.kept
+    got = {
+        r.cid: (
+            r.n_vecs,
+            r.n_cid_agree,
+            r.n_kept_flat,
+            r.n_kept_routed,
+            r.n_kept_agree,
+        )
+        for r in routed_dedup_eval(
+            emb, init, n_coarse=3, threshold=0.9
+        ).collect()
+    }
+    assert got == {cid: tuple(e) for cid, e in exp.items()}
+
+
+def test_incremental_semantic_dedup_contract(spark, tmp_path):
+    """The steady-state contract on a hand-built geometry (threshold
+    0.95 ~ 18 degrees): a shard row similar only to a DROPPED base
+    row is KEPT (the persisted state is the survivor set — the
+    documented difference from re-running the batch over the union),
+    a shard row similar to a RETAINED representative drops, and a
+    shard row similar to a lower-id shard row drops."""
+    import math
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    # base: 1 at 0deg keeps, 2 at 17deg drops (sim to 1); 5 keeps
+    base = spark.createDataFrame(
+        [(1, v(0)), (2, v(17)), (5, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, v(0)), (1, [0.0, 5.0])], "cid int, cv array<double>"
+    )
+    path = str(tmp_path / "semidx")
+    build_semantic_index(base, init, path, threshold=0.95)
+    kept_ids = {
+        r.id for r in spark.read.parquet(f"{path}/kept").collect()
+    }
+    assert kept_ids == {1, 5}
+
+    # shard: 10 at 34deg — within 18deg of DROPPED 2, but 34deg from
+    # kept 1 (cos 0.829 < 0.95) -> KEPT; 12 at 35deg — 1deg from
+    # lower-id shard row 10 -> dropped (new-vs-new, kept or not);
+    # 20 along kept 5 -> dropped (new-vs-kept)
+    shard = spark.createDataFrame(
+        [(10, v(34)), (12, v(35)), (20, [0.0, 4.2])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: (r.cid, r.kept)
+        for r in incremental_semantic_dedup(
+            spark, shard, path, threshold=0.95
+        ).collect()
+    }
+    assert out == {10: (0, True), 12: (0, False), 20: (1, False)}
+
+
+def test_incremental_semantic_dedup_plan_no_base_rescan(spark):
+    """Steady-state plan contract: after the index is built, the
+    incremental query never rescans the base corpus — the shard
+    assignment is eagerly checkpointed (ONE shard scan at call time,
+    so the steady plan has ZERO embeddings FileScans), the surviving
+    base vectors come from the bucketed kept index, and the centroids
+    from the persisted grid collected driver-side before planning."""
+    from alstom_spark_cassandra_spark.workloads import (
+        q_incremental_semantic_dedup,
+    )
+
+    out = q_incremental_semantic_dedup(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    emb_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and "embeddings.parquet" in ln
+    ]
+    assert len(emb_scans) == 0, plan
+    assert "semdedup_index" in plan  # the kept index IS in the plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
