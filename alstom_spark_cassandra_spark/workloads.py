@@ -4075,6 +4075,79 @@ def q_pq_rerank_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_pq_recall_eval(spark, sf_dir):
+    """PQ recall harness — the third leg of the approximate-operator
+    eval trilogy (lsh_eval for MinHash-LSH, ivf_eval for IVF, this
+    for PQ): MEASURE what quantization loses, per query, against the
+    exact brute-force ground truth, and what the exact-refine stage
+    buys back. Same 4x8x2-Lloyd index as pq_topk/pq_rerank_topk;
+    output per query: corpus size, truth-set hits of the pure-ADC
+    top-10 and of the shortlist-30+exact-refine top-10, and both
+    recalls in micro-units. Everything is set membership against the
+    ann_cosine_topk ground-truth tree, so the DuckDB oracle
+    recomputes the MEASURED recall exactly — not an error bound.
+    Invariant (pinned in tests/test_pq.py): refine recall >= ADC
+    recall per query, because a truth member inside the shortlist
+    always survives an exact-cosine rerank."""
+    from .operators.pq import pq_build, pq_rerank_topk, pq_topk
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    codes, books = pq_build(emb, init, m_sub=4, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    adc10 = pq_topk(codes, books, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    rr10 = pq_rerank_topk(
+        codes, books, queries, emb, k=10, shortlist=30
+    ).select("query_id", "vec_id")
+    truth10 = cosine_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    ha = (
+        adc10.join(truth10, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__ha"))
+    )
+    hr = (
+        rr10.join(truth10, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hr"))
+    )
+    n_corpus = emb.agg(F.count(F.lit(1)).alias("n_corpus"))
+    unit = 1_000_000 // 10
+    return (
+        queries.select("query_id")
+        .join(ha, "query_id", "left")
+        .join(hr, "query_id", "left")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "query_id",
+            "n_corpus",
+            F.coalesce(F.col("__ha"), F.lit(0)).cast("long").alias(
+                "n_hits_adc"
+            ),
+            F.coalesce(F.col("__hr"), F.lit(0)).cast("long").alias(
+                "n_hits_rerank"
+            ),
+            (
+                F.coalesce(F.col("__ha"), F.lit(0)) * F.lit(unit)
+            ).cast("long").alias("recall_adc_micro"),
+            (
+                F.coalesce(F.col("__hr"), F.lit(0)) * F.lit(unit)
+            ).cast("long").alias("recall_rerank_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_bm25_persisted(spark, sf_dir):
     """PERSISTED bucketed BM25 index (operators/retrieval.
     build_bm25_index(n_buckets)/write/read): postings written
@@ -4116,6 +4189,7 @@ def _pq_oracle_sql(
     nq: int = 3,
     topk: int = 10,
     rerank_shortlist: int | None = None,
+    recall_eval: bool = False,
 ) -> str:
     """PQ oracle: per subspace, the same unrolled-Lloyd CTE chain as
     the kmeans oracle (on list_slice'd subvectors), then the ADC
@@ -4213,6 +4287,87 @@ SELECT query_id, vec_id, adist, rank FROM (
 ) WHERE rank <= {topk}
 ORDER BY query_id, rank"""
         )
+    if recall_eval:
+        # recall harness (the ivf_eval precedent, PQ leg): ADC top-k
+        # and shortlist+exact-refine top-k, each intersected with the
+        # exact-cosine ground truth over the whole corpus; hits are
+        # set-membership counts (the ann_cosine_topk row proves the
+        # truth set's cross-engine parity), recall@k in micro-units
+        # is hits * 10^6/k — integers end to end.
+        parts.append(f"""adc10 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {topk}
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {rerank_shortlist}
+),
+rr AS (
+  SELECT s.query_id, s.vec_id,
+         list_dot_product(c.cv, q.qv) /
+           (sqrt(list_dot_product(c.cv, c.cv)) *
+            sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM short s
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings) c USING (vec_id)
+  JOIN (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {nq}) q USING (query_id)
+),
+rr10 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM rr
+  ) WHERE rank <= {topk}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(c.cv, q.qv) /
+               (sqrt(list_dot_product(c.cv, c.cv)) *
+                sqrt(list_dot_product(q.qv, q.qv))) DESC,
+             c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings) c
+    CROSS JOIN (SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < {nq}) q
+  ) WHERE rank <= {topk}
+),
+ha AS (
+  SELECT a.query_id, COUNT(*) AS h
+  FROM adc10 a JOIN truth t USING (query_id, vec_id)
+  GROUP BY a.query_id
+),
+hr AS (
+  SELECT r.query_id, COUNT(*) AS h
+  FROM rr10 r JOIN truth t USING (query_id, vec_id)
+  GROUP BY r.query_id
+),
+nc AS (SELECT COUNT(*) AS n_corpus FROM embeddings)""")
+        return (
+            ",\n".join(parts)
+            + f"""
+SELECT q.query_id, nc.n_corpus,
+       CAST(COALESCE(ha.h, 0) AS BIGINT) AS n_hits_adc,
+       CAST(COALESCE(hr.h, 0) AS BIGINT) AS n_hits_rerank,
+       CAST(COALESCE(ha.h, 0) * (1000000 // {topk}) AS BIGINT)
+         AS recall_adc_micro,
+       CAST(COALESCE(hr.h, 0) * (1000000 // {topk}) AS BIGINT)
+         AS recall_rerank_micro
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < {nq}) q
+LEFT JOIN ha USING (query_id)
+LEFT JOIN hr USING (query_id)
+CROSS JOIN nc
+ORDER BY q.query_id"""
+        )
     # exact-cosine refine of the ADC shortlist: the shortlist is an
     # integer argmin with vec_id tiebreak (bit-stable), the rerank is
     # the SQL_ANN_COSINE_TOPK expression tree over shortlist rows only
@@ -4249,6 +4404,7 @@ ORDER BY query_id, rank"""
 
 SQL_PQ_TOPK = _pq_oracle_sql()
 SQL_PQ_RERANK_TOPK = _pq_oracle_sql(rerank_shortlist=30)
+SQL_PQ_RECALL_EVAL = _pq_oracle_sql(rerank_shortlist=30, recall_eval=True)
 
 
 def q_repetition_scores(spark, sf_dir):
@@ -10515,9 +10671,9 @@ ORDER BY doc_id
 # fills all 50 slots; after r11 no row's last driver row is older
 # than r8.
 #
-# Round-12 plan (stated now, per r10 verdict item 8): HEAD = the
+# Round-12 plan (stated now, per r10 verdict item 8): HEAD = the 3
 # round-11 post-window additions (queued at the TAIL below, never
-# driver-graded), then the 27 remaining r8-green rows, then the
+# driver-graded), then the 27 remaining r8-green rows, then the 20
 # stalest r9-green rows (r9 grading order) to fill the window.
 # After r12 nothing is older than r9 = 3 rounds — the histogram
 # tail shrinks to the steady state where a 50-row window over a
@@ -10714,12 +10870,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     # --- new in round 11, never graded: r12 window HEAD priority ---
-    # (both grade an EXISTING scale path, per the r10 verdict's
+    # (all three grade an EXISTING scale path, per the r10 verdict's
     # freeze-budget guidance: routed-vs-flat agreement for the
-    # at-scale SemDeDup default, and the persisted/incremental
-    # steady state of the semantic dedup family)
+    # at-scale SemDeDup default, the persisted/incremental steady
+    # state of the semantic dedup family, and measured PQ recall —
+    # the eval trilogy's third leg)
     "semantic_dedup_routed_eval": q_semantic_dedup_routed_eval,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    "pq_recall_eval": q_pq_recall_eval,
 }
 
 
@@ -10818,6 +10976,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup_routed": SQL_SEMANTIC_DEDUP_ROUTED,
     "semantic_dedup_routed_eval": SQL_SEMANTIC_DEDUP_ROUTED_EVAL,
     "incremental_semantic_dedup": SQL_INCREMENTAL_SEMANTIC_DEDUP,
+    "pq_recall_eval": SQL_PQ_RECALL_EVAL,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

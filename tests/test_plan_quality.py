@@ -256,6 +256,8 @@ BNLJ_SANCTIONED = {
     "corpus_pipeline_v2",  # the two attaches above composed: grid =
                            # docs x broadcast(n_langs rows) + the two
                            # 1-row vocabulary scalars
+    "pq_recall_eval",      # broadcast query vectors (truth arm) +
+                           # 1-row corpus count — the ivf_eval shape
 }
 
 

@@ -197,3 +197,28 @@ def test_rerank_plan_broadcasts_shortlist_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_recall_eval_refine_dominates_adc(spark):
+    """The pq_recall_eval invariants: hits are bounded by k=10,
+    recall micro-units are hits * 100000 exactly, and REFINE recall
+    >= ADC recall per query — a truth member inside the shortlist
+    always survives an exact-cosine rerank (global top-10 members
+    beat every non-member under (cos DESC, id ASC), within any
+    candidate subset), while pure ADC can rank it below quantization
+    noise. Also pins that the harness measures something real here:
+    the 4x8 codebook at dim 64 is coarse, so ADC alone must NOT be
+    perfect while refine must strictly improve at least one query at
+    this testdata scale."""
+    from alstom_spark_cassandra_spark.workloads import q_pq_recall_eval
+
+    rows = q_pq_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    assert any(r.n_hits_rerank > r.n_hits_adc for r in rows)
+    assert any(r.n_hits_adc < 10 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hits_adc <= 10
+        assert r.n_hits_adc <= r.n_hits_rerank <= 10
+        assert r.recall_adc_micro == r.n_hits_adc * 100000
+        assert r.recall_rerank_micro == r.n_hits_rerank * 100000
+        assert r.n_corpus == 500
