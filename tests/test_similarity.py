@@ -521,3 +521,80 @@ def test_incremental_semantic_dedup_plan_no_base_rescan(spark):
     assert "semdedup_index" in plan  # the kept index IS in the plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_incremental_equals_batch_when_base_is_dup_free(spark, tmp_path):
+    """Differential pin of the documented contract boundary: the
+    incremental path diverges from batch-over-union ONLY through
+    dropped base rows (which batch still uses as drop anchors and the
+    survivor index forgets). When the base has NO internal duplicates
+    — every base row is retained — and base ids precede shard ids,
+    the two must agree row-for-row on the shard: kept-base = all-base
+    and the lower-id rule make the candidate sets identical."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+        semantic_dedup,
+    )
+
+    # 300 base vectors in 8 tight direction groups, magnitudes spread
+    # so within-group cosine ~1 but we keep threshold high enough
+    # that only same-group rows collide; base uses one row per
+    # (group, magnitude-step) with distinct directions per step so no
+    # two BASE rows are similar, while shard rows repeat base
+    # directions (cross-hits) and each other (within-shard hits)
+    base = spark.range(300).selectExpr(
+        "id AS vec_id",
+        "array(cast(cos(id * 0.02) as double), "
+        "      cast(sin(id * 0.02) as double)) AS embedding",
+    )
+    # id*0.02 rad steps: adjacent ids are 0.02 rad apart (cos ~0.9998)
+    # -> with threshold 0.999999 (~0.0014 rad) no two base rows
+    # collide. Shard: even rows sit 0.001 rad from a base direction
+    # (cross-hit -> dropped), odd rows 0.01 rad from the nearest base
+    # (kept), and a last block repeats kept odd rows 0.0005 rad away
+    # (within-shard lower-id hit -> dropped)
+    shard = (
+        spark.range(50)
+        .selectExpr(
+            "id * 5 + 1000 AS vec_id",
+            "CASE WHEN id < 40 THEN (id * 5) * 0.02"
+            "       + IF(id % 2 = 0, 0.001, 0.01)"
+            " ELSE ((2 * (id - 40) + 1) * 5) * 0.02 + 0.0105"
+            " END AS __ang",
+        )
+        .selectExpr(
+            "vec_id",
+            "array(cast(cos(__ang) as double), "
+            "      cast(sin(__ang) as double)) AS embedding",
+        )
+    )
+    init = base.filter("vec_id < 8").selectExpr(
+        "cast(vec_id as int) AS cid",
+        "cast(embedding as array<double>) AS cv",
+    )
+    thr = 0.999999
+    path = str(tmp_path / "semidx_eq")
+    build_semantic_index(base, init, path, threshold=thr)
+    n_kept = spark.read.parquet(f"{path}/kept").count()
+    assert n_kept == 300  # precondition: base is duplicate-free
+
+    incr = {
+        r.vec_id: (r.cid, r.kept)
+        for r in incremental_semantic_dedup(
+            spark, shard, path, threshold=thr
+        ).collect()
+    }
+    batch = {
+        r.vec_id: (r.cid, r.kept)
+        for r in semantic_dedup(
+            base.unionByName(shard), init, threshold=thr, n_iters=0
+        )
+        .filter("vec_id >= 1000")
+        .collect()
+    }
+    assert incr == batch
+    assert len(incr) == 50
+    # the test must exercise both fates or it pins nothing
+    assert any(k for _, k in incr.values())
+    assert any(not k for _, k in incr.values())
