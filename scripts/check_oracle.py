@@ -108,7 +108,11 @@ def warmup(spark, sf_dir):
     import uuid
 
     t0 = time.time()
-    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    except Exception as ex:  # custom sf dir without region: skip
+        print(f"[warmup] skipped ({str(ex)[:80]})")
+        return
     df.groupBy(df.columns[0]).count().collect()
     base = tempfile.mkdtemp(prefix="oracle_warmup_")
     try:
