@@ -1055,3 +1055,114 @@ p AS (
 SELECT a, b, cosine FROM p WHERE cosine >= {threshold}
 ORDER BY a, b
 """
+
+
+def hyperplane_lsh_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.2,
+    planes: int = 6,
+    seed_ns: str = "rhlsh-v1",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Approximation QA for the hyperplane-LSH candidate generator
+    (the lsh_eval/ivf_eval/pq_recall_eval harness applied to the
+    embedding-dup family): MEASURE what single-band bucket
+    cohabitation recalls of the exact cosine-threshold pair set.
+    Candidates = same-bucket pairs under the portable md5 hyperplanes
+    (NO cosine filter — the generator is what's being graded); truth
+    = ALL pairs whose 6-dp-rounded cosine clears the threshold.
+    Output one row: n_true / n_cand / n_hit plus recall and precision
+    in micro-units — the numbers a pipeline owner tunes the
+    multi-table knob of embedding_dup_pairs against, here
+    hard-oracled because buckets, cosines, and rounding are all
+    engine-portable (the green embedding_dup_pairs row is the parity
+    proof for every ingredient).
+
+    The truth arm is quadratic BY DEFINITION (it is ground truth), so
+    callers slice-bound the input (the lsh_eval doc_id<150
+    precedent); at 100 TB this harness runs on a sample.  To keep the
+    registry's no-cartesian contract, the all-pairs truth join is
+    expressed through an n_blocks x n_blocks literal block grid —
+    two EQUI joins (grid broadcast, then hash on the block id), every
+    block-pair bucket holding (slice/n_blocks)^2 pairs, no
+    BroadcastNestedLoopJoin and no CartesianProduct."""
+    w = _portable_hyperplanes(planes, dim, seed_ns)
+    dots = [
+        " + ".join(
+            f"(CAST('{w[p][d]!r}' AS DOUBLE)"
+            f" * CAST(element_at({vec_col}, {d + 1}) AS DOUBLE))"
+            for d in range(dim)
+        )
+        for p in range(planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN ({dots[p]}) > 0e0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.expr(bucket).alias("bucket"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+        .distinct()
+    )
+    spark = df.sparkSession
+    grid = spark.range(n_blocks * n_blocks).select(
+        F.floor(F.col("id") / n_blocks).cast("int").alias("ba"),
+        F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bb"),
+    )
+    lhs = base.select(
+        F.col("doc").alias("a"), F.col("v").alias("va"), "blk"
+    )
+    rhs = base.select(
+        F.col("doc").alias("b"), F.col("v").alias("vb"),
+        F.col("blk").alias("blk_b"),
+    )
+    rounded = F.floor(
+        _cosine(F.col("va"), F.col("vb")) * 1_000_000 + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    truth = (
+        lhs.join(F.broadcast(grid), lhs["blk"] == grid["ba"])
+        .join(rhs, F.col("bb") == rhs["blk_b"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(rounded >= F.lit(threshold))
+        .select("a", "b")
+    )
+    hit = cand.join(truth, ["a", "b"], "left_semi")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    out = n_true.crossJoin(F.broadcast(n_cand)).crossJoin(
+        F.broadcast(n_hit)
+    )
+    return out.select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.floor(
+                F.col("n_hit") * F.lit(1_000_000.0) / F.col("n_true")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("recall_micro"),
+        F.when(
+            F.col("n_cand") > 0,
+            F.floor(
+                F.col("n_hit") * F.lit(1_000_000.0) / F.col("n_cand")
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("precision_micro"),
+    )

@@ -6195,6 +6195,83 @@ def _embedding_dup_oracle_sql() -> str:
 SQL_EMBEDDING_DUP_PAIRS = _embedding_dup_oracle_sql()
 
 
+def q_hyperplane_lsh_eval(spark, sf_dir):
+    """Hyperplane-LSH recall harness (operators/dedup.
+    hyperplane_lsh_eval) — the fourth leg of the approximate-operator
+    eval family (lsh_eval: MinHash banding, ivf_eval: partial-probe
+    IVF, pq_recall_eval: PQ quantization, this: random-hyperplane
+    bucketing): single-band 6-plane bucket cohabitation vs the exact
+    6-dp-rounded cosine >= 0.2 pair set over a 500-vector slice (the
+    lsh_eval slice-bound precedent — truth is quadratic by
+    definition). Single-band hyperplane recall at a 78-degree
+    threshold is LOW by theory ((1 - theta/pi)^6); this row grades
+    the measured number a pipeline owner multiplies tables against,
+    exactly recomputed by the oracle."""
+    from .operators.dedup import hyperplane_lsh_eval
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return hyperplane_lsh_eval(
+        emb, "embedding", "vec_id", dim=64, threshold=0.2, planes=6
+    )
+
+
+def _hyperplane_lsh_eval_oracle_sql(
+    dim: int = 64,
+    threshold: float = 0.2,
+    planes: int = 6,
+    seed_ns: str = "rhlsh-v1",
+    slice_n: int = 500,
+) -> str:
+    from .operators.dedup import _portable_hyperplanes
+
+    w = _portable_hyperplanes(planes, dim, seed_ns)
+    dots = [
+        " + ".join(
+            f"(CAST('{w[p][d]!r}' AS DOUBLE)"
+            f" * CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d in range(dim)
+        )
+        for p in range(planes)
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN ({dots[p]}) > 0e0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS v,
+         ({bucket}) AS bucket
+  FROM embeddings WHERE vec_id < {slice_n}
+),
+cand AS (
+  SELECT DISTINCT l.doc AS a, r.doc AS b
+  FROM s l JOIN s r ON l.bucket = r.bucket AND l.doc < r.doc
+),
+tr AS (
+  SELECT x.doc AS a, y.doc AS b
+  FROM s x JOIN s y ON x.doc < y.doc
+  WHERE floor(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v)))
+              * 1000000 + 0.5) / 1000000.0 >= {threshold}
+),
+h AS (SELECT COUNT(*) AS n FROM cand JOIN tr USING (a, b)),
+nc AS (SELECT COUNT(*) AS n FROM cand),
+nt AS (SELECT COUNT(*) AS n FROM tr)
+SELECT nt.n AS n_true, nc.n AS n_cand, h.n AS n_hit,
+       CASE WHEN nt.n > 0 THEN
+         CAST(floor(h.n * 1000000.0 / nt.n + 0.5) AS BIGINT)
+       END AS recall_micro,
+       CASE WHEN nc.n > 0 THEN
+         CAST(floor(h.n * 1000000.0 / nc.n + 0.5) AS BIGINT)
+       END AS precision_micro
+FROM nt, nc, h
+"""
+
+
+SQL_HYPERPLANE_LSH_EVAL = _hyperplane_lsh_eval_oracle_sql()
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF top-k (scale path of q_ann_cosine_topk), driven at FULL
     probe (nprobe = n_centroids) so the whole IVF pipeline — seeded
@@ -10671,9 +10748,9 @@ ORDER BY doc_id
 # fills all 50 slots; after r11 no row's last driver row is older
 # than r8.
 #
-# Round-12 plan (stated now, per r10 verdict item 8): HEAD = the 3
+# Round-12 plan (stated now, per r10 verdict item 8): HEAD = the 4
 # round-11 post-window additions (queued at the TAIL below, never
-# driver-graded), then the 27 remaining r8-green rows, then the 20
+# driver-graded), then the 27 remaining r8-green rows, then the 19
 # stalest r9-green rows (r9 grading order) to fill the window.
 # After r12 nothing is older than r9 = 3 rounds — the histogram
 # tail shrinks to the steady state where a 50-row window over a
@@ -10870,14 +10947,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     # --- new in round 11, never graded: r12 window HEAD priority ---
-    # (all three grade an EXISTING scale path, per the r10 verdict's
+    # (all four grade an EXISTING scale path, per the r10 verdict's
     # freeze-budget guidance: routed-vs-flat agreement for the
     # at-scale SemDeDup default, the persisted/incremental steady
-    # state of the semantic dedup family, and measured PQ recall —
-    # the eval trilogy's third leg)
+    # state of the semantic dedup family, and measured recall for
+    # the two approximate paths that lacked a graded eval — PQ
+    # quantization and hyperplane-LSH bucketing)
     "semantic_dedup_routed_eval": q_semantic_dedup_routed_eval,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "pq_recall_eval": q_pq_recall_eval,
+    "hyperplane_lsh_eval": q_hyperplane_lsh_eval,
 }
 
 
@@ -10977,6 +11056,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup_routed_eval": SQL_SEMANTIC_DEDUP_ROUTED_EVAL,
     "incremental_semantic_dedup": SQL_INCREMENTAL_SEMANTIC_DEDUP,
     "pq_recall_eval": SQL_PQ_RECALL_EVAL,
+    "hyperplane_lsh_eval": SQL_HYPERPLANE_LSH_EVAL,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
     # bucketed disk index must reproduce the inline path bit-for-bit

@@ -346,3 +346,63 @@ def test_dedup_corpus_prefer_col_string_ids(spark):
         ).collect()
     }
     assert kept == {"d2", "d4", "d9"}  # highest quality, tie -> min id
+
+
+def test_hyperplane_lsh_eval_counts_consistent(spark):
+    """The eval row's counters recomputed from first principles on
+    the registry slice: candidates = same-bucket pairs under the
+    portable hyperplanes, truth = exact rounded-cosine pairs, hits =
+    the intersection — and the grid-blocked truth join must equal a
+    driver-side brute force exactly (no pair lost to blocking)."""
+    import itertools
+    import math
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        _portable_hyperplanes,
+        hyperplane_lsh_eval,
+    )
+    from alstom_spark_cassandra_spark.sources import load_table
+
+    emb = load_table(
+        spark, "/root/testdata/sf0.001", "embeddings"
+    ).filter("vec_id < 120")
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.collect()
+    }
+    w = _portable_hyperplanes(6, 64)
+
+    def bucket(v):
+        b = 0
+        for p in range(6):
+            d = 0.0
+            for j in range(64):
+                d += w[p][j] * v[j]
+            if d > 0:
+                b += 1 << p
+        return b
+
+    def cos6(x, y):
+        d = sum(a * b for a, b in zip(x, y))
+        n = math.sqrt(sum(a * a for a in x)) * math.sqrt(
+            sum(a * a for a in y)
+        )
+        return math.floor(d / n * 1_000_000 + 0.5) / 1_000_000.0
+
+    bk = {i: bucket(v) for i, v in rows.items()}
+    cand = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if bk[a] == bk[b]
+    }
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if cos6(rows[a], rows[b]) >= 0.2
+    }
+    got = hyperplane_lsh_eval(
+        emb, "embedding", "vec_id", dim=64, threshold=0.2, planes=6
+    ).collect()[0]
+    assert got.n_cand == len(cand)
+    assert got.n_true == len(truth)
+    assert got.n_hit == len(cand & truth)

@@ -258,6 +258,9 @@ BNLJ_SANCTIONED = {
                            # 1-row vocabulary scalars
     "pq_recall_eval",      # broadcast query vectors (truth arm) +
                            # 1-row corpus count — the ivf_eval shape
+    "hyperplane_lsh_eval",  # broadcast 1-row count scalars (the
+                            # lsh_eval shape; the all-pairs truth arm
+                            # itself is equi-joined via a block grid)
 }
 
 
