@@ -23,6 +23,7 @@ from .dedup import (
     dedup_exact,
     embedding_dup_pairs,
     embedding_dup_pairs_portable,
+    hyperplane_lsh_eval,
     incremental_dedup_pairs,
     incremental_simhash_pairs,
     minhash_bands,
@@ -190,6 +191,7 @@ __all__ = [
     "deterministic_shuffle",
     "embedding_dup_pairs",
     "embedding_dup_pairs_portable",
+    "hyperplane_lsh_eval",
     "flatten_json_value",
     "frame_sample",
     "free_local_checkpoints",
