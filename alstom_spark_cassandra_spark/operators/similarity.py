@@ -607,10 +607,22 @@ def semantic_dedup(
 CHECKPOINT_FOLD_LITERALS = 4_096
 
 
-def _checkpoint_if_fold_heavy(base: DataFrame, cents: dict) -> DataFrame:
-    k = len(cents)
-    dim = len(next(iter(cents.values()))) if cents else 0
-    if k * dim >= CHECKPOINT_FOLD_LITERALS:
+def _checkpoint_if_fold_heavy(
+    base: DataFrame, cents: dict, fold_literals: int | None = None
+) -> DataFrame:
+    """Materialize `base` iff its per-row assignment fold is heavy
+    enough that lazy recompute-per-prune-consumer dominates.  The
+    fold size defaults to k*dim (the FLAT argmin's literal count —
+    the configuration the 4096 cut was measured on); ROUTED callers
+    pass their true per-row cost, (n_coarse + max bucket size)*dim,
+    so a routed config doesn't eagerly materialize (extra job +
+    storage) just because its FINE centroid map is large — the whole
+    point of routing is that the per-row fold stays far below k*dim."""
+    if fold_literals is None:
+        k = len(cents)
+        dim = len(next(iter(cents.values()))) if cents else 0
+        fold_literals = k * dim
+    if fold_literals >= CHECKPOINT_FOLD_LITERALS:
         return base.localCheckpoint(eager=True)
     return base
 
@@ -712,15 +724,32 @@ def routed_semantic_dedup(
     driver-side (k×c integer math on the collected k×dim init —
     the same tiny-scalar pattern as kmeans' centroid loop).
     """
-    import math
+    cents = _init_cent_map(init, scale)
+    base, fold = _routed_semantic_base(
+        df, cents, n_coarse, vec_col, id_col, scale
+    )
+    base = _checkpoint_if_fold_heavy(base, cents, fold_literals=fold)
+    return _prune_within_clusters(base, id_col, threshold)
 
-    m = 10**scale
-    cents: dict[int, list[int]] = {
-        int(r["cid"]): [
-            int(math.floor(float(x) * m + 0.5)) for x in r["cv"]
-        ]
-        for r in init.collect()
-    }
+
+def _routed_semantic_base(
+    df: DataFrame,
+    cents: dict,
+    n_coarse: int,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+) -> tuple[DataFrame, int]:
+    """The coarse-routed assignment shared by routed_semantic_dedup
+    (batch) and routed_incremental_semantic_dedup (steady state):
+    fine centroids = `cents` verbatim, coarse = the first n_coarse
+    by cid, each fine centroid buckets to its nearest coarse, each
+    row routes nearest-coarse → nearest-fine-in-bucket (integer-grid
+    argmins, cid tiebreak).  Returns (base, fold_literals) where
+    base = (id_col, cid, __qv, __n2) — the _prune_within_clusters /
+    _incremental_prune input shape — and fold_literals is the TRUE
+    per-row fold cost, (n_coarse + max bucket size) * dim, for the
+    checkpoint-gate decision."""
     if n_coarse < 1:
         raise ValueError("n_coarse must be >= 1")
     coarse_ids = sorted(cents)[:n_coarse]
@@ -802,8 +831,9 @@ def routed_semantic_dedup(
         "__qv",
         n2.alias("__n2"),
     )
-    base = _checkpoint_if_fold_heavy(base, cents)
-    return _prune_within_clusters(base, id_col, threshold)
+    dim = len(next(iter(cents.values()))) if cents else 0
+    max_bucket = max(len(m) for m in bucket.values())
+    return base, (len(coarse_ids) + max_bucket) * dim
 
 
 def _init_cent_map(init: DataFrame, scale: int) -> dict:
@@ -923,6 +953,42 @@ def routed_dedup_eval(
     )
 
 
+def _kept_table_name(index_path: str) -> str:
+    """Catalog name of the bucketed kept-index table for an index
+    path — deterministic so a later session can reconnect."""
+    return "semidx_" + "".join(
+        c if c.isalnum() else "_" for c in index_path
+    )
+
+
+def _kept_df(spark, index_path: str) -> DataFrame:
+    """The kept-index side of the steady-state joins, AS A BUCKETED
+    SCAN: read through the catalog table build_semantic_index
+    registered (sources/sinks.write_bucketed), so the cid-equi joins
+    see HashPartitioning(cid) from the files and skip the kept-side
+    shuffle.  If the table is not in this session's catalog (fresh
+    session reconnecting to an index on disk), re-register the
+    external bucketed table over the same location — bucket count
+    from the index's own meta parquet, schema from the data files —
+    which is exactly what a shared metastore would have remembered."""
+    name = _kept_table_name(index_path)
+    if not spark.catalog.tableExists(name):
+        n_buckets = int(
+            spark.read.parquet(f"{index_path}/meta")
+            .collect()[0]["n_buckets"]
+        )
+        schema = spark.read.parquet(f"{index_path}/kept").schema
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (cid) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{index_path}/kept'"
+        )
+    return spark.table(name)
+
+
 def build_semantic_index(
     df: DataFrame,
     init: DataFrame,
@@ -931,15 +997,26 @@ def build_semantic_index(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     scale: int = 6,
+    n_buckets: int | None = None,
 ) -> None:
     """Build the persisted state for incremental SemDeDup: flat
     init-verbatim assignment + within-cluster prune over the BASE
-    corpus, then write (a) the KEPT rows' (id, cid, qv, n2) bucketed
-    by cid under index_path/kept and (b) the centroid grid (cid,
-    pos, qc) under index_path/centroids — everything the steady
-    state needs, so incremental_semantic_dedup never rereads the
-    base corpus (the incremental_simhash / ivm_bucketed_persisted
-    production shape applied to the dedup family's semantic member).
+    corpus, then write (a) the KEPT rows' (id, cid, qv, n2) as a
+    cid-BUCKETED table (sources/sinks.write_bucketed — external
+    location index_path/kept, catalog name _kept_table_name) and
+    (b) the centroid grid (cid, pos, qc) under index_path/centroids
+    — everything the steady state needs, so
+    incremental_semantic_dedup never rereads the base corpus (the
+    incremental_simhash / ivm_bucketed_persisted production shape
+    applied to the dedup family's semantic member).  Real bucketing,
+    not just clustered files: the steady state's new-vs-kept join is
+    cid-equi, and a bucketed scan reports HashPartitioning(cid) so
+    the kept side — the side that grows forever — never re-shuffles
+    at read time.  n_buckets defaults to the session's shuffle
+    parallelism (the ivm_bucketed_persisted convention: the shard
+    side's own exchange then lands directly on the kept side's
+    layout); a meta parquet records it so a fresh session can
+    re-register the table (_kept_df).
 
     The kept set IS the deduplicated representative set — exactly
     what a production pipeline retains; dropped base rows are gone
@@ -970,10 +1047,23 @@ def build_semantic_index(
             F.col("__n2").alias("n2"),
         )
     )
+    from ..sources.sinks import write_bucketed
+
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    write_bucketed(
+        kept,
+        _kept_table_name(index_path),
+        ["cid"],
+        n_buckets,
+        path=f"{index_path}/kept",
+    )
     (
-        kept.repartition("cid")
+        spark.createDataFrame([(n_buckets,)], "n_buckets int")
+        .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{index_path}/kept")
+        .parquet(f"{index_path}/meta")
     )
     cents = _init_cent_map(init, scale)
     rows = [
@@ -981,52 +1071,20 @@ def build_semantic_index(
         for cid, qc in sorted(cents.items())
         for pos, q in enumerate(qc)
     ]
-    spark = df.sparkSession
     (
         spark.createDataFrame(rows, "cid int, pos int, qc long")
+        # coalesce(1): this table is k x dim rows (the centroid
+        # grid), bounded by the clustering config, never by data —
+        # one file is the right layout for a driver-side collect
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{index_path}/centroids")
     )
 
 
-def incremental_semantic_dedup(
-    spark,
-    new_df: DataFrame,
-    index_path: str,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold: float = 0.4,
-    scale: int = 6,
-) -> DataFrame:
-    """Steady-state SemDeDup: dedup a NEW shard against a persisted
-    semantic index (build_semantic_index) without touching the base
-    corpus — the incremental_simhash contract applied to semantic
-    dedup, closing the dedup family's production loop (new shards
-    arrive continuously; re-clustering 100 TB per shard is not a
-    plan).
-
-    Contract (deterministic, oracle-expressible): each new row is
-    assigned to its nearest persisted centroid (integer-grid argmin,
-    cid tiebreak — identical to the build-time assignment); a new
-    row y is DROPPED iff some RETAINED base representative of the
-    same cluster passes the shared integer-grid cosine test against
-    it (every kept base row precedes every new row), OR some
-    lower-id row of the new shard itself does (the flat SemDeDup
-    rule within the shard).  Dropped BASE rows never suppress new
-    rows — the persisted state is the kept set and nothing else,
-    which is both the point (state size = survivors, not corpus) and
-    the documented difference from re-running the batch over
-    base ∪ shard.  Returns (id, cid, kept) for the NEW shard only.
-
-    Scale design: the new shard is scanned once (pure-map assignment
-    — centroids come from the tiny persisted grid, a k x dim
-    collect); new-vs-kept and new-vs-new candidate pairs are BOTH
-    cid-equi joins (the kept index is bucketed by cid on disk), so
-    the quadratic term stays confined to cluster buckets and the
-    base corpus is never rescanned (plan-asserted: the only
-    embeddings FileScan in the steady-state plan is the new shard).
-    """
+def _read_centroids(spark, index_path: str) -> dict[int, list[int]]:
+    """The persisted centroid grid as the driver-side {cid: qc} map —
+    k x dim tiny-scalar collect, the steady state's only collect."""
     cent_rows = (
         spark.read.parquet(f"{index_path}/centroids")
         .orderBy("cid", "pos")
@@ -1035,20 +1093,20 @@ def incremental_semantic_dedup(
     cents: dict[int, list[int]] = {}
     for r in cent_rows:
         cents.setdefault(int(r["cid"]), []).append(int(r["qc"]))
-    # materialize the shard assignment ONCE: nb feeds four consumers
-    # (both prune sides vs kept, both sides of the shard self-join,
-    # and the final kept-flag join), and a lazy lineage would re-run
-    # the O(n·k·d) argmin fold — the dominant FLOPs term — per
-    # consumer (4 shard scans, measured in the round-11 plan test).
-    # The checkpoint is SHARD-sized (id, cid, qv, n2), bounded by the
-    # arriving batch, never the corpus — the opposite trade from the
-    # fuzzy-explode case where recompute is cheaper than storing a
-    # dozens-× blowup.  Freed by free_local_checkpoints between gate
-    # queries like every eager checkpoint in this package.
-    nb = _flat_semantic_base(
-        new_df, cents, vec_col, id_col, scale
-    ).localCheckpoint(eager=True)
-    kept = spark.read.parquet(f"{index_path}/kept")
+    return cents
+
+
+def _incremental_prune(
+    nb: DataFrame, kept: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The steady-state prune shared by the flat and routed
+    incremental paths: `nb` = the assigned shard (id, cid, __qv,
+    __n2, already materialized), `kept` = the persisted index scan
+    (id, cid, qv, n2).  A shard row drops on a same-cluster cosine
+    hit against ANY retained index row (every index row precedes
+    every new row in arrival order — no id test) or against a
+    lower-id row of the shard itself.  Both candidate joins are
+    cid-equi.  Returns (id_col, cid, kept)."""
     dot_kn = F.aggregate(
         F.zip_with(F.col("qv"), F.col("__yqv"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -1111,3 +1169,175 @@ def incremental_semantic_dedup(
         "cid",
         F.col("__dup").isNull().alias("kept"),
     )
+
+
+def _append_survivors(
+    spark,
+    result: DataFrame,
+    nb: DataFrame,
+    index_path: str,
+    id_col: str,
+) -> DataFrame:
+    """Close the steady-state loop: APPEND the shard's survivors
+    (id, cid, qv, n2 — the same row shape the build wrote) to the
+    bucketed kept table, so shard N+1 is deduped against shard N's
+    survivors without any index rebuild.  The result is eagerly
+    materialized first (shard-sized) so the append job cannot
+    recompute the prune, and the same materialized result is what
+    the caller gets back.  Appending through write_bucketed keeps
+    the new files in the table's cid bucketing — the index stays
+    shuffle-free on the kept side forever."""
+    from ..sources.sinks import write_bucketed
+
+    result = result.localCheckpoint(eager=True)
+    survivors = (
+        result.filter(F.col("kept"))
+        .select(id_col)
+        .join(nb, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            "cid",
+            F.col("__qv").alias("qv"),
+            F.col("__n2").alias("n2"),
+        )
+    )
+    n_buckets = int(
+        spark.read.parquet(f"{index_path}/meta")
+        .collect()[0]["n_buckets"]
+    )
+    write_bucketed(
+        survivors,
+        _kept_table_name(index_path),
+        ["cid"],
+        n_buckets,
+        mode="append",
+        path=f"{index_path}/kept",
+    )
+    return result
+
+
+def incremental_semantic_dedup(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    scale: int = 6,
+    update_index: bool = False,
+) -> DataFrame:
+    """Steady-state SemDeDup: dedup a NEW shard against a persisted
+    semantic index (build_semantic_index) without touching the base
+    corpus — the incremental_simhash contract applied to semantic
+    dedup, closing the dedup family's production loop (new shards
+    arrive continuously; re-clustering 100 TB per shard is not a
+    plan).
+
+    Contract (deterministic, oracle-expressible): each new row is
+    assigned to its nearest persisted centroid (integer-grid argmin,
+    cid tiebreak — identical to the build-time assignment); a new
+    row y is DROPPED iff some RETAINED base representative of the
+    same cluster passes the shared integer-grid cosine test against
+    it (every kept base row precedes every new row), OR some
+    lower-id row of the new shard itself does (the flat SemDeDup
+    rule within the shard).  Dropped BASE rows never suppress new
+    rows — the persisted state is the kept set and nothing else,
+    which is both the point (state size = survivors, not corpus) and
+    the documented difference from re-running the batch over
+    base ∪ shard.  Returns (id, cid, kept) for the NEW shard only.
+
+    Scale design: the new shard is scanned once (pure-map assignment
+    — centroids come from the tiny persisted grid, a k x dim
+    collect); new-vs-kept and new-vs-new candidate pairs are BOTH
+    cid-equi joins, and the kept index is a real BUCKETED table on
+    cid (write_bucketed — its scan reports HashPartitioning, so the
+    ever-growing kept side never re-shuffles at read time); the
+    quadratic term stays confined to cluster buckets and the base
+    corpus is never rescanned (plan-asserted: the only embeddings
+    FileScan in the steady-state plan is the new shard).
+
+    update_index=True closes the production loop: the shard's
+    survivors are appended to the bucketed kept table
+    (_append_survivors), so the NEXT shard is deduped against them
+    with no rebuild — shard N+1 sees base survivors ∪ survivors of
+    shards 1..N, each row written exactly once.
+
+    ASSIGNMENT IS THE FLAT O(n·k·d) FOLD — right for clustering-k in
+    the hundreds; at production k (~10^5) use
+    routed_incremental_semantic_dedup, the O(n·(c+bucket)·d) routed
+    twin with identical prune/append semantics.
+    """
+    cents = _read_centroids(spark, index_path)
+    # materialize the shard assignment ONCE: nb feeds four consumers
+    # (both prune sides vs kept, both sides of the shard self-join,
+    # and the final kept-flag join), and a lazy lineage would re-run
+    # the O(n·k·d) argmin fold — the dominant FLOPs term — per
+    # consumer (4 shard scans, measured in the round-11 plan test).
+    # The checkpoint is SHARD-sized (id, cid, qv, n2), bounded by the
+    # arriving batch, never the corpus — the opposite trade from the
+    # fuzzy-explode case where recompute is cheaper than storing a
+    # dozens-× blowup.  Freed by free_local_checkpoints between gate
+    # queries like every eager checkpoint in this package.
+    nb = _flat_semantic_base(
+        new_df, cents, vec_col, id_col, scale
+    ).localCheckpoint(eager=True)
+    result = _incremental_prune(
+        nb, _kept_df(spark, index_path), id_col, threshold
+    )
+    if update_index:
+        result = _append_survivors(spark, result, nb, index_path, id_col)
+    return result
+
+
+def routed_incremental_semantic_dedup(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    n_coarse: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    scale: int = 6,
+    update_index: bool = False,
+) -> DataFrame:
+    """incremental_semantic_dedup with ROUTED assignment — the
+    steady-state path at production k.  The flat incremental twin
+    assigns each shard row by the full k-way argmin (O(n·k·d)), the
+    exact FLOPs wall routed_semantic_dedup exists to avoid in batch;
+    since the incremental path is the one that runs FOREVER, it
+    needs the same escape: coarse centroids are derived from the
+    persisted grid itself (the first n_coarse fine centroids by cid
+    — the routed_semantic_dedup convention, so batch-routed then
+    incremental-routed uses one centroid story end to end), each
+    shard row routes nearest-coarse → nearest-fine-in-bucket, and
+    the prune/append against the bucketed kept index is IDENTICAL to
+    the flat twin (_incremental_prune / _append_survivors, shared
+    code).
+
+    Routing approximates the flat argmin (a row near a bucket
+    boundary can land in a different fine cluster), so this ships as
+    its own graded contract — same precedent as
+    routed_semantic_dedup vs semantic_dedup, with the agreement
+    measured by routed_dedup_eval's incremental analogue in the
+    workload registry.  Every argmin is integer-grid with cid
+    tiebreak, bit-stable cross-engine.
+
+    Scale design: one shard scan (pure-map routed assignment, fold
+    cost (n_coarse + bucket)·dim per row instead of k·dim),
+    shard-sized eager checkpoint (same justification as the flat
+    twin), then the two cid-equi candidate joins against the
+    bucketed index.  Zero base-corpus scans.
+    """
+    cents = _read_centroids(spark, index_path)
+    base, _fold = _routed_semantic_base(
+        new_df, cents, n_coarse, vec_col, id_col, scale
+    )
+    # always materialize: shard-sized, feeds four prune consumers
+    # (the flat twin's contract — see its comment)
+    nb = base.localCheckpoint(eager=True)
+    result = _incremental_prune(
+        nb, _kept_df(spark, index_path), id_col, threshold
+    )
+    if update_index:
+        result = _append_survivors(spark, result, nb, index_path, id_col)
+    return result

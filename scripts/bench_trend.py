@@ -88,14 +88,26 @@ def main() -> int:
             cells.append("-")
         print("  ".join(cells))
 
+    # total ratio over the INTERSECTION with r1's query set: the
+    # headline set grew across rounds, so a whatever-was-benched total
+    # would conflate drift with registry growth (per-query ratios
+    # above are unaffected); n= shows how much of r1's set each round
+    # still measures.
+    r1_qs = set(base)
     totals = {
-        r: sum(qs.values()) for r, qs in rounds.items() if r == 1 or qs
+        r: (
+            sum(v for q, v in qs.items() if q in r1_qs),
+            sum(1 for q in qs if q in r1_qs),
+        )
+        for r, qs in rounds.items()
     }
+    base_total = totals[1][0]
     print()
     print(
-        "total wall vs r1:  "
+        "total wall vs r1 (r1-query intersection):  "
         + "  ".join(
-            f"r{r}={totals[r] / totals[1]:.2f}" for r in sorted(totals) if 1 in totals
+            f"r{r}={totals[r][0] / base_total:.2f}(n={totals[r][1]})"
+            for r in sorted(totals)
         )
     )
     if flagged:

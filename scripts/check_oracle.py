@@ -140,7 +140,12 @@ def warmup(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            # a hung warmup must not outlive warmup — it would keep
+            # competing with exactly the timings it exists to protect
+            # (the replay harness's own timeout contract)
+            q.stop()
+            print("[warmup] timed out; stream stopped")
         spark.table(name).collect()
     finally:
         shutil.rmtree(base, ignore_errors=True)

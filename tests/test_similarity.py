@@ -598,3 +598,161 @@ def test_incremental_equals_batch_when_base_is_dup_free(spark, tmp_path):
     # the test must exercise both fates or it pins nothing
     assert any(k for _, k in incr.values())
     assert any(not k for _, k in incr.values())
+
+
+def test_update_index_chains_shards(spark, tmp_path):
+    """The closed steady-state loop: with update_index=True shard A's
+    survivors are appended to the bucketed kept table, so shard B is
+    suppressed by an A-survivor WITHOUT any index rebuild — and a B
+    row similar only to an A row that was itself dropped stays kept
+    (survivors-only state, the same contract boundary as the base
+    index)."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    base = spark.createDataFrame(
+        [(1, v(0)), (5, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, v(0)), (1, [0.0, 5.0])], "cid int, cv array<double>"
+    )
+    path = str(tmp_path / "semidx_chain")
+    build_semantic_index(base, init, path, threshold=0.95)
+
+    # shard A: 10 at 34deg keeps (far from base 1); 12 at 35deg drops
+    # (1deg from lower-id A row 10)
+    shard_a = spark.createDataFrame(
+        [(10, v(34)), (12, v(35))],
+        "vec_id long, embedding array<double>",
+    )
+    out_a = {
+        r.vec_id: r.kept
+        for r in incremental_semantic_dedup(
+            spark, shard_a, path, threshold=0.95, update_index=True
+        ).collect()
+    }
+    assert out_a == {10: True, 12: False}
+    kept_ids = {
+        r.id for r in spark.read.parquet(f"{path}/kept").collect()
+    }
+    assert kept_ids == {1, 5, 10}  # A's survivor appended, 12 not
+
+    # shard B (all unit vectors land in cid 0 — the [0,5] centroid is
+    # magnitude-far on squared-L2): 20 at 33deg drops against
+    # APPENDED A-survivor 10 (1deg); 22 at 52deg is 18deg from kept
+    # 10 (cos(18deg) ~ 0.9511 >= 0.95) -> drops vs 10; 24 at 71deg
+    # keeps (19deg from lower-id B row 22, cos(19deg) ~ 0.9455 <
+    # 0.95; 37deg from 10; 71deg from base 1)
+    shard_b = spark.createDataFrame(
+        [(20, v(33)), (22, v(52)), (24, v(71))],
+        "vec_id long, embedding array<double>",
+    )
+    out_b = {
+        r.vec_id: r.kept
+        for r in incremental_semantic_dedup(
+            spark, shard_b, path, threshold=0.95
+        ).collect()
+    }
+    assert out_b == {20: False, 22: False, 24: True}
+
+
+def test_routed_incremental_degenerate_equals_flat(spark, tmp_path):
+    """n_coarse = k (distinct centroids): every coarse bucket is its
+    own fine centroid, so the routed shard assignment reduces to the
+    flat argmin and the two incremental twins must agree row-for-row
+    — the routed_semantic_dedup degenerate-ends pin applied to the
+    steady state."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+        routed_incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    path = str(tmp_path / "semidx_deg")
+    build_semantic_index(base, init, path, threshold=0.4)
+    shard = emb.filter(F.col("vec_id") % 4 == 0)
+    flat = {
+        (r.vec_id, r.cid, r.kept)
+        for r in incremental_semantic_dedup(
+            spark, shard, path, threshold=0.4
+        ).collect()
+    }
+    routed = {
+        (r.vec_id, r.cid, r.kept)
+        for r in routed_incremental_semantic_dedup(
+            spark, shard, path, n_coarse=8, threshold=0.4
+        ).collect()
+    }
+    assert flat == routed
+    assert len(flat) > 0
+
+
+def test_kept_index_bucketed_scan_and_reregister(spark, tmp_path):
+    """The kept index is a REAL bucketed table (ADVICE r11): its scan
+    reports Bucketed: true (HashPartitioning from the files — the
+    ever-growing kept side never re-shuffles at read time), and after
+    the catalog forgets the table (fresh-session story) _kept_df
+    re-registers the external bucketed table from the index's own
+    meta, preserving both results and bucketing."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        _kept_table_name,
+        build_semantic_index,
+        incremental_semantic_dedup,
+        routed_incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    path = str(tmp_path / "semidx_bkt")
+    build_semantic_index(base, init, path, threshold=0.4)
+    shard = emb.filter(F.col("vec_id") % 4 == 0)
+    out = incremental_semantic_dedup(spark, shard, path, threshold=0.4)
+    before = {(r.vec_id, r.cid, r.kept) for r in out.collect()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    kept_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan" in ln and _kept_table_name(path) in ln
+    ]
+    assert kept_scans and all("Bucketed: true" in ln for ln in kept_scans)
+
+    spark.sql(f"DROP TABLE {_kept_table_name(path)}")
+    out2 = routed_incremental_semantic_dedup(
+        spark, shard, path, n_coarse=8, threshold=0.4
+    )
+    after = {(r.vec_id, r.cid, r.kept) for r in out2.collect()}
+    assert after == before  # n_coarse=k degenerate + same index
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan2
+    emb_scans = [
+        ln
+        for ln in plan2.splitlines()
+        if "FileScan" in ln and "embeddings.parquet" in ln
+    ]
+    assert len(emb_scans) == 0, plan2
+    assert "CartesianProduct" not in plan2
+    assert "BatchEvalPython" not in plan2
