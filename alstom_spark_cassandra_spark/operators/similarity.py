@@ -933,6 +933,17 @@ def routed_dedup_eval(
         F.col("cid").alias("__rcid"),
         F.col("kept").alias("__rkept"),
     )
+    return _agreement_counters(flat, routed, id_col)
+
+
+def _agreement_counters(
+    flat: DataFrame, routed: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-FLAT-cluster agreement counters shared by the batch
+    (routed_dedup_eval) and steady-state (routed_incremental_eval)
+    routing evals: flat = (id, __fcid, __fkept), routed = (id,
+    __rcid, __rkept); the arms meet in ONE id-keyed equi-join before
+    a k-row integer aggregate — every count exact cross-engine."""
     one = F.count(F.lit(1))
     return (
         flat.join(routed, id_col)
@@ -1341,3 +1352,58 @@ def routed_incremental_semantic_dedup(
     if update_index:
         result = _append_survivors(spark, result, nb, index_path, id_col)
     return result
+
+
+def routed_incremental_eval(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    n_coarse: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    scale: int = 6,
+) -> DataFrame:
+    """MEASURE the routed steady-state assignment against the flat
+    one on the SAME persisted index — routed_dedup_eval's contract
+    applied to the incremental path: both arms assign the shard from
+    the same persisted centroid grid (flat k-way argmin vs coarse
+    routing) and prune against the same bucketed kept index, so
+    routing is the ONLY difference.  One row per FLAT cluster id with
+    the shared agreement counters (n_vecs, n_cid_agree, n_kept_flat,
+    n_kept_routed, n_kept_agree) — all integer arithmetic on the
+    shared grid, so the DuckDB oracle recomputes the MEASURED
+    agreement exactly.
+
+    Scale design: two shard-sized assignment scans (the flat arm's
+    fold is the cost being evaluated — the eval is a measurement
+    harness, run on a shard sample at production k), the shared
+    cid-equi prunes, one id-keyed equi-join, k-row aggregate."""
+    flat = incremental_semantic_dedup(
+        spark,
+        new_df,
+        index_path,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        scale=scale,
+    ).select(
+        F.col(id_col),
+        F.col("cid").alias("__fcid"),
+        F.col("kept").alias("__fkept"),
+    )
+    routed = routed_incremental_semantic_dedup(
+        spark,
+        new_df,
+        index_path,
+        n_coarse,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        scale=scale,
+    ).select(
+        F.col(id_col),
+        F.col("cid").alias("__rcid"),
+        F.col("kept").alias("__rkept"),
+    )
+    return _agreement_counters(flat, routed, id_col)
