@@ -756,3 +756,49 @@ def test_kept_index_bucketed_scan_and_reregister(spark, tmp_path):
     assert len(emb_scans) == 0, plan2
     assert "CartesianProduct" not in plan2
     assert "BatchEvalPython" not in plan2
+
+
+def test_routed_update_index_appends_same_survivors(spark, tmp_path):
+    """update_index parity between the twins at the degenerate point:
+    with n_coarse = k the routed twin's verdicts equal flat, so its
+    survivor APPEND must leave the index in the identical state —
+    pins that _append_survivors is truly shared semantics, not two
+    write paths that could drift."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+        routed_incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 >= 2)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    shard = emb.filter(F.col("vec_id") % 4 == 0)
+
+    p_flat = str(tmp_path / "idx_flat")
+    build_semantic_index(base, init, p_flat, threshold=0.4)
+    incremental_semantic_dedup(
+        spark, shard, p_flat, threshold=0.4, update_index=True
+    ).collect()
+    flat_state = {
+        (r.id, r.cid) for r in spark.read.parquet(f"{p_flat}/kept").collect()
+    }
+
+    p_routed = str(tmp_path / "idx_routed")
+    build_semantic_index(base, init, p_routed, threshold=0.4)
+    routed_incremental_semantic_dedup(
+        spark, shard, p_routed, n_coarse=8, threshold=0.4, update_index=True
+    ).collect()
+    routed_state = {
+        (r.id, r.cid)
+        for r in spark.read.parquet(f"{p_routed}/kept").collect()
+    }
+    assert flat_state == routed_state
+    assert len(flat_state) > 0
