@@ -1009,10 +1009,14 @@ def build_semantic_index(
     threshold: float = 0.4,
     scale: int = 6,
     n_buckets: int | None = None,
+    n_coarse: int | None = None,
 ) -> None:
-    """Build the persisted state for incremental SemDeDup: flat
-    init-verbatim assignment + within-cluster prune over the BASE
-    corpus, then write (a) the KEPT rows' (id, cid, qv, n2) as a
+    """Build the persisted state for incremental SemDeDup:
+    init-verbatim assignment (flat by default; coarse-ROUTED when
+    n_coarse is given — the build hits the same O(n·k·d) fold wall
+    as every other flat assignment at production k, so the routed
+    escape must exist end to end: routed build, routed increments)
+    + within-cluster prune over the BASE corpus, then write (a) the KEPT rows' (id, cid, qv, n2) as a
     cid-BUCKETED table (sources/sinks.write_bucketed — external
     location index_path/kept, catalog name _kept_table_name) and
     (b) the centroid grid (cid, pos, qc) under index_path/centroids
@@ -1043,9 +1047,16 @@ def build_semantic_index(
     # assignment production systems materialize anyway; the steady
     # state (incremental_semantic_dedup) only ever checkpoints
     # shard-sized batches.
-    base = _flat_semantic_base(
-        df, _init_cent_map(init, scale), vec_col, id_col, scale
-    ).localCheckpoint(eager=True)
+    cents0 = _init_cent_map(init, scale)
+    if n_coarse is None:
+        assigned = _flat_semantic_base(
+            df, cents0, vec_col, id_col, scale
+        )
+    else:
+        assigned, _fold = _routed_semantic_base(
+            df, cents0, n_coarse, vec_col, id_col, scale
+        )
+    base = assigned.localCheckpoint(eager=True)
     kept = (
         _prune_within_clusters(base, id_col, threshold)
         .filter(F.col("kept"))
@@ -1076,7 +1087,7 @@ def build_semantic_index(
         .write.mode("overwrite")
         .parquet(f"{index_path}/meta")
     )
-    cents = _init_cent_map(init, scale)
+    cents = cents0
     rows = [
         (int(cid), int(pos), int(q))
         for cid, qc in sorted(cents.items())

@@ -802,3 +802,37 @@ def test_routed_update_index_appends_same_survivors(spark, tmp_path):
     }
     assert flat_state == routed_state
     assert len(flat_state) > 0
+
+
+def test_routed_build_degenerate_equals_flat(spark, tmp_path):
+    """build_semantic_index(n_coarse=k) must persist the identical
+    index as the flat build (every coarse bucket is its own fine
+    centroid) — the degenerate-ends pin extended to the BUILD, so the
+    routed escape exists end to end (routed build, routed increments)
+    without a second write path that could drift."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    p_flat = str(tmp_path / "bidx_flat")
+    p_routed = str(tmp_path / "bidx_routed")
+    build_semantic_index(base, init, p_flat, threshold=0.4)
+    build_semantic_index(base, init, p_routed, threshold=0.4, n_coarse=8)
+    flat_state = {
+        (r.id, r.cid) for r in spark.read.parquet(f"{p_flat}/kept").collect()
+    }
+    routed_state = {
+        (r.id, r.cid)
+        for r in spark.read.parquet(f"{p_routed}/kept").collect()
+    }
+    assert flat_state == routed_state and len(flat_state) > 0
