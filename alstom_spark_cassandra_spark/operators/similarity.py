@@ -1074,8 +1074,13 @@ def build_semantic_index(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartition on the bucket key first: partition i then holds
+    # exactly bucket i's rows (same murmur3-pmod hash), so the write
+    # lands ONE file per bucket instead of tasks x buckets — at
+    # cluster scale an unaligned bucketed write of a corpus-survivor
+    # set is the classic small-files explosion
     write_bucketed(
-        kept,
+        kept.repartition(n_buckets, F.col("cid")),
         _kept_table_name(index_path),
         ["cid"],
         n_buckets,
@@ -1227,8 +1232,12 @@ def _append_survivors(
         spark.read.parquet(f"{index_path}/meta")
         .collect()[0]["n_buckets"]
     )
+    # bucket-aligned repartition: one new file per bucket per append
+    # (see build_semantic_index) — after S shards the table holds
+    # S+1 files per bucket, which compact_semantic_index folds back
+    # to one
     write_bucketed(
-        survivors,
+        survivors.repartition(n_buckets, F.col("cid")),
         _kept_table_name(index_path),
         ["cid"],
         n_buckets,
@@ -1418,3 +1427,66 @@ def routed_incremental_eval(
         F.col("kept").alias("__rkept"),
     )
     return _agreement_counters(flat, routed, id_col)
+
+
+def compact_semantic_index(spark, index_path: str) -> None:
+    """Fold the kept table back to ONE file per bucket.  Every
+    survivor append lands one more file generation per bucket
+    (bucket-aligned by construction), so after S shards each bucket
+    holds S+1 files — the small-files drift every long-lived bucketed
+    index accumulates; periodic compaction is the standard
+    counter-move.  PHYSICAL rewrite only: bucket spec, table name,
+    location and contents are identical before and after (the
+    latest_bucketed_persisted / ivm_bucketed_persisted contract —
+    layout must change NOTHING, pinned by grading the compacted
+    chain under the uncompacted oracle).
+
+    Scale design: the live table cannot be overwritten while it is
+    being read, so the survivors are staged through a sibling
+    bucketed table (one aligned write each way; a compaction
+    rewrites its data twice by nature, and both writes are bounded
+    by the SURVIVOR set, never the corpus).  Both reads here are
+    PLAIN parquet scans of the data directories, not catalog scans:
+    against the bucketed table the optimizer elides the aligned
+    repartition (the scan claims the bucket partitioning) and then
+    separately disables the bucketed read as useless — leaving one
+    raw file split per input file, which would write one file per
+    INPUT file and compact nothing.  The plain scan carries no
+    bucket metadata, so the bucket-aligned repartition survives and
+    each write lands exactly one file per non-empty bucket.  The
+    stage directory is removed through the Hadoop FileSystem API, so
+    the maintenance op works on any storage the session can reach,
+    not just the local disk."""
+    from ..sources.sinks import write_bucketed
+
+    n_buckets = int(
+        spark.read.parquet(f"{index_path}/meta")
+        .collect()[0]["n_buckets"]
+    )
+    name = _kept_table_name(index_path)
+    tmp_name = name + "_compact_stage"
+    tmp_path = f"{index_path}/kept_compact_stage"
+    write_bucketed(
+        spark.read.parquet(f"{index_path}/kept").repartition(
+            n_buckets, F.col("cid")
+        ),
+        tmp_name,
+        ["cid"],
+        n_buckets,
+        path=tmp_path,
+    )
+    write_bucketed(
+        spark.read.parquet(tmp_path).repartition(
+            n_buckets, F.col("cid")
+        ),
+        name,
+        ["cid"],
+        n_buckets,
+        mode="overwrite",
+        path=f"{index_path}/kept",
+    )
+    spark.sql(f"DROP TABLE {tmp_name}")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)

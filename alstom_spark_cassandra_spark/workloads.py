@@ -4172,6 +4172,55 @@ ORDER BY vec_id"""
 SQL_SEMANTIC_INDEX_APPEND = _semantic_index_append_oracle_sql()
 
 
+def q_semantic_index_compacted(spark, sf_dir):
+    """semantic_index_append with a COMPACTION between the append and
+    shard B (operators/similarity.compact_semantic_index): every
+    survivor append lands one more file generation per bucket, the
+    small-files drift every long-lived bucketed index accumulates;
+    compaction folds the kept table back to one file per bucket
+    through a staged bucketed rewrite.  PHYSICAL maintenance only —
+    this row grades the whole chain under the UNCOMPACTED oracle
+    (SQL_SEMANTIC_INDEX_APPEND verbatim), the latest_bucketed_
+    persisted / ivm_bucketed_persisted contract: layout must change
+    NOTHING.  File-count mechanics are pinned in
+    tests/test_similarity.py."""
+    import tempfile
+
+    from .operators.similarity import (
+        build_semantic_index,
+        compact_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 >= 2)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    index_path = f"{tempfile.gettempdir()}/semdedup_cpt{slug}"
+    build_semantic_index(base, init, index_path, threshold=0.4)
+    shard_a = emb.filter(F.col("vec_id") % 4 == 0)
+    shard_b = emb.filter(F.col("vec_id") % 4 == 1)
+    out_a = incremental_semantic_dedup(
+        spark, shard_a, index_path, threshold=0.4, update_index=True
+    )
+    compact_semantic_index(spark, index_path)
+    out_b = incremental_semantic_dedup(
+        spark, shard_b, index_path, threshold=0.4
+    )
+    return (
+        out_a.withColumn("shard", F.lit("a"))
+        .unionByName(out_b.withColumn("shard", F.lit("b")))
+        .orderBy("vec_id")
+    )
+
+
 def q_routed_incremental_eval(spark, sf_dir):
     """Routed-vs-flat agreement of the STEADY-STATE assignment
     (operators/similarity.routed_incremental_eval) — the
@@ -11104,10 +11153,10 @@ ORDER BY doc_id
 # 50-row window over a ~184-row registry refreshes every row within
 # ceil(184/50) = 4 rounds.
 #
-# Round-13 plan (stated now): HEAD = the 3 round-12 post-window
+# Round-13 plan (stated now): HEAD = the 4 round-12 post-window
 # additions (queued at the TAIL below, never driver-graded), then
 # the 31 remaining r9-green rows (kept in r9 grading order in their
-# group below), then the 16 stalest r10-green rows (CORRECTNESS_r10
+# group below), then the 15 stalest r10-green rows (CORRECTNESS_r10
 # grading order) to fill the window. Growth stays budgeted toward
 # rows that grade an existing scale path over new surface.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -11304,14 +11353,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     # --- new in round 12, never graded: r13 window HEAD priority ---
-    # (all three close the r11 verdict's named residuals on the
+    # (all four close the r11 verdict's named residuals on the
     # semantic-dedup steady state: survivors write-back chains
     # shards through the persisted index, the routed assignment
     # removes the O(n*k*d) fold from the path that runs forever,
-    # and the eval measures that routing against flat exactly)
+    # the eval measures that routing against flat exactly, and
+    # compaction keeps the ever-appended bucketed index at one file
+    # per bucket — graded under the uncompacted oracle, the
+    # physical-rewrite contract)
     "semantic_index_append": q_semantic_index_append,
     "incremental_semantic_dedup_routed": q_incremental_semantic_dedup_routed,
     "routed_incremental_eval": q_routed_incremental_eval,
+    "semantic_index_compacted": q_semantic_index_compacted,
 }
 
 
@@ -11411,6 +11464,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_dedup_routed_eval": SQL_SEMANTIC_DEDUP_ROUTED_EVAL,
     "incremental_semantic_dedup": SQL_INCREMENTAL_SEMANTIC_DEDUP,
     "semantic_index_append": SQL_SEMANTIC_INDEX_APPEND,
+    "semantic_index_compacted": SQL_SEMANTIC_INDEX_APPEND,
     "incremental_semantic_dedup_routed": SQL_INCREMENTAL_SEMANTIC_DEDUP_ROUTED,
     "routed_incremental_eval": SQL_ROUTED_INCREMENTAL_EVAL,
     "pq_recall_eval": SQL_PQ_RECALL_EVAL,

@@ -836,3 +836,63 @@ def test_routed_build_degenerate_equals_flat(spark, tmp_path):
         for r in spark.read.parquet(f"{p_routed}/kept").collect()
     }
     assert flat_state == routed_state and len(flat_state) > 0
+
+
+def test_compact_semantic_index_file_mechanics(spark, tmp_path):
+    """The small-files story, pinned end to end: bucket-aligned
+    writes land at most ONE file per bucket per write event (build =
+    1 generation, append = +1), compaction folds back to one
+    generation, and neither contents, bucketing, nor steady-state
+    results change across it (physical rewrite only)."""
+    import glob
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        compact_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 >= 2)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    path = str(tmp_path / "cpt_idx")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    build_semantic_index(base, init, path, threshold=0.4)
+
+    def files():
+        return glob.glob(f"{path}/kept/*.parquet")
+
+    n_build = len(files())
+    assert 0 < n_build <= n_buckets  # one generation, <=1 per bucket
+
+    shard_a = emb.filter(F.col("vec_id") % 4 == 0)
+    incremental_semantic_dedup(
+        spark, shard_a, path, threshold=0.4, update_index=True
+    ).collect()
+    n_appended = len(files())
+    assert n_build < n_appended <= 2 * n_buckets  # +1 generation
+
+    pre = {
+        (r.id, r.cid) for r in spark.read.parquet(f"{path}/kept").collect()
+    }
+    compact_semantic_index(spark, path)
+    assert len(files()) <= n_buckets  # folded back to one generation
+    assert not glob.glob(f"{path}/kept_compact_stage*")  # stage gone
+    post = {
+        (r.id, r.cid) for r in spark.read.parquet(f"{path}/kept").collect()
+    }
+    assert pre == post
+
+    # steady state still works and still scans bucketed
+    shard_b = emb.filter(F.col("vec_id") % 4 == 1)
+    out = incremental_semantic_dedup(spark, shard_b, path, threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert out.count() > 0
