@@ -721,6 +721,7 @@ def incremental_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    update_index: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (a, b, est_jaccard) touching the NEW batch only:
     new×new and new×indexed candidates from band-bucket joins, scored
@@ -734,6 +735,17 @@ def incremental_dedup_pairs(
     verification (when both texts are at hand) stays available via
     _verify_jaccard / minhash_lsh_pairs; at steady state the
     estimator is the point — it needs no old text.
+
+    update_index=True closes the production loop (the semantic
+    family's _append_survivors applied here): the batch's signatures
+    and band rows are APPENDED to the index, so the NEXT batch's
+    pairs include hits against THIS batch with no rebuild.  The whole
+    batch appends (not survivors: this operator reports pairs — the
+    keep/drop policy is downstream), the signatures are eagerly
+    materialized first so the index write cannot re-shingle the
+    batch, and the returned pair plan reads the index's PRE-append
+    file snapshot, so a batch never pairs against its own appended
+    rows (pinned in tests/test_dedup.py).
     """
     from pyspark.errors import AnalysisException
 
@@ -762,9 +774,21 @@ def incremental_dedup_pairs(
             "be silently missed"
         )
     new_sig = minhash_signatures(new_docs, text_col, id_col, n, num_hashes)
+    if update_index:
+        # batch-sized eager checkpoint: feeds the pair plan AND the
+        # two index appends below without re-shingling the batch
+        new_sig = new_sig.localCheckpoint(eager=True)
     new_bands = minhash_bands(new_sig, num_hashes, bands)
+    # snapshot the index file listing BEFORE any append: the returned
+    # plan must see the PRE-append index (a batch never pairs against
+    # its own rows twice)
     old_bands = spark.read.parquet(f"{index_path}/bands")
     old_sigs = spark.read.parquet(f"{index_path}/signatures")
+    if update_index:
+        new_sig.write.mode("append").parquet(f"{index_path}/signatures")
+        new_bands.write.mode("append").partitionBy("band").parquet(
+            f"{index_path}/bands"
+        )
 
     all_bands = old_bands.unionByName(new_bands)
     l, r = new_bands.alias("l"), all_bands.alias("r")
@@ -826,16 +850,28 @@ def incremental_simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    update_index: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (a, b, hamming ≤ max_hamming) touching the NEW
     batch only — new×indexed plus new×new band-bucket candidates,
     verified by exact Hamming distance on the fingerprints carried in
     the band rows. Old corpus text is never touched. Ids must be
-    unique across old∪new; output has a < b."""
-    new_bands = simhash_bands(
-        simhash(new_docs, text_col, id_col), max_hamming
-    )
+    unique across old∪new; output has a < b.
+
+    update_index=True appends the batch's band rows to the index (the
+    MinHash twin's contract verbatim): the next batch then pairs
+    against this one with no rebuild; the batch's fingerprints are
+    eagerly materialized first, and the returned plan reads the
+    PRE-append index snapshot."""
+    new_fp = simhash(new_docs, text_col, id_col)
+    if update_index:
+        new_fp = new_fp.localCheckpoint(eager=True)
+    new_bands = simhash_bands(new_fp, max_hamming)
     old_bands = spark.read.parquet(f"{index_path}/bands")
+    if update_index:
+        new_bands.write.mode("append").partitionBy("band").parquet(
+            f"{index_path}/bands"
+        )
     all_bands = old_bands.unionByName(new_bands)
     l, r = new_bands.alias("l"), all_bands.alias("r")
     cand = (

@@ -406,3 +406,82 @@ def test_hyperplane_lsh_eval_counts_consistent(spark):
     assert got.n_cand == len(cand)
     assert got.n_true == len(truth)
     assert got.n_hit == len(cand & truth)
+
+
+def test_minhash_index_append_chains_batches(spark, tmp_path):
+    """update_index write-back: batch A's signatures/bands append to
+    the index, so batch B pairs against A with no rebuild — and the
+    PRE-append snapshot contract holds: A's own returned pairs,
+    evaluated AFTER the append already ran, contain no duplicate
+    rows and no hits against A's own appended rows."""
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_dedup_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_chain")
+    build_minhash_index(base, path, "text", "doc_id")
+    batch_a = spark.createDataFrame(
+        [(11, "x y z w v u t s"), (12, "aa bb cc dd ee ff gg hh")],
+        "doc_id long, text string",
+    )
+    out_a = incremental_dedup_pairs(
+        spark, batch_a, path, "text", "doc_id",
+        threshold=1.0, update_index=True,
+    ).collect()
+    pairs_a = [(r.a, r.b) for r in out_a]
+    assert sorted(pairs_a) == [(1, 11)]  # no dups, no self-index hits
+
+    batch_b = spark.createDataFrame(
+        [(21, "aa bb cc dd ee ff gg hh"), (22, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    out_b = incremental_dedup_pairs(
+        spark, batch_b, path, "text", "doc_id", threshold=1.0
+    ).collect()
+    pairs_b = sorted((r.a, r.b) for r in out_b)
+    # (12, 21) and (11, 22) exist ONLY because A was appended
+    assert pairs_b == [(1, 22), (11, 22), (12, 21)]
+
+
+def test_simhash_index_append_chains_batches(spark, tmp_path):
+    """The Hamming twin of the MinHash chain pin."""
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_simhash_index,
+        incremental_simhash_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sh_chain")
+    build_simhash_index(base, path, "text", "doc_id")
+    batch_a = spark.createDataFrame(
+        [(11, "x y z w v u t s"), (12, "aa bb cc dd ee ff gg hh")],
+        "doc_id long, text string",
+    )
+    # probe with the INDEX's max_hamming (band segmentation is a
+    # function of it); identical texts land at hamming 0
+    out_a = incremental_simhash_pairs(
+        spark, batch_a, path, "text", "doc_id",
+        max_hamming=3, update_index=True,
+    ).collect()
+    assert sorted((r.a, r.b) for r in out_a if r.hamming == 0) == [(1, 11)]
+    assert len(out_a) == len({(r.a, r.b) for r in out_a})  # no dup rows
+
+    batch_b = spark.createDataFrame(
+        [(21, "aa bb cc dd ee ff gg hh"), (22, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    out_b = incremental_simhash_pairs(
+        spark, batch_b, path, "text", "doc_id", max_hamming=3
+    ).collect()
+    # (12, 21) and (11, 22) exist ONLY because A was appended
+    assert sorted((r.a, r.b) for r in out_b if r.hamming == 0) == [
+        (1, 22), (11, 22), (12, 21)
+    ]
