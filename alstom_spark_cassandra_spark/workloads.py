@@ -6850,6 +6850,46 @@ def q_ivf_persisted(spark, sf_dir):
     )
 
 
+def q_ivf_index_append(spark, sf_dir):
+    """ivf_persisted with the ingest loop closed (operators/
+    similarity.append_ivf_index): the index is BUILT over two thirds
+    of the corpus (vec_id % 3 != 0), the remaining third ARRIVES
+    later and is assigned to the frozen centroids and appended into
+    the cid-partitioned inverted list — no re-clustering, no
+    re-scan of the old corpus.  Driven at FULL probe, where the
+    search is bit-exact vs brute force over the WHOLE corpus
+    regardless of assignment (every bucket is scanned), so the
+    oracle is the same exact-cosine SQL as ann_cosine_topk — any
+    appended vector lost, duplicated, or mis-written would break
+    the top-10.  Partial-probe behavior after append (appended
+    vectors found inside their bucket's pruned probe) is pinned in
+    tests/test_similarity.py."""
+    import tempfile
+
+    from .operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    index_path = f"{tempfile.gettempdir()}/ivf_append{slug}"
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 3 != 0), index_path, n_centroids=16
+    )
+    append_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), index_path
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = search_ivf_index(spark, index_path, queries, k=10, nprobe=16)
+    return out.select(
+        "query_id", "vec_id", half_up(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-mitigated equi-join (operators/skew.salted_join): the
     events fact joins the customer dim on (key, salt) with the dim
@@ -11274,10 +11314,10 @@ ORDER BY doc_id
 # 50-row window over a ~184-row registry refreshes every row within
 # ceil(184/50) = 4 rounds.
 #
-# Round-13 plan (stated now): HEAD = the 6 round-12 post-window
+# Round-13 plan (stated now): HEAD = the 7 round-12 post-window
 # additions (queued at the TAIL below, never driver-graded), then
 # the 31 remaining r9-green rows (kept in r9 grading order in their
-# group below), then the 13 stalest r10-green rows (CORRECTNESS_r10
+# group below), then the 12 stalest r10-green rows (CORRECTNESS_r10
 # grading order) to fill the window. Growth stays budgeted toward
 # rows that grade an existing scale path over new surface.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -11490,6 +11530,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_index_compacted": q_semantic_index_compacted,
     "minhash_index_append": q_minhash_index_append,
     "simhash_index_append": q_simhash_index_append,
+    "ivf_index_append": q_ivf_index_append,
 }
 
 
@@ -11592,6 +11633,7 @@ ORACLE_SQL: dict[str, str] = {
     "semantic_index_compacted": SQL_SEMANTIC_INDEX_APPEND,
     "minhash_index_append": SQL_INDEX_APPEND_PAIRS,
     "simhash_index_append": SQL_INDEX_APPEND_PAIRS,
+    "ivf_index_append": SQL_ANN_COSINE_TOPK,
     "incremental_semantic_dedup_routed": SQL_INCREMENTAL_SEMANTIC_DEDUP_ROUTED,
     "routed_incremental_eval": SQL_ROUTED_INCREMENTAL_EVAL,
     "pq_recall_eval": SQL_PQ_RECALL_EVAL,

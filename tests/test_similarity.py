@@ -896,3 +896,43 @@ def test_compact_semantic_index_file_mechanics(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Bucketed: true" in plan
     assert out.count() > 0
+
+
+def test_ivf_append_found_in_pruned_probe(spark, corpus, tmp_path):
+    """Frozen-centroid ingest: a vector appended AFTER the build is
+    found by a partial probe (its bucket is the query's own nearest
+    centroid, so nprobe=1 must surface the identical appended vector
+    at rank 1 with cosine 1), and the pruned probe still reads only
+    matching cid partitions after the append."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    rows, df = corpus
+    path = str(tmp_path / "ivf_app")
+    build_ivf_index(df.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8)
+    append_ivf_index(spark, df.filter(F.col("vec_id") % 2 == 1), path)
+    # query = an APPENDED (odd-id) vector, verbatim
+    q = spark.createDataFrame(
+        [(0, rows[41][1])], "query_id long, query_vec array<double>"
+    )
+    out = search_ivf_index(spark, path, q, k=5, nprobe=1)
+    top = out.filter(F.col("rank") == 1).collect()[0]
+    assert top.vec_id == 41 and abs(top.cosine - 1.0) < 1e-9
+
+    plan = (
+        spark.read.parquet(f"{path}/assignment")
+        .filter("cid = 3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+
+    # full probe over the appended index == exact brute force over
+    # the WHOLE corpus (the graded contract)
+    exact = _brute_py(rows, rows[41][1], 5)
+    full = search_ivf_index(spark, path, q, k=5, nprobe=8)
+    assert [r.vec_id for r in full.collect()] == exact
