@@ -224,6 +224,7 @@ def test_token_rarity_no_cartesian_and_prunes(spark):
 BNLJ_SANCTIONED = {
     "ivf_topk",            # broadcast query vectors x centroids
     "ivf_persisted",       # same, persisted-index path
+    "ivf_index_append",    # same probe shape over the appended index
     "ann_cosine_topk",     # broadcast query vectors
     "mmr_rerank",          # candidate generation = cosine_topk above
     "ann_quantized_topk",  # broadcast query vectors
