@@ -164,7 +164,17 @@ def minhash_lsh_pairs(
             "a 0-row band would put every document in one bucket and "
             "degrade candidate generation to the full cross product"
         )
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # corpus-narrow eager checkpoint (docs x num_hashes longs — the
+    # exact table build_minhash_index persists as "signatures"): the
+    # self-join + distinct lineage re-derives the shingle+minhash
+    # aggregation, the dominant FLOPs, more than once per side —
+    # measured round-12 at 200k docs: lazy 451 s vs 58 s checkpointed
+    # (7.7x).  Spark's ReuseExchange does NOT fire here (the aliased
+    # sides canonicalize differently), so the materialization is the
+    # only way the aggregation runs once.
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_hashes
+    ).localCheckpoint(eager=True)
     bucketed = minhash_bands(sig, num_hashes, bands)
     left = bucketed.alias("l")
     right = bucketed.alias("r")
@@ -421,7 +431,10 @@ def simhash_pairs(
     max_hamming, found by banding the 64-bit fingerprint into
     max_hamming+1 bit-slices (pigeonhole: a pair within the distance
     must agree exactly on at least one slice)."""
-    fp = simhash(df, text_col, id_col)
+    # corpus-narrow eager checkpoint — the MinHash twin's recompute
+    # trap (see minhash_lsh_pairs): the banded self-join re-runs the
+    # fingerprint aggregation per side without it
+    fp = simhash(df, text_col, id_col).localCheckpoint(eager=True)
     bands = simhash_bands(fp, max_hamming)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
