@@ -60,6 +60,8 @@ from .pq import pq_build, pq_rerank_topk, pq_topk
 from .quantize import dequantize_embedding, quantize_embedding
 from .range_join import interval_join
 from .retrieval import (
+    append_bm25_index,
+    append_positional_index,
     bm25_topk,
     build_bm25_index,
     build_positional_index,
@@ -83,6 +85,7 @@ from .sampling import (
 )
 from .setops import symmetric_diff_rows, unchanged_rows
 from .similarity import (
+    append_ivf_index,
     build_ivf_index,
     cosine_topk,
     cosine_topk_filtered,
@@ -90,7 +93,10 @@ from .similarity import (
     mean_pool,
     search_ivf_index,
     build_semantic_index,
+    compact_semantic_index,
     incremental_semantic_dedup,
+    routed_incremental_eval,
+    routed_incremental_semantic_dedup,
     routed_dedup_eval,
     routed_semantic_dedup,
     semantic_dedup,
@@ -160,6 +166,9 @@ __all__ = [
     "benchmark_contamination",
     "bloom_build",
     "bloom_prefilter",
+    "append_bm25_index",
+    "append_ivf_index",
+    "append_positional_index",
     "bm25_topk",
     "bpe_segment",
     "bpe_train",
@@ -255,7 +264,10 @@ __all__ = [
     "salted_latest",
     "search_ivf_index",
     "build_semantic_index",
+    "compact_semantic_index",
     "incremental_semantic_dedup",
+    "routed_incremental_eval",
+    "routed_incremental_semantic_dedup",
     "routed_dedup_eval",
     "routed_semantic_dedup",
     "semantic_dedup",

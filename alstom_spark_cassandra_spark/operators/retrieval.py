@@ -264,6 +264,31 @@ def write_positional_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_positional_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append new documents' positional postings to a persisted
+    phrase index, in the index's own term-hash bucket layout (bucket
+    count from the persisted meta).  The positional index carries NO
+    global statistics, so the append is trivially exact: the
+    appended index is content-identical to a rebuild over old ∪ new
+    (pinned in tests/test_retrieval.py).  Ids must be unique across
+    old ∪ new.  Completes the round-12 rule: every persisted index
+    in the engine appends instead of rebuilding."""
+    n_buckets = int(
+        spark.read.parquet(f"{path}/meta").first()["n_buckets"]
+    )
+    p = build_positional_postings(new_docs, text_col, id_col, n_buckets)
+    w = p.write.mode("append")
+    if n_buckets:
+        w = w.partitionBy("bucket")
+    w.parquet(f"{path}/postings")
+
+
 def read_positional_index(spark, path: str) -> PositionalIndex:
     nb = int(spark.read.parquet(f"{path}/meta").first()["n_buckets"] or 0)
     return PositionalIndex(spark.read.parquet(f"{path}/postings"), nb)

@@ -414,3 +414,57 @@ def test_bm25_append_equals_rebuild(spark, tmp_path):
         }
         assert a == b, table
         assert len(a) > 0, table
+
+
+def test_positional_append_equals_rebuild(spark, tmp_path):
+    """No global stats, so the phrase-index append is trivially
+    exact: appended postings == rebuild over the union, and a phrase
+    spanning both generations matches."""
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        append_positional_index,
+        build_positional_index,
+        phrase_search,
+        read_positional_index,
+        write_positional_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    p_app = str(tmp_path / "pos_app")
+    write_positional_index(
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 != 0), "text", "doc_id",
+            n_buckets=8,
+        ),
+        p_app,
+    )
+    append_positional_index(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), p_app
+    )
+    p_full = str(tmp_path / "pos_full")
+    write_positional_index(
+        build_positional_index(docs, "text", "doc_id", n_buckets=8),
+        p_full,
+    )
+    a = {
+        tuple(r)
+        for r in spark.read.parquet(f"{p_app}/postings")
+        .select("doc", "pos", "term", "bucket")
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in spark.read.parquet(f"{p_full}/postings")
+        .select("doc", "pos", "term", "bucket")
+        .collect()
+    }
+    assert a == b and len(a) > 0
+    # a real phrase query over the appended index: take the first two
+    # tokens of an APPENDED doc and expect that doc among the matches
+    first_doc = docs.filter(F.col("doc_id") % 3 == 0).orderBy("doc_id").first()
+    phrase = " ".join(first_doc["text"].lower().split()[:2])
+    idx = read_positional_index(spark, p_app)
+    hits = {r["doc"] for r in phrase_search(idx, phrase).collect()}
+    assert first_doc["doc_id"] in hits
