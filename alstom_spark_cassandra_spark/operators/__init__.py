@@ -56,7 +56,14 @@ from .multimodal import (
     resize_bmp_nearest,
 )
 from .pca import gram_matrix, power_iteration
-from .pq import pq_build, pq_rerank_topk, pq_topk
+from .pq import (
+    append_pq_index,
+    pq_build,
+    pq_rerank_topk,
+    pq_topk,
+    read_pq_index,
+    write_pq_index,
+)
 from .quantize import dequantize_embedding, quantize_embedding
 from .range_join import interval_join
 from .retrieval import (
@@ -241,9 +248,12 @@ __all__ = [
     "phrase_search",
     "pii_scan",
     "power_iteration",
+    "append_pq_index",
     "pq_build",
     "pq_rerank_topk",
     "pq_topk",
+    "read_pq_index",
+    "write_pq_index",
     "curate",
     "quality_filter",
     "quantize_embedding",

@@ -34,6 +34,54 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .similarity import _argmin_cid
 
 
+def _pq_assign(
+    df: DataFrame,
+    cents: list,
+    vec_col: str,
+    id_col: str,
+    scale: int,
+) -> DataFrame:
+    """(id, sub, cid, sv): every subspace slice assigned to its
+    nearest codebook centroid in ONE corpus scan — the encode half
+    of pq_build, shared with append_pq_index (which encodes new
+    vectors against FROZEN persisted books).  `cents` is the list of
+    per-subspace {cid: quantized centroid} maps."""
+    m_sub = len(cents)
+    d0 = len(next(iter(cents[0].values())))
+    m = 10**scale
+    qv = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
+        ).alias("__qfull"),
+    )
+
+    def _sv(s):
+        return F.slice(F.col("__qfull"), s * d0 + 1, d0)
+
+    def _sub_struct(s):
+        # the subspace slice is BOUND as a lambda variable so the
+        # cid argmin folds it once (transform-bind idiom); a factory
+        # function, not a default-arg closure — a 2-param lambda
+        # would be called by Spark as (element, index)
+        return F.transform(
+            F.array(_sv(s)),
+            lambda sv: F.struct(
+                F.lit(s).alias("sub"),
+                _argmin_cid(sv, cents[s]).alias("cid"),
+                sv.alias("sv"),
+            ),
+        )[0]
+
+    return qv.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[_sub_struct(s) for s in range(m_sub)])
+        ).alias("__e"),
+    ).select(id_col, "__e.sub", "__e.cid", "__e.sv")
+
+
 def pq_build(
     df: DataFrame,
     init: DataFrame,
@@ -84,39 +132,9 @@ def pq_build(
         for s in range(m_sub)
     ]
 
-    qv = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.floor(x * m + F.lit(0.5)).cast("long"),
-        ).alias("__qfull"),
-    )
-
-    def _sv(s):
-        return F.slice(F.col("__qfull"), s * d0 + 1, d0)
-
-    def _sub_struct(s):
-        # the subspace slice is BOUND as a lambda variable so the
-        # cid argmin folds it once (transform-bind idiom); a factory
-        # function, not a default-arg closure — a 2-param lambda
-        # would be called by Spark as (element, index)
-        return F.transform(
-            F.array(_sv(s)),
-            lambda sv: F.struct(
-                F.lit(s).alias("sub"),
-                _argmin_cid(sv, cents[s]).alias("cid"),
-                sv.alias("sv"),
-            ),
-        )[0]
-
     def _assigned_all():
         # one row per (vector, subspace), all subspaces in one scan
-        return qv.select(
-            F.col(id_col),
-            F.explode(
-                F.array(*[_sub_struct(s) for s in range(m_sub)])
-            ).alias("__e"),
-        ).select(id_col, "__e.sub", "__e.cid", "__e.sv")
+        return _pq_assign(df, cents, vec_col, id_col, scale)
 
     for _ in range(n_iters):
         upd = (
@@ -297,4 +315,69 @@ def pq_rerank_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def write_pq_index(
+    codes: DataFrame, codebooks: DataFrame, path: str
+) -> None:
+    """Persist the PQ structure: codes partitioned by subspace (a
+    search touches every subspace, but compaction/debug tooling can
+    read one), codebooks as one tiny file (m_sub x k x d0 rows —
+    bounded by the codebook config, never by data).  Build once,
+    then search_pq-style query batches and append_pq_index ingest
+    forever — the IVF/BM25 steady-state shape for the
+    compressed-domain path."""
+    codes.write.mode("overwrite").partitionBy("sub").parquet(
+        f"{path}/codes"
+    )
+    codebooks.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+
+
+def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebooks) — feed directly to pq_topk /
+    pq_rerank_topk."""
+    return (
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/codebooks"),
+    )
+
+
+def append_pq_index(
+    spark,
+    new_vecs: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> None:
+    """Append new vectors to a persisted PQ index: encode each
+    against the FROZEN persisted codebooks (re-training per batch is
+    not a plan — and would silently re-key every existing code) and
+    append the codes in the same subspace partitioning.  Exact
+    contract: the appended codes table is content-identical to
+    encoding old ∪ new against the same books (pinned in
+    tests/test_pq.py), because the encode is the shared
+    deterministic integer-grid argmin (_pq_assign).  Ids must be
+    unique across old ∪ new."""
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("sub", "cid", "pos")
+        .collect()
+    )
+    cents: list[dict[int, list[int]]] = []
+    for r in book_rows:
+        while len(cents) <= int(r["sub"]):
+            cents.append({})
+        cents[int(r["sub"])].setdefault(int(r["cid"]), []).append(
+            int(r["qc"])
+        )
+    (
+        _pq_assign(new_vecs, cents, vec_col, id_col, scale)
+        .select(F.col(id_col), "sub", F.col("cid").alias("code"))
+        .write.mode("append")
+        .partitionBy("sub")
+        .parquet(f"{path}/codes")
     )

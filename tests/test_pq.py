@@ -222,3 +222,68 @@ def test_recall_eval_refine_dominates_adc(spark):
         assert r.recall_adc_micro == r.n_hits_adc * 100000
         assert r.recall_rerank_micro == r.n_hits_rerank * 100000
         assert r.n_corpus == 500
+
+
+def test_pq_persisted_roundtrip_and_append(spark, tmp_path):
+    """The compressed-domain steady state: (a) a persisted PQ index
+    searched after a disk round-trip reproduces the inline ADC
+    ranking bit-for-bit, and (b) appending a batch encoded against
+    the FROZEN persisted books leaves the codes table
+    content-identical to encoding the union against the same books —
+    every persisted index in the engine appends instead of
+    rebuilding."""
+    from alstom_spark_cassandra_spark.operators.pq import (
+        _pq_assign,
+        append_pq_index,
+        pq_build,
+        pq_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    codes, books = pq_build(base, init, m_sub=4, n_iters=2)
+    path = str(tmp_path / "pq_idx")
+    write_pq_index(codes, books, path)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    inline = {
+        (r.query_id, r.vec_id, r.adist, r.rank)
+        for r in pq_topk(codes, books, queries, k=10).collect()
+    }
+    rc, rb = read_pq_index(spark, path)
+    stored = {
+        (r.query_id, r.vec_id, r.adist, r.rank)
+        for r in pq_topk(rc, rb, queries, k=10).collect()
+    }
+    assert stored == inline and len(stored) == 30
+
+    append_pq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), path)
+    appended = {
+        (r.vec_id, r.sub, r.code)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    # reference: encode the WHOLE corpus against the persisted books
+    book_rows = rb.orderBy("sub", "cid", "pos").collect()
+    cents = []
+    for r in book_rows:
+        while len(cents) <= int(r["sub"]):
+            cents.append({})
+        cents[int(r["sub"])].setdefault(int(r["cid"]), []).append(
+            int(r["qc"])
+        )
+    expected = {
+        (r.vec_id, r.sub, r.cid)
+        for r in _pq_assign(emb, cents, "embedding", "vec_id", 6)
+        .collect()
+    }
+    assert appended == expected and len(appended) == emb.count() * 4
