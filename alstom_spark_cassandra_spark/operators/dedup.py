@@ -860,6 +860,12 @@ def build_simhash_index(
     simhash_bands(fp, max_hamming).write.mode("overwrite").partitionBy(
         "band"
     ).parquet(f"{path}/bands")
+    # pin the band segmentation: an append with a different
+    # max_hamming writes rows under a different band split,
+    # permanently corrupting the index (the MinHash params contract)
+    df.sparkSession.createDataFrame(
+        [(max_hamming,)], "max_hamming int"
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def incremental_simhash_pairs(
@@ -882,6 +888,31 @@ def incremental_simhash_pairs(
     against this one with no rebuild; the batch's fingerprints are
     eagerly materialized first, and the returned plan reads the
     PRE-append index snapshot."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        p = spark.read.parquet(f"{index_path}/params").first()
+    except AnalysisException as exc:
+        # ONLY the missing-path case (a pre-params index) skips
+        # validation — the MinHash twin's contract verbatim
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        import warnings
+
+        warnings.warn(
+            f"index at {index_path} has no params table; skipping "
+            "max_hamming-mismatch validation (pre-params index)",
+            stacklevel=2,
+        )
+        p = None
+    if p is not None and int(p.max_hamming) != max_hamming:
+        raise ValueError(
+            f"index at {index_path} was built with "
+            f"max_hamming={p.max_hamming} but the probe asked for "
+            f"{max_hamming} — the band segmentation differs, so an "
+            "append would corrupt the index and probes would "
+            "silently miss duplicates"
+        )
     # batch-sized eager checkpoint: the fingerprint aggregation feeds
     # both candidate sides (and the append) — the MinHash twin's
     # recompute trap, same cure (see incremental_dedup_pairs)

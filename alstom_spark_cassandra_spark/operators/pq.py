@@ -319,7 +319,7 @@ def pq_rerank_topk(
 
 
 def write_pq_index(
-    codes: DataFrame, codebooks: DataFrame, path: str
+    codes: DataFrame, codebooks: DataFrame, path: str, scale: int = 6
 ) -> None:
     """Persist the PQ structure: codes partitioned by subspace (a
     search touches every subspace, but compaction/debug tooling can
@@ -334,6 +334,18 @@ def write_pq_index(
     codebooks.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/codebooks"
     )
+    # pin the quantization grid: an append that re-encoded on a
+    # different scale would write codes computed on a different
+    # integer grid into the shared table — no error, just wrong
+    # nearest-code assignments (m_sub/d0 recorded for audits; they
+    # are also derivable from the books themselves)
+    agg = codebooks.agg(
+        (F.max("sub") + 1).alias("m"), (F.max("pos") + 1).alias("d")
+    ).first()
+    codebooks.sparkSession.createDataFrame(
+        [(int(scale), int(agg["m"]), int(agg["d"]))],
+        "scale int, m_sub int, d0 int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -361,7 +373,28 @@ def append_pq_index(
     encoding old ∪ new against the same books (pinned in
     tests/test_pq.py), because the encode is the shared
     deterministic integer-grid argmin (_pq_assign).  Ids must be
-    unique across old ∪ new."""
+    unique across old ∪ new.
+
+    The quantization scale is read from the index's own meta
+    (written by write_pq_index) so an append can never encode on a
+    different integer grid than the build; the `scale` argument is
+    only the fallback for a pre-meta index."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        scale = int(
+            spark.read.parquet(f"{path}/meta").first()["scale"]
+        )
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        import warnings
+
+        warnings.warn(
+            f"PQ index at {path} has no meta table; trusting the "
+            f"caller-supplied scale={scale} (pre-meta index)",
+            stacklevel=2,
+        )
     book_rows = (
         spark.read.parquet(f"{path}/codebooks")
         .orderBy("sub", "cid", "pos")

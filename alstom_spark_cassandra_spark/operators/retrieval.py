@@ -161,6 +161,12 @@ def append_bm25_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
     ).first()
+    if not int(delta["n_docs"]):
+        # empty batch (no docs, or all-empty texts): nothing to
+        # append and the stats are already correct — short-circuit
+        # BEFORE any write, so the non-atomic three-write sequence
+        # is never entered and a retry cannot double-append
+        return
     w = new_postings.write.mode("append")
     if n_buckets:
         w = w.partitionBy("bucket")

@@ -996,10 +996,16 @@ def _agreement_counters(
 
 def _kept_table_name(index_path: str) -> str:
     """Catalog name of the bucketed kept-index table for an index
-    path — deterministic so a later session can reconnect."""
-    return "semidx_" + "".join(
-        c if c.isalnum() else "_" for c in index_path
-    )
+    path — deterministic so a later session can reconnect.  A short
+    hash of the RAW path is appended because the readable prefix
+    flattens every non-alphanumeric character to '_', so distinct
+    paths (/tmp/a.b vs /tmp/a_b) would otherwise collide onto one
+    catalog entry and prune shards against the wrong kept set."""
+    import hashlib
+
+    flat = "".join(c if c.isalnum() else "_" for c in index_path)
+    h = hashlib.sha256(index_path.encode("utf-8")).hexdigest()[:10]
+    return f"semidx_{flat}_{h}"
 
 
 def _kept_df(spark, index_path: str) -> DataFrame:
@@ -1014,6 +1020,12 @@ def _kept_df(spark, index_path: str) -> DataFrame:
     which is exactly what a shared metastore would have remembered."""
     name = _kept_table_name(index_path)
     if not spark.catalog.tableExists(name):
+        if "'" in index_path:
+            raise ValueError(
+                f"index path {index_path!r} contains a quote — it "
+                "cannot be embedded in the external-table LOCATION "
+                "clause safely"
+            )
         n_buckets = int(
             spark.read.parquet(f"{index_path}/meta")
             .collect()[0]["n_buckets"]

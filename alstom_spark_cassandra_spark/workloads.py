@@ -4639,12 +4639,19 @@ def _pq_oracle_sql(
     topk: int = 10,
     rerank_shortlist: int | None = None,
     recall_eval: bool = False,
+    train_filter: str | None = None,
 ) -> str:
     """PQ oracle: per subspace, the same unrolled-Lloyd CTE chain as
     the kmeans oracle (on list_slice'd subvectors), then the ADC
     distance table (queries x centroids integer partials) and the
     code join, summed across subspaces. Integer grid throughout, so
-    codes, tables, and ranks reproduce the Spark pipeline exactly."""
+    codes, tables, and ranks reproduce the Spark pipeline exactly.
+
+    `train_filter` (a SQL predicate on vec_id) restricts the Lloyd
+    ITERATIONS to a training subset while the final encode still
+    covers the whole corpus — exactly the build-then-append split
+    (pq_build over the base, append_pq_index encoding the rest
+    against the frozen persisted books)."""
     m = 10**scale
     d0 = dim // m_sub
 
@@ -4693,17 +4700,23 @@ def _pq_oracle_sql(
          list_slice(qfull, {s * d0 + 1}, {(s + 1) * d0}) AS qv
   FROM eq
 )""")
+        tsrc = src
+        if train_filter:
+            tsrc = f"ts{s}"
+            parts.append(f"""{tsrc} AS (
+  SELECT * FROM {src} WHERE {train_filter}
+)""")
         parts.append(f"""c0s{s} AS (
   SELECT CAST(vec_id AS INT) AS cid, qv AS qc
   FROM {src} WHERE vec_id < {k}
 )""")
         for it in range(n_iters):
             parts.append(
-                assign_cte(f"a{it + 1}s{s}", f"c{it}s{s}", src)
+                assign_cte(f"a{it + 1}s{s}", f"c{it}s{s}", tsrc)
             )
             parts.append(
                 update_cte(f"u{it + 1}s{s}", f"a{it + 1}s{s}",
-                           f"c{it}s{s}", f"c{it + 1}s{s}", src)
+                           f"c{it}s{s}", f"c{it + 1}s{s}", tsrc)
             )
         parts.append(assign_cte(f"afs{s}", f"c{n_iters}s{s}", src))
         parts.append(f"""dtab{s} AS (
@@ -4854,6 +4867,94 @@ ORDER BY query_id, rank"""
 SQL_PQ_TOPK = _pq_oracle_sql()
 SQL_PQ_RERANK_TOPK = _pq_oracle_sql(rerank_shortlist=30)
 SQL_PQ_RECALL_EVAL = _pq_oracle_sql(rerank_shortlist=30, recall_eval=True)
+SQL_PQ_INDEX_APPEND = _pq_oracle_sql(train_filter="vec_id % 3 != 0")
+
+
+def q_pq_index_append(spark, sf_dir):
+    """The PQ family's ingest loop, graded (operators/pq.
+    write_pq_index/append_pq_index): books are trained over
+    two-thirds of the corpus (vec_id % 3 != 0), the index persisted,
+    and the remaining third ARRIVES later — append_pq_index encodes
+    it against the FROZEN persisted books (quantization scale read
+    from the index's own meta, never the caller) and appends the
+    codes in the same subspace partitioning.  The searched index is
+    then content-identical to encoding the union against the same
+    books, so the oracle is the unrolled-Lloyd PQ CTE chain with the
+    Lloyd ITERATIONS restricted to the training subset and the final
+    encode over everything (train_filter) — the exact build+append
+    split, bit-for-bit.  Every persisted index family in the engine
+    now has a graded append row."""
+    import tempfile
+
+    from .operators.pq import (
+        append_pq_index,
+        pq_build,
+        pq_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    codes, books = pq_build(base, init, m_sub=4, n_iters=2)
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/pq_append{slug}"
+    write_pq_index(codes, books, path)
+    append_pq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), path)
+    rc, rb = read_pq_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_topk(rc, rb, queries, k=10).orderBy("query_id", "rank")
+
+
+def q_positional_index_append(spark, sf_dir):
+    """phrase_persisted with the ingest loop closed (operators/
+    retrieval.append_positional_index): the bucketed positional
+    index is built over two-thirds of the corpus (doc_id % 3 != 0),
+    the remaining third appends later in the index's own term-hash
+    bucket layout (bucket count from the persisted meta), and the
+    same "table hash" phrase is searched against the APPENDED disk
+    index.  The positional index carries no global statistics, so
+    append ≡ rebuild content-identically and the oracle is
+    SQL_PHRASE_SEARCH over the full corpus, verbatim — a lost or
+    mis-bucketed posting loses phrase matches."""
+    import tempfile
+
+    from .operators.retrieval import (
+        append_positional_index,
+        build_positional_index,
+        phrase_search,
+        read_positional_index,
+        write_positional_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/pos_append{slug}"
+    write_positional_index(
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            "text",
+            "doc_id",
+            n_buckets=16,
+        ),
+        path,
+    )
+    append_positional_index(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), path
+    )
+    idx = read_positional_index(spark, path)
+    return (
+        phrase_search(idx, "table hash")
+        .select(F.col("doc").alias("doc_id"), "n_matches")
+        .orderBy("doc_id")
+    )
 
 
 def q_repetition_scores(spark, sf_dir):
@@ -11349,84 +11450,128 @@ ORDER BY doc_id
 # scripts/check_oracle.py regardless of position — the count below is
 # len(SPARK_QUERIES), never a hand-maintained number).
 #
-# Round-12 window (the r11 verdict's pre-stated plan, executed
-# verbatim): HEAD = the 4 round-11 post-window additions (first
-# driver rows beat refreshes), then the 27 remaining r8-green rows,
-# then the 19 stalest r9-green rows, "stalest" resolved
-# deterministically as CORRECTNESS_r09 grading order (first graded
-# = stalest). That fills all 50 slots; after r12 no row's last
-# driver row is older than r9 = 3 rounds — the steady state where a
-# 50-row window over a ~184-row registry refreshes every row within
-# ceil(184/50) = 4 rounds.
+# Round-13 window (the r12 verdict's pre-stated plan, executed
+# verbatim): HEAD = the 8 round-12 post-window additions (first
+# driver rows beat refreshes), then the 31 remaining r9-green rows
+# (r9 grading order — first graded = stalest), then the 11 stalest
+# r10-green rows (CORRECTNESS_r10 grading order) to fill the 50
+# slots; after r13 no row's last driver row is older than r10 = 3
+# rounds — the steady state where a 50-row window over a ~191-row
+# registry refreshes every row within ceil(191/50) = 4 rounds.
 #
-# Round-13 plan (stated now): HEAD = the 8 round-12 post-window
-# additions (queued at the TAIL below, never driver-graded), then
-# the 31 remaining r9-green rows (kept in r9 grading order in their
-# group below), then the 11 stalest r10-green rows (CORRECTNESS_r10
-# grading order) to fill the window. Growth stays budgeted toward
-# rows that grade an existing scale path over new surface.
+# Round-14 plan (stated now): HEAD = the round-13 post-window
+# additions (pq_index_append, positional_index_append — queued at
+# the TAIL below, never driver-graded — plus any further r13
+# additions), then the 39 remaining r10-green rows (kept in r10
+# grading order in their group below), then the stalest r11-green
+# rows (CORRECTNESS_r11 grading order) to fill the window. Growth
+# stays budgeted toward rows that grade an existing scale path over
+# new surface.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-12 WINDOW HEAD: the 4 round-11 additions, never ---
+    # --- ROUND-13 WINDOW HEAD: the 8 round-12 additions, never ---
     # driver-graded (locally exact-gated at all three scales since
-    # r11, and independently re-gated by the r11 judge at two scales)
-    "semantic_dedup_routed_eval": q_semantic_dedup_routed_eval,
-    "incremental_semantic_dedup": q_incremental_semantic_dedup,
-    "pq_recall_eval": q_pq_recall_eval,
-    "hyperplane_lsh_eval": q_hyperplane_lsh_eval,
-    # --- the 27 remaining r8-green rows (last driver row: r8) ---
-    "series_trend": q_series_trend,
-    "quantile_normalize": q_quantile_normalize,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q19": q_tpch_q19,
-    "approx_stats": q_approx_stats,
-    "passage_dedup": q_passage_dedup,
-    "kmeans_clusters": q_kmeans,
-    "scd2_intervals": q_scd2_intervals,
-    "cdc_minimize": q_cdc_minimize,
-    "heavy_hitters": q_heavy_hitters,
-    "zorder_locality": q_zorder_locality,
-    "quality_classifier": q_quality_classifier,
-    "stream_enrichment": q_stream_enrichment,
-    "leakage_safe_split": q_leakage_safe_split,
-    "data_quality": q_data_quality,
-    "bpe_token_counts": q_bpe_token_counts,
-    "funnel_counts": q_funnel_counts,
-    "cohort_retention": q_cohort_retention,
-    "distribution_drift": q_distribution_drift,
-    "table_profile": q_table_profile,
-    "temperature_mixture": q_temperature_mixture,
-    "event_transitions": q_event_transitions,
-    "embargo_split": q_embargo_split,
-    # --- the 19 stalest r9-green rows (r9 grading order — the ---
-    # order CORRECTNESS_r09 graded them in; first graded = stalest)
-    "stream_join_outer": q_stream_join_outer,
-    "merge_apply": q_merge_apply,
-    "ohlc_bars": q_ohlc_bars,
-    "partitioned_ingest": q_partitioned_ingest,
-    "stream_cdc_apply": q_stream_cdc_apply,
-    "merge_apply_broadcast": q_merge_apply_broadcast,
-    "stream_join_full_outer": q_stream_join_full_outer,
-    "stream_quota": q_stream_quota,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_overlap_pairs": q_winnow_overlap_pairs,
-    "lm_perplexity": q_lm_perplexity,
-    "fuzzy_pairs": q_fuzzy_pairs,
-    "agg_maintenance": q_agg_maintenance,
-    "triangle_counts": q_triangle_counts,
-    "stream_agg_maintenance": q_stream_agg_maintenance,
-    "repetition_stats": q_repetition_stats,
-    "repeated_spans": q_repeated_spans,
-    "global_row_index": q_global_row_index,
-    "global_ntile": q_global_ntile,
-    # --- below the 50-row window: 31 r9-green rows (r13 window ---
-    # carryovers, still in r9 grading order within their group),
-    # then the r10/r11-green rows in prior registry order; every
-    # row here is locally exact-gated at all three scales each
-    # round by scripts/check_oracle.py regardless of position
+    # r12, and independently re-gated by the r12 judge at sf0.01)
+    "semantic_index_append": q_semantic_index_append,
+    "incremental_semantic_dedup_routed": q_incremental_semantic_dedup_routed,
+    "routed_incremental_eval": q_routed_incremental_eval,
+    "semantic_index_compacted": q_semantic_index_compacted,
+    "minhash_index_append": q_minhash_index_append,
+    "simhash_index_append": q_simhash_index_append,
+    "ivf_index_append": q_ivf_index_append,
+    "bm25_index_append": q_bm25_index_append,
+    # --- the 31 remaining r9-green rows (last driver row: r9; ---
+    # r9 grading order — first graded = stalest)
+    "dedup_corpus_best": q_dedup_corpus_best,
+    "winnow_overlap_capped": q_winnow_overlap_capped,
+    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
+    "incremental_simhash": q_incremental_simhash,
+    "ivm_time_travel": q_ivm_time_travel,
+    "phrase_persisted": q_phrase_persisted,
+    "ivf_eval": q_ivf_eval,
+    "compaction_persisted": q_compaction_persisted,
+    "salted_join": q_salted_join,
+    "bloom_prefilter": q_bloom_prefilter,
+    "image_resize": q_image_resize,
+    "retrieve_message_asof": q_retrieve_message_asof,
+    "multiple_fields_asof": q_multiple_fields_asof,
+    "multiple_fields_state": q_multiple_fields_state,
+    "multiple_fields_snapshot": q_multiple_fields_snapshot,
+    "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
+    "corpus_pipeline": q_corpus_pipeline,
+    "train_split": q_train_split,
+    "decontamination": q_decontamination,
+    "pii_scan": q_pii_scan,
+    "doc_chunks": q_doc_chunks,
+    "repetition_scores": q_repetition_scores,
+    "token_estimate": q_token_estimate,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    # --- the 11 stalest r10-green rows (CORRECTNESS_r10 grading ---
+    # order) — fills the 50-row window; after r13 nothing is older
+    # than r10
+    "langid_scores": q_langid_scores,
+    "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
+    "quality_filter_pipeline": q_quality_filter_pipeline,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    # --- below the 50-row window: the 39 remaining r10-green ---
+    # rows (still in r10 grading order — the r14 rotation drains
+    # them next), then the r11- and r12-green rows in their own
+    # grading order; every row here is locally exact-gated at all
+    # three scales each round by scripts/check_oracle.py regardless
+    # of position
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "window_suite": q_window_suite,
+    "collocations": q_collocations,
+    "pagerank": q_pagerank,
+    "mmr_rerank": q_mmr_rerank,
+    "bpe_merges": q_bpe_merges,
+    "pca_direction": q_pca_direction,
+    "phrase_search": q_phrase_search,
+    "chunk_dedup": q_chunk_dedup,
+    "domain_cap": q_domain_cap,
+    "corpus_shuffle": q_corpus_shuffle,
+    "salted_agg": q_salted_agg,
+    "audio_resample": q_audio_resample,
+    "bucketed_join_persisted": q_bucketed_join_persisted,
+    "reconstruct_message": q_reconstruct_message,
+    "json_flatten": q_json_flatten,
+    "pivot_matrix": q_pivot_matrix,
+    "compaction": q_compaction,
+    "retrieve_field_window": q_retrieve_field_window,
+    "field_window": q_field_window,
+    "asof_bounds": q_asof_bounds,
+    "boundary_padding": q_boundary_padding,
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "incremental_dedup": q_incremental_dedup,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "stream_dedup": q_stream_dedup,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessionization": q_stream_sessionization,
+    "stream_attribution": q_stream_attribution,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    # --- r11-green rows (CORRECTNESS_r11 grading order) ---
     "semantic_dedup": q_semantic_dedup,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "skewed_latest": q_skewed_latest,
@@ -11477,106 +11622,66 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "rolling_zscore": q_rolling_zscore,
     "resample_linear": q_resample_linear,
-    "dedup_corpus_best": q_dedup_corpus_best,
-    "winnow_overlap_capped": q_winnow_overlap_capped,
-    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
-    "incremental_simhash": q_incremental_simhash,
-    "ivm_time_travel": q_ivm_time_travel,
-    "phrase_persisted": q_phrase_persisted,
-    "ivf_eval": q_ivf_eval,
-    "compaction_persisted": q_compaction_persisted,
-    "salted_join": q_salted_join,
-    "bloom_prefilter": q_bloom_prefilter,
-    "image_resize": q_image_resize,
-    "retrieve_message_asof": q_retrieve_message_asof,
-    "multiple_fields_asof": q_multiple_fields_asof,
-    "multiple_fields_state": q_multiple_fields_state,
-    "multiple_fields_snapshot": q_multiple_fields_snapshot,
-    "stratified_sample": q_stratified_sample,
-    "sequence_pack": q_sequence_pack,
-    "corpus_pipeline": q_corpus_pipeline,
-    "train_split": q_train_split,
-    "decontamination": q_decontamination,
-    "pii_scan": q_pii_scan,
-    "doc_chunks": q_doc_chunks,
-    "repetition_scores": q_repetition_scores,
-    "token_estimate": q_token_estimate,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_quantized_topk": q_ann_quantized_topk,
-    "image_features": q_image_features,
-    "audio_features": q_audio_features,
-    "frame_sample": q_frame_sample,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q7": q_tpch_q7,
-    "langid_scores": q_langid_scores,
-    "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
-    "quality_filter_pipeline": q_quality_filter_pipeline,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "window_suite": q_window_suite,
-    "collocations": q_collocations,
-    "pagerank": q_pagerank,
-    "mmr_rerank": q_mmr_rerank,
-    "bpe_merges": q_bpe_merges,
-    "pca_direction": q_pca_direction,
-    "phrase_search": q_phrase_search,
-    "chunk_dedup": q_chunk_dedup,
-    "domain_cap": q_domain_cap,
-    "corpus_shuffle": q_corpus_shuffle,
-    "salted_agg": q_salted_agg,
-    "audio_resample": q_audio_resample,
-    "bucketed_join_persisted": q_bucketed_join_persisted,
-    "reconstruct_message": q_reconstruct_message,
-    "json_flatten": q_json_flatten,
-    "pivot_matrix": q_pivot_matrix,
-    "compaction": q_compaction,
-    "retrieve_field_window": q_retrieve_field_window,
-    "field_window": q_field_window,
-    "asof_bounds": q_asof_bounds,
-    "boundary_padding": q_boundary_padding,
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_corpus": q_dedup_corpus,
-    "minhash_signatures": q_minhash_signatures,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "incremental_dedup": q_incremental_dedup,
-    "word_jaccard_pairs": q_word_jaccard_pairs,
-    "stream_dedup": q_stream_dedup,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "stream_sessionization": q_stream_sessionization,
-    "stream_attribution": q_stream_attribution,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
-    # --- new in round 12, never graded: r13 window HEAD priority ---
-    # (all six close steady-state loops the r11 verdict named or
-    # implied: survivors write-back chains shards through the
-    # persisted semantic index, the routed assignment removes the
-    # O(n*k*d) fold from the path that runs forever, the eval
-    # measures that routing against flat exactly, compaction keeps
-    # the ever-appended bucketed index at one file per bucket —
-    # graded under the uncompacted oracle, the physical-rewrite
-    # contract — and the MinHash/SimHash incremental twins gain the
-    # same index write-back so every member of the incremental dedup
-    # family now chains batches with no rebuild)
-    "semantic_index_append": q_semantic_index_append,
-    "incremental_semantic_dedup_routed": q_incremental_semantic_dedup_routed,
-    "routed_incremental_eval": q_routed_incremental_eval,
-    "semantic_index_compacted": q_semantic_index_compacted,
-    "minhash_index_append": q_minhash_index_append,
-    "simhash_index_append": q_simhash_index_append,
-    "ivf_index_append": q_ivf_index_append,
-    "bm25_index_append": q_bm25_index_append,
+    # --- r12-green rows (CORRECTNESS_r12 grading order) ---
+    "semantic_dedup_routed_eval": q_semantic_dedup_routed_eval,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    "pq_recall_eval": q_pq_recall_eval,
+    "hyperplane_lsh_eval": q_hyperplane_lsh_eval,
+    "series_trend": q_series_trend,
+    "quantile_normalize": q_quantile_normalize,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "approx_stats": q_approx_stats,
+    "passage_dedup": q_passage_dedup,
+    "kmeans_clusters": q_kmeans,
+    "scd2_intervals": q_scd2_intervals,
+    "cdc_minimize": q_cdc_minimize,
+    "heavy_hitters": q_heavy_hitters,
+    "zorder_locality": q_zorder_locality,
+    "quality_classifier": q_quality_classifier,
+    "stream_enrichment": q_stream_enrichment,
+    "leakage_safe_split": q_leakage_safe_split,
+    "data_quality": q_data_quality,
+    "bpe_token_counts": q_bpe_token_counts,
+    "funnel_counts": q_funnel_counts,
+    "cohort_retention": q_cohort_retention,
+    "distribution_drift": q_distribution_drift,
+    "table_profile": q_table_profile,
+    "temperature_mixture": q_temperature_mixture,
+    "event_transitions": q_event_transitions,
+    "embargo_split": q_embargo_split,
+    "stream_join_outer": q_stream_join_outer,
+    "merge_apply": q_merge_apply,
+    "ohlc_bars": q_ohlc_bars,
+    "partitioned_ingest": q_partitioned_ingest,
+    "stream_cdc_apply": q_stream_cdc_apply,
+    "merge_apply_broadcast": q_merge_apply_broadcast,
+    "stream_join_full_outer": q_stream_join_full_outer,
+    "stream_quota": q_stream_quota,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "lm_perplexity": q_lm_perplexity,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "agg_maintenance": q_agg_maintenance,
+    "triangle_counts": q_triangle_counts,
+    "stream_agg_maintenance": q_stream_agg_maintenance,
+    "repetition_stats": q_repetition_stats,
+    "repeated_spans": q_repeated_spans,
+    "global_row_index": q_global_row_index,
+    "global_ntile": q_global_ntile,
+    # --- new in round 13, never graded: r14 window HEAD priority ---
+    # (the last two persisted-index families gain graded append
+    # rows: PQ encodes arrivals against the frozen persisted books
+    # on the index's own quantization grid, positional postings
+    # land in the index's own term-hash bucket layout — with these,
+    # every one of the seven index families has a driver-graded
+    # append contract)
+    "pq_index_append": q_pq_index_append,
+    "positional_index_append": q_positional_index_append,
 }
 
 
@@ -11687,6 +11792,12 @@ ORACLE_SQL: dict[str, str] = {
     "hyperplane_lsh_eval": SQL_HYPERPLANE_LSH_EVAL,
     "bm25_retrieval": SQL_BM25_RETRIEVAL,
     "pq_topk": SQL_PQ_TOPK,
+    # train on the base two-thirds, encode everything against the
+    # frozen books — the exact build+append split
+    "pq_index_append": SQL_PQ_INDEX_APPEND,
+    # the positional append is content-identical to a rebuild, so
+    # the appended phrase search must equal the full-corpus oracle
+    "positional_index_append": SQL_PHRASE_SEARCH,
     # bucketed disk index must reproduce the inline path bit-for-bit
     "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,

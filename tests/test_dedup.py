@@ -485,3 +485,34 @@ def test_simhash_index_append_chains_batches(spark, tmp_path):
     assert sorted((r.a, r.b) for r in out_b if r.hamming == 0) == [
         (1, 22), (11, 22), (12, 21)
     ]
+
+
+def test_simhash_index_rejects_mismatched_max_hamming(spark, tmp_path):
+    """An append computed under a different max_hamming writes rows
+    under a different band segmentation — permanent index corruption
+    with silent misses forever after.  The guard must fail loudly,
+    exactly like the MinHash params contract."""
+    import pytest
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_simhash_index,
+        incremental_simhash_pairs,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "x y z w v u t s")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "sh_guard")
+    build_simhash_index(base, path, "text", "doc_id", max_hamming=3)
+    batch = spark.createDataFrame(
+        [(2, "x y z w v u t s")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_hamming=3"):
+        incremental_simhash_pairs(
+            spark, batch, path, "text", "doc_id",
+            max_hamming=7, update_index=True,
+        )
+    # the guard fired BEFORE any write: the index still has only the
+    # build's band rows
+    bands = spark.read.parquet(f"{path}/bands")
+    assert bands.select("doc").distinct().count() == 1

@@ -287,3 +287,55 @@ def test_pq_persisted_roundtrip_and_append(spark, tmp_path):
         .collect()
     }
     assert appended == expected and len(appended) == emb.count() * 4
+
+
+def test_pq_append_reads_scale_from_index_meta(spark, tmp_path):
+    """The quantization grid is an index property, not a caller
+    argument: an index written with a non-default scale must be
+    appended on that SAME grid even when the caller passes nothing —
+    otherwise every appended vector gets nearest-code assignments
+    computed on a different integer lattice, silently."""
+    from alstom_spark_cassandra_spark.operators.pq import (
+        _pq_assign,
+        append_pq_index,
+        pq_build,
+        write_pq_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    codes, books = pq_build(base, init, m_sub=4, n_iters=1, scale=4)
+    path = str(tmp_path / "pq_scaled")
+    write_pq_index(codes, books, path, scale=4)
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert (meta["scale"], meta["m_sub"]) == (4, 4)
+
+    # append with NO scale argument: must encode on the index's grid
+    append_pq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), path)
+    appended = {
+        (r.vec_id, r.sub, r.code)
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    book_rows = (
+        spark.read.parquet(f"{path}/codebooks")
+        .orderBy("sub", "cid", "pos")
+        .collect()
+    )
+    cents = []
+    for r in book_rows:
+        while len(cents) <= int(r["sub"]):
+            cents.append({})
+        cents[int(r["sub"])].setdefault(int(r["cid"]), []).append(
+            int(r["qc"])
+        )
+    expected = {
+        (r.vec_id, r.sub, r.cid)
+        for r in _pq_assign(emb, cents, "embedding", "vec_id", 4)
+        .collect()
+    }
+    assert appended == expected

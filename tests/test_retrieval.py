@@ -468,3 +468,37 @@ def test_positional_append_equals_rebuild(spark, tmp_path):
     idx = read_positional_index(spark, p_app)
     hits = {r["doc"] for r in phrase_search(idx, phrase).collect()}
     assert first_doc["doc_id"] in hits
+
+
+def test_bm25_append_empty_batch_is_a_noop(spark, tmp_path):
+    """An appended batch with no postings (empty, or all-empty
+    texts) must short-circuit BEFORE any write: the stats sum over
+    zero rows is NULL, and the old behavior crashed on int(None)
+    AFTER the postings/doc_len appends had committed — so a retry
+    double-appended.  Now: no crash, no write, index bit-identical."""
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        append_bm25_index,
+        build_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _corpus(spark)
+    path = str(tmp_path / "bm25_empty")
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=4), path
+    )
+    before = {
+        t: {tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()}
+        for t in ("postings", "doc_len", "stats")
+    }
+    # all-empty texts → zero postings; twice, to pin retry safety
+    empty = spark.createDataFrame(
+        [(100, ""), (101, "   ")], "doc_id long, text string"
+    )
+    append_bm25_index(spark, empty, path)
+    append_bm25_index(spark, empty.limit(0), path)
+    after = {
+        t: {tuple(r) for r in spark.read.parquet(f"{path}/{t}").collect()}
+        for t in ("postings", "doc_len", "stats")
+    }
+    assert after == before

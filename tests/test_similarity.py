@@ -936,3 +936,24 @@ def test_ivf_append_found_in_pruned_probe(spark, corpus, tmp_path):
     exact = _brute_py(rows, rows[41][1], 5)
     full = search_ivf_index(spark, path, q, k=5, nprobe=8)
     assert [r.vec_id for r in full.collect()] == exact
+
+
+def test_kept_table_name_distinct_paths_never_collide(spark, tmp_path):
+    """/tmp/a.b and /tmp/a_b flatten to the same readable prefix; the
+    raw-path hash suffix must keep them distinct catalog entries —
+    a collision would prune shards against the WRONG kept set with
+    no error.  A quoted path must be rejected before it reaches the
+    CREATE TABLE LOCATION string."""
+    import pytest
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        _kept_df,
+        _kept_table_name,
+    )
+
+    assert _kept_table_name("/tmp/a.b") != _kept_table_name("/tmp/a_b")
+    assert _kept_table_name("/x/y") != _kept_table_name("/x_y")
+    # deterministic across calls (a later session must reconnect)
+    assert _kept_table_name("/tmp/a.b") == _kept_table_name("/tmp/a.b")
+    with pytest.raises(ValueError, match="quote"):
+        _kept_df(spark, str(tmp_path / "bad'path"))
