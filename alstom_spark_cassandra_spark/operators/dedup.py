@@ -1146,6 +1146,178 @@ ORDER BY a, b
 """
 
 
+def _blocked_cosine_truth(
+    base: DataFrame, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Exact cosine-threshold ground-truth pairs (a, b), a < b, with
+    the cosine rounded half-up to 6 dp BEFORE the compare.  The
+    all-pairs join is expressed through an n_blocks x n_blocks
+    literal block grid — two EQUI joins (grid broadcast, then hash
+    on the block id) — so the quadratic truth arm never plans as a
+    CartesianProduct or BroadcastNestedLoopJoin.  `base` must carry
+    (doc, v array<double>, blk int); callers slice-bound the input
+    (truth is quadratic by definition)."""
+    spark = base.sparkSession
+    grid = spark.range(n_blocks * n_blocks).select(
+        F.floor(F.col("id") / n_blocks).cast("int").alias("ba"),
+        F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bb"),
+    )
+    lhs = base.select(
+        F.col("doc").alias("a"), F.col("v").alias("va"), "blk"
+    )
+    rhs = base.select(
+        F.col("doc").alias("b"), F.col("v").alias("vb"),
+        F.col("blk").alias("blk_b"),
+    )
+    rounded = F.floor(
+        _cosine(F.col("va"), F.col("vb")) * 1_000_000 + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    return (
+        lhs.join(F.broadcast(grid), lhs["blk"] == grid["ba"])
+        .join(rhs, F.col("bb") == rhs["blk_b"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(rounded >= F.lit(threshold))
+        .select("a", "b")
+    )
+
+
+def hyperplane_multi_table_eval(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.2,
+    planes: int = 6,
+    seed_ns: str = "rhlsh-v1",
+    table_counts: tuple[int, ...] = (1, 4, 8),
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Recall as a FUNCTION of the multi-table knob — the measured
+    answer to "how many hash tables does embedding_dup_pairs need?"
+    (hyperplane_lsh_eval graded the single-band number at ~4%
+    recall; this row grades the curve a pipeline owner actually
+    tunes: P(miss) ≈ (1 - p^planes)^tables).
+
+    One row per T in `table_counts`: candidates = bucket-cohabiting
+    pairs in ANY of the first T tables (table t's hyperplanes seeded
+    from '{seed_ns}:t{t}' — portable md5 weights, so the oracle
+    recomputes every bucket bit-for-bit), truth = the exact
+    6-dp-rounded cosine >= threshold pair set via the block-grid
+    equi-join (shared _blocked_cosine_truth).  Candidate sets nest
+    (T=4 ⊇ T=1), so each pair carries the SMALLEST table index that
+    found it and the per-T tallies are one JVM-side explode over the
+    literal table_counts array — the T tables are unioned, never
+    re-joined per T.  Output: (tables, n_true, n_cand, n_hit,
+    recall_micro, precision_micro), ordered by tables."""
+    spark = df.sparkSession
+    max_t = max(table_counts)
+
+    # fold-form dot products against LITERAL weight arrays, not the
+    # inline literal-sum expansion: max_t x planes x dim = 3072
+    # inline terms is one expression tree that overflows the JVM's
+    # 64KB codegen method limit (repeated Janino failures dominate
+    # the wall).  The fold is IEEE-identical to the oracle's
+    # left-associated literal sum — the seed is 0.0 and
+    # 0.0 + t1 == t1 exactly, every later step associates the same
+    # way — and fold ≡ DuckDB list_dot_product parity is already
+    # proven by every green cosine-truth row.  The weight arrays
+    # constant-fold to array literals, so the tree stays tiny.
+    v = F.col(vec_col).cast("array<double>")
+
+    def _dot(weights: list[float]):
+        warr = F.array(*[F.lit(float(x)) for x in weights])
+        return F.aggregate(
+            F.zip_with(v, warr, lambda x, wgt: x * wgt),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    buckets = []
+    for t in range(max_t):
+        w = _portable_hyperplanes(planes, dim, f"{seed_ns}:t{t}")
+        b = F.lit(0).cast("long")
+        for p in range(planes):
+            b = b + F.when(
+                _dot(w[p]) > F.lit(0.0), F.lit(1 << p)
+            ).otherwise(F.lit(0)).cast("long")
+        buckets.append(b)
+    # slice-sized eager checkpoint: the bucket projection feeds the
+    # signature explode AND both truth-arm sides — the round-12
+    # recompute rule
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        v.alias("v"),
+        F.array(*buckets).alias("__bks"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    ).localCheckpoint(eager=True)
+    sigs = base.select(
+        "doc", F.posexplode("__bks").alias("t", "bucket")
+    )
+    l, r = sigs.alias("l"), sigs.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.t") == F.col("r.t"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .groupBy(
+            F.col("l.doc").alias("a"), F.col("r.doc").alias("b")
+        )
+        .agg(F.min("l.t").alias("mt"))
+    )
+    truth = _blocked_cosine_truth(base, threshold, n_blocks)
+    candh = cand.join(
+        truth.withColumn("__hit", F.lit(1)), ["a", "b"], "left"
+    )
+    tc_arr = F.array(*[F.lit(int(T)) for T in sorted(table_counts)])
+    per = (
+        candh.select(
+            F.coalesce("__hit", F.lit(0)).alias("__h"),
+            F.explode(
+                F.filter(tc_arr, lambda T: F.col("mt") < T)
+            ).alias("tables"),
+        )
+        .groupBy("tables")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum("__h").alias("n_hit"),
+        )
+    )
+    tdf = spark.createDataFrame(
+        [(int(T),) for T in sorted(table_counts)], "tables int"
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    out = tdf.join(F.broadcast(per), "tables", "left").crossJoin(
+        F.broadcast(n_true)
+    )
+    n_cand_c = F.coalesce("n_cand", F.lit(0)).cast("long")
+    n_hit_c = F.coalesce("n_hit", F.lit(0)).cast("long")
+    return (
+        out.select(
+            "tables",
+            "n_true",
+            n_cand_c.alias("n_cand"),
+            n_hit_c.alias("n_hit"),
+            F.when(
+                F.col("n_true") > 0,
+                F.floor(
+                    n_hit_c * F.lit(1_000_000.0) / F.col("n_true")
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("recall_micro"),
+            F.when(
+                n_cand_c > 0,
+                F.floor(
+                    n_hit_c * F.lit(1_000_000.0) / n_cand_c
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).alias("precision_micro"),
+        )
+        .orderBy("tables")
+    )
+
+
 def hyperplane_lsh_eval(
     df: DataFrame,
     vec_col: str,
@@ -1207,28 +1379,7 @@ def hyperplane_lsh_eval(
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .distinct()
     )
-    spark = df.sparkSession
-    grid = spark.range(n_blocks * n_blocks).select(
-        F.floor(F.col("id") / n_blocks).cast("int").alias("ba"),
-        F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bb"),
-    )
-    lhs = base.select(
-        F.col("doc").alias("a"), F.col("v").alias("va"), "blk"
-    )
-    rhs = base.select(
-        F.col("doc").alias("b"), F.col("v").alias("vb"),
-        F.col("blk").alias("blk_b"),
-    )
-    rounded = F.floor(
-        _cosine(F.col("va"), F.col("vb")) * 1_000_000 + F.lit(0.5)
-    ) / F.lit(1_000_000.0)
-    truth = (
-        lhs.join(F.broadcast(grid), lhs["blk"] == grid["ba"])
-        .join(rhs, F.col("bb") == rhs["blk_b"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(rounded >= F.lit(threshold))
-        .select("a", "b")
-    )
+    truth = _blocked_cosine_truth(base, threshold, n_blocks)
     hit = cand.join(truth, ["a", "b"], "left_semi")
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))

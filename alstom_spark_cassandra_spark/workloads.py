@@ -6943,6 +6943,110 @@ FROM nt, nc, h
 SQL_HYPERPLANE_LSH_EVAL = _hyperplane_lsh_eval_oracle_sql()
 
 
+def q_hyperplane_tables_eval(spark, sf_dir):
+    """The multi-table recall CURVE for embedding_dup_pairs
+    (operators/dedup.hyperplane_multi_table_eval): recall and
+    precision at tables ∈ {1, 4, 8} over the same 500-vector slice
+    and 0.2-cosine truth set as hyperplane_lsh_eval — the r11-
+    measured ~4% single-band recall is the motivation; this row
+    grades what the `tables` knob actually buys (P(miss) ≈
+    (1 - p^planes)^tables), with every bucket, cosine, and rounding
+    step recomputed exactly by the oracle (portable md5 hyperplanes,
+    per-table seed namespace '{ns}:t{t}')."""
+    from .operators.dedup import hyperplane_multi_table_eval
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return hyperplane_multi_table_eval(
+        emb, "embedding", "vec_id", dim=64, threshold=0.2, planes=6,
+        table_counts=(1, 4, 8),
+    )
+
+
+def _hyperplane_tables_eval_oracle_sql(
+    dim: int = 64,
+    threshold: float = 0.2,
+    planes: int = 6,
+    seed_ns: str = "rhlsh-v1",
+    slice_n: int = 500,
+    table_counts: tuple[int, ...] = (1, 4, 8),
+) -> str:
+    from .operators.dedup import _portable_hyperplanes
+
+    max_t = max(table_counts)
+    kcols = []
+    for t in range(max_t):
+        w = _portable_hyperplanes(planes, dim, f"{seed_ns}:t{t}")
+        dots = [
+            " + ".join(
+                f"(CAST('{w[p][d]!r}' AS DOUBLE)"
+                f" * CAST(embedding[{d + 1}] AS DOUBLE))"
+                for d in range(dim)
+            )
+            for p in range(planes)
+        ]
+        bucket = " + ".join(
+            f"(CASE WHEN ({dots[p]}) > 0e0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes)
+        )
+        kcols.append(f"({bucket}) AS k{t}")
+    sig_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc, {t} AS t, k{t} AS bucket FROM s"
+        for t in range(max_t)
+    )
+    tvals = ", ".join(f"({T})" for T in sorted(table_counts))
+    return f"""
+WITH s AS (
+  SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS v,
+         {", ".join(kcols)}
+  FROM embeddings WHERE vec_id < {slice_n}
+),
+sig AS (
+  {sig_union}
+),
+cand AS (
+  SELECT l.doc AS a, r.doc AS b, MIN(l.t) AS mt
+  FROM sig l JOIN sig r
+    ON l.t = r.t AND l.bucket = r.bucket AND l.doc < r.doc
+  GROUP BY l.doc, r.doc
+),
+tr AS (
+  SELECT x.doc AS a, y.doc AS b
+  FROM s x JOIN s y ON x.doc < y.doc
+  WHERE floor(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v)))
+              * 1000000 + 0.5) / 1000000.0 >= {threshold}
+),
+ch AS (
+  SELECT c.mt,
+         CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM cand c LEFT JOIN tr t USING (a, b)
+),
+nt AS (SELECT COUNT(*) AS n_true FROM tr),
+counts AS (
+  SELECT T.tables,
+         COUNT(ch.mt) FILTER (WHERE ch.mt < T.tables) AS n_cand,
+         CAST(COALESCE(
+           SUM(ch.hit) FILTER (WHERE ch.mt < T.tables), 0
+         ) AS BIGINT) AS n_hit
+  FROM (VALUES {tvals}) T(tables) LEFT JOIN ch ON TRUE
+  GROUP BY T.tables
+)
+SELECT c.tables, nt.n_true, c.n_cand, c.n_hit,
+       CASE WHEN nt.n_true > 0 THEN
+         CAST(floor(c.n_hit * 1000000.0 / nt.n_true + 0.5) AS BIGINT)
+       END AS recall_micro,
+       CASE WHEN c.n_cand > 0 THEN
+         CAST(floor(c.n_hit * 1000000.0 / c.n_cand + 0.5) AS BIGINT)
+       END AS precision_micro
+FROM counts c, nt
+ORDER BY c.tables
+"""
+
+
+SQL_HYPERPLANE_TABLES_EVAL = _hyperplane_tables_eval_oracle_sql()
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF top-k (scale path of q_ann_cosine_topk), driven at FULL
     probe (nprobe = n_centroids) so the whole IVF pipeline — seeded
@@ -11682,6 +11786,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # append contract)
     "pq_index_append": q_pq_index_append,
     "positional_index_append": q_positional_index_append,
+    "hyperplane_tables_eval": q_hyperplane_tables_eval,
 }
 
 
@@ -11798,6 +11903,8 @@ ORACLE_SQL: dict[str, str] = {
     # the positional append is content-identical to a rebuild, so
     # the appended phrase search must equal the full-corpus oracle
     "positional_index_append": SQL_PHRASE_SEARCH,
+    # recall as a function of the multi-table knob, exactly oracled
+    "hyperplane_tables_eval": SQL_HYPERPLANE_TABLES_EVAL,
     # bucketed disk index must reproduce the inline path bit-for-bit
     "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,

