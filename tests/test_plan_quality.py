@@ -231,6 +231,7 @@ BNLJ_SANCTIONED = {
     "bm25_retrieval",      # broadcast 1-row corpus scalars
     "bm25_persisted",      # same, persisted-index path
     "bm25_index_append",   # same scalar broadcast, appended index
+    "bm25_index_compacted",  # same scalar broadcast, compacted index
     "hybrid_rrf",          # fuses the BM25 + dense paths above
     "snapshot_diff",       # broadcast 1-row epoch scalar
     "update_history_dense",  # grid = ids x broadcast(arguments)

@@ -502,3 +502,62 @@ def test_bm25_append_empty_batch_is_a_noop(spark, tmp_path):
         for t in ("postings", "doc_len", "stats")
     }
     assert after == before
+
+
+def test_bm25_append_crash_recovery_is_the_idempotent_rebuild(
+    spark, tmp_path
+):
+    """append_bm25_index's three writes are sequential, not atomic
+    (postings, doc_len, then stats — documented in the docstring).
+    This pins the RECOVERY story instead of just documenting it: a
+    crash between the data appends and the stats write leaves new
+    docs underweighted (stale n_docs/avgdl), and re-running the
+    idempotent BUILD over the full corpus restores the index to the
+    clean rebuilt state exactly — every table, bit for bit."""
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        build_bm25_index,
+        build_postings,
+        write_bm25_index,
+    )
+
+    docs = _corpus(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "bm25_crash")
+    write_bm25_index(
+        build_bm25_index(base, "text", "doc_id", n_buckets=4), path
+    )
+    # simulate the mid-append crash: postings and doc_len land,
+    # stats never updates (the exact window the docstring owns)
+    p = build_postings(batch, "text", "doc_id").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(4)).cast("int")
+    )
+    p.write.mode("append").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    p.groupBy("doc").agg(F.sum("tf").alias("dl")).write.mode(
+        "append"
+    ).parquet(f"{path}/doc_len")
+    stale = spark.read.parquet(f"{path}/stats").first()
+    assert int(stale["n_docs"]) == base.filter(
+        F.trim("text") != ""
+    ).count()  # the crash left stats stale
+
+    # recovery: the build is idempotent — re-run it over the corpus
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=4), path
+    )
+    clean = str(tmp_path / "bm25_clean")
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=4), clean
+    )
+    for table in ("postings", "doc_len", "stats"):
+        a = {
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/{table}").collect()
+        }
+        b = {
+            tuple(r)
+            for r in spark.read.parquet(f"{clean}/{table}").collect()
+        }
+        assert a == b, table

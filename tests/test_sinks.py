@@ -267,3 +267,80 @@ def test_write_table_cassandra_dispatch(spark):
         write_table(df, "cassandra://testks", "pairs")
     msg = str(ei.value).lower()
     assert "cassandra" in msg, msg
+
+
+def test_compact_partitioned_parquet_one_file_per_partition(
+    spark, tmp_path
+):
+    """The generic index-maintenance op (sources/sinks.
+    compact_partitioned_parquet) on the MinHash band layout: two
+    appends leave multiple file generations per band dir; compaction
+    folds every band back to exactly ONE file with the row multiset
+    bit-identical — the compact_semantic_index physical-rewrite
+    contract extended to the engine's partitioned-dir indexes."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_dedup_pairs,
+    )
+    from alstom_spark_cassandra_spark.sources.sinks import (
+        compact_partitioned_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    path = str(tmp_path / "mh_compact")
+    build_minhash_index(docs, path, "text", "doc_id")
+    for off in (10_000_000, 20_000_000):
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + off).alias("doc_id"), "text"
+        )
+        incremental_dedup_pairs(
+            spark, batch, path, "text", "doc_id", update_index=True
+        ).count()
+
+    def band_files():
+        root = f"{path}/bands"
+        return {
+            d: len(
+                [
+                    f
+                    for f in os.listdir(f"{root}/{d}")
+                    if f.startswith("part-")
+                ]
+            )
+            for d in os.listdir(root)
+            if d.startswith("band=")
+        }
+
+    before_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/bands").collect()
+    )
+    assert max(band_files().values()) >= 3  # build + 2 appends
+    compact_partitioned_parquet(spark, f"{path}/bands", "band")
+    after = band_files()
+    assert set(after.values()) == {1}
+    after_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{path}/bands").collect()
+    )
+    assert after_rows == before_rows
+
+    # the flat signatures table compacts to n_files
+    sig_dir = f"{path}/signatures"
+    sig_before = sorted(
+        tuple(r) for r in spark.read.parquet(sig_dir).collect()
+    )
+    compact_partitioned_parquet(spark, sig_dir, None, n_files=2)
+    n = len(
+        [f for f in os.listdir(sig_dir) if f.startswith("part-")]
+    )
+    assert n <= 2
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(sig_dir).collect())
+        == sig_before
+    )
