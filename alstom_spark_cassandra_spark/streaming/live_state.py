@@ -776,3 +776,90 @@ def foreach_batch_ivm_sink(
         folded.write.mode("overwrite").parquet(f"{path}/snap_{batch_id}")
 
     return _write
+
+
+def foreach_batch_index_ingest(
+    index_path: str,
+    pairs_sink: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+):
+    """foreachBatch CONTINUOUS INDEX INGEST: the MinHash steady-state
+    loop driven by Structured Streaming — each micro-batch of NEW
+    documents is deduped against the persisted index AND appended to
+    it (operators/dedup.incremental_dedup_pairs update_index=True),
+    its pairs landing in the batch's own `pairs_{batch_id}`
+    directory; batch k+1 then pairs against everything through batch
+    k with no rebuild, so the union of the pairs directories after
+    the stream drains equals the one-shot chained-batch result
+    regardless of how the feed was batched (pairs are
+    batching-invariant: a pair is reported by whichever batch
+    carries its LATER side, exactly once).
+
+    Replay contract (Structured Streaming is at-least-once into
+    foreachBatch): the batch's pairs directory is only rolled over
+    to a `done_{batch_id}` marker AFTER both the pairs write and the
+    index append committed, and a marked batch short-circuits —
+    re-delivery after success is a no-op.  The crash window between
+    the index append and the marker can double-append the batch's
+    band/signature rows on retry; candidates are de-duplicated by
+    construction (band-bucket pairs are DISTINCT on (a, b)), so a
+    double-append costs index bytes, not correctness of future
+    pairs, and the periodic counter-move is the same idempotent
+    rebuild that recovers every index family (pinned for BM25 in
+    tests/test_retrieval.py).  Keep ONE writer per index."""
+
+    def _write(batch_df, batch_id: int) -> None:
+        import os as _os
+
+        from ..operators.dedup import incremental_dedup_pairs
+
+        spark = batch_df.sparkSession
+        marker = f"{pairs_sink}/done_{batch_id}"
+        if _os.path.exists(marker):
+            return
+        pairs = incremental_dedup_pairs(
+            spark,
+            batch_df,
+            index_path,
+            text_col,
+            id_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            update_index=True,
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{pairs_sink}/pairs_{batch_id}"
+        )
+        _os.makedirs(marker, exist_ok=True)
+
+    return _write
+
+
+def read_index_ingest_pairs(spark, pairs_sink: str) -> DataFrame:
+    """Union of every committed batch's pairs from a
+    foreach_batch_index_ingest sink (only pairs_N directories whose
+    done_N marker exists — a torn batch is invisible until its
+    replay commits it)."""
+    import glob as _glob
+    import os as _os
+
+    dirs = []
+    for d in sorted(_glob.glob(f"{pairs_sink}/pairs_*")):
+        try:
+            bid = int(d.rsplit("pairs_", 1)[1])
+        except ValueError:
+            continue
+        if _os.path.exists(f"{pairs_sink}/done_{bid}"):
+            dirs.append(d)
+    if not dirs:
+        raise FileNotFoundError(
+            f"no committed pairs_* batches under {pairs_sink}"
+        )
+    return spark.read.parquet(*dirs)

@@ -4679,6 +4679,105 @@ def q_bm25_index_compacted(spark, sf_dir):
     return out.orderBy("query_id", "rank")
 
 
+
+def q_stream_index_ingest(spark, sf_dir):
+    """The index-append family driven by STRUCTURED STREAMING
+    (streaming/live_state.foreach_batch_index_ingest): the MinHash
+    index is built over the corpus once, then three shard re-crawls
+    (doc_id % 5 = 0, offsets +10/20/30M) arrive as mtime-pinned
+    files, one per trigger; each micro-batch dedups against the
+    persisted index, appends itself (update_index=True), and lands
+    its pairs in a committed per-batch directory — batch k+1 pairs
+    against everything through batch k with no rebuild.  Pairs are
+    BATCHING-INVARIANT (a pair is reported by whichever batch
+    carries its later side, exactly once), so the drained union
+    equals the engine-neutral oracle regardless of trigger
+    boundaries: identical-text pairs over base ∪ B0 ∪ B1 ∪ B2 with
+    at least one new side — threshold 1.0, where identical
+    re-crawls share every band key (pigeonhole completeness).  The
+    replay/exactly-once contract is pinned in
+    tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import build_minhash_index
+    from .streaming.live_state import (
+        foreach_batch_index_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_ingest{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    os.makedirs(pairs_sink)
+    build_minhash_index(docs, index_path, "text", "doc_id")
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    src_dir = f"{base_dir}/src"
+    os.makedirs(src_dir)
+    batches = []
+    for k in range(3):
+        b = shard.select(
+            (F.col("doc_id") + (k + 1) * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        batches.append(b)
+        stage = f"{base_dir}/stage{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            foreach_batch_index_ingest(
+                index_path, pairs_sink, threshold=1.0
+            )
+        )
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_index_ingest did not drain in 300s")
+    pairs = read_index_ingest_pairs(spark, pairs_sink)
+    all_docs = docs
+    for b in batches:
+        all_docs = all_docs.unionByName(b)
+    return _verified_text_pairs(pairs.select("a", "b"), all_docs)
+
+
+SQL_STREAM_INDEX_INGEST = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 30000000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+)
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM all_docs x JOIN all_docs y
+  ON x.text = y.text AND x.doc_id < y.doc_id
+WHERE y.doc_id >= 10000000
+ORDER BY a, b
+"""
+
+
 def _pq_oracle_sql(
     m_sub: int = 4,
     k: int = 8,
@@ -11855,6 +11954,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "positional_index_append": q_positional_index_append,
     "hyperplane_tables_eval": q_hyperplane_tables_eval,
     "bm25_index_compacted": q_bm25_index_compacted,
+    "stream_index_ingest": q_stream_index_ingest,
 }
 
 
@@ -11976,6 +12076,10 @@ ORACLE_SQL: dict[str, str] = {
     # compaction is a physical rewrite: the appended-then-compacted
     # index must still match the full-corpus retrieval oracle
     "bm25_index_compacted": SQL_BM25_RETRIEVAL,
+    # streaming ingest is batching-invariant, so the drained union
+    # of per-batch pairs equals the engine-neutral identical-text
+    # oracle exactly
+    "stream_index_ingest": SQL_STREAM_INDEX_INGEST,
     # bucketed disk index must reproduce the inline path bit-for-bit
     "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,

@@ -1787,3 +1787,54 @@ def test_replay_leaves_caller_conf_untouched(spark, monkeypatch):
         assert spark.conf.get(key) == "7"
     finally:
         spark.conf.set(key, old)
+
+
+def test_index_ingest_replay_is_a_noop_and_torn_batch_invisible(
+    spark, tmp_path
+):
+    """foreach_batch_index_ingest's replay contract: re-delivering a
+    COMMITTED batch (at-least-once into foreachBatch) short-circuits
+    on the done marker — the index gains no rows and the pairs are
+    untouched; a batch whose marker never landed (torn) is invisible
+    to read_index_ingest_pairs until its replay commits it."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_index_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_minhash_index(docs, index_path, "text", "doc_id")
+    ingest = foreach_batch_index_ingest(
+        index_path, pairs_sink, threshold=1.0
+    )
+    batch = spark.createDataFrame(
+        [(11, "a b c d e f g h")], "doc_id long, text string"
+    )
+    ingest(batch, 0)
+    n_sig = spark.read.parquet(f"{index_path}/signatures").count()
+    got = {(r.a, r.b) for r in read_index_ingest_pairs(spark, pairs_sink).collect()}
+    assert got == {(1, 11)}
+    # replay after success: marker short-circuits — nothing changes
+    ingest(batch, 0)
+    assert spark.read.parquet(f"{index_path}/signatures").count() == n_sig
+    assert {
+        (r.a, r.b) for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == {(1, 11)}
+    # torn batch: pairs dir present, marker missing -> invisible
+    spark.createDataFrame([(99, 100)], "a long, b long").write.parquet(
+        f"{pairs_sink}/pairs_7"
+    )
+    assert {
+        (r.a, r.b) for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == {(1, 11)}
