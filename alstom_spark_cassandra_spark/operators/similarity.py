@@ -1128,8 +1128,16 @@ def build_semantic_index(
         n_buckets,
         path=f"{index_path}/kept",
     )
+    # meta pins the structural parameters: n_buckets for bucketed
+    # re-registration, and the quantization scale — kept qv and the
+    # centroid grid are stored ON that integer grid, so an
+    # incremental call quantizing new rows at a different scale
+    # would compare across grids and silently mis-prune (the same
+    # bug class the SimHash max_hamming and PQ scale pins close)
     (
-        spark.createDataFrame([(n_buckets,)], "n_buckets int")
+        spark.createDataFrame(
+            [(n_buckets, int(scale))], "n_buckets int, scale int"
+        )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{index_path}/meta")
@@ -1289,6 +1297,34 @@ def _append_survivors(
     return result
 
 
+def _validate_index_scale(spark, index_path: str, scale: int) -> None:
+    """Fail loudly when a probe/ingest call quantizes on a different
+    integer grid than the index was built on — kept qv and the
+    centroid grid are stored quantized, so a mismatched scale
+    silently mis-prunes every comparison (the MinHash/SimHash/PQ
+    params contract, applied to the semantic family).  A pre-scale
+    meta (older index) skips validation with a warning."""
+    meta = spark.read.parquet(f"{index_path}/meta")
+    if "scale" not in meta.columns:
+        import warnings
+
+        warnings.warn(
+            f"semantic index at {index_path} has no scale in meta; "
+            "skipping quantization-grid validation (pre-scale index)",
+            stacklevel=3,
+        )
+        return
+    built = int(meta.first()["scale"])
+    if built != scale:
+        raise ValueError(
+            f"semantic index at {index_path} was built at "
+            f"scale={built} but the call asked for scale={scale} — "
+            "kept vectors and centroids are stored on the build "
+            "grid, so every cosine test would silently compare "
+            "across grids"
+        )
+
+
 def incremental_semantic_dedup(
     spark,
     new_df: DataFrame,
@@ -1340,6 +1376,7 @@ def incremental_semantic_dedup(
     routed_incremental_semantic_dedup, the O(n·(c+bucket)·d) routed
     twin with identical prune/append semantics.
     """
+    _validate_index_scale(spark, index_path, scale)
     cents = _read_centroids(spark, index_path)
     # materialize the shard assignment ONCE: nb feeds four consumers
     # (both prune sides vs kept, both sides of the shard self-join,
@@ -1401,6 +1438,7 @@ def routed_incremental_semantic_dedup(
     twin), then the two cid-equi candidate joins against the
     bucketed index.  Zero base-corpus scans.
     """
+    _validate_index_scale(spark, index_path, scale)
     cents = _read_centroids(spark, index_path)
     base, _fold = _routed_semantic_base(
         new_df, cents, n_coarse, vec_col, id_col, scale

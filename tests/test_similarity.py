@@ -957,3 +957,49 @@ def test_kept_table_name_distinct_paths_never_collide(spark, tmp_path):
     assert _kept_table_name("/tmp/a.b") == _kept_table_name("/tmp/a.b")
     with pytest.raises(ValueError, match="quote"):
         _kept_df(spark, str(tmp_path / "bad'path"))
+
+
+def test_incremental_semantic_dedup_rejects_mismatched_scale(
+    spark, tmp_path
+):
+    """Kept vectors and the centroid grid are stored QUANTIZED at
+    the build scale; an incremental call quantizing new rows on a
+    different grid would silently mis-prune every comparison.  The
+    meta pins the scale and both incremental twins fail loudly on a
+    mismatch (the MinHash/SimHash/PQ params contract)."""
+    import pytest
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+        routed_incremental_semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 64)
+    init = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    path = str(tmp_path / "sem_scale")
+    build_semantic_index(emb, init, path, threshold=0.95, scale=6)
+    meta = spark.read.parquet(f"{path}/meta").first()
+    assert int(meta["scale"]) == 6
+    shard = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="scale=6"):
+        incremental_semantic_dedup(
+            spark, shard, path, threshold=0.95, scale=5
+        )
+    with pytest.raises(ValueError, match="scale=6"):
+        routed_incremental_semantic_dedup(
+            spark, shard, path, n_coarse=2, threshold=0.95, scale=5
+        )
+    # the matching scale still works
+    out = incremental_semantic_dedup(
+        spark, shard, path, threshold=0.95, scale=6
+    )
+    assert out.count() == 64
