@@ -57,9 +57,16 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # shingles + MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingles as an array<string> (distinct)."""
-    toks = F.split(F.trim(text), r"\s+")
+def _shingles_from_toks(toks: Column, n: int) -> Column:
+    """Word n-gram shingles from a token-array column (distinct).
+
+    `toks` MUST be a materialized column reference, not an inline
+    split expression: Catalyst does not common-subexpression-
+    eliminate an outer expression referenced inside a higher-order-
+    function lambda, so an inline split re-runs PER GRAM PER
+    element_at — measured 24x on the repetition operator and 5x+ on
+    the shingle path (SCALE.md round-13).  Callers materialize the
+    split once (shingle_df / _verify_jaccard)."""
     if n == 1:
         return F.array_distinct(toks)
     # sliding window via transform over 0..len-n
@@ -72,12 +79,32 @@ def _shingles(text: Column, n: int) -> Column:
     )
 
 
+def _split_toks(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (distinct) from raw
+    text.  EXPRESSION-ONLY convenience: inlines the split into the
+    gram lambda, which recomputes it per element — fine for tests
+    and tiny frames; every hot path goes through shingle_df /
+    _shingles_from_toks with the split materialized first."""
+    return _shingles_from_toks(_split_toks(text), n)
+
+
 def shingle_df(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows — the exploded shingle set of each document."""
+    """(id, shingle) rows — the exploded shingle set of each document.
+    The split materializes as a column before the gram transform (see
+    _shingles_from_toks — the inline form re-runs the split per
+    gram)."""
     return df.select(
-        F.col(id_col).alias("doc"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+        F.col(id_col).alias("doc"),
+        _split_toks(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc",
+        F.explode(_shingles_from_toks(F.col("__toks"), n)).alias("shingle"),
     )
 
 
@@ -195,11 +222,19 @@ def minhash_lsh_pairs(
 def _verify_jaccard(
     df: DataFrame, cand: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via shingle-set sizes."""
-    sets = df.select(
-        F.col(id_col).alias("doc"),
-        _shingles(F.col(text_col), n).alias("sh"),
-        F.size(_shingles(F.col(text_col), n)).alias("sz"),
+    """Exact Jaccard for candidate pairs via shingle-set sizes.  The
+    split and the shingle array each materialize ONCE per row (the
+    old inline form computed the full shingle expression twice —
+    value and size — with the split re-run per gram inside each)."""
+    sets = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            _split_toks(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "doc", _shingles_from_toks(F.col("__toks"), n).alias("sh")
+        )
+        .select("doc", "sh", F.size("sh").alias("sz"))
     )
     a = sets.select(
         F.col("doc").alias("a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a")
