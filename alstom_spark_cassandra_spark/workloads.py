@@ -6055,8 +6055,14 @@ def q_corpus_pipeline(spark, sf_dir):
     from .functions.text_funcs import quality_score, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    scored = docs.select(
+    # materialize the tokenization once: quality_score references the
+    # token array several times, and an inline expression would carry
+    # one split per reference (text_funcs.tokens docstring, ~4x)
+    base = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__t")
+    )
+    toks = F.col("__t")
+    scored = base.select(
         "doc_id",
         "text",
         F.size(toks).alias("n_tokens"),
