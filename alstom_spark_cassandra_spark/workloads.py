@@ -4778,6 +4778,55 @@ ORDER BY a, b
 """
 
 
+
+def q_hybrid_persisted(spark, sf_dir):
+    """hybrid_rrf over PERSISTED indexes — the production serving
+    path: the lexical arm reads the disk BM25 index
+    (write_bm25_index/read_bm25_index, term-hash bucket pruning) and
+    the dense arm searches the disk IVF index at FULL probe (where
+    the persisted search is bit-exact vs brute-force cosine), so the
+    fused top-10 must reproduce the inline hybrid_rrf bit-for-bit —
+    the oracle is SQL_HYBRID_RRF verbatim.  Grades what a user
+    actually deploys: two indexes built once, query batches fused
+    forever, no corpus rescans in the serving path (the BM25 arm
+    touches only matching bucket directories, the IVF arm only its
+    assignment partitions)."""
+    import tempfile
+
+    from .operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        rrf_fuse,
+        write_bm25_index,
+    )
+    from .operators.similarity import build_ivf_index, search_ivf_index
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    bm25_path = f"{tempfile.gettempdir()}/hybrid_bm25{slug}"
+    ivf_path = f"{tempfile.gettempdir()}/hybrid_ivf{slug}"
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=16),
+        bm25_path,
+    )
+    build_ivf_index(emb, ivf_path, n_centroids=16)
+    qtext = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    sparse = bm25_topk(
+        docs, qtext, k=20, index=read_bm25_index(spark, bm25_path)
+    ).select("query_id", "doc", "rank")
+    qvec = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dense = search_ivf_index(
+        spark, ivf_path, qvec, k=20, nprobe=16
+    ).select("query_id", F.col("vec_id").alias("doc"), "rank")
+    return rrf_fuse([sparse, dense], k=10).orderBy("query_id", "rank")
+
+
 def _pq_oracle_sql(
     m_sub: int = 4,
     k: int = 8,
@@ -11961,6 +12010,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyperplane_tables_eval": q_hyperplane_tables_eval,
     "bm25_index_compacted": q_bm25_index_compacted,
     "stream_index_ingest": q_stream_index_ingest,
+    "hybrid_persisted": q_hybrid_persisted,
 }
 
 
@@ -12086,6 +12136,8 @@ ORACLE_SQL: dict[str, str] = {
     # of per-batch pairs equals the engine-neutral identical-text
     # oracle exactly
     "stream_index_ingest": SQL_STREAM_INDEX_INGEST,
+    # two disk indexes fused must equal the inline hybrid exactly
+    "hybrid_persisted": SQL_HYBRID_RRF,
     # bucketed disk index must reproduce the inline path bit-for-bit
     "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,

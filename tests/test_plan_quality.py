@@ -233,6 +233,7 @@ BNLJ_SANCTIONED = {
     "bm25_index_append",   # same scalar broadcast, appended index
     "bm25_index_compacted",  # same scalar broadcast, compacted index
     "hybrid_rrf",          # fuses the BM25 + dense paths above
+    "hybrid_persisted",    # same fusion over the two disk indexes
     "snapshot_diff",       # broadcast 1-row epoch scalar
     "update_history_dense",  # grid = ids x broadcast(arguments)
     "update_history_chunked",  # same grid per chunk + n_chunks-row
