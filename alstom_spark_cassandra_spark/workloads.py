@@ -4827,6 +4827,56 @@ def q_hybrid_persisted(spark, sf_dir):
     return rrf_fuse([sparse, dense], k=10).orderBy("query_id", "rank")
 
 
+
+def q_minhash_index_compacted(spark, sf_dir):
+    """minhash_index_append + the maintenance rewrite between the
+    two batches: batch A appends its signatures/band rows
+    (update_index=True), compact_partitioned_parquet folds the band
+    directories back to one file per band and the flat signatures
+    table to one generation, and batch B then probes the COMPACTED
+    index — the pairs of both rounds must still equal the
+    identical-text oracle (SQL_INDEX_APPEND_PAIRS verbatim).  The
+    banded-dir twin of bm25_index_compacted: compaction changes the
+    file layout and nothing else, here proven through the chained
+    append contract rather than a retrieval score."""
+    import tempfile
+
+    from .operators.dedup import (
+        build_minhash_index,
+        incremental_dedup_pairs,
+    )
+    from .sources.sinks import compact_partitioned_parquet
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    index_path = f"{tempfile.gettempdir()}/minhash_compact{slug}"
+    build_minhash_index(docs, index_path, "text", "doc_id")
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_a = shard.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    batch_b = shard.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    pairs_a = incremental_dedup_pairs(
+        spark, batch_a, index_path, "text", "doc_id",
+        threshold=1.0, update_index=True,
+    )
+    # force batch A's pairs BEFORE compacting: its plan reads the
+    # pre-append file snapshot, which the rewrite would invalidate
+    pairs_a = pairs_a.localCheckpoint(eager=True)
+    compact_partitioned_parquet(spark, f"{index_path}/bands", "band")
+    compact_partitioned_parquet(spark, f"{index_path}/signatures", None)
+    pairs_b = incremental_dedup_pairs(
+        spark, batch_b, index_path, "text", "doc_id", threshold=1.0
+    )
+    all_docs = docs.unionByName(batch_a).unionByName(batch_b)
+    return _verified_text_pairs(
+        pairs_a.select("a", "b").unionByName(pairs_b.select("a", "b")),
+        all_docs,
+    )
+
+
 def _pq_oracle_sql(
     m_sub: int = 4,
     k: int = 8,
@@ -11781,14 +11831,16 @@ ORDER BY doc_id
 # rounds — the steady state where a 50-row window over a ~191-row
 # registry refreshes every row within ceil(191/50) = 4 rounds.
 #
-# Round-14 plan (stated now): HEAD = the round-13 post-window
-# additions (pq_index_append, positional_index_append — queued at
-# the TAIL below, never driver-graded — plus any further r13
-# additions), then the 39 remaining r10-green rows (kept in r10
-# grading order in their group below), then the stalest r11-green
-# rows (CORRECTNESS_r11 grading order) to fill the window. Growth
-# stays budgeted toward rows that grade an existing scale path over
-# new surface.
+# Round-14 plan (stated now): HEAD = the 7 round-13 post-window
+# additions (pq_index_append, positional_index_append,
+# hyperplane_tables_eval, bm25_index_compacted, stream_index_ingest,
+# hybrid_persisted, minhash_index_compacted — queued at the TAIL
+# below in that order, never driver-graded), then the 39 remaining
+# r10-green rows (kept in r10 grading order in their group below),
+# then the 4 stalest r11-green rows (CORRECTNESS_r11 grading order)
+# to fill the 50-row window; after r14 nothing older than r11.
+# Growth stays budgeted toward rows that grade an existing scale
+# path over new surface.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-13 WINDOW HEAD: the 8 round-12 additions, never ---
     # driver-graded (locally exact-gated at all three scales since
@@ -12011,6 +12063,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_index_compacted": q_bm25_index_compacted,
     "stream_index_ingest": q_stream_index_ingest,
     "hybrid_persisted": q_hybrid_persisted,
+    "minhash_index_compacted": q_minhash_index_compacted,
 }
 
 
@@ -12138,6 +12191,8 @@ ORACLE_SQL: dict[str, str] = {
     "stream_index_ingest": SQL_STREAM_INDEX_INGEST,
     # two disk indexes fused must equal the inline hybrid exactly
     "hybrid_persisted": SQL_HYBRID_RRF,
+    # the banded-dir compaction under the UNCHANGED chained oracle
+    "minhash_index_compacted": SQL_INDEX_APPEND_PAIRS,
     # bucketed disk index must reproduce the inline path bit-for-bit
     "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,
