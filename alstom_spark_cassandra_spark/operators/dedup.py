@@ -83,15 +83,6 @@ def _split_toks(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def _shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingles as an array<string> (distinct) from raw
-    text.  EXPRESSION-ONLY convenience: inlines the split into the
-    gram lambda, which recomputes it per element — fine for tests
-    and tiny frames; every hot path goes through shingle_df /
-    _shingles_from_toks with the split materialized first."""
-    return _shingles_from_toks(_split_toks(text), n)
-
-
 def shingle_df(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
