@@ -73,7 +73,23 @@ def compact_partitioned_parquet(
     directory (partition_col None) the target is `n_files` files —
     1 for config-bounded tables (stats, metas), more for tables
     that are corpus-sized at the deployment's scale (doc_len,
-    signatures)."""
+    signatures).
+
+    Crash recovery: the final overwrite of the live directory is
+    not atomic, so a crash there leaves the live dir torn — and
+    naively re-running would stage the TORN content and lose rows.
+    The op is therefore resumable through the stage's commit
+    marker: a stage directory carrying Spark's _SUCCESS is a
+    complete content snapshot taken from an intact live dir (it is
+    deleted on successful completion, so its existence means the
+    previous run crashed after the stage commit), and a re-run
+    skips re-derivation and replays the final overwrite from it;
+    without the marker the live dir is known intact and the stage
+    is rebuilt.  Re-running after ANY crash converges
+    (pytest-pinned).  Single-writer discipline, like every index
+    maintenance op here: appends racing a compaction (or landing
+    between a crash and its recovery) are the caller's lost
+    update."""
     stage = path.rstrip("/") + "_compact_stage"
 
     def _write(df, target):
@@ -86,12 +102,14 @@ def compact_partitioned_parquet(
                 "overwrite"
             ).partitionBy(partition_col).parquet(target)
 
-    _write(spark.read.parquet(path), stage)
-    _write(spark.read.parquet(stage), path)
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(stage)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    spath = jvm.org.apache.hadoop.fs.Path(stage)
+    fs = spath.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = jvm.org.apache.hadoop.fs.Path(f"{stage}/_SUCCESS")
+    if not fs.exists(committed):
+        _write(spark.read.parquet(path), stage)
+    _write(spark.read.parquet(stage), path)
+    fs.delete(spath, True)
 
 
 def write_bucketed(

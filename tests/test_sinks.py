@@ -344,3 +344,51 @@ def test_compact_partitioned_parquet_one_file_per_partition(
         sorted(tuple(r) for r in spark.read.parquet(sig_dir).collect())
         == sig_before
     )
+
+
+def test_compact_partitioned_parquet_crash_recovery(spark, tmp_path):
+    """The compaction's final overwrite is not atomic; recovery goes
+    through the stage's commit marker.  (a) A COMMITTED stage (crash
+    after the stage commit tore the live dir) is replayed verbatim —
+    the re-run must restore the stage's snapshot, never re-derive
+    from the torn live dir.  (b) An UNCOMMITTED stage (crash before
+    the stage commit; live dir intact) is rebuilt from the live dir.
+    Either way a plain re-run converges."""
+    import os
+    import shutil
+
+    from alstom_spark_cassandra_spark.sources.sinks import (
+        compact_partitioned_parquet,
+    )
+
+    live = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(i, i % 4) for i in range(100)], "v long, p int"
+    ).write.partitionBy("p").parquet(live)
+    truth = sorted(
+        tuple(r) for r in spark.read.parquet(live).collect()
+    )
+
+    # (a) committed stage holding the true snapshot; live dir torn
+    stage = live + "_compact_stage"
+    spark.read.parquet(live).repartition(4, "p").write.partitionBy(
+        "p"
+    ).parquet(stage)
+    assert os.path.exists(f"{stage}/_SUCCESS")
+    shutil.rmtree(f"{live}/p=3")  # the torn overwrite
+    compact_partitioned_parquet(spark, live, "p")
+    assert (
+        sorted(tuple(r) for r in spark.read.parquet(live).collect())
+        == truth
+    )
+    assert not os.path.exists(stage)
+
+    # (b) uncommitted stage: must be ignored and rebuilt from live
+    os.makedirs(stage)
+    spark.createDataFrame([(999, 9)], "v long, p int").write.mode(
+        "append"
+    ).partitionBy("p").parquet(stage)
+    os.remove(f"{stage}/_SUCCESS")  # simulate no commit
+    compact_partitioned_parquet(spark, live, "p")
+    got = sorted(tuple(r) for r in spark.read.parquet(live).collect())
+    assert got == truth  # the phantom 999 row never leaked in
