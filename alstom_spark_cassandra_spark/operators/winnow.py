@@ -198,3 +198,149 @@ def winnow_overlap_pairs(
         .filter(F.col("overlap") >= threshold)
         .select("a", "b", "shared", "overlap")
     )
+
+
+def build_winnow_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    n_buckets: int = 16,
+    portable: bool = False,
+) -> None:
+    """Persist the corpus's winnowed structure: exploded (doc, fp)
+    rows partitioned by a fingerprint-hash bucket (a probe reads
+    only the buckets its own fingerprints hash to), per-doc
+    fingerprint-set sizes (the containment denominators), and a
+    params table pinning (k, w, n_buckets, portable) — a probe or
+    append computed under different winnowing parameters would
+    select different fingerprints and silently miss every overlap,
+    so incremental_winnow_overlap reads the parameters from the
+    index instead of trusting a caller (the MinHash/SimHash/PQ/
+    semantic params contract).  Build once over the corpus; appends
+    dedup against the INDEX forever — old text is never
+    re-normalized, re-hashed, or re-winnowed."""
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k=k, w=w, portable=portable
+    )
+    # corpus-pass output feeds both the exploded table and the sizes;
+    # checkpoint once (winnowed density 2/(w+1), not the gram stream)
+    fps = fps.localCheckpoint(eager=True)
+    e = fps.select("doc", F.explode("fps").alias("fp")).withColumn(
+        "bucket", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int")
+    )
+    e.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/fps"
+    )
+    fps.select("doc", F.size("fps").alias("nf")).filter(
+        F.col("nf") > 0
+    ).write.mode("overwrite").parquet(f"{path}/sizes")
+    df.sparkSession.createDataFrame(
+        [(k, w, n_buckets, bool(portable))],
+        "k int, w int, n_buckets int, portable boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def incremental_winnow_overlap(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_docs_per_fp: int | None = 64,
+    update_index: bool = False,
+) -> DataFrame:
+    """Copied-passage pairs (a, b, shared, overlap) touching the NEW
+    batch only — new×indexed plus new×new, with winnow_overlap_pairs'
+    exact containment semantics (shared fingerprints /
+    min(|fps(a)|, |fps(b)|), threshold post-filter, optional
+    stop-fingerprint cap counted over index ∪ batch).  The old corpus
+    participates only through its persisted index: fingerprint rows
+    for the bucket-equi candidate join, sizes for the denominators.
+    Winnowing parameters come from the index's own params table, so
+    a probe can never hash on a different grid.  Ids must be unique
+    across old ∪ new; output has a < b.
+
+    update_index=True closes the ingest loop (the
+    incremental_dedup_pairs contract verbatim): the batch's
+    fingerprint rows land in the index's own bucket layout and its
+    sizes append, so the NEXT batch pairs against this one with no
+    rebuild; the batch is fingerprinted once (eager checkpoint) and
+    the returned plan reads the PRE-append index snapshot, so a
+    batch never pairs against its own appended rows."""
+    p = spark.read.parquet(f"{index_path}/params").first()
+    k, w, n_buckets = int(p["k"]), int(p["w"]), int(p["n_buckets"])
+    portable = bool(p["portable"])
+    new_fps = winnow_fingerprints(
+        new_docs, text_col, id_col, k=k, w=w, portable=portable
+    ).localCheckpoint(eager=True)
+    new_e = new_fps.select(
+        "doc", F.explode("fps").alias("fp")
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int")
+    )
+    new_sizes = new_fps.select("doc", F.size("fps").alias("nf")).filter(
+        F.col("nf") > 0
+    )
+    # snapshot the index BEFORE any append (same contract as the
+    # MinHash twin: the returned plan must see the pre-append index)
+    old_e = spark.read.parquet(f"{index_path}/fps")
+    old_sizes = spark.read.parquet(f"{index_path}/sizes")
+    if update_index:
+        new_e.write.mode("append").partitionBy("bucket").parquet(
+            f"{index_path}/fps"
+        )
+        new_sizes.write.mode("append").parquet(f"{index_path}/sizes")
+    all_e = old_e.unionByName(new_e)
+    all_sizes = old_sizes.unionByName(new_sizes)
+    if max_docs_per_fp is not None:
+        keep = (
+            all_e.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") <= max_docs_per_fp)
+            .select("fp")
+        )
+        all_e = all_e.join(keep, "fp")
+        new_e = new_e.join(keep, "fp")
+    # a new×new pair matches in both orientations; distinct on
+    # (a, b, fp) collapses them so `shared` never double-counts
+    shared = (
+        new_e.alias("l")
+        .join(
+            all_e.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("l.doc") != F.col("r.doc")),
+        )
+        .select(
+            F.least("l.doc", "r.doc").alias("a"),
+            F.greatest("l.doc", "r.doc").alias("b"),
+            F.col("l.fp").alias("fp"),
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            all_sizes.select(
+                F.col("doc").alias("a"), F.col("nf").alias("nf_a")
+            ),
+            "a",
+        )
+        .join(
+            all_sizes.select(
+                F.col("doc").alias("b"), F.col("nf").alias("nf_b")
+            ),
+            "b",
+        )
+        .withColumn(
+            "overlap",
+            F.col("shared") / F.least(F.col("nf_a"), F.col("nf_b")),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("a", "b", "shared", "overlap")
+    )

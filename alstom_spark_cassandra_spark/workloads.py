@@ -4877,6 +4877,107 @@ def q_minhash_index_compacted(spark, sf_dir):
     )
 
 
+
+def q_winnow_index_append(spark, sf_dir):
+    """The copied-passage family joins the append story
+    (operators/winnow.build_winnow_index /
+    incremental_winnow_overlap): the doc_id<300 slice is winnowed
+    and persisted once, then two SHARD re-crawls (doc_id % 3 = 0,
+    +10M then +20M) arrive — batch A dedups against the index AND
+    appends its fingerprint rows and sizes (update_index=True),
+    batch B then pairs against base ∪ A with no rebuild (a B×A pair
+    exists only because of the append).  Winnowing parameters come
+    from the index's own params table.  Exact mode
+    (max_docs_per_fp=None) on the bounded slice, portable md5
+    fingerprints, so the oracle recomputes every fingerprint,
+    shared count, and containment score bit-for-bit over the
+    union — pairs with at least one NEW (larger) side, exactly the
+    union of the two rounds."""
+    import tempfile
+
+    from .operators.winnow import (
+        build_winnow_index,
+        incremental_winnow_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300
+    ).select("doc_id", "text")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/winnow_index{slug}"
+    build_winnow_index(
+        docs, path, "text", "doc_id", k=8, w=4, portable=True
+    )
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_a = shard.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    batch_b = shard.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    pairs_a = incremental_winnow_overlap(
+        spark, batch_a, path, "text", "doc_id",
+        threshold=0.25, max_docs_per_fp=None, update_index=True,
+    )
+    pairs_b = incremental_winnow_overlap(
+        spark, batch_b, path, "text", "doc_id",
+        threshold=0.25, max_docs_per_fp=None,
+    )
+    out = pairs_a.unionByName(pairs_b)
+    return out.select(
+        "a", "b", "shared", half_up(F.col("overlap"), 6).alias("overlap")
+    ).orderBy("a", "b")
+
+
+SQL_WINNOW_INDEX_APPEND = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+),
+all_docs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM base WHERE doc_id % 3 = 0
+),
+nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM all_docs
+),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) >= 8 THEN
+      [substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 16)
+       for i in range(1, CAST(length(norm) - 8 + 2 AS BIGINT))]
+    ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM nrm
+),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN hs
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_distinct([list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])
+                             for j in range(1, CAST(len(hs) - 4 + 2 AS BIGINT))])
+    END AS fps
+  FROM hs
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+sz AS (SELECT doc_id, len(fps) AS nf FROM fp),
+sh AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+  FROM e l JOIN e r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT sh.a, sh.b, sh.shared,
+       floor(sh.shared * 1.0 / least(sa.nf, sb.nf) * 1000000 + 0.5)
+         / 1000000.0 AS overlap
+FROM sh JOIN sz sa ON sa.doc_id = sh.a JOIN sz sb ON sb.doc_id = sh.b
+WHERE sh.shared * 1.0 / least(sa.nf, sb.nf) >= 0.25
+  AND sh.b >= 10000000
+ORDER BY sh.a, sh.b
+"""
+
+
 def _pq_oracle_sql(
     m_sub: int = 4,
     k: int = 8,
@@ -11831,16 +11932,16 @@ ORDER BY doc_id
 # rounds — the steady state where a 50-row window over a ~191-row
 # registry refreshes every row within ceil(191/50) = 4 rounds.
 #
-# Round-14 plan (stated now): HEAD = the 7 round-13 post-window
+# Round-14 plan (stated now): HEAD = the 8 round-13 post-window
 # additions (pq_index_append, positional_index_append,
 # hyperplane_tables_eval, bm25_index_compacted, stream_index_ingest,
-# hybrid_persisted, minhash_index_compacted — queued at the TAIL
-# below in that order, never driver-graded), then the 39 remaining
-# r10-green rows (kept in r10 grading order in their group below),
-# then the 4 stalest r11-green rows (CORRECTNESS_r11 grading order)
-# to fill the 50-row window; after r14 nothing older than r11.
-# Growth stays budgeted toward rows that grade an existing scale
-# path over new surface.
+# hybrid_persisted, minhash_index_compacted, winnow_index_append —
+# queued at the TAIL below in that order, never driver-graded),
+# then the 39 remaining r10-green rows (kept in r10 grading order
+# in their group below), then the 3 stalest r11-green rows
+# (CORRECTNESS_r11 grading order) to fill the 50-row window; after
+# r14 nothing older than r11.  Growth stays budgeted toward rows
+# that grade an existing scale path over new surface.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-13 WINDOW HEAD: the 8 round-12 additions, never ---
     # driver-graded (locally exact-gated at all three scales since
@@ -12064,6 +12165,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_index_ingest": q_stream_index_ingest,
     "hybrid_persisted": q_hybrid_persisted,
     "minhash_index_compacted": q_minhash_index_compacted,
+    "winnow_index_append": q_winnow_index_append,
 }
 
 
@@ -12193,6 +12295,9 @@ ORACLE_SQL: dict[str, str] = {
     "hybrid_persisted": SQL_HYBRID_RRF,
     # the banded-dir compaction under the UNCHANGED chained oracle
     "minhash_index_compacted": SQL_INDEX_APPEND_PAIRS,
+    # winnowed fingerprints recomputed exactly over the union; the
+    # appended-chain pairs are those with at least one new side
+    "winnow_index_append": SQL_WINNOW_INDEX_APPEND,
     # bucketed disk index must reproduce the inline path bit-for-bit
     "bm25_persisted": SQL_BM25_RETRIEVAL,
     "scd2_intervals": SQL_SCD2_INTERVALS,

@@ -546,3 +546,45 @@ def test_hyperplane_multi_table_eval_monotone_and_consistent(spark):
             assert r.precision_micro == int(
                 r.n_hit * 1_000_000.0 / r.n_cand + 0.5
             )
+
+
+def test_winnow_index_append_chains_batches(spark, tmp_path):
+    """The winnow member of the append family: batch B finds a pair
+    against batch A ONLY because A appended (update_index=True);
+    batch A's own result reads the PRE-append snapshot (no
+    self-pairs); winnowing params come from the index, not the
+    caller."""
+    from alstom_spark_cassandra_spark.operators.winnow import (
+        build_winnow_index,
+        incremental_winnow_overlap,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely different content about parquet buckets")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "wn_chain")
+    build_winnow_index(base, path, "text", "doc_id", k=8, w=4)
+    p = spark.read.parquet(f"{path}/params").first()
+    assert (p["k"], p["w"], p["portable"]) == (8, 4, False)
+
+    copy = "the quick brown fox jumps over the lazy dog tonight"
+    batch_a = spark.createDataFrame(
+        [(11, copy)], "doc_id long, text string"
+    )
+    out_a = incremental_winnow_overlap(
+        spark, batch_a, path, "text", "doc_id",
+        threshold=0.99, update_index=True,
+    ).collect()
+    assert {(r.a, r.b) for r in out_a} == {(1, 11)}
+    assert all(r.overlap == 1.0 for r in out_a)
+
+    batch_b = spark.createDataFrame(
+        [(21, copy)], "doc_id long, text string"
+    )
+    out_b = incremental_winnow_overlap(
+        spark, batch_b, path, "text", "doc_id", threshold=0.99
+    ).collect()
+    # (11, 21) exists ONLY via the append; (1, 21) via the base index
+    assert {(r.a, r.b) for r in out_b} == {(1, 21), (11, 21)}
