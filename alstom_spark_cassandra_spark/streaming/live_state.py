@@ -814,13 +814,19 @@ def foreach_batch_index_ingest(
     tests/test_retrieval.py).  Keep ONE writer per index."""
 
     def _write(batch_df, batch_id: int) -> None:
-        import os as _os
-
         from ..operators.dedup import incremental_dedup_pairs
 
         spark = batch_df.sparkSession
-        marker = f"{pairs_sink}/done_{batch_id}"
-        if _os.path.exists(marker):
+        # markers go through the Hadoop FileSystem API: on S3/HDFS an
+        # os.path check would silently never find them, so every
+        # replay would re-append the index — the exact failure the
+        # marker exists to prevent
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{pairs_sink}/done_{batch_id}"
+        )
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
             return
         pairs = incremental_dedup_pairs(
             spark,
@@ -837,7 +843,7 @@ def foreach_batch_index_ingest(
         pairs.write.mode("overwrite").parquet(
             f"{pairs_sink}/pairs_{batch_id}"
         )
-        _os.makedirs(marker, exist_ok=True)
+        fs.mkdirs(marker)
 
     return _write
 
@@ -846,20 +852,30 @@ def read_index_ingest_pairs(spark, pairs_sink: str) -> DataFrame:
     """Union of every committed batch's pairs from a
     foreach_batch_index_ingest sink (only pairs_N directories whose
     done_N marker exists — a torn batch is invisible until its
-    replay commits it)."""
-    import glob as _glob
-    import os as _os
-
+    replay commits it).  Listing and marker checks go through the
+    Hadoop FileSystem API so the sink works on any storage the
+    session can reach, not just local paths."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(pairs_sink)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     dirs = []
-    for d in sorted(_glob.glob(f"{pairs_sink}/pairs_*")):
-        try:
-            bid = int(d.rsplit("pairs_", 1)[1])
-        except ValueError:
-            continue
-        if _os.path.exists(f"{pairs_sink}/done_{bid}"):
-            dirs.append(d)
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("pairs_"):
+                continue
+            try:
+                bid = int(name.rsplit("pairs_", 1)[1])
+            except ValueError:
+                continue
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{pairs_sink}/done_{bid}"
+                )
+            ):
+                dirs.append(f"{pairs_sink}/pairs_{bid}")
     if not dirs:
         raise FileNotFoundError(
             f"no committed pairs_* batches under {pairs_sink}"
         )
-    return spark.read.parquet(*dirs)
+    return spark.read.parquet(*sorted(dirs))
