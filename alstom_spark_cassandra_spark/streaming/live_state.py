@@ -496,7 +496,7 @@ def foreach_batch_merge_sink(
     re-aggregation of history. Seed `snap_-1` with the initial base
     snapshot before starting the stream; keep ONE writer per path."""
     def _latest_snap_below(spark, batch_id: int):
-        snaps = [n for n in _committed_snaps(path) if n < batch_id]
+        snaps = [n for n in _committed_snaps(path, spark) if n < batch_id]
         if not snaps:
             return None
         return spark.read.parquet(f"{path}/snap_{max(snaps)}")
@@ -528,12 +528,37 @@ def foreach_batch_merge_sink(
     return _write
 
 
-def _committed_snaps(path: str) -> list[int]:
+def _committed_snaps(path: str, spark=None) -> list[int]:
     """Batch ids of COMMITTED snapshots: only snap_N directories
     carrying Spark's _SUCCESS marker count — a writer that died
     mid-overwrite leaves no marker, so readers (and a retrying batch
     looking for its predecessor) never see the torn snapshot; the
-    stream's replay of that batch rewrites it."""
+    stream's replay of that batch rewrites it.  Listing goes through
+    the Hadoop FileSystem API when a session is at hand (any storage
+    the session reaches — on S3/HDFS an os.path scan would silently
+    report no snapshots); the os fallback serves the rare
+    session-less caller on local paths."""
+    if spark is not None:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        snaps = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not name.startswith("snap_"):
+                    continue
+                try:
+                    n = int(name.rsplit("snap_", 1)[1])
+                except ValueError:
+                    continue
+                if fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{path}/snap_{n}/_SUCCESS"
+                    )
+                ):
+                    snaps.append(n)
+        return snaps
     import glob as _glob
     import os as _os
 
@@ -554,7 +579,7 @@ def read_merge_sink(spark, path: str, version: int | None = None) -> DataFrame:
     batch); pass `version` to time-travel to the state as of that
     batch id — the snap chain doubles as a coarse snapshot history
     until compacted away."""
-    snaps = _committed_snaps(path)
+    snaps = _committed_snaps(path, spark)
     if version is not None:
         snaps = [n for n in snaps if n <= version]
     if not snaps:
@@ -758,7 +783,7 @@ def foreach_batch_ivm_sink(
         from ..operators.ivm import merge_agg_deltas
 
         spark = batch_df.sparkSession
-        snaps = [n for n in _committed_snaps(path) if n < batch_id]
+        snaps = [n for n in _committed_snaps(path, spark) if n < batch_id]
         if snaps:
             prev = spark.read.parquet(f"{path}/snap_{max(snaps)}")
         else:
