@@ -11923,90 +11923,35 @@ ORDER BY doc_id
 # scripts/check_oracle.py regardless of position — the count below is
 # len(SPARK_QUERIES), never a hand-maintained number).
 #
-# Round-13 window (the r12 verdict's pre-stated plan, executed
-# verbatim): HEAD = the 8 round-12 post-window additions (first
-# driver rows beat refreshes), then the 31 remaining r9-green rows
-# (r9 grading order — first graded = stalest), then the 11 stalest
-# r10-green rows (CORRECTNESS_r10 grading order) to fill the 50
-# slots; after r13 no row's last driver row is older than r10 = 3
-# rounds — the steady state where a 50-row window over a ~191-row
-# registry refreshes every row within ceil(191/50) = 4 rounds.
+# Round-14 window (the r13 verdict's pre-stated plan, executed
+# verbatim): HEAD = the 8 round-13 post-window additions (first
+# driver rows beat refreshes), then the 39 remaining r10-green rows
+# (r10 grading order — first graded = stalest), then the 3 stalest
+# r11-green rows (CORRECTNESS_r11 grading order: semantic_dedup,
+# corpus_pipeline_v2, skewed_latest) to fill the 50 slots; after r14
+# no row's last driver row is older than r11 = 3 rounds — the steady
+# state where a 50-row window over a ~197-row registry refreshes
+# every row within ceil(197/50) = 4 rounds.
 #
-# Round-14 plan (stated now): HEAD = the 8 round-13 post-window
-# additions (pq_index_append, positional_index_append,
-# hyperplane_tables_eval, bm25_index_compacted, stream_index_ingest,
-# hybrid_persisted, minhash_index_compacted, winnow_index_append —
-# queued at the TAIL below in that order, never driver-graded),
-# then the 39 remaining r10-green rows (kept in r10 grading order
-# in their group below), then the 3 stalest r11-green rows
-# (CORRECTNESS_r11 grading order) to fill the 50-row window; after
-# r14 nothing older than r11.  Growth stays budgeted toward rows
-# that grade an existing scale path over new surface.
+# Round-15 plan (stated now; see the tail comment for any r14
+# additions): HEAD = r14 post-window additions, then the 47
+# remaining r11-green rows (r11 grading order), then the stalest
+# r12-green rows (CORRECTNESS_r12 grading order) to fill 50; after
+# r15 nothing older than r12.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-13 WINDOW HEAD: the 8 round-12 additions, never ---
-    # driver-graded (locally exact-gated at all three scales since
-    # r12, and independently re-gated by the r12 judge at sf0.01)
-    "semantic_index_append": q_semantic_index_append,
-    "incremental_semantic_dedup_routed": q_incremental_semantic_dedup_routed,
-    "routed_incremental_eval": q_routed_incremental_eval,
-    "semantic_index_compacted": q_semantic_index_compacted,
-    "minhash_index_append": q_minhash_index_append,
-    "simhash_index_append": q_simhash_index_append,
-    "ivf_index_append": q_ivf_index_append,
-    "bm25_index_append": q_bm25_index_append,
-    # --- the 31 remaining r9-green rows (last driver row: r9; ---
-    # r9 grading order — first graded = stalest)
-    "dedup_corpus_best": q_dedup_corpus_best,
-    "winnow_overlap_capped": q_winnow_overlap_capped,
-    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
-    "incremental_simhash": q_incremental_simhash,
-    "ivm_time_travel": q_ivm_time_travel,
-    "phrase_persisted": q_phrase_persisted,
-    "ivf_eval": q_ivf_eval,
-    "compaction_persisted": q_compaction_persisted,
-    "salted_join": q_salted_join,
-    "bloom_prefilter": q_bloom_prefilter,
-    "image_resize": q_image_resize,
-    "retrieve_message_asof": q_retrieve_message_asof,
-    "multiple_fields_asof": q_multiple_fields_asof,
-    "multiple_fields_state": q_multiple_fields_state,
-    "multiple_fields_snapshot": q_multiple_fields_snapshot,
-    "stratified_sample": q_stratified_sample,
-    "sequence_pack": q_sequence_pack,
-    "corpus_pipeline": q_corpus_pipeline,
-    "train_split": q_train_split,
-    "decontamination": q_decontamination,
-    "pii_scan": q_pii_scan,
-    "doc_chunks": q_doc_chunks,
-    "repetition_scores": q_repetition_scores,
-    "token_estimate": q_token_estimate,
-    "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_quantized_topk": q_ann_quantized_topk,
-    "image_features": q_image_features,
-    "audio_features": q_audio_features,
-    "frame_sample": q_frame_sample,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q7": q_tpch_q7,
-    # --- the 11 stalest r10-green rows (CORRECTNESS_r10 grading ---
-    # order) — fills the 50-row window; after r13 nothing is older
-    # than r10
-    "langid_scores": q_langid_scores,
-    "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
-    "quality_filter_pipeline": q_quality_filter_pipeline,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q17": q_tpch_q17,
-    # --- below the 50-row window: the 39 remaining r10-green ---
-    # rows (still in r10 grading order — the r14 rotation drains
-    # them next), then the r11- and r12-green rows in their own
-    # grading order; every row here is locally exact-gated at all
-    # three scales each round by scripts/check_oracle.py regardless
-    # of position
+    # --- ROUND-14 WINDOW HEAD: the 8 round-13 additions, never ---
+    # --- driver-graded (locally exact-gated at all three scales since ---
+    # --- r13, and independently re-gated by the r13 judge at sf0.01) ---
+    "pq_index_append": q_pq_index_append,
+    "positional_index_append": q_positional_index_append,
+    "hyperplane_tables_eval": q_hyperplane_tables_eval,
+    "bm25_index_compacted": q_bm25_index_compacted,
+    "stream_index_ingest": q_stream_index_ingest,
+    "hybrid_persisted": q_hybrid_persisted,
+    "minhash_index_compacted": q_minhash_index_compacted,
+    "winnow_index_append": q_winnow_index_append,
+    # --- the 39 remaining r10-green rows (last driver row: r10; ---
+    # --- r10 grading order — first graded = stalest) ---
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "tpch_q22": q_tpch_q22,
@@ -12046,10 +11991,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
-    # --- r11-green rows (CORRECTNESS_r11 grading order) ---
+    # --- the 3 stalest r11-green rows (CORRECTNESS_r11 grading ---
+    # --- order) — fills the 50-row window; after r14 nothing is older ---
+    # --- than r11 ---
     "semantic_dedup": q_semantic_dedup,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "skewed_latest": q_skewed_latest,
+    # --- below the 50-row window: the 47 remaining r11-green rows ---
+    # --- (still in r11 grading order — the r15 rotation drains them ---
+    # --- next), then the r12- and r13-green rows in their own grading ---
+    # --- order; every row here is locally exact-gated at all three ---
+    # --- scales each round by scripts/check_oracle.py regardless of ---
+    # --- position ---
     "pq_rerank_topk": q_pq_rerank_topk,
     "semantic_dedup_routed": q_semantic_dedup_routed,
     "token_rarity": q_token_rarity,
@@ -12148,24 +12101,57 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_spans": q_repeated_spans,
     "global_row_index": q_global_row_index,
     "global_ntile": q_global_ntile,
-    # --- new in round 13, never graded: r14 window HEAD priority ---
-    # (the last two persisted-index families gain graded append
-    # rows: PQ encodes arrivals against the frozen persisted books
-    # on the index's own quantization grid, positional postings
-    # land in the index's own term-hash bucket layout — with these,
-    # every one of the seven index families has a driver-graded
-    # append contract; hyperplane_tables_eval grades the multi-table
-    # recall curve the r11 verdict asked for; bm25_index_compacted
-    # grades the generic partitioned-dir compaction op under the
-    # unchanged retrieval oracle)
-    "pq_index_append": q_pq_index_append,
-    "positional_index_append": q_positional_index_append,
-    "hyperplane_tables_eval": q_hyperplane_tables_eval,
-    "bm25_index_compacted": q_bm25_index_compacted,
-    "stream_index_ingest": q_stream_index_ingest,
-    "hybrid_persisted": q_hybrid_persisted,
-    "minhash_index_compacted": q_minhash_index_compacted,
-    "winnow_index_append": q_winnow_index_append,
+    # --- r13-green rows (CORRECTNESS_r13 grading order) ---
+    "semantic_index_append": q_semantic_index_append,
+    "incremental_semantic_dedup_routed": q_incremental_semantic_dedup_routed,
+    "routed_incremental_eval": q_routed_incremental_eval,
+    "semantic_index_compacted": q_semantic_index_compacted,
+    "minhash_index_append": q_minhash_index_append,
+    "simhash_index_append": q_simhash_index_append,
+    "ivf_index_append": q_ivf_index_append,
+    "bm25_index_append": q_bm25_index_append,
+    "dedup_corpus_best": q_dedup_corpus_best,
+    "winnow_overlap_capped": q_winnow_overlap_capped,
+    "fuzzy_pairs_d2": q_fuzzy_pairs_d2,
+    "incremental_simhash": q_incremental_simhash,
+    "ivm_time_travel": q_ivm_time_travel,
+    "phrase_persisted": q_phrase_persisted,
+    "ivf_eval": q_ivf_eval,
+    "compaction_persisted": q_compaction_persisted,
+    "salted_join": q_salted_join,
+    "bloom_prefilter": q_bloom_prefilter,
+    "image_resize": q_image_resize,
+    "retrieve_message_asof": q_retrieve_message_asof,
+    "multiple_fields_asof": q_multiple_fields_asof,
+    "multiple_fields_state": q_multiple_fields_state,
+    "multiple_fields_snapshot": q_multiple_fields_snapshot,
+    "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
+    "corpus_pipeline": q_corpus_pipeline,
+    "train_split": q_train_split,
+    "decontamination": q_decontamination,
+    "pii_scan": q_pii_scan,
+    "doc_chunks": q_doc_chunks,
+    "repetition_scores": q_repetition_scores,
+    "token_estimate": q_token_estimate,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "image_features": q_image_features,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "langid_scores": q_langid_scores,
+    "ivm_bucketed_persisted": q_ivm_bucketed_persisted,
+    "quality_filter_pipeline": q_quality_filter_pipeline,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
 }
 
 
