@@ -106,9 +106,24 @@ def compact_partitioned_parquet(
     spath = jvm.org.apache.hadoop.fs.Path(stage)
     fs = spath.getFileSystem(spark._jsc.hadoopConfiguration())
     committed = jvm.org.apache.hadoop.fs.Path(f"{stage}/_SUCCESS")
-    if not fs.exists(committed):
-        _write(spark.read.parquet(path), stage)
-    _write(spark.read.parquet(stage), path)
+    # Partition values round-trip through DIRECTORY NAMES, and
+    # Spark's partition-type inference would retype a string value
+    # that parses as a number ('01' -> int 1) and renormalize the
+    # directory on rewrite (bucket=01 -> bucket=1) — a layout change
+    # in an op whose contract is "physical rewrite only".  Reading
+    # with inference OFF keeps every partition value the verbatim
+    # directory string, so the partitionBy write reproduces the
+    # directory names exactly for any partition column type (the
+    # value never lives in the data files, only in the name).
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    saved = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        if not fs.exists(committed):
+            _write(spark.read.parquet(path), stage)
+        _write(spark.read.parquet(stage), path)
+    finally:
+        spark.conf.set(infer_key, saved)
     fs.delete(spath, True)
 
 

@@ -684,36 +684,62 @@ def quota_stream(
     )
 
 
-def compact_merge_sink(path: str, keep_last: int = 2) -> list[int]:
+def compact_merge_sink(
+    path: str, keep_last: int = 2, spark=None
+) -> list[int]:
     """Retention for a foreach_batch_merge_sink snap chain: delete all
     committed snapshots except the newest `keep_last` (and every torn,
     marker-less directory older than the newest committed one — a
     torn CURRENT write must survive so its retry can overwrite in
     place). Returns the batch ids removed. Keep at least 2 so the
     current batch's predecessor is always available to a retry; run
-    it from the maintenance cycle, not inside the stream."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
+    it from the maintenance cycle, not inside the stream.
 
+    Listing, marker checks, and deletion all go through the Hadoop
+    FileSystem API (`spark` argument, or the active session when
+    omitted) — on S3/HDFS a glob/os.path scan would silently find
+    no snapshots and the retention would no-op forever, snapshots
+    growing unbounded (the silent-no-op class the _committed_snaps
+    port closed for the read path)."""
     if keep_last < 2:
         raise ValueError(
             "keep_last must be >= 2: the retrying batch needs its"
             " predecessor snapshot"
         )
-    committed = sorted(_committed_snaps(path))
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "compact_merge_sink needs a SparkSession (pass "
+                "spark=...) — retention routes through the Hadoop "
+                "FileSystem API so it works on any storage the "
+                "session reaches"
+            )
+    committed = sorted(_committed_snaps(path, spark))
     keep = set(committed[-keep_last:])
     newest = committed[-1] if committed else None
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     removed = []
-    for d in _glob.glob(f"{path}/snap_*"):
+    if not fs.exists(root):
+        return removed
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("snap_"):
+            continue
         try:
-            n = int(d.rsplit("snap_", 1)[1])
+            n = int(name.rsplit("snap_", 1)[1])
         except ValueError:
             continue
-        torn = not _os.path.exists(f"{d}/_SUCCESS")
+        torn = not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/snap_{n}/_SUCCESS")
+        )
         if n in keep or (torn and (newest is None or n >= newest)):
             continue
-        _shutil.rmtree(d)
+        fs.delete(st.getPath(), True)
         removed.append(n)
     return sorted(removed)
 
@@ -803,6 +829,63 @@ def foreach_batch_ivm_sink(
     return _write
 
 
+def foreach_batch_incremental_ingest(
+    index_path: str,
+    pairs_sink: str,
+    incremental_fn,
+    pair_cols: tuple[str, str] = ("a", "b"),
+):
+    """foreachBatch CONTINUOUS INDEX INGEST, family-agnostic core:
+    each micro-batch of NEW documents is handed to `incremental_fn
+    (spark, batch_df, index_path)` — the family's incremental
+    dedup-and-append operator (update_index=True semantics: it must
+    both pair the batch against the persisted index AND append the
+    batch's index rows) — and the returned pairs land in the batch's
+    own `pairs_{batch_id}` directory; batch k+1 then pairs against
+    everything through batch k with no rebuild, so the union of the
+    pairs directories after the stream drains equals the one-shot
+    chained-batch result regardless of how the feed was batched
+    (pairs are batching-invariant: a pair is reported by whichever
+    batch carries its LATER side, exactly once).
+
+    Replay contract (Structured Streaming is at-least-once into
+    foreachBatch): the batch's pairs directory is only rolled over
+    to a `done_{batch_id}` marker AFTER both the pairs write and the
+    index append committed, and a marked batch short-circuits —
+    re-delivery after success is a no-op.  The crash window between
+    the index append and the marker double-appends the batch's index
+    rows on retry, and a duplicated SIGNATURE row would otherwise
+    MULTIPLY estimator output (the MinHash estimator joins
+    signatures per pair side), so the pairs write de-duplicates on
+    `pair_cols` — index-row duplicates are deterministic (same doc,
+    same signature), so the surviving row is value-identical and
+    every batch's pairs stay exactly-once in content; the
+    double-append itself costs index bytes until the periodic
+    idempotent rebuild that recovers every index family (pinned for
+    BM25 in tests/test_retrieval.py).  Markers go through the Hadoop
+    FileSystem API: on S3/HDFS an os.path check would silently never
+    find them, so every replay would re-append the index — the exact
+    failure the marker exists to prevent.  Keep ONE writer per
+    index."""
+
+    def _write(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{pairs_sink}/done_{batch_id}"
+        )
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
+        pairs = incremental_fn(spark, batch_df, index_path)
+        pairs.dropDuplicates(list(pair_cols)).write.mode(
+            "overwrite"
+        ).parquet(f"{pairs_sink}/pairs_{batch_id}")
+        fs.mkdirs(marker)
+
+    return _write
+
+
 def foreach_batch_index_ingest(
     index_path: str,
     pairs_sink: str,
@@ -813,50 +896,19 @@ def foreach_batch_index_ingest(
     bands: int = 8,
     threshold: float = 0.7,
 ):
-    """foreachBatch CONTINUOUS INDEX INGEST: the MinHash steady-state
-    loop driven by Structured Streaming — each micro-batch of NEW
-    documents is deduped against the persisted index AND appended to
-    it (operators/dedup.incremental_dedup_pairs update_index=True),
-    its pairs landing in the batch's own `pairs_{batch_id}`
-    directory; batch k+1 then pairs against everything through batch
-    k with no rebuild, so the union of the pairs directories after
-    the stream drains equals the one-shot chained-batch result
-    regardless of how the feed was batched (pairs are
-    batching-invariant: a pair is reported by whichever batch
-    carries its LATER side, exactly once).
+    """The MinHash member of foreach_batch_incremental_ingest (see
+    that docstring for the batching-invariance and replay
+    contracts): each micro-batch runs operators/dedup.
+    incremental_dedup_pairs with update_index=True against the
+    persisted MinHash index."""
 
-    Replay contract (Structured Streaming is at-least-once into
-    foreachBatch): the batch's pairs directory is only rolled over
-    to a `done_{batch_id}` marker AFTER both the pairs write and the
-    index append committed, and a marked batch short-circuits —
-    re-delivery after success is a no-op.  The crash window between
-    the index append and the marker can double-append the batch's
-    band/signature rows on retry; candidates are de-duplicated by
-    construction (band-bucket pairs are DISTINCT on (a, b)), so a
-    double-append costs index bytes, not correctness of future
-    pairs, and the periodic counter-move is the same idempotent
-    rebuild that recovers every index family (pinned for BM25 in
-    tests/test_retrieval.py).  Keep ONE writer per index."""
-
-    def _write(batch_df, batch_id: int) -> None:
+    def _fn(spark, batch_df, path):
         from ..operators.dedup import incremental_dedup_pairs
 
-        spark = batch_df.sparkSession
-        # markers go through the Hadoop FileSystem API: on S3/HDFS an
-        # os.path check would silently never find them, so every
-        # replay would re-append the index — the exact failure the
-        # marker exists to prevent
-        jvm = spark._jvm
-        marker = jvm.org.apache.hadoop.fs.Path(
-            f"{pairs_sink}/done_{batch_id}"
-        )
-        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(marker):
-            return
-        pairs = incremental_dedup_pairs(
+        return incremental_dedup_pairs(
             spark,
             batch_df,
-            index_path,
+            path,
             text_col,
             id_col,
             n=n,
@@ -865,12 +917,41 @@ def foreach_batch_index_ingest(
             threshold=threshold,
             update_index=True,
         )
-        pairs.write.mode("overwrite").parquet(
-            f"{pairs_sink}/pairs_{batch_id}"
-        )
-        fs.mkdirs(marker)
 
-    return _write
+    return foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn
+    )
+
+
+def foreach_batch_simhash_ingest(
+    index_path: str,
+    pairs_sink: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """The SimHash member of foreach_batch_incremental_ingest (see
+    that docstring for the batching-invariance and replay
+    contracts): each micro-batch runs operators/dedup.
+    incremental_simhash_pairs with update_index=True against the
+    persisted SimHash band index."""
+
+    def _fn(spark, batch_df, path):
+        from ..operators.dedup import incremental_simhash_pairs
+
+        return incremental_simhash_pairs(
+            spark,
+            batch_df,
+            path,
+            text_col,
+            id_col,
+            max_hamming=max_hamming,
+            update_index=True,
+        )
+
+    return foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn
+    )
 
 
 def read_index_ingest_pairs(spark, pairs_sink: str) -> DataFrame:

@@ -92,6 +92,53 @@ def _ts_ms(col: str = "ts") -> F.Column:
     return F.col(col)
 
 
+# Per-PROCESS cache of each index family's pristine base build: the
+# gate runs every registry row in one process, and the index rows of
+# one family all start from the SAME deterministic base build (full
+# corpus, default params), so building it once and CLONING it into
+# each row's private directory converts N corpus-sized build passes
+# into 1 + (N-1) local file copies — the r13 verdict's gate-wall
+# budget item.  Per-process (not marker-on-disk) so a testdata change
+# between runs can never serve a stale base; rows stay self-contained
+# (a process running a single row just builds once); and each row
+# still MUTATES only its own clone, so append/compaction rows keep
+# their exact semantics.
+_BASE_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _shared_base_index(sf_dir: str, family: str, build_fn) -> str:
+    """Return the path of `family`'s pristine base index for
+    `sf_dir`, building it with `build_fn(path)` on first use in this
+    process. Callers must NOT write to the returned path — clone it
+    with _clone_index first."""
+    import os
+    import shutil
+    import tempfile
+
+    key = (family, sf_dir)
+    if key not in _BASE_INDEX_CACHE:
+        slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+        path = (
+            f"{tempfile.gettempdir()}/pristine_{family}{slug}"
+            f"_{os.getpid()}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        build_fn(path)
+        _BASE_INDEX_CACHE[key] = path
+    return _BASE_INDEX_CACHE[key]
+
+
+def _clone_index(src: str, dst: str) -> str:
+    """Private mutable copy of a pristine base index (local tmp
+    directories — the same locality assumption every gate row's
+    tempfile layout already makes)."""
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+    return dst
+
+
 # Exact-decimal aggregation: float sums depend on addition order, so a
 # Spark partial-agg sum and a DuckDB sequential sum can land on
 # opposite sides of a rounding boundary. The order-independent sum here
@@ -4609,15 +4656,21 @@ def q_bm25_index_append(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    path = f"{tempfile.gettempdir()}/bm25_append{slug}"
-    write_bm25_index(
-        build_bm25_index(
-            docs.filter(F.col("doc_id") % 3 != 0),
-            "text",
-            "doc_id",
-            n_buckets=16,
+    base = _shared_base_index(
+        sf_dir,
+        "bm25_twothirds",
+        lambda p: write_bm25_index(
+            build_bm25_index(
+                docs.filter(F.col("doc_id") % 3 != 0),
+                "text",
+                "doc_id",
+                n_buckets=16,
+            ),
+            p,
         ),
-        path,
+    )
+    path = _clone_index(
+        base, f"{tempfile.gettempdir()}/bm25_append{slug}"
     )
     append_bm25_index(
         spark, docs.filter(F.col("doc_id") % 3 == 0), path
@@ -4657,15 +4710,21 @@ def q_bm25_index_compacted(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    path = f"{tempfile.gettempdir()}/bm25_compact{slug}"
-    write_bm25_index(
-        build_bm25_index(
-            docs.filter(F.col("doc_id") % 3 != 0),
-            "text",
-            "doc_id",
-            n_buckets=16,
+    base = _shared_base_index(
+        sf_dir,
+        "bm25_twothirds",
+        lambda p: write_bm25_index(
+            build_bm25_index(
+                docs.filter(F.col("doc_id") % 3 != 0),
+                "text",
+                "doc_id",
+                n_buckets=16,
+            ),
+            p,
         ),
-        path,
+    )
+    path = _clone_index(
+        base, f"{tempfile.gettempdir()}/bm25_compact{slug}"
     )
     append_bm25_index(
         spark, docs.filter(F.col("doc_id") % 3 == 0), path
@@ -4715,7 +4774,12 @@ def q_stream_index_ingest(spark, sf_dir):
     index_path = f"{base_dir}/index"
     pairs_sink = f"{base_dir}/pairs"
     os.makedirs(pairs_sink)
-    build_minhash_index(docs, index_path, "text", "doc_id")
+    base = _shared_base_index(
+        sf_dir,
+        "minhash",
+        lambda p: build_minhash_index(docs, p, "text", "doc_id"),
+    )
+    _clone_index(base, index_path)
     shard = docs.filter(F.col("doc_id") % 5 == 0)
     src_dir = f"{base_dir}/src"
     os.makedirs(src_dir)
@@ -4777,6 +4841,89 @@ WHERE y.doc_id >= 10000000
 ORDER BY a, b
 """
 
+
+
+def q_stream_simhash_ingest(spark, sf_dir):
+    """A SECOND index family driven by the family-agnostic streaming
+    ingest core (streaming/live_state.foreach_batch_incremental_
+    ingest, here through its SimHash member foreach_batch_simhash_
+    ingest): the SimHash band index is built over the corpus once,
+    then the same three mtime-pinned shard re-crawls as
+    stream_index_ingest arrive one per trigger; each micro-batch
+    dedups against the persisted band index AND appends its band
+    rows (update_index=True), pairs landing in committed per-batch
+    directories.  Pairs are batching-invariant by the same later-
+    side argument (identical texts share the fingerprint, hence
+    every band key), so the drained union, text-verified, equals
+    the SAME engine-neutral oracle: identical-text pairs over
+    base ∪ B0 ∪ B1 ∪ B2 with at least one new side
+    (SQL_STREAM_INDEX_INGEST verbatim).  What this row grades that
+    stream_index_ingest cannot: the replay-marker/exactly-once
+    contract is family-agnostic in code, not just in prose — the
+    second family runs the identical sink skeleton with only the
+    incremental operator swapped (replay no-op pinned in
+    tests/test_streaming.py for this family too)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.dedup import build_simhash_index
+    from .streaming.live_state import (
+        foreach_batch_simhash_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_simhash{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    os.makedirs(pairs_sink)
+    base = _shared_base_index(
+        sf_dir,
+        "simhash",
+        lambda p: build_simhash_index(docs, p, "text", "doc_id"),
+    )
+    _clone_index(base, index_path)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    src_dir = f"{base_dir}/src"
+    os.makedirs(src_dir)
+    batches = []
+    for k in range(3):
+        b = shard.select(
+            (F.col("doc_id") + (k + 1) * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        batches.append(b)
+        stage = f"{base_dir}/stage{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            foreach_batch_simhash_ingest(index_path, pairs_sink)
+        )
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_simhash_ingest did not drain in 300s")
+    pairs = read_index_ingest_pairs(spark, pairs_sink)
+    all_docs = docs
+    for b in batches:
+        all_docs = all_docs.unionByName(b)
+    return _verified_text_pairs(pairs.select("a", "b"), all_docs)
 
 
 def q_hybrid_persisted(spark, sf_dir):
@@ -4849,8 +4996,14 @@ def q_minhash_index_compacted(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    index_path = f"{tempfile.gettempdir()}/minhash_compact{slug}"
-    build_minhash_index(docs, index_path, "text", "doc_id")
+    base = _shared_base_index(
+        sf_dir,
+        "minhash",
+        lambda p: build_minhash_index(docs, p, "text", "doc_id"),
+    )
+    index_path = _clone_index(
+        base, f"{tempfile.gettempdir()}/minhash_compact{slug}"
+    )
     shard = docs.filter(F.col("doc_id") % 3 == 0)
     batch_a = shard.select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
@@ -6004,8 +6157,14 @@ def q_minhash_index_append(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    index_path = f"{tempfile.gettempdir()}/minhash_chain{slug}"
-    build_minhash_index(docs, index_path, "text", "doc_id")
+    base = _shared_base_index(
+        sf_dir,
+        "minhash",
+        lambda p: build_minhash_index(docs, p, "text", "doc_id"),
+    )
+    index_path = _clone_index(
+        base, f"{tempfile.gettempdir()}/minhash_chain{slug}"
+    )
     shard = docs.filter(F.col("doc_id") % 3 == 0)
     batch_a = shard.select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
@@ -6045,8 +6204,14 @@ def q_simhash_index_append(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
-    index_path = f"{tempfile.gettempdir()}/simhash_chain{slug}"
-    build_simhash_index(docs, index_path, "text", "doc_id")
+    base = _shared_base_index(
+        sf_dir,
+        "simhash",
+        lambda p: build_simhash_index(docs, p, "text", "doc_id"),
+    )
+    index_path = _clone_index(
+        base, f"{tempfile.gettempdir()}/simhash_chain{slug}"
+    )
     shard = docs.filter(F.col("doc_id") % 3 == 0)
     batch_a = shard.select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
@@ -12152,6 +12317,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
+    # --- new in round 14, never graded: r15 window HEAD priority ---
+    # (the streaming ingest core became family-agnostic; this row
+    # grades the SECOND family — SimHash — through the identical
+    # sink skeleton with only the incremental operator swapped)
+    "stream_simhash_ingest": q_stream_simhash_ingest,
 }
 
 
@@ -12277,6 +12447,9 @@ ORACLE_SQL: dict[str, str] = {
     # of per-batch pairs equals the engine-neutral identical-text
     # oracle exactly
     "stream_index_ingest": SQL_STREAM_INDEX_INGEST,
+    # same engine-neutral identical-text oracle: the drained union
+    # of a SECOND family (SimHash) through the family-agnostic sink
+    "stream_simhash_ingest": SQL_STREAM_INDEX_INGEST,
     # two disk indexes fused must equal the inline hybrid exactly
     "hybrid_persisted": SQL_HYBRID_RRF,
     # the banded-dir compaction under the UNCHANGED chained oracle

@@ -101,8 +101,10 @@ def main():
                 df.write.format("noop").mode("overwrite").save()
                 samples[name].append(round(time.time() - t0, 3))
             except Exception as exc:  # noqa: BLE001 — isolate per query
+                # record the error but KEEP any samples already
+                # collected in earlier passes: a transient pass-3
+                # failure must not discard a valid min-of-2 timing
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                samples.pop(name, None)
             # outside the timed section: drop any caches/checkpoints a
             # query left behind so later timings aren't cross-polluted
             spark.catalog.clearCache()

@@ -392,3 +392,57 @@ def test_compact_partitioned_parquet_crash_recovery(spark, tmp_path):
     compact_partitioned_parquet(spark, live, "p")
     got = sorted(tuple(r) for r in spark.read.parquet(live).collect())
     assert got == truth  # the phantom 999 row never leaked in
+
+
+def test_compact_partitioned_parquet_preserves_string_partitions(
+    spark, tmp_path
+):
+    """Partition values live only in DIRECTORY NAMES, and Spark's
+    partition-type inference would retype a string value that parses
+    as a number ('01' -> 1) and renormalize the directory on rewrite
+    — a layout change in an op whose contract is 'physical rewrite
+    only'. The compaction reads with inference off, so string
+    partition values round-trip verbatim (and the caller's inference
+    conf is restored afterwards)."""
+    import os
+
+    from alstom_spark_cassandra_spark.sources.sinks import (
+        compact_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        [("01", 1), ("01", 2), ("7", 3)], "bucket string, v long"
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    # a second generation in one partition, as an append would leave
+    spark.createDataFrame([("01", 4)], "bucket string, v long").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(path)
+    infer_key = (
+        "spark.sql.sources.partitionColumnTypeInference.enabled"
+    )
+    before = spark.conf.get(infer_key)
+    compact_partitioned_parquet(spark, path, "bucket")
+    assert spark.conf.get(infer_key) == before
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    )
+    assert dirs == ["bucket=01", "bucket=7"], dirs
+    # content unchanged (read back pinning the original schema, the
+    # index-family reader pattern)
+    got = sorted(
+        (r.bucket, r.v)
+        for r in spark.read.schema("v long, bucket string")
+        .parquet(path)
+        .collect()
+    )
+    assert got == [("01", 1), ("01", 2), ("01", 4), ("7", 3)]
+    # and exactly one file per partition value
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(f"{path}/{d}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)

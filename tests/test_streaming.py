@@ -1838,3 +1838,176 @@ def test_index_ingest_replay_is_a_noop_and_torn_batch_invisible(
     assert {
         (r.a, r.b) for r in read_index_ingest_pairs(spark, pairs_sink).collect()
     } == {(1, 11)}
+
+
+def test_simhash_ingest_replay_is_a_noop(spark, tmp_path):
+    """The SECOND family through the family-agnostic ingest core
+    (foreach_batch_simhash_ingest): replay after success
+    short-circuits on the done marker — the band index gains no rows
+    and the pairs are untouched; same contract, different
+    incremental operator."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_simhash_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_simhash_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_simhash_index(docs, index_path, "text", "doc_id")
+    ingest = foreach_batch_simhash_ingest(index_path, pairs_sink)
+    batch = spark.createDataFrame(
+        [(11, "a b c d e f g h")], "doc_id long, text string"
+    )
+    ingest(batch, 0)
+    n_bands = spark.read.parquet(f"{index_path}/bands").count()
+    got = {
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    }
+    assert got == {(1, 11)}
+    ingest(batch, 0)
+    assert spark.read.parquet(f"{index_path}/bands").count() == n_bands
+    assert {
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == {(1, 11)}
+
+
+def test_index_ingest_double_append_does_not_multiply_pairs(
+    spark, tmp_path
+):
+    """The crash window between the index append and the done marker
+    double-appends the batch's SIGNATURE rows on replay, and the
+    MinHash estimator joins signatures per pair side — so without
+    the sink's pairs-level dropDuplicates, every later batch pairing
+    those docs would emit duplicate (a, b) rows and the drained
+    union would diverge from the oracle.  Simulated here: commit
+    batch 0, delete its marker (the crash), replay it (index rows
+    now doubled), then ingest batch 1 against the corrupted index —
+    every batch's pairs must still be exactly-once."""
+    import os
+    from collections import Counter
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_index_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_minhash_index(docs, index_path, "text", "doc_id")
+    ingest = foreach_batch_index_ingest(
+        index_path, pairs_sink, threshold=1.0
+    )
+    batch0 = spark.createDataFrame(
+        [(11, "a b c d e f g h")], "doc_id long, text string"
+    )
+    ingest(batch0, 0)
+    n_sig = spark.read.parquet(f"{index_path}/signatures").count()
+    # the crash: append + pairs committed, marker lost -> replay
+    # re-runs the whole batch, double-appending doc 11's index rows
+    os.rmdir(f"{pairs_sink}/done_0")
+    ingest(batch0, 0)
+    assert (
+        spark.read.parquet(f"{index_path}/signatures").count()
+        == n_sig + 1
+    )
+    # batch 1 pairs against the corrupted index: doc 11 carries two
+    # signature rows, so the estimator join would emit (11, 21)
+    # twice without the sink's dropDuplicates
+    batch1 = spark.createDataFrame(
+        [(21, "a b c d e f g h")], "doc_id long, text string"
+    )
+    ingest(batch1, 1)
+    counts = Counter(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    )
+    assert counts == Counter({(1, 11): 1, (1, 21): 1, (11, 21): 1})
+
+
+def test_incremental_ingest_inner_batch_plan_clean(spark, tmp_path):
+    """The foreachBatch INNER plans the registry sweep cannot reach
+    (stream_* rows are excluded there because calling them executes
+    the stream): the exact pairs plan foreach_batch_incremental_
+    ingest writes — the family's incremental operator against a
+    persisted index plus the sink's dropDuplicates — and the merge
+    sink's apply_changes fold, both captured directly and pinned
+    free of cartesian products and row-at-a-time Python UDFs."""
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+        build_simhash_index,
+        incremental_dedup_pairs,
+        incremental_simhash_pairs,
+    )
+    from alstom_spark_cassandra_spark.operators.merge import (
+        apply_changes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d") for i in range(20)],
+        "doc_id long, text string",
+    )
+    mh = str(tmp_path / "mh")
+    sh = str(tmp_path / "sh")
+    build_minhash_index(docs, mh, "text", "doc_id")
+    build_simhash_index(docs, sh, "text", "doc_id")
+    batch = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    plans = {
+        "minhash": incremental_dedup_pairs(
+            spark, batch, mh, "text", "doc_id", threshold=1.0
+        ).dropDuplicates(["a", "b"]),
+        "simhash": incremental_simhash_pairs(
+            spark, batch, sh, "text", "doc_id"
+        ).dropDuplicates(["a", "b"]),
+    }
+    # the merge sink's inner fold over parquet-read state
+    prev_path = str(tmp_path / "prev")
+    spark.createDataFrame(
+        [(1, 10, 100)], "k long, event_id long, v long"
+    ).write.parquet(prev_path)
+    changes = spark.createDataFrame(
+        [(2, 20, 200, "U")], "k long, event_id long, v long, op string"
+    )
+    plans["merge"] = apply_changes(
+        spark.read.parquet(prev_path),
+        changes,
+        ["k"],
+        "event_id",
+        ["v"],
+    )
+    offenders = {}
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            t
+            for t in (
+                "CartesianProduct",
+                "BatchEvalPython",
+                "BroadcastNestedLoopJoin",
+            )
+            if t in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
