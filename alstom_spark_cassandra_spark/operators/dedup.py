@@ -745,9 +745,14 @@ def build_minhash_index(
     ).partitionBy("band").parquet(f"{path}/bands")
     # pin the build parameters so a probe with mismatched n/num_hashes/
     # bands fails loudly instead of silently missing every old dup
-    spark.createDataFrame(
-        [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    from .index_meta import write_index_params
+
+    write_index_params(
+        spark,
+        path,
+        (n, num_hashes, bands),
+        "n int, num_hashes int, bands int",
+    )
 
 
 def incremental_dedup_pairs(
@@ -786,32 +791,16 @@ def incremental_dedup_pairs(
     file snapshot, so a batch never pairs against its own appended
     rows (pinned in tests/test_dedup.py).
     """
-    from pyspark.errors import AnalysisException
+    from .index_meta import validate_index_params
 
-    try:
-        p = spark.read.parquet(f"{index_path}/params").first()
-    except AnalysisException as exc:
-        # ONLY the missing-path case (a pre-params index) skips
-        # validation; transient IO/permission errors must surface,
-        # not silently disable the mismatch guard.
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        import warnings
-
-        warnings.warn(
-            f"index at {index_path} has no params table; skipping "
-            "parameter-mismatch validation (pre-params index)",
-            stacklevel=2,
-        )
-        p = None
-    if p is not None and (p.n, p.num_hashes, p.bands) != (n, num_hashes, bands):
-        raise ValueError(
-            f"index at {index_path} was built with (n={p.n}, "
-            f"num_hashes={p.num_hashes}, bands={p.bands}) but the "
-            f"probe asked for ({n}, {num_hashes}, {bands}) — band "
-            "keys would never match and every old duplicate would "
-            "be silently missed"
-        )
+    validate_index_params(
+        spark,
+        index_path,
+        {"n": n, "num_hashes": num_hashes, "bands": bands},
+        "band keys would never match and every old duplicate "
+        "would be silently missed",
+        what="MinHash index",
+    )
     # batch-sized eager checkpoint: new_sig feeds FOUR consumers (the
     # band derivation on both candidate sides plus both estimator
     # signature joins — and the index appends when update_index), and
@@ -889,9 +878,11 @@ def build_simhash_index(
     # pin the band segmentation: an append with a different
     # max_hamming writes rows under a different band split,
     # permanently corrupting the index (the MinHash params contract)
-    df.sparkSession.createDataFrame(
-        [(max_hamming,)], "max_hamming int"
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    from .index_meta import write_index_params
+
+    write_index_params(
+        df.sparkSession, path, (max_hamming,), "max_hamming int"
+    )
 
 
 def incremental_simhash_pairs(
@@ -914,31 +905,16 @@ def incremental_simhash_pairs(
     against this one with no rebuild; the batch's fingerprints are
     eagerly materialized first, and the returned plan reads the
     PRE-append index snapshot."""
-    from pyspark.errors import AnalysisException
+    from .index_meta import validate_index_params
 
-    try:
-        p = spark.read.parquet(f"{index_path}/params").first()
-    except AnalysisException as exc:
-        # ONLY the missing-path case (a pre-params index) skips
-        # validation — the MinHash twin's contract verbatim
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        import warnings
-
-        warnings.warn(
-            f"index at {index_path} has no params table; skipping "
-            "max_hamming-mismatch validation (pre-params index)",
-            stacklevel=2,
-        )
-        p = None
-    if p is not None and int(p.max_hamming) != max_hamming:
-        raise ValueError(
-            f"index at {index_path} was built with "
-            f"max_hamming={p.max_hamming} but the probe asked for "
-            f"{max_hamming} — the band segmentation differs, so an "
-            "append would corrupt the index and probes would "
-            "silently miss duplicates"
-        )
+    validate_index_params(
+        spark,
+        index_path,
+        {"max_hamming": max_hamming},
+        "the band segmentation differs, so an append would corrupt "
+        "the index and probes would silently miss duplicates",
+        what="SimHash index",
+    )
     # batch-sized eager checkpoint: the fingerprint aggregation feeds
     # both candidate sides (and the append) — the MinHash twin's
     # recompute trap, same cure (see incremental_dedup_pairs)

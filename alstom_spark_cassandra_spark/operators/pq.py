@@ -342,10 +342,15 @@ def write_pq_index(
     agg = codebooks.agg(
         (F.max("sub") + 1).alias("m"), (F.max("pos") + 1).alias("d")
     ).first()
-    codebooks.sparkSession.createDataFrame(
-        [(int(scale), int(agg["m"]), int(agg["d"]))],
+    from .index_meta import write_index_params
+
+    write_index_params(
+        codebooks.sparkSession,
+        path,
+        (int(scale), int(agg["m"]), int(agg["d"])),
         "scale int, m_sub int, d0 int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        table="meta",
+    )
 
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -379,15 +384,12 @@ def append_pq_index(
     (written by write_pq_index) so an append can never encode on a
     different integer grid than the build; the `scale` argument is
     only the fallback for a pre-meta index."""
-    from pyspark.errors import AnalysisException
+    from .index_meta import read_index_params
 
-    try:
-        scale = int(
-            spark.read.parquet(f"{path}/meta").first()["scale"]
-        )
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
+    meta = read_index_params(spark, path, table="meta")
+    if meta is not None:
+        scale = int(meta["scale"])
+    else:
         import warnings
 
         warnings.warn(

@@ -172,20 +172,18 @@ def append_bm25_index(
         w = w.partitionBy("bucket")
     w.parquet(f"{path}/postings")
     new_doc_len.write.mode("append").parquet(f"{path}/doc_len")
-    (
-        spark.createDataFrame(
-            [
-                (
-                    int(old["n_docs"]) + int(delta["n_docs"]),
-                    int(old["total_len"]) + int(delta["total_len"]),
-                    n_buckets,
-                )
-            ],
-            "n_docs bigint, total_len bigint, n_buckets int",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
+    from .index_meta import write_index_params
+
+    write_index_params(
+        spark,
+        path,
+        (
+            int(old["n_docs"]) + int(delta["n_docs"]),
+            int(old["total_len"]) + int(delta["total_len"]),
+            n_buckets,
+        ),
+        "n_docs bigint, total_len bigint, n_buckets int",
+        table="stats",
     )
 
 
@@ -265,9 +263,11 @@ def write_positional_index(
         w = w.partitionBy("bucket")
     w.parquet(f"{path}/postings")
     spark = index.postings.sparkSession
-    spark.createDataFrame(
-        [(index.n_buckets,)], "n_buckets int"
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    from .index_meta import write_index_params
+
+    write_index_params(
+        spark, path, (index.n_buckets,), "n_buckets int", table="meta"
+    )
 
 
 def append_positional_index(
@@ -285,9 +285,21 @@ def append_positional_index(
     (pinned in tests/test_retrieval.py).  Ids must be unique across
     old ∪ new.  Completes the round-12 rule: every persisted index
     in the engine appends instead of rebuilding."""
-    n_buckets = int(
-        spark.read.parquet(f"{path}/meta").first()["n_buckets"]
+    from .index_meta import validate_index_params
+
+    # bucket count comes FROM the index (adopt): an append in a
+    # different bucket layout would scatter postings across wrong
+    # directories — required, the layout is the index
+    meta = validate_index_params(
+        spark,
+        path,
+        {},
+        "",
+        table="meta",
+        what="positional index",
+        required=True,
     )
+    n_buckets = int(meta["n_buckets"])
     p = build_positional_postings(new_docs, text_col, id_col, n_buckets)
     w = p.write.mode("append")
     if n_buckets:

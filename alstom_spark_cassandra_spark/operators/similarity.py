@@ -1134,13 +1134,14 @@ def build_semantic_index(
     # incremental call quantizing new rows at a different scale
     # would compare across grids and silently mis-prune (the same
     # bug class the SimHash max_hamming and PQ scale pins close)
-    (
-        spark.createDataFrame(
-            [(n_buckets, int(scale))], "n_buckets int, scale int"
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_path}/meta")
+    from .index_meta import write_index_params
+
+    write_index_params(
+        spark,
+        index_path,
+        (n_buckets, int(scale)),
+        "n_buckets int, scale int",
+        table="meta",
     )
     cents = cents0
     rows = [
@@ -1304,25 +1305,18 @@ def _validate_index_scale(spark, index_path: str, scale: int) -> None:
     silently mis-prunes every comparison (the MinHash/SimHash/PQ
     params contract, applied to the semantic family).  A pre-scale
     meta (older index) skips validation with a warning."""
-    meta = spark.read.parquet(f"{index_path}/meta")
-    if "scale" not in meta.columns:
-        import warnings
+    from .index_meta import validate_index_params
 
-        warnings.warn(
-            f"semantic index at {index_path} has no scale in meta; "
-            "skipping quantization-grid validation (pre-scale index)",
-            stacklevel=3,
-        )
-        return
-    built = int(meta.first()["scale"])
-    if built != scale:
-        raise ValueError(
-            f"semantic index at {index_path} was built at "
-            f"scale={built} but the call asked for scale={scale} — "
-            "kept vectors and centroids are stored on the build "
-            "grid, so every cosine test would silently compare "
-            "across grids"
-        )
+    validate_index_params(
+        spark,
+        index_path,
+        {"scale": scale},
+        "kept vectors and centroids are stored on the build grid, "
+        "so every cosine test would silently compare across grids",
+        table="meta",
+        what="semantic index",
+        required=True,
+    )
 
 
 def incremental_semantic_dedup(

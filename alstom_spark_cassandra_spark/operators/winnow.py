@@ -237,10 +237,14 @@ def build_winnow_index(
     fps.select("doc", F.size("fps").alias("nf")).filter(
         F.col("nf") > 0
     ).write.mode("overwrite").parquet(f"{path}/sizes")
-    df.sparkSession.createDataFrame(
-        [(k, w, n_buckets, bool(portable))],
+    from .index_meta import write_index_params
+
+    write_index_params(
+        df.sparkSession,
+        path,
+        (k, w, n_buckets, bool(portable)),
         "k int, w int, n_buckets int, portable boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    )
 
 
 def incremental_winnow_overlap(
@@ -271,7 +275,19 @@ def incremental_winnow_overlap(
     rebuild; the batch is fingerprinted once (eager checkpoint) and
     the returned plan reads the PRE-append index snapshot, so a
     batch never pairs against its own appended rows."""
-    p = spark.read.parquet(f"{index_path}/params").first()
+    from .index_meta import validate_index_params
+
+    # parameters come FROM the index (adopt, not compare): a probe
+    # can never hash on a different grid; required — winnowing on an
+    # unknown grid is meaningless
+    p = validate_index_params(
+        spark,
+        index_path,
+        {},
+        "",
+        what="winnow index",
+        required=True,
+    )
     k, w, n_buckets = int(p["k"]), int(p["w"]), int(p["n_buckets"])
     portable = bool(p["portable"])
     new_fps = winnow_fingerprints(
