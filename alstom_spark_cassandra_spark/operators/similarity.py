@@ -1026,6 +1026,25 @@ def _kept_df(spark, index_path: str) -> DataFrame:
                 "cannot be embedded in the external-table LOCATION "
                 "clause safely"
             )
+        # migrate away a pre-hash-suffix entry for the SAME location
+        # (the flat name this helper produced before the collision
+        # fix): leaving it would orphan a semidx_* catalog entry
+        # pointing at a directory the new entry now owns.  External
+        # tables only — DROP removes the entry, never the files.
+        flat = "".join(
+            c if c.isalnum() else "_" for c in index_path
+        )
+        old = f"semidx_{flat}"
+        if old != name and spark.catalog.tableExists(old):
+            loc = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {old}")
+                .filter(F.col("col_name") == "Location")
+                .collect()
+            )
+            if loc and loc[0]["data_type"].rstrip("/").endswith(
+                f"{index_path.rstrip('/')}/kept".lstrip("/")
+            ):
+                spark.sql(f"DROP TABLE {old}")
         n_buckets = int(
             spark.read.parquet(f"{index_path}/meta")
             .collect()[0]["n_buckets"]

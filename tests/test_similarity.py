@@ -1003,3 +1003,54 @@ def test_incremental_semantic_dedup_rejects_mismatched_scale(
         spark, shard, path, threshold=0.95, scale=6
     )
     assert out.count() == 64
+
+
+def test_kept_df_migrates_old_flat_name_entry(spark, tmp_path):
+    """Sessions upgrading across the hash-suffix fix (ADVICE r13): a
+    pre-fix catalog entry under the FLAT name, pointing at the same
+    kept location, is dropped when _kept_df re-registers — no
+    orphaned semidx_* entries; an old-name entry for a DIFFERENT
+    location is left alone (it belongs to another index)."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        _kept_df,
+        _kept_table_name,
+        build_semantic_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    init = (
+        base.orderBy("vec_id")
+        .limit(4)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    path = str(tmp_path / "semidx_mig")
+    build_semantic_index(base, init, path, threshold=0.4)
+    name = _kept_table_name(path)
+    flat = "".join(c if c.isalnum() else "_" for c in path)
+    old = f"semidx_{flat}"
+    # simulate the pre-fix session: old flat-name entry, same files
+    spark.sql(f"DROP TABLE {name}")
+    spark.sql(
+        f"CREATE TABLE {old} USING PARQUET LOCATION '{path}/kept'"
+    )
+    n = _kept_df(spark, path).count()
+    assert n > 0
+    assert spark.catalog.tableExists(name)
+    assert not spark.catalog.tableExists(old)
+    # files survived the migration (external table DROP is
+    # entry-only) and a different-location old entry is untouched
+    other = str(tmp_path / "otherkept")
+    spark.read.parquet(f"{path}/kept").write.parquet(other)
+    spark.sql(f"DROP TABLE {name}")
+    spark.sql(
+        f"CREATE TABLE {old} USING PARQUET LOCATION '{other}'"
+    )
+    assert _kept_df(spark, path).count() == n
+    assert spark.catalog.tableExists(old)
+    spark.sql(f"DROP TABLE {old}")
