@@ -954,6 +954,42 @@ def foreach_batch_simhash_ingest(
     )
 
 
+def foreach_batch_winnow_ingest(
+    index_path: str,
+    pairs_sink: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_docs_per_fp: int | None = 64,
+):
+    """The winnow (copied-passage) member of
+    foreach_batch_incremental_ingest (see that docstring for the
+    batching-invariance and replay contracts): each micro-batch runs
+    operators/winnow.incremental_winnow_overlap with
+    update_index=True against the persisted fingerprint index —
+    winnowing parameters come from the index's own params table, so
+    a stream can never fingerprint on a different grid than the
+    build."""
+
+    def _fn(spark, batch_df, path):
+        from ..operators.winnow import incremental_winnow_overlap
+
+        return incremental_winnow_overlap(
+            spark,
+            batch_df,
+            path,
+            text_col,
+            id_col,
+            threshold=threshold,
+            max_docs_per_fp=max_docs_per_fp,
+            update_index=True,
+        )
+
+    return foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn
+    )
+
+
 def read_index_ingest_pairs(spark, pairs_sink: str) -> DataFrame:
     """Union of every committed batch's pairs from a
     foreach_batch_index_ingest sink (only pairs_N directories whose

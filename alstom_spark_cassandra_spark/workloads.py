@@ -12104,11 +12104,12 @@ ORDER BY doc_id
 # state where a 50-row window over a ~197-row registry refreshes
 # every row within ceil(197/50) = 4 rounds.
 #
-# Round-15 plan (stated now; see the tail comment for any r14
-# additions): HEAD = r14 post-window additions, then the 47
-# remaining r11-green rows (r11 grading order), then the stalest
-# r12-green rows (CORRECTNESS_r12 grading order) to fill 50; after
-# r15 nothing older than r12.
+# Round-15 plan (stated now): HEAD = the 1 round-14 post-window
+# addition (stream_simhash_ingest, queued at the TAIL below), then
+# the 47 remaining r11-green rows (r11 grading order), then the 2
+# stalest r12-green rows (CORRECTNESS_r12 grading order:
+# semantic_dedup_routed_eval, incremental_semantic_dedup) to fill
+# the 50-row window; after r15 nothing older than r12.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-14 WINDOW HEAD: the 8 round-13 additions, never ---
     # --- driver-graded (locally exact-gated at all three scales since ---

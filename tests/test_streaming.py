@@ -2011,3 +2011,52 @@ def test_incremental_ingest_inner_batch_plan_clean(spark, tmp_path):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_winnow_ingest_replay_is_a_noop(spark, tmp_path):
+    """The THIRD family through the family-agnostic ingest core
+    (foreach_batch_winnow_ingest): replay after success
+    short-circuits on the done marker — the fingerprint index gains
+    no rows and the pairs are untouched; winnowing parameters come
+    from the index's own params table."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.winnow import (
+        build_winnow_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_winnow_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words in this other document"),
+        ],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_winnow_index(docs, index_path, "text", "doc_id", k=3, w=4)
+    ingest = foreach_batch_winnow_ingest(
+        index_path, pairs_sink, threshold=0.9, max_docs_per_fp=None
+    )
+    batch = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    ingest(batch, 0)
+    n_fp = spark.read.parquet(f"{index_path}/fps").count()
+    got = {
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    }
+    assert got == {(1, 11)}
+    ingest(batch, 0)
+    assert spark.read.parquet(f"{index_path}/fps").count() == n_fp
+    assert {
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == {(1, 11)}
