@@ -1,0 +1,143 @@
+"""Probe: long-horizon steady state of the STREAMING index ingest
+loop (streaming/live_state.foreach_batch_incremental_ingest).
+
+Round-13 measured the batch steady state (8 sequential shards,
+per-shard wall flat — probe_routed_incremental --steady); round 14
+made the ingest loop family-agnostic and drivable by Structured
+Streaming, so this probe measures the same economics THROUGH the
+stream: a base index is built once over the corpus, then N shard
+re-crawls arrive as mtime-pinned files consumed one per trigger
+(availableNow), each micro-batch deduping against the persisted
+index and appending itself (update_index=True).  The claim under
+test: per-trigger wall is bounded by batch size × matched buckets —
+independent of how many batches were already ingested — because the
+candidate join reads only the batch's band/bucket directories, never
+the index's history.  Per-batch walls come from the stream's own
+progress events (triggerExecution), so scheduling and sink commit
+are included — the number a production operator would see.
+
+Usage: python scripts/probe_stream_ingest.py [family] [n_batches]
+family = minhash (default) | simhash; n_batches defaults to 8.
+Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01); writes
+only under /tmp; prints one JSON line per trigger plus a summary.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from alstom_spark_cassandra_spark.operators.dedup import (
+    build_minhash_index,
+    build_simhash_index,
+)
+from alstom_spark_cassandra_spark.session import get_spark
+from alstom_spark_cassandra_spark.sources.loader import load_table
+from alstom_spark_cassandra_spark.streaming.live_state import (
+    foreach_batch_index_ingest,
+    foreach_batch_simhash_ingest,
+    read_index_ingest_pairs,
+)
+
+
+def main() -> None:
+    family = sys.argv[1] if len(sys.argv) > 1 else "minhash"
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    spark = get_spark(app_name=f"probe_stream_ingest_{family}")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    base_dir = tempfile.mkdtemp(prefix=f"probe_stream_{family}_")
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    src_dir = f"{base_dir}/src"
+    os.makedirs(pairs_sink)
+    os.makedirs(src_dir)
+    if family == "minhash":
+        build_minhash_index(docs, index_path, "text", "doc_id")
+        sink = foreach_batch_index_ingest(
+            index_path, pairs_sink, threshold=1.0
+        )
+    elif family == "simhash":
+        build_simhash_index(docs, index_path, "text", "doc_id")
+        sink = foreach_batch_simhash_ingest(index_path, pairs_sink)
+    else:
+        raise SystemExit(f"unknown family {family!r}")
+
+    # N shard re-crawls (doc_id % 5 = 0), ids offset per batch so
+    # every batch pairs against the base AND every earlier batch —
+    # the candidate set per batch GROWS linearly in batches ingested,
+    # which is exactly why flat wall is the claim worth testing
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    for k in range(n_batches):
+        b = shard.select(
+            (F.col("doc_id") + (k + 1) * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        stage = f"{base_dir}/stage{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k:03d}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(1800):
+        q.stop()
+        raise SystemExit("stream did not drain in 1800s")
+    walls = []
+    for p in q.recentProgress:
+        if p is None or p["numInputRows"] == 0:
+            continue
+        walls.append(
+            {
+                "batch": p["batchId"],
+                "rows": p["numInputRows"],
+                "trigger_ms": p["durationMs"]["triggerExecution"],
+            }
+        )
+        print(json.dumps(walls[-1]))
+    n_pairs = read_index_ingest_pairs(spark, pairs_sink).count()
+    ms = [w["trigger_ms"] for w in walls]
+    print(
+        json.dumps(
+            {
+                "family": family,
+                "n_batches": len(ms),
+                "first_ms": ms[0] if ms else None,
+                "last_ms": ms[-1] if ms else None,
+                "max_over_min": (
+                    round(max(ms) / min(ms), 2) if ms else None
+                ),
+                "total_pairs": n_pairs,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -2060,3 +2060,59 @@ def test_winnow_ingest_replay_is_a_noop(spark, tmp_path):
         (r.a, r.b)
         for r in read_index_ingest_pairs(spark, pairs_sink).collect()
     } == {(1, 11)}
+
+
+def test_ingest_survives_mid_stream_compaction(spark, tmp_path):
+    """Maintenance interleaved with the streaming ingest loop: after
+    batch 0 commits, compact_partitioned_parquet folds the band
+    directories and the signatures table; batch 1 must then probe
+    the COMPACTED index and still pair exactly-once against both the
+    base corpus and batch 0 — compaction changes the file layout and
+    nothing the stream can observe (the single-writer discipline is
+    the caller's: compaction runs BETWEEN triggers, as the
+    maintenance cycle would)."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from alstom_spark_cassandra_spark.sources.sinks import (
+        compact_partitioned_parquet,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_index_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_minhash_index(docs, index_path, "text", "doc_id")
+    ingest = foreach_batch_index_ingest(
+        index_path, pairs_sink, threshold=1.0
+    )
+    ingest(
+        spark.createDataFrame(
+            [(11, "a b c d e f g h")], "doc_id long, text string"
+        ),
+        0,
+    )
+    compact_partitioned_parquet(spark, f"{index_path}/bands", "band")
+    compact_partitioned_parquet(
+        spark, f"{index_path}/signatures", None
+    )
+    ingest(
+        spark.createDataFrame(
+            [(21, "a b c d e f g h")], "doc_id long, text string"
+        ),
+        1,
+    )
+    got = sorted(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    )
+    assert got == [(1, 11), (1, 21), (11, 21)]
