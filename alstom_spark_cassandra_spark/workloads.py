@@ -4219,6 +4219,82 @@ ORDER BY vec_id"""
 SQL_SEMANTIC_INDEX_APPEND = _semantic_index_append_oracle_sql()
 
 
+def _semantic_chain_oracle_sql(
+    base_pred: str,
+    shard_preds: list[str],
+    k: int = 8,
+    dim: int = 64,
+    scale: int = 6,
+    threshold: str = "0.4",
+) -> str:
+    """N-shard generalization of the append-chain oracle: base
+    survivors k0, then each shard s_i pruned vs the CUMULATIVE kept
+    set k_i (index rows suppress regardless of id) and vs lower-id
+    rows of s_i itself, survivors appended to form k_{i+1} — the
+    exact semantics of incremental_semantic_dedup update_index=True
+    applied once per micro-batch, unrolled in DuckDB.  Output:
+    (vec_id, cid, kept) over every shard row (vec_ids are disjoint
+    across shards, so no shard label is needed)."""
+    m = 10**scale
+    n2, cos, assign = _inc_sql_pieces(dim, threshold)
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {m} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (SELECT * FROM e WHERE {base_pred}),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, qv AS qc
+  FROM b ORDER BY vec_id LIMIT {k}
+),
+{assign('b', 'qb')},
+drb AS (
+  SELECT DISTINCT y.vec_id
+  FROM qb x JOIN qb y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {cos}
+),
+k0 AS (
+  SELECT qb.* FROM qb LEFT JOIN drb d ON qb.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+)"""
+    ]
+    selects = []
+    for i, pred in enumerate(shard_preds):
+        parts.append(f"n{i} AS (SELECT * FROM e WHERE {pred})")
+        parts.append(assign(f"n{i}", f"q{i}"))
+        parts.append(
+            f"""dr{i} AS (
+  SELECT y.vec_id FROM k{i} x JOIN q{i} y ON x.cid = y.cid WHERE {cos}
+  UNION
+  SELECT y.vec_id
+  FROM q{i} x JOIN q{i} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE {cos}
+)"""
+        )
+        parts.append(
+            f"""k{i + 1} AS (
+  SELECT * FROM k{i}
+  UNION ALL
+  SELECT q{i}.* FROM q{i} LEFT JOIN dr{i} d ON q{i}.vec_id = d.vec_id
+  WHERE d.vec_id IS NULL
+)"""
+        )
+        selects.append(
+            f"""  SELECT q{i}.vec_id, q{i}.cid, (d.vec_id IS NULL) AS kept
+  FROM q{i} LEFT JOIN dr{i} d ON q{i}.vec_id = d.vec_id"""
+        )
+    body = ",\n".join(parts)
+    union = "\n  UNION ALL\n".join(selects)
+    return f"{body}\nSELECT * FROM (\n{union}\n)\nORDER BY vec_id"
+
+
+SQL_STREAM_SEMANTIC_INGEST = _semantic_chain_oracle_sql(
+    "vec_id % 8 >= 3",
+    ["vec_id % 8 = 0", "vec_id % 8 = 1", "vec_id % 8 = 2"],
+)
+
+
 def q_semantic_index_compacted(spark, sf_dir):
     """semantic_index_append with a COMPACTION between the append and
     shard B (operators/similarity.compact_semantic_index): every
@@ -4924,6 +5000,105 @@ def q_stream_simhash_ingest(spark, sf_dir):
     for b in batches:
         all_docs = all_docs.unionByName(b)
     return _verified_text_pairs(pairs.select("a", "b"), all_docs)
+
+
+def q_stream_semantic_ingest(spark, sf_dir):
+    """The SEMANTIC family through the family-agnostic streaming
+    ingest core — the member that proves the core is not
+    pairs-shaped: incremental_semantic_dedup returns per-vector
+    (vec_id, cid, kept) VERDICTS, not (a, b) pairs, and appends only
+    SURVIVORS (not the whole batch), yet it drives through the
+    identical replay-marker skeleton with just pair_cols=("vec_id",)
+    swapped in.  The base corpus (vec_id % 8 >= 3) is clustered and
+    pruned once (build_semantic_index, centroids = the 8 lowest-id
+    base vectors); three disjoint shards (% 8 == 0, 1, 2) then
+    arrive as mtime-pinned files, one per trigger — each micro-batch
+    is assigned on the persisted centroid grid, pruned vs the
+    CUMULATIVE kept set and vs lower-id rows of itself, and its
+    survivors append into the bucketed kept table, so shard i+1 is
+    deduped against base ∪ survivors(0..i) with no rebuild.  The
+    trigger order is deterministic (maxFilesPerTrigger=1, mtimes
+    pinned), so the drained union of the per-batch verdict
+    directories equals the unrolled 3-shard chain the oracle
+    recomputes from scratch in DuckDB
+    (workloads._semantic_chain_oracle_sql — the
+    SQL_SEMANTIC_INDEX_APPEND chain generalized to N shards).
+    Replay-after-success no-op for this member is pinned in
+    tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+    from .streaming.live_state import (
+        foreach_batch_incremental_ingest,
+        read_index_ingest_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_semantic{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    src_dir = f"{base_dir}/src"
+    os.makedirs(pairs_sink)
+    os.makedirs(src_dir)
+    base = emb.filter(F.col("vec_id") % 8 >= 3)
+    init = (
+        base.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+    )
+    build_semantic_index(base, init, index_path, threshold=0.4)
+    for k in range(3):
+        b = emb.filter(F.col("vec_id") % 8 == k).select(
+            "vec_id", "embedding"
+        )
+        stage = f"{base_dir}/stage{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+
+    def _fn(spark_, batch_df, path):
+        return incremental_semantic_dedup(
+            spark_, batch_df, path, threshold=0.4, update_index=True
+        )
+
+    src = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            foreach_batch_incremental_ingest(
+                index_path, pairs_sink, _fn, pair_cols=("vec_id",)
+            )
+        )
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_semantic_ingest did not drain in 300s"
+        )
+    return (
+        read_index_ingest_pairs(spark, pairs_sink)
+        .select("vec_id", "cid", "kept")
+        .orderBy("vec_id")
+    )
 
 
 def q_hybrid_persisted(spark, sf_dir):
@@ -12104,12 +12279,12 @@ ORDER BY doc_id
 # state where a 50-row window over a ~197-row registry refreshes
 # every row within ceil(197/50) = 4 rounds.
 #
-# Round-15 plan (stated now): HEAD = the 1 round-14 post-window
-# addition (stream_simhash_ingest, queued at the TAIL below), then
-# the 47 remaining r11-green rows (r11 grading order), then the 2
-# stalest r12-green rows (CORRECTNESS_r12 grading order:
-# semantic_dedup_routed_eval, incremental_semantic_dedup) to fill
-# the 50-row window; after r15 nothing older than r12.
+# Round-15 plan (stated now): HEAD = the 2 round-14 post-window
+# additions (stream_simhash_ingest, stream_semantic_ingest — queued
+# at the TAIL below in that order), then the 47 remaining r11-green
+# rows (r11 grading order), then the 1 stalest r12-green row
+# (CORRECTNESS_r12 grading order: semantic_dedup_routed_eval) to
+# fill the 50-row window; after r15 nothing older than r12.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-14 WINDOW HEAD: the 8 round-13 additions, never ---
     # --- driver-graded (locally exact-gated at all three scales since ---
@@ -12329,6 +12504,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # grades the SECOND family — SimHash — through the identical
     # sink skeleton with only the incremental operator swapped)
     "stream_simhash_ingest": q_stream_simhash_ingest,
+    # (and the member that proves the core is not pairs-shaped:
+    # semantic verdicts through the same skeleton)
+    "stream_semantic_ingest": q_stream_semantic_ingest,
 }
 
 
@@ -12457,6 +12635,9 @@ ORACLE_SQL: dict[str, str] = {
     # same engine-neutral identical-text oracle: the drained union
     # of a SECOND family (SimHash) through the family-agnostic sink
     "stream_simhash_ingest": SQL_STREAM_INDEX_INGEST,
+    # deterministic trigger order -> the drained verdict union
+    # equals the unrolled 3-shard semantic chain
+    "stream_semantic_ingest": SQL_STREAM_SEMANTIC_INGEST,
     # two disk indexes fused must equal the inline hybrid exactly
     "hybrid_persisted": SQL_HYBRID_RRF,
     # the banded-dir compaction under the UNCHANGED chained oracle

@@ -2116,3 +2116,69 @@ def test_ingest_survives_mid_stream_compaction(spark, tmp_path):
         for r in read_index_ingest_pairs(spark, pairs_sink).collect()
     )
     assert got == [(1, 11), (1, 21), (11, 21)]
+
+
+def test_semantic_ingest_replay_is_a_noop(spark, tmp_path):
+    """The semantic member of the family-agnostic ingest core — the
+    one whose output is per-vector VERDICTS, not pairs, and whose
+    append is survivors-only: replay after success short-circuits on
+    the done marker (kept table gains no rows, verdicts untouched)."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_incremental_ingest,
+        read_index_ingest_pairs,
+    )
+
+    rng = random.Random(5)
+    base_vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(8)
+    ]
+    base = spark.createDataFrame(
+        base_vecs, "vec_id long, embedding array<double>"
+    )
+    init = base.limit(4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_semantic_index(base, init, index_path, threshold=0.4)
+
+    def _fn(spark_, batch_df, path):
+        return incremental_semantic_dedup(
+            spark_, batch_df, path, threshold=0.4, update_index=True
+        )
+
+    ingest = foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn, pair_cols=("vec_id",)
+    )
+    # one near-dup of base vec 0 (dropped) and one fresh vector (kept)
+    batch = spark.createDataFrame(
+        [
+            (100, [x + 0.001 for x in base_vecs[0][1]]),
+            (101, [rng.gauss(0, 1) for _ in range(8)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ingest(batch, 0)
+    n_kept = spark.read.parquet(f"{index_path}/kept").count()
+    got = {
+        (r.vec_id, r.kept)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    }
+    assert got == {(100, False), (101, True)}
+    ingest(batch, 0)
+    assert spark.read.parquet(f"{index_path}/kept").count() == n_kept
+    assert {
+        (r.vec_id, r.kept)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == {(100, False), (101, True)}
