@@ -1981,6 +1981,32 @@ def test_incremental_ingest_inner_batch_plan_clean(spark, tmp_path):
             spark, batch, sh, "text", "doc_id"
         ).dropDuplicates(["a", "b"]),
     }
+    # the semantic member's inner plan (verdicts, not pairs): flat
+    # assignment + prune against the persisted bucketed kept table
+    import random
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    rng = random.Random(11)
+    base_vecs = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    init = base_vecs.limit(4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    sem = str(tmp_path / "sem")
+    build_semantic_index(base_vecs, init, sem, threshold=0.4)
+    sem_batch = base_vecs.select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    plans["semantic"] = incremental_semantic_dedup(
+        spark, sem_batch, sem, threshold=0.4
+    ).dropDuplicates(["vec_id"])
     # the merge sink's inner fold over parquet-read state
     prev_path = str(tmp_path / "prev")
     spark.createDataFrame(
