@@ -990,34 +990,149 @@ def foreach_batch_winnow_ingest(
     )
 
 
-def read_index_ingest_pairs(spark, pairs_sink: str) -> DataFrame:
-    """Union of every committed batch's pairs from a
-    foreach_batch_index_ingest sink (only pairs_N directories whose
-    done_N marker exists — a torn batch is invisible until its
-    replay commits it).  Listing and marker checks go through the
-    Hadoop FileSystem API so the sink works on any storage the
-    session can reach, not just local paths."""
+def _ingest_sink_listing(spark, pairs_sink: str):
+    """(fs, jvm, committed_baseline_ids, committed_pair_ids) for an
+    incremental-ingest sink directory — the one listing pass both
+    the reader and the pairs compaction share, all through the
+    Hadoop FileSystem API."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(pairs_sink)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    dirs = []
+    baselines, pair_ids = [], []
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
-            if not name.startswith("pairs_"):
-                continue
-            try:
-                bid = int(name.rsplit("pairs_", 1)[1])
-            except ValueError:
-                continue
-            if fs.exists(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{pairs_sink}/done_{bid}"
-                )
-            ):
-                dirs.append(f"{pairs_sink}/pairs_{bid}")
+            if name.startswith("baseline_"):
+                try:
+                    m = int(name.rsplit("baseline_", 1)[1])
+                except ValueError:
+                    continue
+                if fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{pairs_sink}/{name}/_SUCCESS"
+                    )
+                ):
+                    baselines.append(m)
+            elif name.startswith("pairs_"):
+                try:
+                    bid = int(name.rsplit("pairs_", 1)[1])
+                except ValueError:
+                    continue
+                if fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{pairs_sink}/done_{bid}"
+                    )
+                ):
+                    pair_ids.append(bid)
+    return fs, jvm, baselines, pair_ids
+
+
+def read_index_ingest_pairs(spark, pairs_sink: str) -> DataFrame:
+    """Union of every committed batch's output from a
+    foreach_batch_incremental_ingest sink: the newest committed
+    baseline (a compact_ingest_pairs rewrite, covering batches
+    ≤ its id) plus every committed pairs_N with N beyond it (only
+    directories whose done_N marker / baseline _SUCCESS exists — a
+    torn batch or a torn compaction is invisible until committed).
+    The baseline cutoff makes the read correct in the compaction's
+    crash window: a committed baseline with its source pairs_N dirs
+    not yet deleted double-covers those batches, and the N ≤ M
+    exclusion reads each batch exactly once either way.  Listing and
+    marker checks go through the Hadoop FileSystem API so the sink
+    works on any storage the session can reach, not just local
+    paths."""
+    _fs, _jvm, baselines, pair_ids = _ingest_sink_listing(
+        spark, pairs_sink
+    )
+    cutoff = max(baselines) if baselines else None
+    dirs = [
+        f"{pairs_sink}/pairs_{bid}"
+        for bid in sorted(pair_ids)
+        if cutoff is None or bid > cutoff
+    ]
+    if cutoff is not None:
+        dirs.insert(0, f"{pairs_sink}/baseline_{cutoff}")
     if not dirs:
         raise FileNotFoundError(
             f"no committed pairs_* batches under {pairs_sink}"
         )
-    return spark.read.parquet(*sorted(dirs))
+    return spark.read.parquet(*dirs)
+
+
+def compact_ingest_pairs(
+    spark, pairs_sink: str, n_files: int = 1
+) -> list[int]:
+    """Fold an ingest sink's per-trigger pairs directories into ONE
+    committed baseline — the small-files maintenance op for the
+    streaming ingest family (a long-lived stream lands one directory
+    per trigger forever; at production trigger rates that is the
+    classic millions-of-tiny-files drift).  The newest prior
+    baseline plus every committed pairs_N beyond it rewrite into
+    `baseline_{maxN}` (content identical — read_index_ingest_pairs
+    before and after return the same rows), then the covered
+    directories are deleted.  Returns the batch ids folded in.
+
+    Crash-safe by the reader's cutoff rule: the baseline only counts
+    once its _SUCCESS lands, so a crash mid-write changes nothing; a
+    crash AFTER the commit but before the deletions leaves batches
+    double-covered on disk but read exactly once (the reader
+    excludes pairs_N ≤ baseline id), and a re-run completes the
+    cleanup.  `done_N` replay markers are NEVER touched: they are
+    what keeps a late at-least-once redelivery of batch N a no-op,
+    and they are empty directories — bytes are not the problem,
+    file-per-trigger data directories are.  Single writer, like
+    every maintenance op here: run it between triggers from the
+    maintenance cycle, never concurrently with the stream."""
+    fs, jvm, baselines, pair_ids = _ingest_sink_listing(
+        spark, pairs_sink
+    )
+    prev = max(baselines) if baselines else None
+    # idempotent cleanup of a prior run's crash debris FIRST:
+    # anything the newest committed baseline already covers
+    # (pairs_N ≤ prev, baselines < prev) is dead weight the reader
+    # ignores — a re-run after any crash converges to a clean sink
+    if prev is not None:
+        for bid in [b for b in pair_ids if b <= prev]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{pairs_sink}/pairs_{bid}"
+                ),
+                True,
+            )
+        for m in [b for b in baselines if b < prev]:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{pairs_sink}/baseline_{m}"
+                ),
+                True,
+            )
+    fold = sorted(
+        bid for bid in pair_ids if prev is None or bid > prev
+    )
+    if not fold:
+        return []
+    new_id = fold[-1]
+    srcs = [f"{pairs_sink}/pairs_{bid}" for bid in fold]
+    if prev is not None:
+        srcs.insert(0, f"{pairs_sink}/baseline_{prev}")
+    target = f"{pairs_sink}/baseline_{new_id}"
+    spark.read.parquet(*srcs).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(target)
+    # commit point passed (the write left _SUCCESS): cleanup below
+    # is idempotent and a re-run converges
+    for bid in fold:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{pairs_sink}/pairs_{bid}"
+            ),
+            True,
+        )
+    if prev is not None:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{pairs_sink}/baseline_{prev}"
+            ),
+            True,
+        )
+    return fold

@@ -2208,3 +2208,103 @@ def test_semantic_ingest_replay_is_a_noop(spark, tmp_path):
         (r.vec_id, r.kept)
         for r in read_index_ingest_pairs(spark, pairs_sink).collect()
     } == {(100, False), (101, True)}
+
+
+def test_compact_ingest_pairs_lifecycle(spark, tmp_path):
+    """The ingest sink's small-files maintenance op
+    (compact_ingest_pairs): per-trigger pairs directories fold into
+    one committed baseline with the drained union unchanged; replay
+    markers survive (a redelivery of a folded batch is still a
+    no-op); the compaction's own crash window (baseline committed,
+    source dirs not yet deleted) reads exactly-once and a re-run
+    converges; later triggers land beside the baseline and a second
+    compaction folds baseline + tail."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        compact_ingest_pairs,
+        foreach_batch_index_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_minhash_index(docs, index_path, "text", "doc_id")
+    ingest = foreach_batch_index_ingest(
+        index_path, pairs_sink, threshold=1.0
+    )
+    for k, (new_id, text) in enumerate(
+        [(11, "a b c d e f g h"), (21, "a b c d e f g h"),
+         (31, "p q r s t u v w")]
+    ):
+        ingest(
+            spark.createDataFrame(
+                [(new_id, text)], "doc_id long, text string"
+            ),
+            k,
+        )
+    want = sorted(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    )
+    assert (1, 11) in want and (11, 21) in want and (2, 31) in want
+
+    folded = compact_ingest_pairs(spark, pairs_sink)
+    assert folded == [0, 1, 2]
+    names = sorted(os.listdir(pairs_sink))
+    assert "baseline_2" in names
+    assert not any(n.startswith("pairs_") for n in names)
+    # replay markers survive the fold: redelivery stays a no-op
+    assert {"done_0", "done_1", "done_2"} <= set(names)
+    assert sorted(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    ) == want
+    n_sig = spark.read.parquet(f"{index_path}/signatures").count()
+    ingest(
+        spark.createDataFrame(
+            [(11, "a b c d e f g h")], "doc_id long, text string"
+        ),
+        0,
+    )
+    assert spark.read.parquet(f"{index_path}/signatures").count() == n_sig
+
+    # crash window: baseline committed, a covered pairs dir still on
+    # disk -> exactly-once read; the next run sweeps the debris
+    spark.createDataFrame(
+        [(1, 11, 1.0)], "a long, b long, est_jaccard double"
+    ).write.parquet(f"{pairs_sink}/pairs_1")
+    assert sorted(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    ) == want
+    assert compact_ingest_pairs(spark, pairs_sink) == []
+    assert not os.path.exists(f"{pairs_sink}/pairs_1")
+
+    # later trigger + second fold: baseline + tail -> new baseline
+    ingest(
+        spark.createDataFrame(
+            [(41, "a b c d e f g h")], "doc_id long, text string"
+        ),
+        7,
+    )
+    want2 = sorted(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    )
+    assert len(want2) > len(want)
+    assert compact_ingest_pairs(spark, pairs_sink) == [7]
+    names = sorted(os.listdir(pairs_sink))
+    assert "baseline_7" in names and "baseline_2" not in names
+    assert sorted(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    ) == want2
