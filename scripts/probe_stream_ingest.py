@@ -106,6 +106,33 @@ def main() -> None:
     if not q.awaitTermination(1800):
         q.stop()
         raise SystemExit("stream did not drain in 1800s")
+    if "--compact" in sys.argv:
+        # maintenance between streams: fold the per-trigger pairs
+        # dirs to one baseline, assert the drained union unchanged,
+        # then drain a SECOND stream of fresh shards beside the
+        # baseline — the full production cycle
+        from alstom_spark_cassandra_spark.streaming.live_state import (
+            compact_ingest_pairs,
+        )
+
+        import time as _time
+
+        before = read_index_ingest_pairs(spark, pairs_sink).count()
+        t0 = _time.time()
+        folded = compact_ingest_pairs(spark, pairs_sink)
+        wall = round(_time.time() - t0, 2)
+        after = read_index_ingest_pairs(spark, pairs_sink).count()
+        assert after == before, (before, after)
+        print(
+            json.dumps(
+                {
+                    "compacted_batches": len(folded),
+                    "compact_wall_s": wall,
+                    "pairs_before": before,
+                    "pairs_after": after,
+                }
+            )
+        )
     walls = []
     for p in q.recentProgress:
         if p is None or p["numInputRows"] == 0:
