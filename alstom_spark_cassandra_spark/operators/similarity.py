@@ -1200,10 +1200,27 @@ def _incremental_prune(
     incremental paths: `nb` = the assigned shard (id, cid, __qv,
     __n2, already materialized), `kept` = the persisted index scan
     (id, cid, qv, n2).  A shard row drops on a same-cluster cosine
-    hit against ANY retained index row (every index row precedes
-    every new row in arrival order — no id test) or against a
-    lower-id row of the shard itself.  Both candidate joins are
-    cid-equi.  Returns (id_col, cid, kept)."""
+    hit against any retained index row OTHER THAN ITSELF, or against
+    a lower-id row of the shard itself.  Both candidate joins are
+    cid-equi.  Returns (id_col, cid, kept).
+
+    The same-id exclusion on the kept side is the REPLAY guard, not
+    a semantic choice: ids are unique across old ∪ new in contract,
+    so on a first delivery it never fires — but an at-least-once
+    redelivery whose previous attempt crashed AFTER the survivor
+    append (update_index=True) and BEFORE the sink's done marker
+    re-prunes the batch against its own already-appended survivors,
+    and without the exclusion every survivor self-matches at cosine
+    1.0, flipping the whole batch's verdicts to kept=false and
+    letting the marker commit the corruption permanently.  With it,
+    replay verdicts are bit-identical to the first attempt: an
+    appended survivor s can never drop a sibling survivor y (if they
+    matched, the first attempt's new-vs-new prune would already have
+    dropped the higher id), and every originally-dropped row still
+    drops via its original trigger, which the replay recomputes.
+    Pinned in tests/test_streaming.py (semantic crash sim) and
+    tests/test_similarity.py (direct replay of
+    incremental_semantic_dedup)."""
     dot_kn = F.aggregate(
         F.zip_with(F.col("qv"), F.col("__yqv"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -1216,7 +1233,11 @@ def _incremental_prune(
         F.col("__n2").alias("__yn2"),
     )
     dropped_vs_kept = (
-        kept.join(y, F.col("cid") == F.col("__ycid"))
+        kept.join(
+            y,
+            (F.col("cid") == F.col("__ycid"))
+            & (F.col("id") != F.col("__yid")),
+        )
         .filter(
             dot_kn.cast("double")
             >= F.lit(threshold)

@@ -313,9 +313,18 @@ def incremental_winnow_overlap(
     all_e = old_e.unionByName(new_e)
     all_sizes = old_sizes.unionByName(new_sizes)
     if max_docs_per_fp is not None:
+        # countDistinct, NOT count: a crash between the index append
+        # and the ingest sink's done marker double-appends a batch's
+        # (doc, fp) rows on replay, and a raw row count would let the
+        # inflated nd push a fingerprint whose true doc count is
+        # under the cap over it — future batches would silently miss
+        # its pairs until a rebuild.  Distinct-doc counting makes the
+        # cap immune to duplicated index rows, keeping the ingest
+        # core's "double-append costs bytes, not correctness"
+        # contract true for this member (pinned in test_winnow.py).
         keep = (
             all_e.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("nd"))
+            .agg(F.countDistinct("doc").alias("nd"))
             .filter(F.col("nd") <= max_docs_per_fp)
             .select("fp")
         )

@@ -862,7 +862,23 @@ def foreach_batch_incremental_ingest(
     every batch's pairs stay exactly-once in content; the
     double-append itself costs index bytes until the periodic
     idempotent rebuild that recovers every index family (pinned for
-    BM25 in tests/test_retrieval.py).  Markers go through the Hadoop
+    BM25 in tests/test_retrieval.py).
+
+    Members whose VERDICTS read the index state they also append
+    (the semantic member: survivors land in the kept table the next
+    prune scans) carry one extra obligation the pairs-level
+    dropDuplicates cannot supply: the replay of a crashed batch must
+    recompute the SAME verdicts even though its own survivors are
+    already in the index.  _incremental_prune meets it with a
+    same-id exclusion on the kept side (a replayed survivor never
+    self-matches at cosine 1.0), making replay verdicts
+    bit-identical to the first attempt — pinned by the semantic
+    crash sim in tests/test_streaming.py.  Likewise members whose
+    index state feeds THRESHOLD decisions (the winnow
+    max_docs_per_fp cap) must count DISTINCT docs, not raw index
+    rows, so a double-appended batch cannot shift the cap
+    (operators/winnow.py, pinned in tests/test_winnow.py).  Markers
+    go through the Hadoop
     FileSystem API: on S3/HDFS an os.path check would silently never
     find them, so every replay would re-append the index — the exact
     failure the marker exists to prevent.  Keep ONE writer per

@@ -12269,87 +12269,32 @@ ORDER BY doc_id
 # scripts/check_oracle.py regardless of position — the count below is
 # len(SPARK_QUERIES), never a hand-maintained number).
 #
-# Round-14 window (the r13 verdict's pre-stated plan, executed
-# verbatim): HEAD = the 8 round-13 post-window additions (first
-# driver rows beat refreshes), then the 39 remaining r10-green rows
-# (r10 grading order — first graded = stalest), then the 3 stalest
-# r11-green rows (CORRECTNESS_r11 grading order: semantic_dedup,
-# corpus_pipeline_v2, skewed_latest) to fill the 50 slots; after r14
-# no row's last driver row is older than r11 = 3 rounds — the steady
-# state where a 50-row window over a ~197-row registry refreshes
-# every row within ceil(197/50) = 4 rounds.
-#
-# Round-15 plan (stated now): HEAD = the 2 round-14 post-window
-# additions (stream_simhash_ingest, stream_semantic_ingest — queued
-# at the TAIL below in that order), then the 47 remaining r11-green
-# rows (r11 grading order), then the 1 stalest r12-green row
+# Round-15 window (the r14 verdict's pre-stated plan, executed
+# verbatim): HEAD = the 2 round-14 post-window additions
+# (stream_simhash_ingest, stream_semantic_ingest — first driver rows
+# beat refreshes), then the 47 remaining r11-green rows (r11 grading
+# order — first graded = stalest), then the 1 stalest r12-green row
 # (CORRECTNESS_r12 grading order: semantic_dedup_routed_eval) to
-# fill the 50-row window; after r15 nothing older than r12.
+# fill the 50 slots; after r15 no row's last driver row is older
+# than r12 = 3 rounds — the steady state where a 50-row window over
+# a ~200-row registry refreshes every row within ceil(200/50) = 4
+# rounds.
+#
+# Round-16 plan (stated now): HEAD = the round-15 post-window
+# additions (queued at the TAIL below, in tail order), then the
+# stalest r12-green rows (CORRECTNESS_r12 grading order, starting
+# at incremental_semantic_dedup) to fill the 50-row window; any
+# r12 rows that don't fit roll to r17's head together with the
+# r13-green rows.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- ROUND-14 WINDOW HEAD: the 8 round-13 additions, never ---
-    # --- driver-graded (locally exact-gated at all three scales since ---
-    # --- r13, and independently re-gated by the r13 judge at sf0.01) ---
-    "pq_index_append": q_pq_index_append,
-    "positional_index_append": q_positional_index_append,
-    "hyperplane_tables_eval": q_hyperplane_tables_eval,
-    "bm25_index_compacted": q_bm25_index_compacted,
-    "stream_index_ingest": q_stream_index_ingest,
-    "hybrid_persisted": q_hybrid_persisted,
-    "minhash_index_compacted": q_minhash_index_compacted,
-    "winnow_index_append": q_winnow_index_append,
-    # --- the 39 remaining r10-green rows (last driver row: r10; ---
-    # --- r10 grading order — first graded = stalest) ---
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "tpch_q22": q_tpch_q22,
-    "window_suite": q_window_suite,
-    "collocations": q_collocations,
-    "pagerank": q_pagerank,
-    "mmr_rerank": q_mmr_rerank,
-    "bpe_merges": q_bpe_merges,
-    "pca_direction": q_pca_direction,
-    "phrase_search": q_phrase_search,
-    "chunk_dedup": q_chunk_dedup,
-    "domain_cap": q_domain_cap,
-    "corpus_shuffle": q_corpus_shuffle,
-    "salted_agg": q_salted_agg,
-    "audio_resample": q_audio_resample,
-    "bucketed_join_persisted": q_bucketed_join_persisted,
-    "reconstruct_message": q_reconstruct_message,
-    "json_flatten": q_json_flatten,
-    "pivot_matrix": q_pivot_matrix,
-    "compaction": q_compaction,
-    "retrieve_field_window": q_retrieve_field_window,
-    "field_window": q_field_window,
-    "asof_bounds": q_asof_bounds,
-    "boundary_padding": q_boundary_padding,
-    "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_corpus": q_dedup_corpus,
-    "minhash_signatures": q_minhash_signatures,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "incremental_dedup": q_incremental_dedup,
-    "word_jaccard_pairs": q_word_jaccard_pairs,
-    "stream_dedup": q_stream_dedup,
-    "stream_windowed_counts": q_stream_windowed_counts,
-    "stream_sessionization": q_stream_sessionization,
-    "stream_attribution": q_stream_attribution,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
-    # --- the 3 stalest r11-green rows (CORRECTNESS_r11 grading ---
-    # --- order) — fills the 50-row window; after r14 nothing is older ---
-    # --- than r11 ---
-    "semantic_dedup": q_semantic_dedup,
-    "corpus_pipeline_v2": q_corpus_pipeline_v2,
-    "skewed_latest": q_skewed_latest,
-    # --- below the 50-row window: the 47 remaining r11-green rows ---
-    # --- (still in r11 grading order — the r15 rotation drains them ---
-    # --- next), then the r12- and r13-green rows in their own grading ---
-    # --- order; every row here is locally exact-gated at all three ---
-    # --- scales each round by scripts/check_oracle.py regardless of ---
-    # --- position ---
+    # --- ROUND-15 WINDOW HEAD: the 2 round-14 post-window additions, ---
+    # --- never driver-graded (locally exact-gated at all three ---
+    # --- scales since r14; independently re-gated by the r14 judge ---
+    # --- at sf0.01 and sf0.001) ---
+    "stream_simhash_ingest": q_stream_simhash_ingest,
+    "stream_semantic_ingest": q_stream_semantic_ingest,
+    # --- the 47 remaining r11-green rows (last driver row: r11; ---
+    # --- r11 grading order — first graded = stalest) ---
     "pq_rerank_topk": q_pq_rerank_topk,
     "semantic_dedup_routed": q_semantic_dedup_routed,
     "token_rarity": q_token_rarity,
@@ -12397,8 +12342,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_prefix_join": q_jaccard_prefix_join,
     "rolling_zscore": q_rolling_zscore,
     "resample_linear": q_resample_linear,
-    # --- r12-green rows (CORRECTNESS_r12 grading order) ---
+    # --- the stalest r12-green row (CORRECTNESS_r12 grading order) ---
+    # --- fills the 50-row window; after r15 nothing is older than r12 ---
     "semantic_dedup_routed_eval": q_semantic_dedup_routed_eval,
+    # --- below the 50-row window: the 49 remaining r12-green rows ---
+    # --- (still in r12 grading order — the r16 rotation drains them ---
+    # --- next), then the r13- and r14-green rows in their own grading ---
+    # --- order; every row here is locally exact-gated at all three ---
+    # --- scales each round by scripts/check_oracle.py regardless of ---
+    # --- position ---
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "pq_recall_eval": q_pq_recall_eval,
     "hyperplane_lsh_eval": q_hyperplane_lsh_eval,
@@ -12499,14 +12451,57 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
-    # --- new in round 14, never graded: r15 window HEAD priority ---
-    # (the streaming ingest core became family-agnostic; this row
-    # grades the SECOND family — SimHash — through the identical
-    # sink skeleton with only the incremental operator swapped)
-    "stream_simhash_ingest": q_stream_simhash_ingest,
-    # (and the member that proves the core is not pairs-shaped:
-    # semantic verdicts through the same skeleton)
-    "stream_semantic_ingest": q_stream_semantic_ingest,
+    # --- r14-green rows (CORRECTNESS_r14 grading order) ---
+    "pq_index_append": q_pq_index_append,
+    "positional_index_append": q_positional_index_append,
+    "hyperplane_tables_eval": q_hyperplane_tables_eval,
+    "bm25_index_compacted": q_bm25_index_compacted,
+    "stream_index_ingest": q_stream_index_ingest,
+    "hybrid_persisted": q_hybrid_persisted,
+    "minhash_index_compacted": q_minhash_index_compacted,
+    "winnow_index_append": q_winnow_index_append,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
+    "window_suite": q_window_suite,
+    "collocations": q_collocations,
+    "pagerank": q_pagerank,
+    "mmr_rerank": q_mmr_rerank,
+    "bpe_merges": q_bpe_merges,
+    "pca_direction": q_pca_direction,
+    "phrase_search": q_phrase_search,
+    "chunk_dedup": q_chunk_dedup,
+    "domain_cap": q_domain_cap,
+    "corpus_shuffle": q_corpus_shuffle,
+    "salted_agg": q_salted_agg,
+    "audio_resample": q_audio_resample,
+    "bucketed_join_persisted": q_bucketed_join_persisted,
+    "reconstruct_message": q_reconstruct_message,
+    "json_flatten": q_json_flatten,
+    "pivot_matrix": q_pivot_matrix,
+    "compaction": q_compaction,
+    "retrieve_field_window": q_retrieve_field_window,
+    "field_window": q_field_window,
+    "asof_bounds": q_asof_bounds,
+    "boundary_padding": q_boundary_padding,
+    "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus": q_dedup_corpus,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "incremental_dedup": q_incremental_dedup,
+    "word_jaccard_pairs": q_word_jaccard_pairs,
+    "stream_dedup": q_stream_dedup,
+    "stream_windowed_counts": q_stream_windowed_counts,
+    "stream_sessionization": q_stream_sessionization,
+    "stream_attribution": q_stream_attribution,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
+    "semantic_dedup": q_semantic_dedup,
+    "corpus_pipeline_v2": q_corpus_pipeline_v2,
+    "skewed_latest": q_skewed_latest,
 }
 
 

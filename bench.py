@@ -124,6 +124,16 @@ def main():
     }
     if errors:
         out["errors"] = errors
+        # a query can carry BOTH samples and an error (earlier passes
+        # succeeded, a later one failed); tag those explicitly so a
+        # consumer never mistakes an error-truncated min-of-N for a
+        # clean one — "partial" maps each such query to its clean
+        # pass count
+        partial = {
+            n: len(samples[n]) for n in errors if samples.get(n)
+        }
+        if partial:
+            out["partial"] = partial
     print(json.dumps(out))
     spark.stop()
 

@@ -16,14 +16,20 @@ the index's history.  Per-batch walls come from the stream's own
 progress events (triggerExecution), so scheduling and sink commit
 are included — the number a production operator would see.
 
-Usage: python scripts/probe_stream_ingest.py [family] [n_batches]
+Usage:
+  python scripts/probe_stream_ingest.py [family] [n_batches] [--compact]
 family = minhash (default) | simhash; n_batches defaults to 8.
+--compact runs the full production maintenance cycle after the first
+drain: fold the per-trigger pairs dirs into one baseline (union must
+be unchanged), then drain a SECOND stream of fresh shards landing
+beside the baseline and verify the reader sees baseline + tail.
 Reads $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01); writes
 only under /tmp; prints one JSON line per trigger plus a summary.
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
@@ -48,9 +54,54 @@ from alstom_spark_cassandra_spark.streaming.live_state import (
 )
 
 
+def _stage_batches(shard, src_dir, base_dir, ids, tag=""):
+    """Write one mtime-pinned single-file parquet per batch index in
+    `ids` so maxFilesPerTrigger=1 consumes them in order."""
+    for k in ids:
+        b = shard.select(
+            (F.col("doc_id") + (k + 1) * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        stage = f"{base_dir}/stage{tag}{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k:03d}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+
+
+def _drain(spark, sink, src_dir, ckpt):
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(1800):
+        q.stop()
+        raise SystemExit("stream did not drain in 1800s")
+    return q
+
+
 def main() -> None:
-    family = sys.argv[1] if len(sys.argv) > 1 else "minhash"
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "family", nargs="?", default="minhash",
+        choices=["minhash", "simhash"],
+    )
+    ap.add_argument("n_batches", nargs="?", type=int, default=8)
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="after the drain: compact pairs, then drain a second "
+        "stream beside the baseline (the full maintenance cycle)",
+    )
+    args = ap.parse_args()
+    family, n_batches = args.family, args.n_batches
     sf_dir = os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
@@ -69,44 +120,18 @@ def main() -> None:
         sink = foreach_batch_index_ingest(
             index_path, pairs_sink, threshold=1.0
         )
-    elif family == "simhash":
+    else:
         build_simhash_index(docs, index_path, "text", "doc_id")
         sink = foreach_batch_simhash_ingest(index_path, pairs_sink)
-    else:
-        raise SystemExit(f"unknown family {family!r}")
 
     # N shard re-crawls (doc_id % 5 = 0), ids offset per batch so
     # every batch pairs against the base AND every earlier batch —
     # the candidate set per batch GROWS linearly in batches ingested,
     # which is exactly why flat wall is the claim worth testing
     shard = docs.filter(F.col("doc_id") % 5 == 0)
-    for k in range(n_batches):
-        b = shard.select(
-            (F.col("doc_id") + (k + 1) * 10_000_000).alias("doc_id"),
-            "text",
-        )
-        stage = f"{base_dir}/stage{k}"
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        dst = f"{src_dir}/batch{k:03d}.parquet"
-        shutil.copyfile(part, dst)
-        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
-
-    src = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    q = (
-        src.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", f"{base_dir}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(1800):
-        q.stop()
-        raise SystemExit("stream did not drain in 1800s")
-    if "--compact" in sys.argv:
+    _stage_batches(shard, src_dir, base_dir, range(n_batches))
+    q = _drain(spark, sink, src_dir, f"{base_dir}/ckpt")
+    if args.compact:
         # maintenance between streams: fold the per-trigger pairs
         # dirs to one baseline, assert the drained union unchanged,
         # then drain a SECOND stream of fresh shards beside the
@@ -130,6 +155,27 @@ def main() -> None:
                     "compact_wall_s": wall,
                     "pairs_before": before,
                     "pairs_after": after,
+                }
+            )
+        )
+        # second drain: 2 fresh shard batches land in the SAME source
+        # dir and the stream restarts on the SAME checkpoint, so
+        # Structured Streaming continues the batch-id sequence past
+        # the baseline cutoff (a fresh checkpoint would reuse ids
+        # 0..1, which the committed done markers rightly no-op); the
+        # reader must then see baseline + tail
+        _stage_batches(
+            shard, src_dir, base_dir,
+            range(n_batches, n_batches + 2), tag="b",
+        )
+        _drain(spark, sink, src_dir, f"{base_dir}/ckpt")
+        post = read_index_ingest_pairs(spark, pairs_sink).count()
+        assert post > after, (after, post)
+        print(
+            json.dumps(
+                {
+                    "second_stream_batches": 2,
+                    "pairs_after_second_stream": post,
                 }
             )
         )

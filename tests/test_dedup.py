@@ -588,3 +588,52 @@ def test_winnow_index_append_chains_batches(spark, tmp_path):
     ).collect()
     # (11, 21) exists ONLY via the append; (1, 21) via the base index
     assert {(r.a, r.b) for r in out_b} == {(1, 21), (11, 21)}
+
+
+def test_winnow_cap_immune_to_double_appended_batch(spark, tmp_path):
+    """The max_docs_per_fp cap must count DISTINCT docs, not raw
+    index rows: a crash between the index append and the ingest
+    sink's done marker double-appends a batch's (doc, fp) rows on
+    replay, and a raw row count would push a fingerprint whose TRUE
+    doc count is exactly at the cap over it — every future batch
+    would silently miss its pairs until a rebuild, breaking the
+    ingest core's 'double-append costs bytes, not correctness'
+    contract for this member."""
+    from alstom_spark_cassandra_spark.operators.winnow import (
+        build_winnow_index,
+        incremental_winnow_overlap,
+    )
+
+    copy = "the quick brown fox jumps over the lazy dog tonight"
+    base = spark.createDataFrame(
+        [(1, copy)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "wn_dbl")
+    build_winnow_index(base, path, "text", "doc_id", k=8, w=4)
+    batch_a = spark.createDataFrame(
+        [(11, copy)], "doc_id long, text string"
+    )
+    # the crash replay: the SAME batch appends twice — doc 11's
+    # (doc, fp) rows and its sizes row are now duplicated on disk
+    for _ in range(2):
+        incremental_winnow_overlap(
+            spark, batch_a, path, "text", "doc_id",
+            threshold=0.99, update_index=True,
+        ).collect()
+    fps_rows = spark.read.parquet(f"{path}/fps")
+    assert (
+        fps_rows.filter("doc = 11").count()
+        == 2 * fps_rows.filter("doc = 1").count()
+    )  # precondition: the double-append really happened
+    # cap = 3 = the TRUE distinct doc count {1, 11, 21} per shared
+    # fingerprint; raw rows are 4 (1 + 2×11 + 21), so a raw count
+    # would cap every fingerprint away and find NOTHING
+    batch_b = spark.createDataFrame(
+        [(21, copy)], "doc_id long, text string"
+    )
+    out_b = incremental_winnow_overlap(
+        spark, batch_b, path, "text", "doc_id",
+        threshold=0.99, max_docs_per_fp=3,
+    ).collect()
+    assert {(r.a, r.b) for r in out_b} == {(1, 21), (11, 21)}
+    assert all(r.overlap == 1.0 for r in out_b)

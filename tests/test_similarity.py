@@ -662,6 +662,77 @@ def test_update_index_chains_shards(spark, tmp_path):
     assert out_b == {20: False, 22: False, 24: True}
 
 
+def test_incremental_replay_after_append_recomputes_same_verdicts(
+    spark, tmp_path
+):
+    """The at-least-once replay guard (_incremental_prune's same-id
+    exclusion): a redelivery whose previous attempt crashed AFTER
+    the survivor append but BEFORE the sink's done marker re-prunes
+    the batch against its own already-appended survivors — without
+    the exclusion every survivor self-matches at cosine 1.0 and the
+    whole batch's verdicts flip to kept=false, which the marker then
+    commits permanently.  Pin: the replayed call returns verdicts
+    bit-identical to the first attempt, the double-append costs
+    index BYTES only (duplicate survivor rows), and a later shard
+    still prunes correctly against the duplicated kept table."""
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+
+    def v(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    base = spark.createDataFrame(
+        [(1, v(0)), (5, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    init = spark.createDataFrame(
+        [(0, v(0)), (1, [0.0, 5.0])], "cid int, cv array<double>"
+    )
+    path = str(tmp_path / "semidx_replay")
+    build_semantic_index(base, init, path, threshold=0.95)
+
+    # 10 at 34deg keeps (far from base 1); 12 at 35deg drops (1deg
+    # from lower-id shard row 10); 20 along kept 5 drops
+    shard = spark.createDataFrame(
+        [(10, v(34)), (12, v(35)), (20, [0.0, 4.2])],
+        "vec_id long, embedding array<double>",
+    )
+    want = {10: True, 12: False, 20: False}
+    out1 = {
+        r.vec_id: r.kept
+        for r in incremental_semantic_dedup(
+            spark, shard, path, threshold=0.95, update_index=True
+        ).collect()
+    }
+    assert out1 == want
+    # the crash replay: survivor 10 is already IN the kept table;
+    # verdicts must not change (10 must NOT self-match and flip)
+    out2 = {
+        r.vec_id: r.kept
+        for r in incremental_semantic_dedup(
+            spark, shard, path, threshold=0.95, update_index=True
+        ).collect()
+    }
+    assert out2 == want
+    kept = spark.read.parquet(f"{path}/kept")
+    assert {r.id for r in kept.collect()} == {1, 5, 10}
+    assert kept.filter("id = 10").count() == 2  # bytes, not verdicts
+    # a later shard against the duplicated table: 22 at 33deg drops
+    # via appended survivor 10 (1deg), exactly as without the dup
+    shard_b = spark.createDataFrame(
+        [(22, v(33))], "vec_id long, embedding array<double>"
+    )
+    out_b = {
+        r.vec_id: r.kept
+        for r in incremental_semantic_dedup(
+            spark, shard_b, path, threshold=0.95
+        ).collect()
+    }
+    assert out_b == {22: False}
+
+
 def test_routed_incremental_degenerate_equals_flat(spark, tmp_path):
     """n_coarse = k (distinct centroids): every coarse bucket is its
     own fine centroid, so the routed shard assignment reduces to the

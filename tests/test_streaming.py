@@ -2210,6 +2210,100 @@ def test_semantic_ingest_replay_is_a_noop(spark, tmp_path):
     } == {(100, False), (101, True)}
 
 
+def test_semantic_ingest_crash_replay_preserves_verdicts(
+    spark, tmp_path
+):
+    """The crash window the pairs-level dropDuplicates CANNOT cover
+    for an index-state-dependent member: the semantic incremental_fn
+    commits its survivor append BEFORE the verdicts write and done
+    marker, so an at-least-once redelivery re-prunes the batch
+    against its OWN appended survivors.  _incremental_prune's
+    same-id exclusion makes the replay recompute bit-identical
+    verdicts (a survivor never self-matches at cosine 1.0) — without
+    it the replay would overwrite pairs_0 with kept=false for every
+    survivor and the marker would commit the corruption permanently.
+    Simulated exactly like the MinHash double-append sim: commit
+    batch 0, delete its marker (the crash), replay it."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_semantic_index,
+        incremental_semantic_dedup,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_incremental_ingest,
+        read_index_ingest_pairs,
+    )
+
+    # seed 5 = the no-op replay test's geometry, whose first-run
+    # verdicts {(100, False), (101, True)} are already pinned there
+    rng = random.Random(5)
+    base_vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(8)
+    ]
+    base = spark.createDataFrame(
+        base_vecs, "vec_id long, embedding array<double>"
+    )
+    init = base.limit(4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    build_semantic_index(base, init, index_path, threshold=0.4)
+
+    def _fn(spark_, batch_df, path):
+        return incremental_semantic_dedup(
+            spark_, batch_df, path, threshold=0.4, update_index=True
+        )
+
+    ingest = foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn, pair_cols=("vec_id",)
+    )
+    fresh = [rng.gauss(0, 1) for _ in range(8)]
+    batch = spark.createDataFrame(
+        [
+            (100, [x + 0.001 for x in base_vecs[0][1]]),
+            (101, fresh),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    want = {(100, False), (101, True)}
+    ingest(batch, 0)
+    n_kept = spark.read.parquet(f"{index_path}/kept").count()
+    assert {
+        (r.vec_id, r.kept)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == want
+    # the crash: append + pairs committed, marker lost -> the replay
+    # re-runs the whole batch against its own appended survivor 101
+    os.rmdir(f"{pairs_sink}/done_0")
+    ingest(batch, 0)
+    assert {
+        (r.vec_id, r.kept)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == want  # verdicts bit-identical, NOT flipped to kept=false
+    # the double-append costs index bytes only (survivor 101 twice)
+    kept = spark.read.parquet(f"{index_path}/kept")
+    assert kept.count() == n_kept + 1
+    assert kept.filter("id = 101").count() == 2
+    # batch 1 against the duplicated table: a near-dup of 101 drops
+    # exactly once, via the appended survivor
+    batch1 = spark.createDataFrame(
+        [(200, [x + 0.001 for x in fresh])],
+        "vec_id long, embedding array<double>",
+    )
+    ingest(batch1, 1)
+    assert {
+        (r.vec_id, r.kept)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    } == want | {(200, False)}
+
+
 def test_compact_ingest_pairs_lifecycle(spark, tmp_path):
     """The ingest sink's small-files maintenance op
     (compact_ingest_pairs): per-trigger pairs directories fold into
