@@ -5101,6 +5101,243 @@ def q_stream_semantic_ingest(spark, sf_dir):
     )
 
 
+def q_stream_bm25_ingest(spark, sf_dir):
+    """The RETRIEVAL family through the family-agnostic streaming
+    ingest core (streaming/live_state.foreach_batch_bm25_ingest) —
+    the reference's online mode (SURVEY.md §2.10) applied to the
+    serving-side index families: the BM25 index is built over two
+    thirds of the corpus (doc_id % 3 != 0, term-hash bucketed), the
+    remaining third ARRIVES as three mtime-pinned micro-batches
+    (doc_id % 9 = 0, 3, 6 — one per trigger); each batch appends
+    into the persisted index exactly (postings in the index's own
+    bucket layout, doc_len rows, global stats merged algebraically)
+    and commits its per-doc length table as the batch artifact.
+    After the drain, the SAME three-query batch as bm25_retrieval is
+    served from the STREAMED index and must score bit-for-bit
+    against the FULL-corpus oracle (SQL_BM25_RETRIEVAL verbatim) —
+    BM25's global statistics merge exactly, so the streamed index is
+    content-identical to a one-shot build; a lost posting, a
+    double-appended batch, or a stale n_docs shifts every score.
+    Member-specific replay guard (anti-join vs persisted doc_len —
+    a double-append would corrupt scores, not cost bytes) pinned in
+    tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from .streaming.live_state import foreach_batch_bm25_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_bm25{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    src_dir = f"{base_dir}/src"
+    os.makedirs(pairs_sink)
+    os.makedirs(src_dir)
+    base = _shared_base_index(
+        sf_dir,
+        "bm25_twothirds",
+        lambda p: write_bm25_index(
+            build_bm25_index(
+                docs.filter(F.col("doc_id") % 3 != 0),
+                "text",
+                "doc_id",
+                n_buckets=16,
+            ),
+            p,
+        ),
+    )
+    _clone_index(base, index_path)
+    for k in range(3):
+        b = docs.filter(F.col("doc_id") % 9 == 3 * k).select(
+            "doc_id", "text"
+        )
+        stage = f"{base_dir}/stage{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            foreach_batch_bm25_ingest(index_path, pairs_sink)
+        )
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_bm25_ingest did not drain in 300s")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    out = bm25_topk(
+        docs, queries, k=10, index=read_bm25_index(spark, index_path)
+    )
+    return out.orderBy("query_id", "rank")
+
+
+def q_stream_winnow_ingest(spark, sf_dir):
+    """The WINNOW (copied-passage) family through the
+    family-agnostic streaming ingest core (streaming/live_state.
+    foreach_batch_winnow_ingest — the fourth pairs-shaped member,
+    previously pinned in pytest but never oracle-graded as a
+    stream): the doc_id<300 slice is winnowed and persisted once
+    (portable md5 fingerprints), then THREE shard re-crawls
+    (doc_id % 3 = 0, offsets +10/20/30M) arrive as mtime-pinned
+    files, one per trigger; each micro-batch pairs against the
+    persisted fingerprint index AND appends its rows
+    (update_index=True), winnowing parameters adopted FROM the
+    index.  Pairs are batching-invariant (reported by the batch
+    carrying the later side), so the drained union of the per-batch
+    directories equals the unrolled 3-shard chain the oracle
+    recomputes bit-for-bit in DuckDB — exact mode
+    (max_docs_per_fp=None) on the bounded slice, every fingerprint,
+    shared count, and containment score reproduced
+    (SQL_STREAM_WINNOW_INGEST = SQL_WINNOW_INDEX_APPEND generalized
+    to three shards).  Replay no-op pinned in
+    tests/test_streaming.py."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.winnow import build_winnow_index
+    from .streaming.live_state import (
+        foreach_batch_winnow_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_winnow{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    src_dir = f"{base_dir}/src"
+    os.makedirs(pairs_sink)
+    os.makedirs(src_dir)
+    build_winnow_index(
+        docs, index_path, "text", "doc_id", k=8, w=4, portable=True
+    )
+    shard = docs.filter(F.col("doc_id") % 3 == 0)
+    for k in range(3):
+        b = shard.select(
+            (F.col("doc_id") + (k + 1) * 10_000_000).alias("doc_id"),
+            "text",
+        )
+        stage = f"{base_dir}/stage{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            foreach_batch_winnow_ingest(
+                index_path,
+                pairs_sink,
+                threshold=0.25,
+                max_docs_per_fp=None,
+            )
+        )
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "stream_winnow_ingest did not drain in 300s"
+        )
+    return (
+        read_index_ingest_pairs(spark, pairs_sink)
+        .select(
+            "a",
+            "b",
+            "shared",
+            half_up(F.col("overlap"), 6).alias("overlap"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+SQL_STREAM_WINNOW_INGEST = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+),
+all_docs AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM base WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 30000000 AS doc_id, text FROM base WHERE doc_id % 3 = 0
+),
+nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM all_docs
+),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) >= 8 THEN
+      [substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 16)
+       for i in range(1, CAST(length(norm) - 8 + 2 AS BIGINT))]
+    ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM nrm
+),
+fp AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN hs
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_distinct([list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])
+                             for j in range(1, CAST(len(hs) - 4 + 2 AS BIGINT))])
+    END AS fps
+  FROM hs
+),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+sz AS (SELECT doc_id, len(fps) AS nf FROM fp),
+sh AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+  FROM e l JOIN e r ON l.fp = r.fp AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT sh.a, sh.b, sh.shared,
+       floor(sh.shared * 1.0 / least(sa.nf, sb.nf) * 1000000 + 0.5)
+         / 1000000.0 AS overlap
+FROM sh JOIN sz sa ON sa.doc_id = sh.a JOIN sz sb ON sb.doc_id = sh.b
+WHERE sh.shared * 1.0 / least(sa.nf, sb.nf) >= 0.25
+  AND sh.b >= 10000000
+ORDER BY sh.a, sh.b
+"""
+
+
 def q_hybrid_persisted(spark, sf_dir):
     """hybrid_rrf over PERSISTED indexes — the production serving
     path: the lexical arm reads the disk BM25 index
@@ -12502,6 +12739,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_pipeline_v2": q_corpus_pipeline_v2,
     "skewed_latest": q_skewed_latest,
+    # --- new in round 15, never graded: r16 window HEAD priority ---
+    # (the retrieval family through the streaming ingest core — the
+    # member whose output IS the index; serving is graded against
+    # the full-corpus BM25 oracle)
+    "stream_bm25_ingest": q_stream_bm25_ingest,
+    # (the winnow family as a stream — previously pytest-pinned but
+    # never oracle-graded through the sink)
+    "stream_winnow_ingest": q_stream_winnow_ingest,
 }
 
 
@@ -12633,6 +12878,11 @@ ORACLE_SQL: dict[str, str] = {
     # deterministic trigger order -> the drained verdict union
     # equals the unrolled 3-shard semantic chain
     "stream_semantic_ingest": SQL_STREAM_SEMANTIC_INGEST,
+    # the streamed BM25 index must serve bit-for-bit like a
+    # one-shot full-corpus build — the strongest append contract,
+    # now driven by Structured Streaming
+    "stream_bm25_ingest": SQL_BM25_RETRIEVAL,
+    "stream_winnow_ingest": SQL_STREAM_WINNOW_INGEST,
     # two disk indexes fused must equal the inline hybrid exactly
     "hybrid_persisted": SQL_HYBRID_RRF,
     # the banded-dir compaction under the UNCHANGED chained oracle

@@ -2088,6 +2088,121 @@ def test_winnow_ingest_replay_is_a_noop(spark, tmp_path):
     } == {(1, 11)}
 
 
+def test_bm25_ingest_replay_and_crash_guard(spark, tmp_path):
+    """The BM25 member of the family-agnostic ingest core — the one
+    whose output IS the index and whose append mutates GLOBAL stats,
+    so a double-append would corrupt every score rather than cost
+    bytes.  Three pins in one lifecycle: (1) the streamed index
+    serves identically to a one-shot build over the union; (2)
+    replay after success short-circuits on the done marker; (3) the
+    member's own anti-join guard makes the CRASH replay (marker
+    deleted after a committed append) a no-op on postings, doc_len
+    AND the global stats — the window the pairs-level dropDuplicates
+    cannot cover."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_bm25_ingest,
+        read_index_ingest_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles are expensive at scale"),
+            (2, "broadcast joins avoid the shuffle entirely"),
+            (3, "parquet footers carry the row group stats"),
+            (4, "the optimizer prunes partitions from the scan"),
+        ],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=4),
+        index_path,
+    )
+    ingest = foreach_batch_bm25_ingest(index_path, pairs_sink)
+    batch = spark.createDataFrame(
+        [
+            (11, "shuffle partitions size the spark exchange"),
+            (12, "row group pruning reads fewer parquet bytes"),
+        ],
+        "doc_id long, text string",
+    )
+    ingest(batch, 0)
+    queries = spark.createDataFrame(
+        [(0, "spark shuffle partitions")],
+        "query_id long, query_text string",
+    )
+    union = docs.unionByName(batch)
+
+    def serve():
+        return [
+            (r.query_id, r.doc, r.score_micro, r.rank)
+            for r in bm25_topk(
+                union,
+                queries,
+                k=4,
+                index=read_bm25_index(spark, index_path),
+            )
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    want = [
+        (r.query_id, r.doc, r.score_micro, r.rank)
+        for r in bm25_topk(
+            union,
+            queries,
+            k=4,
+            index=build_bm25_index(union, "text", "doc_id"),
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert serve() == want  # streamed index == one-shot build
+    stats0 = spark.read.parquet(f"{index_path}/stats").first()
+    n_post = spark.read.parquet(f"{index_path}/postings").count()
+    art = sorted(
+        (r.doc, r.dl)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    )
+    assert art == [(11, 6), (12, 7)]
+    # (2) marker replay: everything untouched
+    ingest(batch, 0)
+    assert spark.read.parquet(f"{index_path}/stats").first() == stats0
+    # (3) CRASH replay: marker lost after the append committed — the
+    # anti-join vs persisted doc_len must make the re-run append
+    # NOTHING (append_bm25_index's empty-batch short-circuit), or
+    # n_docs/total_len double-count and every score shifts
+    os.rmdir(f"{pairs_sink}/done_0")
+    ingest(batch, 0)
+    assert spark.read.parquet(f"{index_path}/stats").first() == stats0
+    assert (
+        spark.read.parquet(f"{index_path}/postings").count() == n_post
+    )
+    assert sorted(
+        (r.doc, r.dl)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    ) == art  # artifact recomputed from the batch: replay-stable
+    assert serve() == want
+    # a LATER batch still appends normally past the replayed one
+    batch1 = spark.createDataFrame(
+        [(21, "stats in the footer prune row groups")],
+        "doc_id long, text string",
+    )
+    ingest(batch1, 1)
+    stats1 = spark.read.parquet(f"{index_path}/stats").first()
+    assert stats1["n_docs"] == stats0["n_docs"] + 1
+
+
 def test_ingest_survives_mid_stream_compaction(spark, tmp_path):
     """Maintenance interleaved with the streaming ingest loop: after
     batch 0 commits, compact_partitioned_parquet folds the band
@@ -2356,12 +2471,17 @@ def test_compact_ingest_pairs_lifecycle(spark, tmp_path):
     names = sorted(os.listdir(pairs_sink))
     assert "baseline_2" in names
     assert not any(n.startswith("pairs_") for n in names)
-    # replay markers survive the fold: redelivery stays a no-op
-    assert {"done_0", "done_1", "done_2"} <= set(names)
+    # markers ≤ baseline are DELETED (listing stays O(batches since
+    # the fold), not O(triggers ever) — the r14 verdict's marker-
+    # growth item); the committed baseline id takes over as the
+    # replay guard below
+    assert not any(n.startswith("done_") for n in names)
     assert sorted(
         (r.a, r.b)
         for r in read_index_ingest_pairs(spark, pairs_sink).collect()
     ) == want
+    # late redelivery of a folded, marker-deleted batch: still a
+    # no-op via the baseline low-water mark (id 0 ≤ baseline 2)
     n_sig = spark.read.parquet(f"{index_path}/signatures").count()
     ingest(
         spark.createDataFrame(
@@ -2370,6 +2490,11 @@ def test_compact_ingest_pairs_lifecycle(spark, tmp_path):
         0,
     )
     assert spark.read.parquet(f"{index_path}/signatures").count() == n_sig
+    assert not os.path.exists(f"{pairs_sink}/pairs_0")
+    assert sorted(
+        (r.a, r.b)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    ) == want
 
     # crash window: baseline committed, a covered pairs dir still on
     # disk -> exactly-once read; the next run sweeps the debris
