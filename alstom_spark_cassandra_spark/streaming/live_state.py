@@ -915,7 +915,17 @@ def foreach_batch_incremental_ingest(
         baselines = _committed_baseline_ids(fs, jvm, pairs_sink)
         if baselines and batch_id <= max(baselines):
             return
-        pairs = incremental_fn(spark, batch_df, index_path)
+        # members whose own replay guard needs the batch identity
+        # (the BM25 started marker) declare a batch_id parameter;
+        # pairs-shaped members keep the plain 3-arg signature
+        import inspect
+
+        if "batch_id" in inspect.signature(incremental_fn).parameters:
+            pairs = incremental_fn(
+                spark, batch_df, index_path, batch_id=batch_id
+            )
+        else:
+            pairs = incremental_fn(spark, batch_df, index_path)
         pairs.dropDuplicates(list(pair_cols)).write.mode(
             "overwrite"
         ).parquet(f"{pairs_sink}/pairs_{batch_id}")
@@ -1052,28 +1062,51 @@ def foreach_batch_bm25_ingest(
     Replay contract, member-specific: unlike the hash families,
     BM25's append mutates GLOBAL stats, so a double-append corrupts
     every score rather than costing bytes — the pairs-level
-    dropDuplicates cannot help.  The member therefore guards itself:
-    batch docs already present in the persisted doc_len table are
-    anti-joined away before the append (ids are unique across the
-    stream, so a first delivery loses nothing), and an all-replayed
-    batch appends nothing via append_bm25_index's empty-batch
-    short-circuit; the returned artifact is computed from the BATCH,
-    not the index, so the pairs rewrite is replay-stable.  The
-    residual tear INSIDE append_bm25_index's three sequential writes
-    remains that operator's documented storage-layer caveat,
+    dropDuplicates cannot help.  The member therefore guards itself,
+    at FLAT per-trigger cost: a `started_{batch_id}` marker lands in
+    the sink BEFORE the append, so a redelivery can tell a fresh
+    batch (no marker — append directly, one mkdirs of overhead) from
+    a replay-SUSPECT one (marker present, done marker absent: the
+    previous attempt crashed somewhere between starting the append
+    and committing the batch).  Only the suspect path pays the real
+    guard — an anti-join of the batch against the persisted doc_len
+    table (docs the crashed attempt already appended drop out; if
+    the whole batch committed, append_bm25_index's empty-batch
+    short-circuit appends nothing) — so the O(index) membership scan
+    is crash-recovery-only, never steady-state, and the per-trigger
+    wall stays bounded by the batch.  The returned artifact is
+    computed from the BATCH, not the index, so the pairs rewrite is
+    replay-stable.  The residual tear INSIDE append_bm25_index's
+    three sequential writes (crash between its postings and doc_len
+    writes) remains that operator's documented storage-layer caveat,
     recovered by the idempotent rebuild (tests/test_retrieval.py).
-    Replay no-op and crash sim pinned in tests/test_streaming.py."""
+    started markers are cleaned by compact_ingest_pairs together
+    with done markers.  Replay no-op and crash sim pinned in
+    tests/test_streaming.py."""
 
-    def _fn(spark, batch_df, path):
+    def _fn(spark, batch_df, path, batch_id):
         from ..operators.retrieval import (
             append_bm25_index,
             build_postings,
         )
 
-        existing = spark.read.parquet(f"{path}/doc_len").select(
-            F.col("doc").alias(id_col)
+        jvm = spark._jvm
+        started = jvm.org.apache.hadoop.fs.Path(
+            f"{pairs_sink}/started_{batch_id}"
         )
-        fresh = batch_df.join(existing, id_col, "left_anti")
+        fs = started.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(started):
+            # replay-suspect: the previous attempt may have appended
+            # part or all of this batch — drop docs already in the
+            # persisted doc_len (ids unique across the stream, so a
+            # fresh delivery would lose nothing either)
+            existing = spark.read.parquet(f"{path}/doc_len").select(
+                F.col("doc").alias(id_col)
+            )
+            fresh = batch_df.join(existing, id_col, "left_anti")
+        else:
+            fs.mkdirs(started)
+            fresh = batch_df
         append_bm25_index(spark, fresh, path, text_col, id_col)
         return (
             build_postings(batch_df, text_col, id_col)
@@ -1114,16 +1147,20 @@ def _committed_baseline_ids(fs, jvm, pairs_sink: str) -> list[int]:
 
 def _ingest_sink_listing(spark, pairs_sink: str):
     """(fs, jvm, committed_baseline_ids, committed_pair_ids,
-    done_ids, all_pair_ids) for an incremental-ingest sink directory
-    — the one listing pass both the reader and the pairs compaction
-    share, all through the Hadoop FileSystem API.  `pair_ids` are
-    the COMMITTED batches (done marker present) the reader may scan;
-    `all_pair_ids` additionally includes torn/unmarked pairs dirs,
-    which only the compaction's debris sweep cares about."""
+    marker_entries, all_pair_ids) for an incremental-ingest sink
+    directory — the one listing pass both the reader and the pairs
+    compaction share, all through the Hadoop FileSystem API.
+    `pair_ids` are the COMMITTED batches (done marker present) the
+    reader may scan; `all_pair_ids` additionally includes
+    torn/unmarked pairs dirs, which only the compaction's debris
+    sweep cares about; `marker_entries` are (batch_id, dir_name)
+    for every per-batch marker directory (done_N, plus the BM25
+    member's started_N) so the compaction can sweep them all below
+    the baseline low-water mark."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(pairs_sink)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    baselines, pair_ids, done_ids, all_pair_ids = [], [], [], []
+    baselines, pair_ids, marker_entries, all_pair_ids = [], [], [], []
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
@@ -1150,12 +1187,14 @@ def _ingest_sink_listing(spark, pairs_sink: str):
                     )
                 ):
                     pair_ids.append(bid)
-            elif name.startswith("done_"):
+            elif name.startswith(("done_", "started_")):
                 try:
-                    done_ids.append(int(name.rsplit("done_", 1)[1]))
+                    marker_entries.append(
+                        (int(name.rsplit("_", 1)[1]), name)
+                    )
                 except ValueError:
                     continue
-    return fs, jvm, baselines, pair_ids, done_ids, all_pair_ids
+    return fs, jvm, baselines, pair_ids, marker_entries, all_pair_ids
 
 
 def read_index_ingest_pairs(spark, pairs_sink: str) -> DataFrame:
@@ -1242,7 +1281,7 @@ def compact_ingest_pairs(
     Single writer, like every maintenance op here: run it between
     triggers from the maintenance cycle, never concurrently with the
     stream."""
-    fs, jvm, baselines, pair_ids, done_ids, all_pair_ids = (
+    fs, jvm, baselines, pair_ids, marker_entries, all_pair_ids = (
         _ingest_sink_listing(spark, pairs_sink)
     )
     prev = max(baselines) if baselines else None
@@ -1260,10 +1299,12 @@ def compact_ingest_pairs(
                 ),
                 True,
             )
-        for bid in [b for b in done_ids if b <= prev]:
+        for _bid, mname in [
+            e for e in marker_entries if e[0] <= prev
+        ]:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
-                    f"{pairs_sink}/done_{bid}"
+                    f"{pairs_sink}/{mname}"
                 ),
                 True,
             )
@@ -1298,10 +1339,12 @@ def compact_ingest_pairs(
             ),
             True,
         )
-    for bid in [b for b in done_ids if b <= new_id]:
+    for _bid, mname in [
+        e for e in marker_entries if e[0] <= new_id
+    ]:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
-                f"{pairs_sink}/done_{bid}"
+                f"{pairs_sink}/{mname}"
             ),
             True,
         )

@@ -2201,6 +2201,23 @@ def test_bm25_ingest_replay_and_crash_guard(spark, tmp_path):
     ingest(batch1, 1)
     stats1 = spark.read.parquet(f"{index_path}/stats").first()
     assert stats1["n_docs"] == stats0["n_docs"] + 1
+    # compaction sweeps the member's started_ markers together with
+    # done_ — the sink keeps no per-trigger debris below the baseline
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        compact_ingest_pairs,
+    )
+
+    assert compact_ingest_pairs(spark, pairs_sink) == [0, 1]
+    names = set(os.listdir(pairs_sink))
+    assert not any(
+        n.startswith(("done_", "started_", "pairs_")) for n in names
+    ), names
+    assert "baseline_1" in names
+    # and the artifact union is unchanged through the fold
+    assert sorted(
+        (r.doc, r.dl)
+        for r in read_index_ingest_pairs(spark, pairs_sink).collect()
+    ) == art + [(21, 7)]
 
 
 def test_ingest_survives_mid_stream_compaction(spark, tmp_path):
