@@ -1038,6 +1038,42 @@ def foreach_batch_winnow_ingest(
     )
 
 
+def _index_member_guard(
+    spark, pairs_sink: str, batch_id: int, batch_df, id_col: str,
+    existing_ids,
+):
+    """The started-marker replay guard shared by the index-mutating
+    members of foreach_batch_incremental_ingest (BM25, positional,
+    IVF, PQ) — the families whose double-append corrupts QUERY
+    RESULTS (doubled stats, duplicated postings/assignments/codes in
+    ranked output) rather than costing bytes, so the pairs-level
+    dropDuplicates cannot protect them.  A `started_{batch_id}`
+    marker lands in the sink BEFORE the member's first index write:
+    a fresh delivery (no marker) appends directly and pays one
+    mkdirs; a replay-SUSPECT delivery (marker present but the done
+    marker was lost — the previous attempt crashed somewhere between
+    starting the append and committing the batch) anti-joins the
+    batch against `existing_ids()` — a thunk returning a one-column
+    (id_col) DataFrame of ids already in the index, only evaluated
+    on this path, so the O(index) membership scan is
+    crash-recovery-only and the steady-state per-trigger wall stays
+    bounded by the batch.  Returns (rows_safe_to_append, suspect).
+    started markers are swept by compact_ingest_pairs together with
+    done markers below the baseline low-water mark."""
+    jvm = spark._jvm
+    started = jvm.org.apache.hadoop.fs.Path(
+        f"{pairs_sink}/started_{batch_id}"
+    )
+    fs = started.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(started):
+        return (
+            batch_df.join(existing_ids(), id_col, "left_anti"),
+            True,
+        )
+    fs.mkdirs(started)
+    return batch_df, False
+
+
 def foreach_batch_bm25_ingest(
     index_path: str,
     pairs_sink: str,
@@ -1090,23 +1126,14 @@ def foreach_batch_bm25_ingest(
             build_postings,
         )
 
-        jvm = spark._jvm
-        started = jvm.org.apache.hadoop.fs.Path(
-            f"{pairs_sink}/started_{batch_id}"
-        )
-        fs = started.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(started):
-            # replay-suspect: the previous attempt may have appended
-            # part or all of this batch — drop docs already in the
-            # persisted doc_len (ids unique across the stream, so a
-            # fresh delivery would lose nothing either)
-            existing = spark.read.parquet(f"{path}/doc_len").select(
+        # membership source = the persisted doc_len (one row per
+        # doc): docs the crashed attempt already appended drop out
+        fresh, _suspect = _index_member_guard(
+            spark, pairs_sink, batch_id, batch_df, id_col,
+            lambda: spark.read.parquet(f"{path}/doc_len").select(
                 F.col("doc").alias(id_col)
-            )
-            fresh = batch_df.join(existing, id_col, "left_anti")
-        else:
-            fs.mkdirs(started)
-            fresh = batch_df
+            ),
+        )
         append_bm25_index(spark, fresh, path, text_col, id_col)
         return (
             build_postings(batch_df, text_col, id_col)
@@ -1116,6 +1143,143 @@ def foreach_batch_bm25_ingest(
 
     return foreach_batch_incremental_ingest(
         index_path, pairs_sink, _fn, pair_cols=("doc",)
+    )
+
+
+def foreach_batch_positional_ingest(
+    index_path: str,
+    pairs_sink: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The POSITIONAL (phrase) member of
+    foreach_batch_incremental_ingest: each micro-batch appends its
+    positional postings into the persisted phrase index in the
+    index's own term-hash bucket layout
+    (operators/retrieval.append_positional_index — bucket count from
+    the persisted meta, so a stream can never scatter postings into
+    the wrong directories), and commits the batch's per-doc token
+    counts as the durable artifact.  The index carries no global
+    statistics, so append ≡ rebuild content-identically — but a
+    DOUBLE-append duplicates (doc, pos, term) rows and phrase_search
+    counts matches, so every occurrence in a duplicated doc would
+    count twice: the member uses the shared started-marker guard
+    (_index_member_guard; membership source = distinct docs in the
+    postings, read only on the crash-recovery path).  Replay no-op
+    and crash sim pinned in tests/test_streaming.py."""
+
+    def _fn(spark, batch_df, path, batch_id):
+        from ..functions.text_funcs import tokens
+        from ..operators.retrieval import append_positional_index
+
+        fresh, _suspect = _index_member_guard(
+            spark, pairs_sink, batch_id, batch_df, id_col,
+            lambda: spark.read.parquet(f"{path}/postings")
+            .select(F.col("doc").alias(id_col))
+            .distinct(),
+        )
+        append_positional_index(spark, fresh, path, text_col, id_col)
+        return batch_df.select(
+            F.col(id_col).alias("doc"),
+            F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        )
+
+    return foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn, pair_cols=("doc",)
+    )
+
+
+def foreach_batch_ivf_ingest(
+    index_path: str,
+    pairs_sink: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """The IVF member of foreach_batch_incremental_ingest: each
+    micro-batch of new vectors is assigned to the FROZEN persisted
+    centroids and appended into the cid-partitioned inverted list —
+    append_ivf_index's semantics (operators/similarity.py:217)
+    inlined so the batch is assigned ONCE for both the index append
+    and the committed artifact, which is the batch's (vec_id, cid)
+    assignment table (deterministic given the frozen centroid grid,
+    hence replay-stable).  A double-appended vector would occupy two
+    ranks in every matching top-k, so the member uses the shared
+    started-marker guard (membership source = the assignment table's
+    vec_ids, read only on the crash-recovery path).  Replay no-op
+    and crash sim pinned in tests/test_streaming.py."""
+
+    def _fn(spark, batch_df, path, batch_id):
+        from ..operators.similarity import _assign
+
+        fresh, suspect = _index_member_guard(
+            spark, pairs_sink, batch_id, batch_df, id_col,
+            lambda: spark.read.parquet(f"{path}/assignment").select(
+                F.col("vec_id").alias(id_col)
+            ),
+        )
+        cents = spark.read.parquet(f"{path}/centroids")
+        # one batch-sized assignment pass feeds both consumers (the
+        # append and the artifact); eager so neither recomputes it
+        assigned = _assign(
+            batch_df, cents, vec_col, id_col, 1
+        ).localCheckpoint(eager=True)
+        to_append = (
+            assigned.join(
+                fresh.select(F.col(id_col).alias("vec_id")), "vec_id"
+            )
+            if suspect
+            else assigned
+        )
+        (
+            to_append.select("vec_id", F.col("__v").alias("v"), "cid")
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(f"{path}/assignment")
+        )
+        return assigned.select("vec_id", "cid")
+
+    return foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn, pair_cols=("vec_id",)
+    )
+
+
+def foreach_batch_pq_ingest(
+    index_path: str,
+    pairs_sink: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """The PQ member of foreach_batch_incremental_ingest: each
+    micro-batch is encoded against the FROZEN persisted codebooks on
+    the index's own quantization grid and its codes appended in the
+    same subspace partitioning (operators/pq.append_pq_index); the
+    committed artifact is the batch's (vec_id, dim) table —
+    batch-derived, hence replay-stable without re-encoding.  A
+    double-appended vector's duplicate codes would occupy two ranks
+    in every matching ADC top-k, so the member uses the shared
+    started-marker guard; the membership source reads ONE subspace
+    partition of the codes table (every vector has a row per
+    subspace, and `sub = 0` compiles to a partition filter on the
+    sub-partitioned layout), and only on the crash-recovery path.
+    Replay no-op and crash sim pinned in tests/test_streaming.py."""
+
+    def _fn(spark, batch_df, path, batch_id):
+        from ..operators.pq import append_pq_index
+
+        fresh, _suspect = _index_member_guard(
+            spark, pairs_sink, batch_id, batch_df, id_col,
+            lambda: spark.read.parquet(f"{path}/codes")
+            .filter(F.col("sub") == 0)
+            .select(F.col("vec_id").alias(id_col)),
+        )
+        append_pq_index(spark, fresh, path, vec_col, id_col)
+        return batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            F.size(F.col(vec_col)).alias("dim"),
+        )
+
+    return foreach_batch_incremental_ingest(
+        index_path, pairs_sink, _fn, pair_cols=("vec_id",)
     )
 
 

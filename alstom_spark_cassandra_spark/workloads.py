@@ -5338,6 +5338,247 @@ ORDER BY sh.a, sh.b
 """
 
 
+def _drain_file_stream(spark, src_dir, schema, sink_fn, base_dir, name):
+    """Shared stream-drive harness for the ingest-family gate rows:
+    read the mtime-pinned files one per trigger, run the member's
+    foreachBatch sink, availableNow until drained."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"{name} did not drain in 300s")
+
+
+def _stage_stream_batches(frames, src_dir, base_dir):
+    """Write each DataFrame in `frames` as one mtime-pinned
+    single-file parquet so maxFilesPerTrigger=1 consumes them in
+    list order — the shared staging step of every stream_*_ingest
+    gate row."""
+    import glob
+    import os
+    import shutil
+
+    for k, b in enumerate(frames):
+        stage = f"{base_dir}/stage{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+
+
+def q_stream_positional_ingest(spark, sf_dir):
+    """The POSITIONAL (phrase) family through the streaming ingest
+    core (streaming/live_state.foreach_batch_positional_ingest):
+    the bucketed phrase index is built over two thirds of the corpus
+    (doc_id % 3 != 0), the remaining third arrives as three
+    mtime-pinned micro-batches (doc_id % 9 = 0, 3, 6), each
+    appending its positional postings in the index's own term-hash
+    bucket layout; after the drain the same "table hash" phrase as
+    phrase_persisted is searched against the STREAMED disk index and
+    must match the full-corpus oracle verbatim (SQL_PHRASE_SEARCH) —
+    a lost, mis-bucketed, or double-appended posting changes match
+    counts.  Replay guard (started marker + crash-recovery-only
+    membership anti-join) pinned in tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.retrieval import (
+        build_positional_index,
+        phrase_search,
+        read_positional_index,
+        write_positional_index,
+    )
+    from .streaming.live_state import foreach_batch_positional_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_pos{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    src_dir = f"{base_dir}/src"
+    os.makedirs(pairs_sink)
+    os.makedirs(src_dir)
+    write_positional_index(
+        build_positional_index(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            "text",
+            "doc_id",
+            n_buckets=16,
+        ),
+        index_path,
+    )
+    _stage_stream_batches(
+        [
+            docs.filter(F.col("doc_id") % 9 == 3 * k).select(
+                "doc_id", "text"
+            )
+            for k in range(3)
+        ],
+        src_dir,
+        base_dir,
+    )
+    _drain_file_stream(
+        spark,
+        src_dir,
+        "doc_id long, text string",
+        foreach_batch_positional_ingest(index_path, pairs_sink),
+        base_dir,
+        "stream_positional_ingest",
+    )
+    idx = read_positional_index(spark, index_path)
+    return (
+        phrase_search(idx, "table hash")
+        .select(F.col("doc").alias("doc_id"), "n_matches")
+        .orderBy("doc_id")
+    )
+
+
+def q_stream_ivf_ingest(spark, sf_dir):
+    """The IVF family through the streaming ingest core
+    (streaming/live_state.foreach_batch_ivf_ingest): the index is
+    built over two thirds of the vectors (vec_id % 3 != 0,
+    16 centroids), the remaining third arrives as three mtime-pinned
+    micro-batches (vec_id % 9 = 0, 3, 6), each assigned to the
+    FROZEN centroids and appended into the cid-partitioned inverted
+    list, committing its (vec_id, cid) assignment as the batch
+    artifact.  Driven at FULL probe after the drain, where the
+    search is bit-exact vs brute force over the WHOLE corpus
+    regardless of assignment, so the oracle is the same exact-cosine
+    SQL as ann_cosine_topk — a vector lost, duplicated, or
+    mis-written by the stream breaks the top-10.  Replay guard
+    pinned in tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, search_ivf_index
+    from .streaming.live_state import foreach_batch_ivf_ingest
+
+    emb = _t(spark, sf_dir, "embeddings")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_ivf{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    src_dir = f"{base_dir}/src"
+    os.makedirs(pairs_sink)
+    os.makedirs(src_dir)
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 3 != 0), index_path, n_centroids=16
+    )
+    _stage_stream_batches(
+        [
+            emb.filter(F.col("vec_id") % 9 == 3 * k).select(
+                "vec_id", "embedding"
+            )
+            for k in range(3)
+        ],
+        src_dir,
+        base_dir,
+    )
+    _drain_file_stream(
+        spark,
+        src_dir,
+        "vec_id long, embedding array<float>",
+        foreach_batch_ivf_ingest(index_path, pairs_sink),
+        base_dir,
+        "stream_ivf_ingest",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = search_ivf_index(spark, index_path, queries, k=10, nprobe=16)
+    return out.select(
+        "query_id",
+        "vec_id",
+        half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
+def q_stream_pq_ingest(spark, sf_dir):
+    """The PQ family through the streaming ingest core
+    (streaming/live_state.foreach_batch_pq_ingest): books are
+    trained over two thirds of the vectors (vec_id % 3 != 0), the
+    index persisted, and the remaining third arrives as three
+    mtime-pinned micro-batches (vec_id % 9 = 0, 3, 6), each encoded
+    against the FROZEN persisted books on the index's own meta grid
+    and appended in the same subspace partitioning.  The searched
+    index after the drain is content-identical to encoding the union
+    against the same books, so the oracle is q_pq_index_append's
+    verbatim (SQL_PQ_INDEX_APPEND — unrolled Lloyd restricted to the
+    training subset, final encode over everything).  With this row
+    every persisted index family in the engine has BOTH a graded
+    batch append and a graded streaming-ingest member.  Replay guard
+    pinned in tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.pq import (
+        pq_build,
+        pq_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+    from .streaming.live_state import foreach_batch_pq_ingest
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    base_dir = f"{tempfile.gettempdir()}/stream_pq{slug}"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    index_path = f"{base_dir}/index"
+    pairs_sink = f"{base_dir}/pairs"
+    src_dir = f"{base_dir}/src"
+    os.makedirs(pairs_sink)
+    os.makedirs(src_dir)
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    codes, books = pq_build(
+        emb.filter(F.col("vec_id") % 3 != 0), init, m_sub=4, n_iters=2
+    )
+    write_pq_index(codes, books, index_path)
+    _stage_stream_batches(
+        [
+            emb.filter(F.col("vec_id") % 9 == 3 * k).select(
+                "vec_id", "embedding"
+            )
+            for k in range(3)
+        ],
+        src_dir,
+        base_dir,
+    )
+    _drain_file_stream(
+        spark,
+        src_dir,
+        "vec_id long, embedding array<float>",
+        foreach_batch_pq_ingest(index_path, pairs_sink),
+        base_dir,
+        "stream_pq_ingest",
+    )
+    rc, rb = read_pq_index(spark, index_path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_topk(rc, rb, queries, k=10).orderBy("query_id", "rank")
+
+
 def q_hybrid_persisted(spark, sf_dir):
     """hybrid_rrf over PERSISTED indexes — the production serving
     path: the lexical arm reads the disk BM25 index
@@ -12517,12 +12758,15 @@ ORDER BY doc_id
 # a ~200-row registry refreshes every row within ceil(200/50) = 4
 # rounds.
 #
-# Round-16 plan (stated now): HEAD = the round-15 post-window
-# additions (queued at the TAIL below, in tail order), then the
-# stalest r12-green rows (CORRECTNESS_r12 grading order, starting
-# at incremental_semantic_dedup) to fill the 50-row window; any
-# r12 rows that don't fit roll to r17's head together with the
-# r13-green rows.
+# Round-16 plan (stated now): HEAD = the 5 round-15 post-window
+# additions (stream_bm25_ingest, stream_winnow_ingest,
+# stream_positional_ingest, stream_ivf_ingest, stream_pq_ingest —
+# queued at the TAIL below in that order), then the 45 stalest
+# r12-green rows (CORRECTNESS_r12 grading order, starting at
+# incremental_semantic_dedup) to fill the 50-row window; the 4
+# remaining r12 rows (repetition_stats, repeated_spans,
+# global_row_index, global_ntile — the last four in r12 grading
+# order) roll to r17's head together with the r13-green rows.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-15 WINDOW HEAD: the 2 round-14 post-window additions, ---
     # --- never driver-graded (locally exact-gated at all three ---
@@ -12747,6 +12991,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (the winnow family as a stream — previously pytest-pinned but
     # never oracle-graded through the sink)
     "stream_winnow_ingest": q_stream_winnow_ingest,
+    # (the remaining three serving families, closing the online-mode
+    # axis: every persisted index family now has BOTH a graded batch
+    # append and a graded streaming-ingest member)
+    "stream_positional_ingest": q_stream_positional_ingest,
+    "stream_ivf_ingest": q_stream_ivf_ingest,
+    "stream_pq_ingest": q_stream_pq_ingest,
 }
 
 
@@ -12883,6 +13133,11 @@ ORACLE_SQL: dict[str, str] = {
     # now driven by Structured Streaming
     "stream_bm25_ingest": SQL_BM25_RETRIEVAL,
     "stream_winnow_ingest": SQL_STREAM_WINNOW_INGEST,
+    # the streamed phrase/IVF/PQ indexes serve bit-for-bit like
+    # their batch-append twins — same oracles, verbatim
+    "stream_positional_ingest": SQL_PHRASE_SEARCH,
+    "stream_ivf_ingest": SQL_ANN_COSINE_TOPK,
+    "stream_pq_ingest": SQL_PQ_INDEX_APPEND,
     # two disk indexes fused must equal the inline hybrid exactly
     "hybrid_persisted": SQL_HYBRID_RRF,
     # the banded-dir compaction under the UNCHANGED chained oracle

@@ -2220,6 +2220,158 @@ def test_bm25_ingest_replay_and_crash_guard(spark, tmp_path):
     ) == art + [(21, 7)]
 
 
+def test_positional_ingest_replay_and_crash_guard(spark, tmp_path):
+    """The positional member: double-appended postings would double
+    phrase match counts, so the started-marker guard must make the
+    crash replay (done marker lost after a committed append) a no-op
+    on the postings — and the drained index must phrase-search
+    identically to a one-shot build over the union."""
+    import os
+
+    from alstom_spark_cassandra_spark.operators.retrieval import (
+        build_positional_index,
+        phrase_search,
+        read_positional_index,
+        write_positional_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_positional_ingest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table hash join beats the sort merge join"),
+            (2, "no phrase here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    index_path = str(tmp_path / "idx")
+    pairs_sink = str(tmp_path / "pairs")
+    os.makedirs(pairs_sink)
+    write_positional_index(
+        build_positional_index(docs, "text", "doc_id", n_buckets=4),
+        index_path,
+    )
+    ingest = foreach_batch_positional_ingest(index_path, pairs_sink)
+    batch = spark.createDataFrame(
+        [(11, "another table hash probe and table hash build")],
+        "doc_id long, text string",
+    )
+    ingest(batch, 0)
+
+    def matches():
+        return sorted(
+            (r.doc, r.n_matches)
+            for r in phrase_search(
+                read_positional_index(spark, index_path), "table hash"
+            ).collect()
+        )
+
+    want = [(1, 1), (11, 2)]
+    assert matches() == want
+    n_post = spark.read.parquet(f"{index_path}/postings").count()
+    # crash replay: marker lost after the append committed — without
+    # the guard, doc 11's postings double and its count reads 4
+    os.rmdir(f"{pairs_sink}/done_0")
+    ingest(batch, 0)
+    assert (
+        spark.read.parquet(f"{index_path}/postings").count() == n_post
+    )
+    assert matches() == want
+    # a later batch appends normally
+    ingest(
+        spark.createDataFrame(
+            [(21, "table hash once more")], "doc_id long, text string"
+        ),
+        1,
+    )
+    assert matches() == want + [(21, 1)]
+
+
+def test_ivf_pq_ingest_replay_and_crash_guard(spark, tmp_path):
+    """The IVF and PQ members: a double-appended vector occupies two
+    ranks in every matching top-k, so the started-marker guard must
+    make the crash replay a no-op on the assignment/codes tables —
+    and the committed per-batch artifact must be replay-stable."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from alstom_spark_cassandra_spark.operators.pq import (
+        pq_build,
+        write_pq_index,
+    )
+    from alstom_spark_cassandra_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from alstom_spark_cassandra_spark.streaming.live_state import (
+        foreach_batch_ivf_ingest,
+        foreach_batch_pq_ingest,
+        read_index_ingest_pairs,
+    )
+
+    rng = random.Random(11)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, [rng.gauss(0, 1) for _ in range(8)]),
+            (101, [rng.gauss(0, 1) for _ in range(8)]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    # --- IVF ---
+    ivf_path = str(tmp_path / "ivf")
+    ivf_sink = str(tmp_path / "ivf_pairs")
+    os.makedirs(ivf_sink)
+    build_ivf_index(base, ivf_path, n_centroids=4)
+    ingest = foreach_batch_ivf_ingest(ivf_path, ivf_sink)
+    ingest(batch, 0)
+    n_assign = spark.read.parquet(f"{ivf_path}/assignment").count()
+    assert n_assign == 14
+    art = sorted(
+        (r.vec_id, r.cid)
+        for r in read_index_ingest_pairs(spark, ivf_sink).collect()
+    )
+    assert [v for v, _ in art] == [100, 101]
+    os.rmdir(f"{ivf_sink}/done_0")
+    ingest(batch, 0)
+    assert (
+        spark.read.parquet(f"{ivf_path}/assignment").count()
+        == n_assign
+    )
+    assert sorted(
+        (r.vec_id, r.cid)
+        for r in read_index_ingest_pairs(spark, ivf_sink).collect()
+    ) == art  # artifact replay-stable (frozen-centroid assignment)
+
+    # --- PQ ---
+    pq_path = str(tmp_path / "pq")
+    pq_sink = str(tmp_path / "pq_pairs")
+    os.makedirs(pq_sink)
+    init = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cv"),
+    )
+    codes, books = pq_build(base, init, m_sub=4, n_iters=1)
+    write_pq_index(codes, books, pq_path)
+    pingest = foreach_batch_pq_ingest(pq_path, pq_sink)
+    pingest(batch, 0)
+    n_codes = spark.read.parquet(f"{pq_path}/codes").count()
+    assert n_codes == 14 * 4  # one code row per (vector, subspace)
+    os.rmdir(f"{pq_sink}/done_0")
+    pingest(batch, 0)
+    assert spark.read.parquet(f"{pq_path}/codes").count() == n_codes
+    assert sorted(
+        (r.vec_id, r.dim)
+        for r in read_index_ingest_pairs(spark, pq_sink).collect()
+    ) == [(100, 8), (101, 8)]
+
+
 def test_ingest_survives_mid_stream_compaction(spark, tmp_path):
     """Maintenance interleaved with the streaming ingest loop: after
     batch 0 commits, compact_partitioned_parquet folds the band
