@@ -45,9 +45,14 @@ from alstom_spark_cassandra_spark.operators.dedup import (
     build_minhash_index,
     build_simhash_index,
 )
+from alstom_spark_cassandra_spark.operators.retrieval import (
+    build_bm25_index,
+    write_bm25_index,
+)
 from alstom_spark_cassandra_spark.session import get_spark
 from alstom_spark_cassandra_spark.sources.loader import load_table
 from alstom_spark_cassandra_spark.streaming.live_state import (
+    foreach_batch_bm25_ingest,
     foreach_batch_index_ingest,
     foreach_batch_simhash_ingest,
     read_index_ingest_pairs,
@@ -92,7 +97,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "family", nargs="?", default="minhash",
-        choices=["minhash", "simhash"],
+        choices=["minhash", "simhash", "bm25"],
     )
     ap.add_argument("n_batches", nargs="?", type=int, default=8)
     ap.add_argument(
@@ -120,6 +125,17 @@ def main() -> None:
         sink = foreach_batch_index_ingest(
             index_path, pairs_sink, threshold=1.0
         )
+    elif family == "bm25":
+        # the index-output member: per-trigger work = the batch's
+        # append (postings in matched buckets + doc_len + stats
+        # merge) + one started-marker mkdirs — the flat claim here
+        # is that trigger wall never grows with the postings already
+        # ingested
+        write_bm25_index(
+            build_bm25_index(docs, "text", "doc_id", n_buckets=16),
+            index_path,
+        )
+        sink = foreach_batch_bm25_ingest(index_path, pairs_sink)
     else:
         build_simhash_index(docs, index_path, "text", "doc_id")
         sink = foreach_batch_simhash_ingest(index_path, pairs_sink)
