@@ -355,9 +355,15 @@ def write_pq_index(
 
 def read_pq_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """(codes, codebooks) — feed directly to pq_topk /
-    pq_rerank_topk."""
+    pq_rerank_topk.  Tombstoned vectors
+    (operators/deletes.delete_from_pq_index) are anti-joined out of
+    the codes, so ADC search ranks survivors only."""
+    from .deletes import apply_tombstones
+
     return (
-        spark.read.parquet(f"{path}/codes"),
+        apply_tombstones(
+            spark, path, spark.read.parquet(f"{path}/codes"), "vec_id"
+        ),
         spark.read.parquet(f"{path}/codebooks"),
     )
 

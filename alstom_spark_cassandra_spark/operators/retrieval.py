@@ -112,9 +112,22 @@ def write_bm25_index(index: Bm25Index, path: str) -> None:
 
 
 def read_bm25_index(spark, path: str) -> Bm25Index:
+    """Open a persisted BM25 index for serving.  Logical deletes
+    (operators/deletes.delete_from_bm25_index) apply here: postings
+    and doc_len rows of tombstoned docs are anti-joined away (build
+    side bounded by deletions since the last purge; absent entirely
+    when no delete ever happened), and the stats were retracted
+    algebraically at delete time — so scoring is bit-identical to an
+    index rebuilt over the survivors."""
+    from .deletes import apply_tombstones
+
     return Bm25Index(
-        spark.read.parquet(f"{path}/postings"),
-        spark.read.parquet(f"{path}/doc_len"),
+        apply_tombstones(
+            spark, path, spark.read.parquet(f"{path}/postings"), "doc"
+        ),
+        apply_tombstones(
+            spark, path, spark.read.parquet(f"{path}/doc_len"), "doc"
+        ),
         spark.read.parquet(f"{path}/stats"),
     )
 
@@ -308,8 +321,18 @@ def append_positional_index(
 
 
 def read_positional_index(spark, path: str) -> PositionalIndex:
+    """Open a persisted phrase index for serving; tombstoned docs
+    (operators/deletes.delete_from_positional_index) are anti-joined
+    away so phrase_search never matches them."""
+    from .deletes import apply_tombstones
+
     nb = int(spark.read.parquet(f"{path}/meta").first()["n_buckets"] or 0)
-    return PositionalIndex(spark.read.parquet(f"{path}/postings"), nb)
+    return PositionalIndex(
+        apply_tombstones(
+            spark, path, spark.read.parquet(f"{path}/postings"), "doc"
+        ),
+        nb,
+    )
 
 
 def phrase_search(

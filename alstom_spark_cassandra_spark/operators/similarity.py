@@ -255,9 +255,16 @@ def search_ivf_index(
 ) -> DataFrame:
     """Top-k search against a persisted IVF index. The filter on `cid`
     prunes assignment partitions, so only nprobe/C of the corpus files
-    are read per query batch."""
+    are read per query batch.  Tombstoned vectors
+    (operators/deletes.delete_from_ivf_index) are anti-joined away,
+    so the ranked output covers survivors only — at full probe that
+    is bit-exact brute force over the surviving corpus."""
+    from .deletes import apply_tombstones
+
     cents = spark.read.parquet(f"{path}/centroids")
-    assignment = spark.read.parquet(f"{path}/assignment")
+    assignment = apply_tombstones(
+        spark, path, spark.read.parquet(f"{path}/assignment"), "vec_id"
+    )
     return _probe_and_rank(
         assignment, cents, queries, k, nprobe, query_id, query_vec, "v"
     )

@@ -4815,6 +4815,174 @@ def q_bm25_index_compacted(spark, sf_dir):
 
 
 
+def q_bm25_delete(spark, sf_dir):
+    """The DELETE side of the index lifecycle, graded at its
+    strongest contract (operators/deletes.delete_from_bm25_index):
+    the BM25 index is built over the FULL corpus, every doc_id % 5
+    == 0 is then deleted — tombstones land beside the index, and the
+    deleted docs' n_docs/total_len are retracted ALGEBRAICALLY from
+    the global stats (the mirror of append_bm25_index's exact
+    merge).  Serving through read_bm25_index (postings and doc_len
+    anti-joined against the tombstones; per-term doc_freq computed
+    from the filtered postings at query time) must then score
+    bit-for-bit like an index REBUILT over the survivors — the
+    oracle recomputes BM25 from scratch over documents WHERE
+    doc_id % 5 != 0.  A stale n_docs, an unretracted doc length, or
+    one surviving posting of a deleted doc shifts every score.
+    Takedown/right-to-be-forgotten is a first-class lifecycle step
+    for a 100 TB serving index — a rebuild per removal is not a
+    plan.  Idempotence, purge mechanics and crash story pinned in
+    tests/test_deletes.py."""
+    import tempfile
+
+    from .operators.deletes import delete_from_bm25_index
+    from .operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/bm25_delete{slug}"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=16), path
+    )
+    delete_from_bm25_index(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), path
+    )
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    out = bm25_topk(
+        docs, queries, k=10, index=read_bm25_index(spark, path)
+    )
+    return out.orderBy("query_id", "rank")
+
+
+def q_bm25_delete_purged(spark, sf_dir):
+    """bm25_delete + the PHYSICAL purge (operators/deletes.
+    purge_bm25_deletes): the tombstoned rows are rewritten out of
+    postings (staged sibling per term-hash bucket) and doc_len, the
+    tombstones directory dropped — and the same query batch must
+    STILL score bit-for-bit against the rebuilt-over-survivors
+    oracle.  This grades that the purge is content-exact (the
+    logical filter and the physical rewrite agree row-for-row) the
+    way bm25_index_compacted graded the compaction rewrite."""
+    import shutil
+    import tempfile
+
+    from .operators.deletes import (
+        delete_from_bm25_index,
+        purge_bm25_deletes,
+    )
+    from .operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        read_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/bm25_delpurge{slug}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_bm25_index(
+        build_bm25_index(docs, "text", "doc_id", n_buckets=16), path
+    )
+    delete_from_bm25_index(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), path
+    )
+    purge_bm25_deletes(spark, path)
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    out = bm25_topk(
+        docs, queries, k=10, index=read_bm25_index(spark, path)
+    )
+    return out.orderBy("query_id", "rank")
+
+
+def q_phrase_delete(spark, sf_dir):
+    """Delete applied to the PHRASE family (operators/deletes.
+    delete_from_positional_index): full positional build, doc_id % 5
+    == 0 tombstoned, and the same "table hash" phrase as
+    phrase_persisted searched through read_positional_index — the
+    tombstoned docs must vanish from the match set immediately (no
+    stats to retract; the index's only delete obligation is the
+    serve-path filter).  Oracle = phrase matching recomputed over
+    the surviving corpus."""
+    import shutil
+    import tempfile
+
+    from .operators.deletes import delete_from_positional_index
+    from .operators.retrieval import (
+        build_positional_index,
+        phrase_search,
+        read_positional_index,
+        write_positional_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/phrase_delete{slug}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_positional_index(
+        build_positional_index(docs, "text", "doc_id", n_buckets=16),
+        path,
+    )
+    delete_from_positional_index(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), path
+    )
+    idx = read_positional_index(spark, path)
+    return (
+        phrase_search(idx, "table hash")
+        .select(F.col("doc").alias("doc_id"), "n_matches")
+        .orderBy("doc_id")
+    )
+
+
+def q_ivf_delete(spark, sf_dir):
+    """Delete applied to the IVF family (operators/deletes.
+    delete_from_ivf_index): full build, vec_id % 5 == 0 tombstoned,
+    then searched at FULL probe — where the survivors-only output is
+    bit-exact brute-force cosine over the surviving corpus, so the
+    oracle recomputes exactly that.  A deleted vector surviving in
+    any inverted list, or a survivor lost with it, breaks the
+    top-10."""
+    import shutil
+    import tempfile
+
+    from .operators.deletes import delete_from_ivf_index
+    from .operators.similarity import build_ivf_index, search_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/ivf_delete{slug}"
+    shutil.rmtree(path, ignore_errors=True)
+    build_ivf_index(emb, path, n_centroids=16)
+    delete_from_ivf_index(
+        spark, emb.filter(F.col("vec_id") % 5 == 0), path
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = search_ivf_index(spark, path, queries, k=10, nprobe=16)
+    return out.select(
+        "query_id",
+        "vec_id",
+        half_up(F.col("cosine"), 6).alias("cosine"),
+        "rank",
+    )
+
+
 def q_stream_index_ingest(spark, sf_dir):
     """The index-append family driven by STRUCTURED STREAMING
     (streaming/live_state.foreach_batch_index_ingest): the MinHash
@@ -12737,6 +12905,34 @@ ORDER BY doc_id
 )
 
 
+# delete-family oracles: the batch oracles with the survivors-only
+# filter — derived by literal substitution so the scoring CTEs can
+# never drift from the graded batch contracts (the asserts fail the
+# import if the anchor text ever changes shape)
+SQL_BM25_DELETE = SQL_BM25_RETRIEVAL.replace(
+    """    FROM documents WHERE trim(text) <> ''
+  )
+  GROUP BY doc, term""",
+    """    FROM documents WHERE trim(text) <> '' AND doc_id % 5 != 0
+  )
+  GROUP BY doc, term""",
+)
+assert SQL_BM25_DELETE != SQL_BM25_RETRIEVAL
+
+SQL_PHRASE_DELETE = SQL_PHRASE_SEARCH.replace(
+    "FROM documents WHERE trim(text) <> ''",
+    "FROM documents WHERE trim(text) <> '' AND doc_id % 5 != 0",
+)
+assert SQL_PHRASE_DELETE != SQL_PHRASE_SEARCH
+
+SQL_ANN_DELETE = SQL_ANN_COSINE_TOPK.replace(
+    "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),",
+    "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv "
+    "FROM embeddings WHERE vec_id % 5 != 0),",
+)
+assert SQL_ANN_DELETE != SQL_ANN_COSINE_TOPK
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12758,15 +12954,18 @@ ORDER BY doc_id
 # a ~200-row registry refreshes every row within ceil(200/50) = 4
 # rounds.
 #
-# Round-16 plan (stated now): HEAD = the 5 round-15 post-window
+# Round-16 plan (stated now): HEAD = the 9 round-15 post-window
 # additions (stream_bm25_ingest, stream_winnow_ingest,
-# stream_positional_ingest, stream_ivf_ingest, stream_pq_ingest —
-# queued at the TAIL below in that order), then the 45 stalest
+# stream_positional_ingest, stream_ivf_ingest, stream_pq_ingest,
+# bm25_delete, bm25_delete_purged, phrase_delete, ivf_delete —
+# queued at the TAIL below in that order), then the 41 stalest
 # r12-green rows (CORRECTNESS_r12 grading order, starting at
-# incremental_semantic_dedup) to fill the 50-row window; the 4
-# remaining r12 rows (repetition_stats, repeated_spans,
-# global_row_index, global_ntile — the last four in r12 grading
-# order) roll to r17's head together with the r13-green rows.
+# incremental_semantic_dedup) to fill the 50-row window; the 8
+# remaining r12 rows (the last eight in r12 grading order:
+# fuzzy_pairs, agg_maintenance, triangle_counts,
+# stream_agg_maintenance, repetition_stats, repeated_spans,
+# global_row_index, global_ntile) roll to r17's head together with
+# the r13-green rows.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- ROUND-15 WINDOW HEAD: the 2 round-14 post-window additions, ---
     # --- never driver-graded (locally exact-gated at all three ---
@@ -12997,6 +13196,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_positional_ingest": q_stream_positional_ingest,
     "stream_ivf_ingest": q_stream_ivf_ingest,
     "stream_pq_ingest": q_stream_pq_ingest,
+    # (the DELETE side of the index lifecycle: tombstones + exact
+    # BM25 stats retraction + physical purge, graded against
+    # rebuilt-over-survivors oracles)
+    "bm25_delete": q_bm25_delete,
+    "bm25_delete_purged": q_bm25_delete_purged,
+    "phrase_delete": q_phrase_delete,
+    "ivf_delete": q_ivf_delete,
 }
 
 
@@ -13138,6 +13344,13 @@ ORACLE_SQL: dict[str, str] = {
     "stream_positional_ingest": SQL_PHRASE_SEARCH,
     "stream_ivf_ingest": SQL_ANN_COSINE_TOPK,
     "stream_pq_ingest": SQL_PQ_INDEX_APPEND,
+    # deletes score like an index rebuilt over the survivors; the
+    # purged variant must agree with the same oracle after the
+    # physical rewrite
+    "bm25_delete": SQL_BM25_DELETE,
+    "bm25_delete_purged": SQL_BM25_DELETE,
+    "phrase_delete": SQL_PHRASE_DELETE,
+    "ivf_delete": SQL_ANN_DELETE,
     # two disk indexes fused must equal the inline hybrid exactly
     "hybrid_persisted": SQL_HYBRID_RRF,
     # the banded-dir compaction under the UNCHANGED chained oracle
