@@ -232,6 +232,9 @@ BNLJ_SANCTIONED = {
     "bm25_persisted",      # same, persisted-index path
     "bm25_index_append",   # same scalar broadcast, appended index
     "bm25_index_compacted",  # same scalar broadcast, compacted index
+    "bm25_delete",           # same scalar broadcast, tombstone-filtered
+    "bm25_delete_purged",    # same scalar broadcast, purged index
+    "ivf_delete",            # broadcast query x centroids, survivors
     "hybrid_rrf",          # fuses the BM25 + dense paths above
     "hybrid_persisted",    # same fusion over the two disk indexes
     "snapshot_diff",       # broadcast 1-row epoch scalar
