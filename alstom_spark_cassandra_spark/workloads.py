@@ -4983,6 +4983,48 @@ def q_ivf_delete(spark, sf_dir):
     )
 
 
+def q_pq_delete(spark, sf_dir):
+    """Delete applied to the PQ family (operators/deletes.
+    delete_from_pq_index), completing the delete grading across all
+    four serving families: the same 4x8x2-Lloyd index as pq_topk is
+    persisted, vec_id % 5 == 0 tombstoned, and ADC search through
+    read_pq_index must rank among the SURVIVING codes only — the
+    oracle is the pq_topk unrolled-Lloyd chain with the codes
+    dropped from the ADC scoring join (serve_filter), books
+    unchanged.  A deleted code surviving in any subspace, or a
+    surviving code lost, shifts the approximate ranks."""
+    import shutil
+    import tempfile
+
+    from .operators.deletes import delete_from_pq_index
+    from .operators.pq import (
+        pq_build,
+        pq_topk,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    init = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    codes, books = pq_build(emb, init, m_sub=4, n_iters=2)
+    slug = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    path = f"{tempfile.gettempdir()}/pq_delete{slug}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_pq_index(codes, books, path)
+    delete_from_pq_index(
+        spark, emb.filter(F.col("vec_id") % 5 == 0), path
+    )
+    rc, rb = read_pq_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_topk(rc, rb, queries, k=10).orderBy("query_id", "rank")
+
+
 def q_stream_index_ingest(spark, sf_dir):
     """The index-append family driven by STRUCTURED STREAMING
     (streaming/live_state.foreach_batch_index_ingest): the MinHash
@@ -5963,6 +6005,7 @@ def _pq_oracle_sql(
     rerank_shortlist: int | None = None,
     recall_eval: bool = False,
     train_filter: str | None = None,
+    serve_filter: str | None = None,
 ) -> str:
     """PQ oracle: per subspace, the same unrolled-Lloyd CTE chain as
     the kmeans oracle (on list_slice'd subvectors), then the ADC
@@ -5974,7 +6017,13 @@ def _pq_oracle_sql(
     ITERATIONS to a training subset while the final encode still
     covers the whole corpus — exactly the build-then-append split
     (pq_build over the base, append_pq_index encoding the rest
-    against the frozen persisted books)."""
+    against the frozen persisted books).
+
+    `serve_filter` (a SQL predicate on `a.vec_id`) drops codes from
+    the ADC scoring join — the oracle twin of the tombstone
+    anti-join read_pq_index applies after delete_from_pq_index:
+    ranks are computed among the SURVIVING codes only, against the
+    unchanged books."""
     m = 10**scale
     d0 = dim // m_sub
 
@@ -6052,6 +6101,7 @@ def _pq_oracle_sql(
         adists.append(
             f"SELECT d.query_id, a.vec_id, d.d "
             f"FROM afs{s} a JOIN dtab{s} d ON a.cid = d.cid"
+            + (f" WHERE {serve_filter}" if serve_filter else "")
         )
     union = "\n    UNION ALL\n    ".join(adists)
     parts.append(f"""scored AS (
@@ -6188,6 +6238,9 @@ ORDER BY query_id, rank"""
 
 
 SQL_PQ_TOPK = _pq_oracle_sql()
+# the delete twin: identical training + books, codes dropped from
+# the ADC join — ranks among survivors only
+SQL_PQ_DELETE = _pq_oracle_sql(serve_filter="a.vec_id % 5 != 0")
 SQL_PQ_RERANK_TOPK = _pq_oracle_sql(rerank_shortlist=30)
 SQL_PQ_RECALL_EVAL = _pq_oracle_sql(rerank_shortlist=30, recall_eval=True)
 SQL_PQ_INDEX_APPEND = _pq_oracle_sql(train_filter="vec_id % 3 != 0")
@@ -12954,15 +13007,15 @@ assert SQL_ANN_DELETE != SQL_ANN_COSINE_TOPK
 # a ~200-row registry refreshes every row within ceil(200/50) = 4
 # rounds.
 #
-# Round-16 plan (stated now): HEAD = the 9 round-15 post-window
+# Round-16 plan (stated now): HEAD = the 10 round-15 post-window
 # additions (stream_bm25_ingest, stream_winnow_ingest,
 # stream_positional_ingest, stream_ivf_ingest, stream_pq_ingest,
-# bm25_delete, bm25_delete_purged, phrase_delete, ivf_delete —
-# queued at the TAIL below in that order), then the 41 stalest
-# r12-green rows (CORRECTNESS_r12 grading order, starting at
-# incremental_semantic_dedup) to fill the 50-row window; the 8
-# remaining r12 rows (the last eight in r12 grading order:
-# fuzzy_pairs, agg_maintenance, triangle_counts,
+# bm25_delete, bm25_delete_purged, phrase_delete, ivf_delete,
+# pq_delete — queued at the TAIL below in that order), then the 40
+# stalest r12-green rows (CORRECTNESS_r12 grading order, starting
+# at incremental_semantic_dedup) to fill the 50-row window; the 9
+# remaining r12 rows (the last nine in r12 grading order:
+# lm_perplexity, fuzzy_pairs, agg_maintenance, triangle_counts,
 # stream_agg_maintenance, repetition_stats, repeated_spans,
 # global_row_index, global_ntile) roll to r17's head together with
 # the r13-green rows.
@@ -13203,6 +13256,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_delete_purged": q_bm25_delete_purged,
     "phrase_delete": q_phrase_delete,
     "ivf_delete": q_ivf_delete,
+    "pq_delete": q_pq_delete,
 }
 
 
@@ -13351,6 +13405,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_delete_purged": SQL_BM25_DELETE,
     "phrase_delete": SQL_PHRASE_DELETE,
     "ivf_delete": SQL_ANN_DELETE,
+    "pq_delete": SQL_PQ_DELETE,
     # two disk indexes fused must equal the inline hybrid exactly
     "hybrid_persisted": SQL_HYBRID_RRF,
     # the banded-dir compaction under the UNCHANGED chained oracle
