@@ -921,15 +921,23 @@ def get_update_history(
     # (is-real, iteration) order to any real row, so one hash
     # aggregation resolves placeholders AND iteration ties where the
     # join shape costs two exchanges plus sorts.
+    # The start-of-window time point is a LITERAL one-row frame
+    # (range(1) → no exchange, no job), not arguments.limit(1): the
+    # limit shape cost a LocalLimit → Exchange SinglePartition →
+    # GlobalLimit stage per call (guide §2.4 — an exchange whose only
+    # job is to emit one constant row). Empty-arguments calls stay
+    # empty either way: placeholders cross-join against the empty
+    # argument set.
+    spark = instance_field.sparkSession
     ids = (
         raw_updates.select("instance_message_id")
         .distinct()
         .unionByName(
-            arguments.select(
+            spark.range(1).select(
                 F.lit(start_instance_message_id)
                 .cast("long")
                 .alias("instance_message_id")
-            ).limit(1)
+            )
         )
     )
     if max_dense_cells is not None:
@@ -992,15 +1000,29 @@ def get_update_history(
     # the fill's (and the reference matrix's) inherent bound, so the
     # subset partitioning costs nothing at scale that the LOCF did not
     # already cost.
+    # The max_by ordering is a SCALAR long, not a (is-real, iteration)
+    # struct: a struct-typed aggregation buffer is not hash-aggregatable
+    # and forced this — the widest aggregation in the plan (updates +
+    # one placeholder per grid cell) — into a SortAggregate pair with
+    # its pre-aggregation sort over ~2× the grid's rows. Encoding: a
+    # null-valued row (placeholder, or an update carrying NULL) gets a
+    # NULL ordering, which max_by skips entirely, so ANY real row beats
+    # every null-valued row (the old `real` flag); among real rows the
+    # iteration decides, with a NULL iteration coalesced to Long.MIN so
+    # it loses to every real iteration (the old null-first struct
+    # order). Cells with no real row aggregate to NULL and LOCF-fill
+    # below, exactly as before. Verified value-identical against the
+    # struct form and the DuckDB oracle; plan now HashAggregate +
+    # whole-stage codegen.
     dense = (
         dense_in.repartition(*SERIES_KEY)
         .groupBy(*SERIES_KEY, "instance_message_id")
         .agg(
             F.max_by(
                 "value",
-                F.struct(
-                    F.col("value").isNotNull().cast("int").alias("real"),
-                    F.col("__it").alias("it"),
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.coalesce(F.col("__it"), F.lit(-(1 << 63))),
                 ),
             ).alias("value")
         )
