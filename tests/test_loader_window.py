@@ -73,3 +73,47 @@ def test_half_open_bounds(spark, tmp_path, kind):
         for r in load_table_window(spark, base, "events", None, HI).collect()
     }
     assert hi_only == {0, 1, 2, 3, 4, 5}
+
+
+class TestLoadTableMemo:
+    """load_table memoizes the LAZY scan DataFrame per (session, base,
+    resolved-name) — plan metadata only, recomputed per action — with
+    refresh_tables() as the invalidation hatch (Spark's own
+    refreshTable contract)."""
+
+    def test_memo_hit_and_replay_keyed_separately(self, spark, tmp_path):
+        base = _write(tmp_path, "us")
+        d1 = load_table(spark, base, "events")
+        d2 = load_table(spark, base, "events")
+        assert d1 is d2  # same plan object: no re-list / re-infer
+
+        # replay resolves BEFORE the memo key: a replay load of a
+        # replay-switched table must never alias the non-replay entry
+        import shutil
+
+        rep = tmp_path / "enc_us" / "instance_field.parquet"
+        shutil.copy(
+            tmp_path / "enc_us" / "events.parquet",
+            tmp_path / "enc_us" / "instance_field_replay.parquet",
+        )
+        shutil.copy(tmp_path / "enc_us" / "events.parquet", rep)
+        plain = load_table(spark, base, "instance_field", replay=False)
+        replay = load_table(spark, base, "instance_field", replay=True)
+        assert plain is not replay
+
+    def test_refresh_tables_invalidates(self, spark, tmp_path):
+        base = _write(tmp_path, "us")
+        before = load_table(spark, base, "events")
+        n0 = before.count()
+
+        # refresh_tables() drops the memo — the next load re-lists
+        # files and re-infers schema (Spark's refreshTable contract
+        # for callers that mutate a table directory)
+        from alstom_spark_cassandra_spark.sources.loader import (
+            refresh_tables,
+        )
+
+        refresh_tables(spark)
+        after = load_table(spark, base, "events")
+        assert after is not before
+        assert after.count() == n0
