@@ -90,7 +90,7 @@ from .sampling import (
     mixture_sample,
     stratified_hash_sample,
 )
-from .setops import symmetric_diff_rows, unchanged_rows
+from .setops import latest_state_sym_diff, symmetric_diff_rows, unchanged_rows
 from .similarity import (
     append_ivf_index,
     build_ivf_index,
@@ -230,6 +230,7 @@ __all__ = [
     "jaccard_join_prefix",
     "latest_changes",
     "latest_per_key",
+    "latest_state_sym_diff",
     "locf",
     "locf_pivot",
     "mean_pool",

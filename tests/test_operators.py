@@ -97,6 +97,56 @@ def test_setops_same_diff(spark):
     assert diff == {(2, "y"), (2, "Y"), (3, "z"), (4, "w")}
 
 
+def test_latest_state_sym_diff_equals_two_window_form(spark):
+    """The fused one-pass snapshot diff (r15 optimization) must equal
+    the composed latest_per_key + symmetric_diff_rows formulation as a
+    multiset, including NULL values, NaN (equal to itself under both
+    the groupBy-count and the null-safe-compare semantics), keys
+    missing from the old snapshot, and keys whose value is unchanged."""
+    from alstom_spark_cassandra_spark.operators import latest_state_sym_diff
+
+    rows = [
+        # key (k1,a): old latest v=1.0 (id 2), new latest v=2.0 (id 9)
+        (1, "a", 1, 0.5), (1, "a", 2, 1.0), (1, "a", 9, 2.0),
+        # key (1,b): unchanged between snapshots (latest <= cut is latest)
+        (1, "b", 3, 7.0),
+        # key (2,a): only after the cut -> new-only row
+        (2, "a", 8, 4.0),
+        # key (2,b): old latest NULL value, new latest NULL value -> equal
+        (2, "b", 1, None), (2, "b", 7, None),
+        # key (3,a): old NULL value, new real value -> both rows emitted
+        (3, "a", 2, None), (3, "a", 6, 5.0),
+        # key (3,b): NaN in both snapshots -> NaN == NaN, no diff
+        (3, "b", 4, float("nan")), (3, "b", 6, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "k int, s string, clock long, v double")
+    cut = spark.createDataFrame([(5,)], "c long")  # old snapshot: clock <= 5
+
+    snap_a = latest_per_key(
+        df.filter(F.col("clock") <= 5), ["k", "s"], "clock"
+    ).select("k", "s", "v")
+    snap_b = latest_per_key(df, ["k", "s"], "clock").select("k", "s", "v")
+    want = sorted(
+        (r.k, r.s, str(r.v))
+        for r in symmetric_diff_rows(snap_a, snap_b, ["k", "s", "v"]).collect()
+    )
+    got = sorted(
+        (r.k, r.s, str(r.v))
+        for r in latest_state_sym_diff(df, ["k", "s"], "clock", "v", cut).collect()
+    )
+    assert got == want
+    # the interesting cells are actually exercised
+    assert (1, "a", "1.0") in got and (1, "a", "2.0") in got  # changed
+    assert (2, "a", "4.0") in got  # new-only key
+    assert (3, "a", "None") in got and (3, "a", "5.0") in got  # NULL -> real
+    assert not any(k == 3 and s == "b" for k, s, _ in got)  # NaN stable
+    # fused plan shape: no window, single keyed aggregation
+    plan = latest_state_sym_diff(
+        df, ["k", "s"], "clock", "v", cut
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_flatten_json_depths(spark):
     df = spark.createDataFrame(
         [
