@@ -225,7 +225,13 @@ def q_latest_per_key(spark, sf_dir):
             F.col("event_id").alias("last_event_id"),
             F.col("value").alias("last_value"),
         )
-        .orderBy("user_id", "event_type")
+        # snapshot-sized output (one row per live series): a global
+        # orderBy would range-shuffle the whole snapshot purely for
+        # presentation (rangepartitioning additionally re-runs the
+        # child plan once to sample bounds). Same call the write path
+        # wants at scale; the driver's value compare is
+        # order-insensitive (json_flatten/locf/event_deltas precedent).
+        .sortWithinPartitions("user_id", "event_type")
     )
 
 
@@ -482,7 +488,10 @@ def q_pivot_matrix(spark, sf_dir):
         ev.groupBy("user_id")
         .pivot("event_type", types)
         .agg(davg(F.col("value")))
-        .orderBy("user_id")
+        # one row per user — unbounded at scale; the global orderBy
+        # was presentation-only (order-insensitive compare precedent
+        # as in latest_per_key/json_flatten)
+        .sortWithinPartitions("user_id")
     )
     return out
 
@@ -580,7 +589,13 @@ def _compacted_as_events(df):
         F.col("src_id").alias("user_id"),
         F.col("uevol_field_id").alias("event_type"),
         F.col("new_value").alias("value"),
-    ).orderBy("event_id")
+    # full-log-sized output (recent raws ∪ latest older per series): a
+    # global orderBy here range-shuffles the entire compacted log
+    # purely for presentation — and rangepartitioning re-executes the
+    # child (the union + window) once more just to sample bounds.
+    # Within-partition order is what the backup write path wants at
+    # scale; the driver's value compare is order-insensitive.
+    ).sortWithinPartitions("event_id")
 
 
 def q_compaction(spark, sf_dir):
@@ -640,8 +655,13 @@ def q_sessionization(spark, sf_dir):
     )
     return (
         flagged.groupBy("user_id")
+        # the groupBy reuses the lag window's hashpartitioning(user_id)
+        # — no second exchange; a global orderBy would then add a
+        # range shuffle over the per-user output (unbounded at scale)
+        # purely for presentation. Order-insensitive compare precedent
+        # as in latest_per_key/json_flatten.
         .agg(F.sum("__new").alias("n_sessions"))
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )
 
 
