@@ -381,7 +381,40 @@ class Arguments:
     schema: str = "uevol_field_id int, src_id int, dst_id int, filter string"
 
     def df(self, spark) -> DataFrame:
-        return spark.createDataFrame(list(self.rows), self.schema)
+        # Literal in-plan relation, not createDataFrame(rows): the
+        # Python-RDD path (applySchemaToPythonRDD) plans as a Scan
+        # ExistingRDD with UnknownPartitioning — a parallelize over
+        # default-parallelism splits whose every consumption pays a
+        # task set of Python deserialization, twice per query when the
+        # arguments feed two branches. inline(array(struct-literals))
+        # over a one-partition range is pure JVM, whole-stage codegen,
+        # zero Python boundary; the cast pins the exact legacy schema
+        # (types and nullability — asserted by test_plans).
+        struct_t = (
+            "struct<"
+            + ",".join(
+                f"{f.strip().split(' ')[0]}:{f.strip().split(' ', 1)[1]}"
+                for f in self.schema.split(",")
+            )
+            + ">"
+        )
+        names = [f.strip().split(" ")[0] for f in self.schema.split(",")]
+        arr = (
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.lit(v).alias(n)
+                            for v, n in zip(row, names, strict=True)
+                        ]
+                    )
+                    for row in self.rows
+                ]
+            )
+            if self.rows
+            else F.array()
+        ).cast(f"array<{struct_t}>")
+        return spark.range(0, 1, 1, 1).select(F.inline(arr))
 
     @property
     def has_wildcard(self) -> bool:

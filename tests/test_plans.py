@@ -95,6 +95,35 @@ def _replay_state(log_rows_df, at_id):
     return st
 
 
+def test_arguments_df_literal_plan_matches_legacy_schema(spark):
+    """Arguments.df is a pure-JVM literal plan (r15 optimization): it
+    must reproduce the legacy createDataFrame relation exactly (schema
+    INCLUDING nullability, rows, both declared schemas, empty set) and
+    never plan as a Python ExistingRDD scan."""
+    from alstom_spark_cassandra_spark.plans.queries import Arguments
+
+    for rows, schema in [
+        (
+            ((1, 0, 0, None), (2, 5, 0, "value >= 20")),
+            "uevol_field_id int, src_id int, dst_id int, filter string",
+        ),
+        (
+            (("click", 7, 0, None), ("error", 999999, 0, None)),
+            "uevol_field_id string, src_id long, dst_id int, filter string",
+        ),
+        ((), "uevol_field_id int, src_id int, dst_id int, filter string"),
+    ]:
+        a = Arguments(rows, schema)
+        got = a.df(spark)
+        legacy = spark.createDataFrame(list(rows), schema)
+        assert got.schema == legacy.schema
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, legacy.collect())
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan
+
+
 def test_retrieve_field_seq_nb_and_window(domain):
     # seq_nb resolves to exactly ONE message (RetrieveField.java:67-68)
     out = retrieve_field(domain["log"], domain["msg"], seq_nb=250)
