@@ -961,16 +961,20 @@ def get_update_history(
     # job is to emit one constant row). Empty-arguments calls stay
     # empty either way: placeholders cross-join against the empty
     # argument set.
+    # NOT distinct-ed (r15): the grid's time-point set is
+    # distinct(update ids) ∪ {start}, but the placeholder rows feed the
+    # dense aggregation below, whose map-side partial agg on
+    # (series, id) collapses duplicate (series, id, NULL, NULL) cells
+    # before the exchange — so an explicit .distinct() here only added
+    # its own full shuffle stage (one more AQE barrier per call) to
+    # deduplicate what the aggregation deduplicates for free (guide
+    # §2.4). The cap guard still measures the TRUE distinct-id count.
     spark = instance_field.sparkSession
-    ids = (
-        raw_updates.select("instance_message_id")
-        .distinct()
-        .unionByName(
-            spark.range(1).select(
-                F.lit(start_instance_message_id)
-                .cast("long")
-                .alias("instance_message_id")
-            )
+    ids = raw_updates.select("instance_message_id").unionByName(
+        spark.range(1).select(
+            F.lit(start_instance_message_id)
+            .cast("long")
+            .alias("instance_message_id")
         )
     )
     if max_dense_cells is not None:
@@ -993,7 +997,7 @@ def get_update_history(
             n_series = arguments.limit(k_limit + 1).count()
             truncated = n_series > k_limit
         if n_series * id_span > max_dense_cells:
-            n_ids = ids.count()
+            n_ids = ids.distinct().count()
             if truncated:
                 # the probe undercounted on purpose; the exact test
                 # needs the true series count
