@@ -1266,6 +1266,7 @@ def get_update_history_chunked(
     default_value: float = -1.0,
     use_cache: bool = False,
     max_dense_cells: int | None = 100_000_000,
+    sort_output: bool = True,
 ) -> DataFrame:
     """The documented escape hatch for get_update_history's
     max_dense_cells guard, as an actual API: split the [start, end]
@@ -1334,6 +1335,7 @@ def get_update_history_chunked(
             default_value=default_value,
             use_cache=use_cache,
             max_dense_cells=max_dense_cells,
+            sort_output=sort_output,
         )
 
     # shared ingredients for the interior seeds (and auto-sizing).
@@ -1416,6 +1418,11 @@ def get_update_history_chunked(
                 F.col("instance_message_id") != F.lit(bounds[i])
             )
         out = piece if out is None else out.unionByName(piece)
+    if not sort_output:
+        # grid-sized result: let the caller pick its presentation
+        # (same seam as get_update_history's — a global sort here is a
+        # range shuffle over the full matrix)
+        return out
     return out.orderBy(*SERIES_KEY, "instance_message_id")
 
 

@@ -1314,9 +1314,15 @@ def q_update_history_dense(spark, sf_dir):
     mx = ev.agg(F.max("event_id")).collect()[0][0]
     start, end = int(mx) // 5, int(mx) * 3 // 5
     args = _domain_args(spark, with_filters=True)
-    return get_update_history(_domain_log(ev), args, start, end).orderBy(
-        "uevol_field_id", "src_id", "instance_message_id"
-    )
+    # grid-sized output (time points × series — unbounded at scale):
+    # the final global orderBy was presentation-only, and its
+    # rangepartitioning pays a bounds-sampling re-execution of the
+    # filter-window stage on top of the shuffle itself
+    # (latest_per_key/json_flatten precedent; compare is
+    # order-insensitive)
+    return get_update_history(
+        _domain_log(ev), args, start, end, sort_output=False
+    ).sortWithinPartitions("uevol_field_id", "src_id", "instance_message_id")
 
 
 SQL_UPDATE_HISTORY_DENSE = """
@@ -1393,9 +1399,11 @@ def q_update_history_chunked(spark, sf_dir):
     mx = ev.agg(F.max("event_id")).collect()[0][0]
     start, end = int(mx) // 10, int(mx) * 9 // 10
     args = _domain_args(spark, with_filters=True)
+    # same presentation-sort removal as q_update_history_dense: the
+    # chunk union is grid-sized, the compare order-insensitive
     return get_update_history_chunked(
-        _domain_log(ev), args, start, end, n_chunks=5
-    ).orderBy("uevol_field_id", "src_id", "instance_message_id")
+        _domain_log(ev), args, start, end, n_chunks=5, sort_output=False
+    ).sortWithinPartitions("uevol_field_id", "src_id", "instance_message_id")
 
 
 SQL_UPDATE_HISTORY_CHUNKED = SQL_UPDATE_HISTORY_DENSE.replace(
