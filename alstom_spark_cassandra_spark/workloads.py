@@ -2859,7 +2859,11 @@ def q_dedup_exact(spark, sf_dir):
     """Exact dedup on documents.text — smallest doc_id survives."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        dedup_exact(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+        dedup_exact(docs, "text", "doc_id")
+        .select("doc_id")
+        # survivor set is corpus-sized; global orderBy was
+        # presentation-only (order-insensitive compare precedent)
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -7498,7 +7502,12 @@ def q_text_stats(spark, sf_dir):
         doc_fingerprint(F.col("text"), t).alias("fingerprint"),
         quality_score(F.col("text"), t).alias("quality"),
         language_id(F.col("text"), t).alias("lang_pred"),
-    ).orderBy("doc_id")
+        # one row per document — corpus-sized; the global orderBy was
+        # presentation-only: it range-shuffled every per-doc stat row
+        # AND its bounds sampling re-ran the heavy tokenize/score
+        # stage once more (latest_per_key/json_flatten precedent;
+        # compare is order-insensitive)
+    ).sortWithinPartitions("doc_id")
 
 
 def _sql_markers(code: str) -> str:
