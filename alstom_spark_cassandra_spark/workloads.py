@@ -388,9 +388,12 @@ def q_snapshot_diff(spark, sf_dir):
     # snapshots' per-key values in one scan + one exchange (guide
     # §2.4). Equivalence contract (unique event_id per key) holds: the
     # log's event_id is globally unique.
+    # diff rows ≈ every series that changed after the cut —
+    # snapshot-sized at scale, so the global sort is presentation-only
+    # (same class as latest_per_key's)
     return latest_state_sym_diff(
         ev, ["user_id", "event_type"], "event_id", "value", cut
-    ).orderBy("user_id", "event_type", "value")
+    ).sortWithinPartitions("user_id", "event_type", "value")
 
 
 SQL_SNAPSHOT_DIFF = """
