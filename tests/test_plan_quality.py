@@ -93,15 +93,21 @@ def test_exact_sums_avoid_decimal_aggregation(spark):
 
 
 def test_update_history_series_predicate_reaches_scan(spark):
-    plan = plan_of(spark, "update_history_dense")
+    plan = full_plan_of(spark, "update_history_dense")
     # driver-known argument series compile to an OR-of-conjunctions
     # predicate pushed into the parquet scan, not a semi-join
     pushed = plan.split("PushedFilters")[1][:400]
     assert "event_type" in pushed and "user_id" in pushed
-    # log scanned once: base is cached, both branches read the cache
-    # (the plan TEXT repeats the cached subtree at every
-    # InMemoryTableScan reference, so count cache reads, not scans)
-    assert "InMemoryTableScan" in plan
+    # the headline wrapper passes use_cache=False (r15 A/B,
+    # OPTIMIZATION_r15.md §8): instead of one cached base slice, EVERY
+    # events scan in the plan must carry the pushed series predicate —
+    # an unfiltered full-log re-scan would silently undo the trade
+    scans = plan.count("Scan parquet")
+    assert scans >= 2  # both base-slice consumers re-scan
+    assert plan.count("PushedFilters: [") == scans
+    for seg in plan.split("PushedFilters: [")[1:]:
+        assert "event_type" in seg[:400] and "user_id" in seg[:400]
+    assert "InMemoryTableScan" not in plan
     # dense grid is union+re-aggregate, never a sort-merge join
     assert "SortMergeJoin" not in plan
 
