@@ -68,18 +68,27 @@ def cosine_topk(
     scans once. Ties on cosine break by vec_id ascending so results
     are deterministic.
     """
+    # norms are per-VECTOR, not per-pair: compute them below the join
+    # (once per corpus row / once per broadcast query row) instead of
+    # inside the per-pair cosine, which re-ran the corpus norm once
+    # per query and the query norm once per corpus row (guide §1.2
+    # "per-task work"). try_divide(dot, __cn * __qn) is the exact
+    # arithmetic cosine() evaluates — bit-identical results.
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        F.try_divide(
+            dot(F.col("__cv"), F.col("__qv")),
+            F.col("__cn") * F.col("__qn"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -110,20 +119,25 @@ def cosine_topk_filtered(
     attr on disk turns the filter into partition pruning. Contrast
     with post-filtering a global top-k, which can starve queries
     whose attribute is rare."""
+    # same below-the-join norm placement as cosine_topk (per-vector
+    # work must not multiply by the pair count); bit-identical math
     c = corpus.select(
         F.col(attr_col).alias("__attr"),
         F.col(corpus_id).alias("vec_id"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(attr_col).alias("__attr"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     scored = c.join(F.broadcast(q), "__attr").select(
         "query_id",
         "vec_id",
-        cosine(F.col("__cv"), F.col("__qv")).alias("cosine"),
+        F.try_divide(
+            dot(F.col("__cv"), F.col("__qv")),
+            F.col("__cn") * F.col("__qn"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -169,16 +183,26 @@ def _centroids(
 def _assign(
     corpus: DataFrame, centroids: DataFrame, vec_col: str, id_col: str, nprobe: int
 ) -> DataFrame:
-    """Attach the nprobe nearest centroid ids to every corpus vector."""
+    """Attach the nprobe nearest centroid ids to every corpus vector.
+
+    Vector norms are computed below the join (once per corpus row /
+    once per broadcast centroid) rather than per (vector, centroid)
+    pair — the corpus-side norm would otherwise re-run C times per
+    vector over the whole corpus. Bit-identical arithmetic to
+    cosine()."""
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    )
-    scored = c.join(F.broadcast(centroids)).select(
+    ).withColumn("__vn", l2_norm(F.col("__v")))
+    cents = centroids.withColumn("__cn", l2_norm(F.col("cv")))
+    scored = c.join(F.broadcast(cents)).select(
         "vec_id",
         "__v",
         "cid",
-        cosine(F.col("__v"), F.col("cv")).alias("__sim"),
+        F.try_divide(
+            dot(F.col("__v"), F.col("cv")),
+            F.col("__vn") * F.col("__cn"),
+        ).alias("__sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("__sim").desc(), F.col("cid"))
     return (
@@ -283,14 +307,27 @@ def _probe_and_rank(
     """Shared IVF search body: pick each query's nprobe nearest
     centroids, score only those buckets, rank top-k (used by both the
     inline ivf_topk and the persisted-index search)."""
+    # norms below the joins (per-vector, not per-pair): the query norm
+    # is computed once and CARRIED through the probe selection into the
+    # bucket-scoring join; the bucket-side norm is computed once per
+    # assignment row instead of once per (row, matching query).
+    # Bit-identical arithmetic to cosine().
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    cents_n = cents.withColumn("__cn", l2_norm(F.col("cv")))
     q_probes = (
-        q.join(F.broadcast(cents))
+        q.join(F.broadcast(cents_n))
         .select(
-            "query_id", "__qv", "cid", cosine(F.col("__qv"), F.col("cv")).alias("__sim")
+            "query_id",
+            "__qv",
+            "__qn",
+            "cid",
+            F.try_divide(
+                dot(F.col("__qv"), F.col("cv")),
+                F.col("__qn") * F.col("__cn"),
+            ).alias("__sim"),
         )
         .withColumn(
             "__rn",
@@ -301,12 +338,19 @@ def _probe_and_rank(
             ),
         )
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qv", "cid")
+        .select("query_id", "__qv", "__qn", "cid")
     )
-    scored = assignment.join(F.broadcast(q_probes), "cid").select(
-        "query_id",
-        "vec_id",
-        cosine(F.col(assign_vec), F.col("__qv")).alias("cosine"),
+    scored = (
+        assignment.withColumn("__vn", l2_norm(F.col(assign_vec)))
+        .join(F.broadcast(q_probes), "cid")
+        .select(
+            "query_id",
+            "vec_id",
+            F.try_divide(
+                dot(F.col(assign_vec), F.col("__qv")),
+                F.col("__vn") * F.col("__qn"),
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

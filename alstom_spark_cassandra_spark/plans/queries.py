@@ -67,9 +67,17 @@ def retrieve_field(
     uevol_message_id: int | None = None,
     src_ty: int | None = None,
     dst_ty: int | None = None,
+    sort_output: bool = True,
 ) -> DataFrame:
     """Q2-interval: field updates matching dynamic filters, bounded to a
     seq_nb / time window (reference: RetrieveField.java:50-93).
+
+    `sort_output=False` keeps the update-clock order only WITHIN
+    partitions: the output is window-sized (unbounded at scale), so a
+    global orderBy costs a rangepartitioning exchange plus a
+    bounds-sampling re-execution of the child — callers whose compare
+    is order-insensitive (the oracle gate) skip it (the
+    get_update_history sort_output seam, r15).
 
     The reference resolves seq_nb and each time bound with separate
     `orderBy().first()` driver round-trips (RetrieveField.java:66-90).
@@ -102,6 +110,11 @@ def retrieve_field(
         },
     )
 
+    def _ordered(df: DataFrame) -> DataFrame:
+        if sort_output:
+            return df.orderBy("instance_message_id")
+        return df.sortWithinPartitions("instance_message_id")
+
     if seq_nb is not None and seq_nb != -1:
         # seq_nb resolves to ONE message id and the log is filtered to
         # exactly that message (RetrieveField.java:67-68 filters
@@ -109,15 +122,14 @@ def retrieve_field(
         bound = instance_message.filter(F.col("seq_nb") == F.lit(seq_nb)).agg(
             F.min("id").alias("min_id")
         )
-        return (
+        return _ordered(
             log.join(bound, F.lit(True), "left")
             .filter(F.col("instance_message_id") == F.col("min_id"))
             .drop("min_id")
-            .orderBy("instance_message_id")
         )
 
     if start_log_time is None and end_log_time is None and duration is None:
-        return log.orderBy("instance_message_id")
+        return _ordered(log)
 
     # time window -> id bounds, one aggregate in-plan (asof_id_bounds
     # replaces RetrieveField.java:74-90's three orderBy().first() jobs);
@@ -128,14 +140,13 @@ def retrieve_field(
         end_time=end_log_time,
         duration=duration,
     )
-    return (
+    return _ordered(
         log.join(bounds, F.lit(True), "left")
         .filter(
             (F.col("instance_message_id") >= F.col("min_id"))
             & (F.col("instance_message_id") <= F.col("max_id"))
         )
         .drop("min_id", "max_id")
-        .orderBy("instance_message_id")
     )
 
 

@@ -44,14 +44,31 @@ from pyspark.sql import types as T
 # NOT memoized (its ts-unit conf is read per call).
 _TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
+# Other per-session LAZY-plan memos (e.g. workloads._memo_query_df)
+# register here so one refresh hatch invalidates every layer that
+# froze a file listing or a data-derived literal at construction time.
+_EXTRA_MEMOS: list = []
+
+
+def register_plan_memo(memo) -> None:
+    """Register a WeakKeyDictionary-style memo (keyed by session) to be
+    cleared by refresh_tables alongside the table memo."""
+    _EXTRA_MEMOS.append(memo)
+
 
 def refresh_tables(spark: SparkSession | None = None) -> None:
     """Drop the per-session load_table memo (all sessions when None) so
-    the next load re-lists files and re-infers schema."""
+    the next load re-lists files and re-infers schema. Registered
+    downstream plan memos are dropped too — they embed literals
+    resolved from the frozen listing."""
     if spark is None:
         _TABLE_MEMO.clear()
+        for m in _EXTRA_MEMOS:
+            m.clear()
     else:
         _TABLE_MEMO.pop(spark, None)
+        for m in _EXTRA_MEMOS:
+            m.pop(spark, None)
 
 REPLAY_SWITCHED = {"instance_field", "instance_message"}
 

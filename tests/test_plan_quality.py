@@ -279,16 +279,62 @@ BNLJ_SANCTIONED = {
 }
 
 
+# Rows allowed a global-sort rangepartitioning Exchange: the output is
+# BOUNDED (top-k per small query set, fixed group domain, k-row/dim
+# outputs, calendar-bounded rollups, 2-3-row splits) or the range
+# partitioning is the operator's own semantics. Every row whose output
+# scales with the corpus/log/user/vector dimension carries only
+# sortWithinPartitions (in-partition order; the compare is
+# order-insensitive) — a global sort there is a rangepartitioning
+# shuffle of the whole output PLUS a bounds-sampling re-execution of
+# the child (r15 §5, r16 sweep). This list is CLOSED: a new range
+# exchange anywhere else is a scale bug.
+RANGE_SORT_SANCTIONED = {
+    # per-query top-k serving outputs (queries × k rows)
+    "ann_cosine_topk", "ann_filtered_topk", "ann_quantized_topk",
+    "bm25_retrieval", "bm25_persisted", "bm25_index_append",
+    "bm25_index_compacted", "bm25_delete", "bm25_delete_purged",
+    "pq_topk", "pq_index_append", "pq_delete", "pq_rerank_topk",
+    "ivf_topk", "ivf_persisted", "ivf_index_append", "ivf_delete",
+    "hybrid_rrf", "hybrid_persisted", "mmr_rerank",
+    # bounded eval/report outputs (per-query or per-centroid tallies)
+    "pq_recall_eval", "ivf_eval", "lsh_eval", "hyperplane_lsh_eval",
+    "hyperplane_tables_eval", "routed_incremental_eval",
+    "semantic_dedup_routed_eval", "data_quality",
+    # fixed group domains (event_type / lang / split / status ...)
+    "approx_stats", "cube_events", "distinct_agg", "event_transitions",
+    "exact_quantiles", "histogram_quantiles", "hll_distinct_users",
+    "reconstruct_message", "rollup", "stratified_sample",
+    "corpus_pipeline", "embargo_split", "leakage_safe_split",
+    "train_split", "salted_join", "partitioned_ingest",
+    # calendar-bounded rollups
+    "daily_rollup", "cohort_retention",
+    # dimension-table-bounded TPC-H presentation sorts (the unbounded
+    # ones — q3/q10/q18 top-k, q11/q20 part/supplier-sized — are
+    # TakeOrdered or in-partition)
+    "tpch_q1", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q22",
+    # k-row / dim-row outputs
+    "topk_per_group", "mean_embedding", "bpe_merges", "pca_direction",
+    "zorder_locality", "minhash_signatures",  # 200-doc slice
+    # bounded requested-field snapshots (argument-sized)
+    "multiple_fields_asof", "multiple_fields_state",
+    "retrieve_message_asof", "message_snapshot_delta",
+}
+
+
 def test_registry_sweep_no_scale_killers(spark):
     """EVERY registry query's physical plan, one sweep: no cartesian
-    product, no row-at-a-time Python UDF (BatchEvalPython), and
+    product, no row-at-a-time Python UDF (BatchEvalPython),
     nested-loop joins only where a broadcast-tiny side sanctions them
-    (closed allowlist above). This is the systematic version of the
-    per-query tests — a refactor that degrades ANY query to an
-    all-pairs plan or drops a UDF into the hot path fails here even
-    if no targeted test covers that query. stream_* queries are
-    excluded (calling them executes the stream; their batch-side
-    plans are covered in test_streaming.py)."""
+    (closed allowlist above), and global-sort range exchanges only on
+    bounded outputs (closed allowlist above — an unbounded-output row
+    regaining a presentation orderBy fails here). This is the
+    systematic version of the per-query tests — a refactor that
+    degrades ANY query to an all-pairs plan or drops a UDF into the
+    hot path fails here even if no targeted test covers that query.
+    stream_* queries are excluded (calling them executes the stream;
+    their batch-side plans are covered in test_streaming.py)."""
     offenders = {}
     for name, fn in SPARK_QUERIES.items():
         if name.startswith("stream_"):
@@ -301,6 +347,11 @@ def test_registry_sweep_no_scale_killers(spark):
         ]
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_SANCTIONED:
             hits.append("BroadcastNestedLoopJoin")
+        if (
+            "rangepartitioning" in plan.lower()
+            and name not in RANGE_SORT_SANCTIONED
+        ):
+            hits.append("rangepartitioning")
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
