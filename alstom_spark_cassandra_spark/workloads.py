@@ -1836,19 +1836,35 @@ def q_tpch_q4(spark, sf_dir):
     on an EXISTS probe into lineitem (J6 semi-join with a residual
     inequality). Adapted predicate: the synthetic schema has no
     l_commitdate/l_receiptdate, so "late" is l_shipdate >
-    o_orderdate."""
+    o_orderdate.
+
+    Shape (r16, guide §2.3 "aggregate before you shuffle"): the raw
+    semi-join shipped the FULL (l_orderkey, l_shipdate) projection of
+    lineitem to the join — broadcast locally, a full-fact SMJ shuffle
+    at 100 TB. EXISTS(l: l_shipdate > o_orderdate) over a fixed
+    per-order o_orderdate is equivalent to max(l_shipdate) per
+    l_orderkey > o_orderdate, so lineitem pre-aggregates to one row
+    per orderkey with a map-side partial max (lineitem is naturally
+    clustered by orderkey, so the exchange carries ~1/#lines-per-order
+    of the bytes); and since every qualifying order has o_orderdate >=
+    1996-07-01, qualifying lineitems need l_shipdate > 1996-07-01 — a
+    pushable scan filter the semi-join's residual could never push.
+    The aggregated side is unique per orderkey, so inner join ≡ semi
+    join. A/B at sf0.1 (scripts/probe_r16.py): 0.681 vs 0.537 s;
+    multiset-identical, oracle unchanged."""
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp_ntz")
+    )
+    lagg = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__maxship")
+    )
     return (
-        orders.join(
-            li,
-            (orders.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > orders.o_orderdate),
-            "left_semi",
-        )
+        orders.join(lagg, orders.o_orderkey == lagg.l_orderkey)
+        .filter(F.col("__maxship") > F.col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
