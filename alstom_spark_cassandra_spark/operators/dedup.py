@@ -488,8 +488,12 @@ def simhash_pairs(
 # embedding near-dup
 # --------------------------------------------------------------------------
 
-# one cosine implementation for the whole engine (zero-norm safe)
+# one cosine implementation for the whole engine (zero-norm safe);
+# dot/l2_norm imported separately so pair joins can compute each
+# side's norm ONCE per row below the join instead of per pair
 from .similarity import cosine as _cosine  # noqa: E402
+from .similarity import dot as _dot  # noqa: E402
+from .similarity import l2_norm as _l2_norm  # noqa: E402
 
 
 def embedding_dup_pairs(
@@ -510,10 +514,14 @@ def embedding_dup_pairs(
     the standard recall knob: P(miss) ≈ (1 - p^planes)^tables for a
     pair whose per-plane agreement probability is p.
     """
+    # the norm is per-VECTOR: computed here, once per row, and carried
+    # through the bucket self-join — the per-pair verify would
+    # otherwise recompute each side's norm once per candidate pair
+    # (bucket-quadratic). Bit-identical arithmetic to _cosine().
     base = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    ).withColumn("__n", _l2_norm(F.col("v")))
     buckets = []
     for t in range(tables):
         dim_w = _hyperplanes(planes, seed + t)
@@ -521,6 +529,7 @@ def embedding_dup_pairs(
             base.select(
                 "doc",
                 "v",
+                "__n",
                 F.lit(t).alias("table"),
                 _sign_bucket(F.col("v"), dim_w, planes).alias("bucket"),
             )
@@ -541,10 +550,19 @@ def embedding_dup_pairs(
             F.col("r.doc").alias("b"),
             F.col("l.v").alias("va"),
             F.col("r.v").alias("vb"),
+            F.col("l.__n").alias("__na"),
+            F.col("r.__n").alias("__nb"),
         )
         # a pair found by several tables must verify once, not N times
         .dropDuplicates(["a", "b"])
-        .select("a", "b", _cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "a",
+            "b",
+            F.try_divide(
+                _dot(F.col("va"), F.col("vb")),
+                F.col("__na") * F.col("__nb"),
+            ).alias("cosine"),
+        )
     )
     return cand.filter(F.col("cosine") >= threshold)
 
@@ -1083,7 +1101,7 @@ def embedding_dup_pairs_portable(
         F.col(id_col).alias("doc"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.expr(bucket).alias("bucket"),
-    )
+    ).withColumn("__n", _l2_norm(F.col("v")))  # once per row, not per pair
     l, r = base.alias("l"), base.alias("r")
     cand = l.join(
         r,
@@ -1092,7 +1110,10 @@ def embedding_dup_pairs_portable(
     ).select(
         F.col("l.doc").alias("a"),
         F.col("r.doc").alias("b"),
-        _cosine(F.col("l.v"), F.col("r.v")).alias("__cos"),
+        F.try_divide(
+            _dot(F.col("l.v"), F.col("r.v")),
+            F.col("l.__n") * F.col("r.__n"),
+        ).alias("__cos"),
     )
     rounded = F.floor(F.col("__cos") * 1_000_000 + F.lit(0.5)) / F.lit(
         1_000_000.0
@@ -1164,15 +1185,20 @@ def _blocked_cosine_truth(
         F.floor(F.col("id") / n_blocks).cast("int").alias("ba"),
         F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("bb"),
     )
+    # norms once per row below the pair join (each vector otherwise
+    # recomputes its norm once per pair — quadratic in the slice)
     lhs = base.select(
         F.col("doc").alias("a"), F.col("v").alias("va"), "blk"
-    )
+    ).withColumn("__na", _l2_norm(F.col("va")))
     rhs = base.select(
         F.col("doc").alias("b"), F.col("v").alias("vb"),
         F.col("blk").alias("blk_b"),
-    )
+    ).withColumn("__nb", _l2_norm(F.col("vb")))
     rounded = F.floor(
-        _cosine(F.col("va"), F.col("vb")) * 1_000_000 + F.lit(0.5)
+        F.try_divide(
+            _dot(F.col("va"), F.col("vb")),
+            F.col("__na") * F.col("__nb"),
+        ) * 1_000_000 + F.lit(0.5)
     ) / F.lit(1_000_000.0)
     return (
         lhs.join(F.broadcast(grid), lhs["blk"] == grid["ba"])
