@@ -5424,7 +5424,7 @@ def q_stream_semantic_ingest(spark, sf_dir):
     return (
         read_index_ingest_pairs(spark, pairs_sink)
         .select("vec_id", "cid", "kept")
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 
@@ -5610,7 +5610,7 @@ def q_stream_winnow_ingest(spark, sf_dir):
             "shared",
             half_up(F.col("overlap"), 6).alias("overlap"),
         )
-        .orderBy("a", "b")
+        .sortWithinPartitions("a", "b")
     )
 
 
@@ -5768,7 +5768,7 @@ def q_stream_positional_ingest(spark, sf_dir):
     return (
         phrase_search(idx, "table hash")
         .select(F.col("doc").alias("doc_id"), "n_matches")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -7953,7 +7953,7 @@ def q_stream_latest_state(spark, sf_dir):
             "last_update_id",
             F.col("current_value").alias("value"),
         )
-        .orderBy("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type")
     )
 
 
@@ -8015,7 +8015,7 @@ def q_stream_sink_exactly_once(spark, sf_dir):
             "last_update_id",
             F.col("current_value").alias("value"),
         )
-        .orderBy("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type")
     )
 
 
@@ -8122,7 +8122,7 @@ def q_stream_sessionization(spark, sf_dir):
         spark.table(name)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
-        .orderBy("user_id")
+        .sortWithinPartitions("user_id")
     )
 
 
@@ -8155,7 +8155,7 @@ def q_stream_dedup(spark, sf_dir):
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("stream_dedup did not drain in 300s")
-    return spark.table(name).orderBy("user_id", "event_type")
+    return spark.table(name).sortWithinPartitions("user_id", "event_type")
 
 
 SQL_STREAM_DEDUP = """
@@ -8219,7 +8219,7 @@ def q_stream_attribution(spark, sf_dir):
         .select(
             F.col("c_user").alias("user_id"), "click_id", "purchase_id"
         )
-        .orderBy("user_id", "click_id", "purchase_id")
+        .sortWithinPartitions("user_id", "click_id", "purchase_id")
     )
 
 
@@ -9290,7 +9290,7 @@ def q_stream_join_outer(spark, sf_dir):
         "r_event_id",
         "r_ts_ms",
         "r_v_milli",
-    ).orderBy("l_event_id", "r_event_id")
+    ).sortWithinPartitions("l_event_id", "r_event_id")
 
 
 # the oracle replays the two measured outer-join watermark rules as
@@ -9356,7 +9356,7 @@ def q_stream_join_full_outer(spark, sf_dir):
         "r_event_id",
         "r_ts_ms",
         "r_v_milli",
-    ).orderBy("l_event_id", "r_event_id")
+    ).sortWithinPartitions("l_event_id", "r_event_id")
 
 
 SQL_STREAM_JOIN_FULL_OUTER = """
@@ -9474,7 +9474,7 @@ def q_stream_quota(spark, sf_dir):
         raise TimeoutError("stream_quota did not drain in 300s")
     return spark.table(name).select(
         "user_id", "event_id", "event_type", "v_cents", "quota_rank"
-    ).orderBy("user_id", "event_id")
+    ).sortWithinPartitions("user_id", "event_id")
 
 
 SQL_STREAM_QUOTA = """
@@ -9746,7 +9746,7 @@ def q_stream_cdc_apply(spark, sf_dir):
             F.col("event_id").alias("last_event_id"),
             F.col("v_cents").alias("last_v_cents"),
         )
-        .orderBy("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type")
     )
 
 
@@ -9959,7 +9959,7 @@ def q_stream_agg_maintenance(spark, sf_dir):
             "cnt",
             (F.col("total") / 100.0).alias("sum_value"),
         )
-        .orderBy("user_id", "event_type")
+        .sortWithinPartitions("user_id", "event_type")
     )
 
 
@@ -10252,7 +10252,7 @@ def q_stream_latest_ttl(spark, sf_dir):
             "n_updates_total",
             "last_update_id",
         )
-        .orderBy("uevol_field_id")
+        .sortWithinPartitions("uevol_field_id")
     )
 
 
