@@ -44,6 +44,13 @@ from pyspark.sql import types as T
 # NOT memoized (its ts-unit conf is read per call).
 _TABLE_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
+# Bases under this root are write-side (streaming sinks, index
+# scratch): load_table never memoizes their listings (see the guard in
+# load_table). Module-level so tests can pin it.
+import tempfile as _tempfile  # noqa: E402
+
+_TMP_ROOT = _tempfile.gettempdir()
+
 # Other per-session LAZY-plan memos (e.g. workloads._memo_query_df)
 # register here so one refresh hatch invalidates every layer that
 # froze a file listing or a data-derived literal at construction time.
@@ -278,6 +285,14 @@ def load_table(
         # LongType and the conf is unset).
         unit = spark.conf.get(CASSANDRA_TS_UNIT_CONF, None)
         return normalize_event_time(df, long_unit=unit)
+    # staleness guard (r15 VERDICT item 4): a base under the system
+    # temp dir is a WRITE-side location (streaming sinks, index
+    # scratch) that a query may mutate mid-session — never memoize its
+    # listing, so a re-load always re-lists. Read-only data roots
+    # (the sf dirs) keep the memo.
+    if base.startswith(_TMP_ROOT):
+        df = spark.read.parquet(f"{base}/{name}.parquet")
+        return normalize_event_time(df, long_unit="ns")
     memo = _TABLE_MEMO.setdefault(spark, {})
     key = (base, name)
     if key not in memo:

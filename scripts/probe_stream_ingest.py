@@ -75,9 +75,24 @@ def _stage_batches(shard, src_dir, base_dir, ids, tag=""):
         os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
 
 
-def _drain(spark, sink, src_dir, ckpt):
+def _stage_vec_batches(shard, src_dir, base_dir, ids, tag=""):
+    """_stage_batches for the embeddings-shaped semantic family."""
+    for k in ids:
+        b = shard.select(
+            (F.col("vec_id") + (k + 1) * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        stage = f"{base_dir}/stage{tag}{k}"
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src_dir}/batch{k:03d}.parquet"
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_000_000_000 + 60 * k,) * 2)
+
+
+def _drain(spark, sink, src_dir, ckpt, schema="doc_id long, text string"):
     src = (
-        spark.readStream.schema("doc_id long, text string")
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
@@ -97,7 +112,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "family", nargs="?", default="minhash",
-        choices=["minhash", "simhash", "bm25"],
+        choices=["minhash", "simhash", "bm25", "winnow", "semantic"],
     )
     ap.add_argument("n_batches", nargs="?", type=int, default=8)
     ap.add_argument(
@@ -136,6 +151,53 @@ def main() -> None:
             index_path,
         )
         sink = foreach_batch_bm25_ingest(index_path, pairs_sink)
+    elif family == "winnow":
+        # r15-build-tail member (VERDICT r15 item 8): per-trigger
+        # work = the batch's fingerprints vs the index's MATCHED
+        # buckets only + its own append
+        from alstom_spark_cassandra_spark.operators.winnow import (
+            build_winnow_index,
+        )
+        from alstom_spark_cassandra_spark.streaming.live_state import (
+            foreach_batch_winnow_ingest,
+        )
+
+        build_winnow_index(docs, index_path, "text", "doc_id")
+        sink = foreach_batch_winnow_ingest(index_path, pairs_sink)
+    elif family == "semantic":
+        # the verdict-shaped member: per-trigger work = assign the
+        # batch on the frozen centroid grid, prune vs the CUMULATIVE
+        # kept table (bucketed by cid — only matched cells read) and
+        # vs itself, append survivors
+        from alstom_spark_cassandra_spark.operators.similarity import (
+            build_semantic_index,
+            incremental_semantic_dedup,
+        )
+        from alstom_spark_cassandra_spark.streaming.live_state import (
+            foreach_batch_incremental_ingest,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        init = (
+            base.orderBy("vec_id")
+            .limit(8)
+            .select(
+                F.col("vec_id").cast("int").alias("cid"),
+                F.col("embedding").cast("array<double>").alias("cv"),
+            )
+        )
+        build_semantic_index(base, init, index_path, threshold=0.4)
+
+        def _sem_fn(spark_, batch_df, path):
+            return incremental_semantic_dedup(
+                spark_, batch_df, path, threshold=0.4,
+                update_index=True,
+            )
+
+        sink = foreach_batch_incremental_ingest(
+            index_path, pairs_sink, _sem_fn, pair_cols=("vec_id",)
+        )
     else:
         build_simhash_index(docs, index_path, "text", "doc_id")
         sink = foreach_batch_simhash_ingest(index_path, pairs_sink)
@@ -144,9 +206,23 @@ def main() -> None:
     # every batch pairs against the base AND every earlier batch —
     # the candidate set per batch GROWS linearly in batches ingested,
     # which is exactly why flat wall is the claim worth testing
-    shard = docs.filter(F.col("doc_id") % 5 == 0)
-    _stage_batches(shard, src_dir, base_dir, range(n_batches))
-    q = _drain(spark, sink, src_dir, f"{base_dir}/ckpt")
+    if family == "semantic":
+        shard = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 5 == 0)
+        )
+        _stage_vec_batches(shard, src_dir, base_dir, range(n_batches))
+    else:
+        shard = docs.filter(F.col("doc_id") % 5 == 0)
+        _stage_batches(shard, src_dir, base_dir, range(n_batches))
+    q = _drain(
+        spark, sink, src_dir, f"{base_dir}/ckpt",
+        schema=(
+            "vec_id long, embedding array<float>"
+            if family == "semantic"
+            else "doc_id long, text string"
+        ),
+    )
     if args.compact:
         # maintenance between streams: fold the per-trigger pairs
         # dirs to one baseline, assert the drained union unchanged,
@@ -180,7 +256,10 @@ def main() -> None:
         # the baseline cutoff (a fresh checkpoint would reuse ids
         # 0..1, which the committed done markers rightly no-op); the
         # reader must then see baseline + tail
-        _stage_batches(
+        stager = (
+            _stage_vec_batches if family == "semantic" else _stage_batches
+        )
+        stager(
             shard, src_dir, base_dir,
             range(n_batches, n_batches + 2), tag="b",
         )

@@ -81,7 +81,16 @@ class TestLoadTableMemo:
     refresh_tables() as the invalidation hatch (Spark's own
     refreshTable contract)."""
 
-    def test_memo_hit_and_replay_keyed_separately(self, spark, tmp_path):
+    def test_memo_hit_and_replay_keyed_separately(
+        self, spark, tmp_path, monkeypatch
+    ):
+        # tmp_path lives under the system temp root, which the
+        # staleness guard treats as write-side (no memo) — pin the
+        # guard elsewhere so this test exercises the memo path the
+        # sf dirs take
+        from alstom_spark_cassandra_spark.sources import loader
+
+        monkeypatch.setattr(loader, "_TMP_ROOT", "/nonexistent-tmp-root")
         base = _write(tmp_path, "us")
         d1 = load_table(spark, base, "events")
         d2 = load_table(spark, base, "events")
@@ -101,7 +110,52 @@ class TestLoadTableMemo:
         replay = load_table(spark, base, "instance_field", replay=True)
         assert plain is not replay
 
-    def test_refresh_tables_invalidates(self, spark, tmp_path):
+    def test_query_df_memo_lazy_and_refresh_hatched(self, spark):
+        """workloads._memo_query_df (update_history_dense wrapper,
+        r16): the CONSTRUCTED lazy DataFrame is memoized per
+        (session, sf_dir) — same plan object on repeat call, nothing
+        persisted/cached — and refresh_tables() invalidates it
+        together with the scan memo."""
+        from alstom_spark_cassandra_spark.sources.loader import (
+            refresh_tables,
+        )
+        from alstom_spark_cassandra_spark.workloads import SPARK_QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        fn = SPARK_QUERIES["update_history_dense"]
+        d1 = fn(spark, sf)
+        d2 = fn(spark, sf)
+        assert d1 is d2  # memo hit: no plan rebuild, no scalar job
+        # lazy: the memoized plan holds no cached/persisted state
+        assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+        assert "InMemoryTableScan" not in (
+            d1._jdf.queryExecution().executedPlan().toString()
+        )
+        refresh_tables(spark)
+        d3 = fn(spark, sf)
+        assert d3 is not d1  # hatch drops the derived plan too
+
+    def test_tmp_bases_never_memoized(self, spark, tmp_path):
+        """Staleness guard (r15 VERDICT item 4): a base under the
+        system temp root is write-side (streaming sinks, index
+        scratch) — load_table must re-list it on every call, so a
+        query that appends to such a directory mid-session can never
+        read a frozen listing."""
+        base = _write(tmp_path, "us")  # pytest tmp lives under /tmp
+        d1 = load_table(spark, base, "events")
+        d2 = load_table(spark, base, "events")
+        assert d1 is not d2  # fresh listing per call
+        # and the fresh listing SEES a mid-session append
+        n0 = d1.count()
+        spark.createDataFrame(
+            d1.limit(1).collect(), schema=d1.schema
+        ).write.mode("append").parquet(f"{base}/events.parquet")
+        assert load_table(spark, base, "events").count() == n0 + 1
+
+    def test_refresh_tables_invalidates(self, spark, tmp_path, monkeypatch):
+        from alstom_spark_cassandra_spark.sources import loader
+
+        monkeypatch.setattr(loader, "_TMP_ROOT", "/nonexistent-tmp-root")
         base = _write(tmp_path, "us")
         before = load_table(spark, base, "events")
         n0 = before.count()
