@@ -130,6 +130,40 @@ def probe_ann(spark):
         timed(spark, "old(per-pair norms)", old_form, n=1)
         timed(spark, "new(precomputed norms)", lambda: cur(spark, SF), n=1)
 
+    # per-stage decomposition (VERDICT item 2): where do the ~0.6 s go?
+    def scored_only():
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        from alstom_spark_cassandra_spark.operators.similarity import (
+            dot, l2_norm,
+        )
+
+        c = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+        ).withColumn("__cn", l2_norm(F.col("__cv")))
+        qn = q.select(
+            "query_id",
+            F.col("query_vec").cast("array<double>").alias("__qv"),
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
+        return c.join(F.broadcast(qn)).select(
+            "query_id", "vec_id",
+            F.try_divide(
+                dot(F.col("__cv"), F.col("__qv")),
+                F.col("__cn") * F.col("__qn"),
+            ).alias("cosine"),
+        )
+
+    def scan_only():
+        return emb.select("vec_id", "embedding")
+
+    print("  decomposition (each stage min-of-3 noop):")
+    timed(spark, "stage A: bare scan", scan_only)
+    timed(spark, "stage B: scan+broadcast+cosine project", scored_only)
+    timed(spark, "stage C: full query (B + partial/final top-k window)",
+          lambda: cur(spark, SF))
+
 
 def probe_uh(spark):
     from alstom_spark_cassandra_spark.sources.loader import refresh_tables

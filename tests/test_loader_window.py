@@ -123,11 +123,19 @@ class TestLoadTableMemo:
 
         sf = "/root/testdata/sf0.001"
         fn = SPARK_QUERIES["update_history_dense"]
+        # lazy claim measured as a DELTA (the shared test session may
+        # carry earlier tests' checkpoints): memoizing must persist
+        # nothing new
+        n_persisted_before = (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        )
         d1 = fn(spark, sf)
         d2 = fn(spark, sf)
         assert d1 is d2  # memo hit: no plan rebuild, no scalar job
-        # lazy: the memoized plan holds no cached/persisted state
-        assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+        assert (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            == n_persisted_before
+        )
         assert "InMemoryTableScan" not in (
             d1._jdf.queryExecution().executedPlan().toString()
         )
@@ -141,15 +149,19 @@ class TestLoadTableMemo:
         scratch) — load_table must re-list it on every call, so a
         query that appends to such a directory mid-session can never
         read a frozen listing."""
-        base = _write(tmp_path, "us")  # pytest tmp lives under /tmp
+        # pytest tmp lives under the system temp root; a DIRECTORY
+        # parquet layout so a mid-session append is possible
+        base = str(tmp_path / "writeside")
+        rows = spark.range(5).selectExpr("id AS event_id")
+        rows.write.parquet(f"{base}/events.parquet")
         d1 = load_table(spark, base, "events")
         d2 = load_table(spark, base, "events")
         assert d1 is not d2  # fresh listing per call
         # and the fresh listing SEES a mid-session append
         n0 = d1.count()
-        spark.createDataFrame(
-            d1.limit(1).collect(), schema=d1.schema
-        ).write.mode("append").parquet(f"{base}/events.parquet")
+        spark.range(1).selectExpr("(100 + id) AS event_id").write.mode(
+            "append"
+        ).parquet(f"{base}/events.parquet")
         assert load_table(spark, base, "events").count() == n0 + 1
 
     def test_refresh_tables_invalidates(self, spark, tmp_path, monkeypatch):
